@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Test-table loader. Tables are the driver-generated TPC-H-ish star
+  * schema (see /root/repo/TESTDATA.md). At cluster scale the same
+  * parquet layout is read from distributed storage — nothing here is
+  * local-mode specific; filters/projections push down to the scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which parquet-mr maps to
+    // INT64 and Spark rejects by default; read nanos as long and convert
+    // to a microsecond timestamp (generator emits µs-aligned values, so
+    // this is lossless and matches DuckDB's reading of the same file).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view (for spark.sql rules). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
