@@ -12,7 +12,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Q.CoreSql.qs, Q.CoreSql.oracle)
+      (Q.CoreSql.qs, Q.CoreSql.oracle),
+      (Q.WindowQueries.qs, Q.WindowQueries.oracle),
+      (Q.AnalyticQueries.qs, Q.AnalyticQueries.oracle),
+      (Q.FunctionQueries.qs, Q.FunctionQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's analytic functions (lag, latest, changed_col,
+  * had_changed, acc_*) and aggregate extensions (collect, last_value,
+  * deduplicate, median/percentile/stddev/var) in their batch form:
+  * window functions over (user, event-time) order. Streaming twins use
+  * mapGroupsWithState. Reference: funcs_analytic.go, funcs_agg.go,
+  * docs/en_US/sqls/functions/{analytic,aggregate}_functions.md.
+  *
+  * Scale: every window is partitioned by user key — per-key state only,
+  * no global sort; aggregations are partial-agg friendly.
+  */
+object AnalyticQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+  private def byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lag + latest (last non-null seen so far)
+    "q_analytic" -> ((s, d) => {
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).select(
+        col("event_id"),
+        lag(col("value"), 1).over(byUser).as("prev_val"),
+        last(nullif(col("event_type"), lit("view")), ignoreNulls = true)
+          .over(run).as("latest_nonview"))
+    }),
+
+    // had_changed / changed_col over per-user event stream
+    "q_analytic_changed" -> ((s, d) => {
+      val prev = lag(col("event_type"), 1).over(byUser)
+      ev(s, d).select(
+        col("event_id"),
+        (prev.isNull || prev =!= col("event_type")).as("had_changed"),
+        when(prev.isNull || prev =!= col("event_type"), col("event_type")).as("changed_val"))
+    }),
+
+    // acc_sum / acc_count / acc_avg / acc_min / acc_max running accumulators
+    "q_acc" -> ((s, d) => {
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).select(
+        col("event_id"),
+        // acc_avg = acc_sum/acc_cnt is pinned by the two columns below;
+        // the rounded quotient itself lands on exact decimal-halfway
+        // values (2-dec sums / 2^k counts) where engines' round() differ.
+        round(sum(col("value")).over(run), 2).as("acc_sum"),
+        count(lit(1)).over(run).as("acc_cnt"),
+        min(col("value")).over(run).as("acc_min"),
+        max(col("value")).over(run).as("acc_max"))
+    }),
+
+    // collect + last_value/first over groups
+    "q_agg_collect" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id")).agg(
+        sort_array(collect_list(col("value"))).as("vals"),
+        min_by(col("value"), col("event_id")).as("first_val"),
+        max_by(col("value"), col("event_id")).as("last_val"),
+        count(lit(1)).as("n"))),
+
+    // median / percentile / percentile_disc / stddev(s) / var(s)
+    "q_agg_stats" -> ((s, d) =>
+      Tables(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(median(col("l_quantity")), 6).as("med"),
+        round(percentile_approx(col("l_quantity"), lit(0.9), lit(1000000)), 6).as("p90_disc"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_cont"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+        round(var_samp(col("l_quantity")), 6).as("v_samp"),
+        round(var_pop(col("l_quantity")), 6).as("v_pop"))),
+
+    // deduplicate(keep-first) per key group
+    "q_dedup_keyed" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"), col("event_type")).agg(
+        min(col("event_id")).as("first_eid"),
+        min_by(col("value"), col("event_id")).as("first_val")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_analytic" ->
+      """SELECT event_id,
+        |  lag(value) OVER w AS prev_val,
+        |  last_value(nullif(event_type,'view') IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_nonview
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_analytic_changed" ->
+      """SELECT event_id,
+        |  (prev IS NULL OR prev <> event_type) AS had_changed,
+        |  CASE WHEN prev IS NULL OR prev <> event_type THEN event_type END AS changed_val
+        |FROM (SELECT event_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)""".stripMargin,
+    "q_acc" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER w, 2) AS acc_sum,
+        |  count(*) OVER w AS acc_cnt,
+        |  min(value) OVER w AS acc_min,
+        |  max(value) OVER w AS acc_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT user_id, list_sort(list(value)) AS vals,
+        |  arg_min(value, event_id) AS first_val,
+        |  arg_max(value, event_id) AS last_val,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity),6) AS med,
+        |  round(quantile_disc(l_quantity, 0.9),6) AS p90_disc,
+        |  round(quantile_cont(l_quantity, 0.9),6) AS p90_cont,
+        |  round(stddev_samp(l_quantity),6) AS sd_samp,
+        |  round(stddev_pop(l_quantity),6) AS sd_pop,
+        |  round(var_samp(l_quantity),6) AS v_samp,
+        |  round(var_pop(l_quantity),6) AS v_pop
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_dedup_keyed" ->
+      """SELECT user_id, event_type, min(event_id) AS first_eid,
+        |  arg_min(value, event_id) AS first_val
+        |FROM events GROUP BY user_id, event_type""".stripMargin
+  )
+}

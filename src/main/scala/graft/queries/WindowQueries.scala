@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's five window kinds re-expressed for batch (event-time
+  * columns) — streaming twins live in graft.streaming. Reference:
+  * /root/reference/docs/en_US/sqls/windows.md (tumbling/hopping/
+  * sliding/session/count windows, filtered window inputs) and
+  * /root/reference/docs/en_US/sqls/functions/window_functions.md.
+  *
+  * Scale notes: time windows groupBy (window, key) → hash shuffle that
+  * partitions evenly at any SF; the sliding window uses a range frame
+  * partitioned by user so state per partition is bounded by per-key
+  * history; the count window's global row_number is a single-partition
+  * sort — kept for reference parity, the keyed form is the scale path.
+  */
+object WindowQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_tumble" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "60 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("w.start").cast("long").as("ws"), col("w.end").cast("long").as("we"),
+          col("event_type"), col("n"), col("sum_val"))),
+
+    "q_win_hop" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "120 seconds", "60 seconds").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("w.start").cast("long").as("ws"), col("n"), col("sum_val"))),
+
+    "q_win_slide" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-60000000L, 0L)
+      ev(s, d).withColumn("tus", unix_micros(col("ts")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_60s"),
+          round(sum(col("value")).over(w), 2).as("sum_60s"))
+    }),
+
+    "q_win_session" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "3600 seconds").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("user_id"), col("sw.start").cast("long").as("session_start"),
+          col("n"), col("sum_val"))),
+
+    "q_win_count" -> ((s, d) => {
+      val w = Window.orderBy(col("event_id"))
+      ev(s, d).withColumn("rn", row_number().over(w))
+        .withColumn("win_id", floor((col("rn") - 1) / 500))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"),
+          min(col("event_id")).as("first_eid"), max(col("event_id")).as("last_eid"))
+    }),
+
+    "q_win_filter" -> ((s, d) =>
+      ev(s, d).filter(col("event_type") === "click")
+        .groupBy(window(col("ts"), "3600 seconds").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("w.start").cast("long").as("ws"), col("n"), col("sum_val"))),
+
+    "q_win_rownum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_tumble" ->
+      """SELECT CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS ws,
+        |  CAST(floor(epoch(ts)/60)*60+60 AS BIGINT) AS we,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sum_val
+        |FROM events GROUP BY 1,2,3""".stripMargin,
+    "q_win_hop" ->
+      """SELECT CAST((floor(epoch(ts)/60) - k.k)*60 AS BIGINT) AS ws,
+        |  count(*) AS n, round(sum(value),2) AS sum_val
+        |FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) k
+        |GROUP BY 1""".stripMargin,
+    "q_win_slide" ->
+      """SELECT event_id, count(*) OVER w AS n_60s, round(sum(value) OVER w, 2) AS sum_60s
+        |FROM (SELECT *, epoch_us(ts) AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_win_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value, epoch(ts) AS es,
+        |    lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT *, sum(CASE WHEN prev IS NULL OR es - prev >= 3600 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(floor(min(es)) AS BIGINT) AS session_start,
+        |  count(*) AS n, round(sum(value),2) AS sum_val
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+    "q_win_count" ->
+      """WITH x AS (SELECT *, row_number() OVER (ORDER BY event_id) AS rn FROM events)
+        |SELECT CAST(floor((rn-1)/500) AS BIGINT) AS win_id, count(*) AS n,
+        |  round(sum(value),2) AS sum_val,
+        |  min(event_id) AS first_eid, max(event_id) AS last_eid
+        |FROM x GROUP BY 1""".stripMargin,
+    "q_win_filter" ->
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ws,
+        |  count(*) AS n, round(sum(value),2) AS sum_val
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "q_win_rownum" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin
+  )
+}

@@ -51,10 +51,15 @@ def main(sfdir, outdir):
             print(f"[FAIL-sql ] {name}: oracle errored: {e}")
             n_bad += 1
             continue
+        gtypes = sorted((d[0], str(d[1])) for d in got.description)
+        etypes = sorted((d[0], str(d[1])) for d in exp.description)
         gc, gr = canon(gcols, grows)
         ec, er = canon(ecols, erows)
         if gc != ec:
             print(f"[FAIL-cols] {name}: spark={gc} duckdb={ec}")
+            n_bad += 1
+        elif gtypes != etypes:
+            print(f"[FAIL-type] {name}: spark={gtypes} duckdb={etypes}")
             n_bad += 1
         elif gr != er:
             n_bad += 1
