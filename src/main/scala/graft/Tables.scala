@@ -19,7 +19,8 @@ object Tables {
     // INT64 and Spark rejects by default; read nanos as long and convert
     // to a microsecond timestamp (generator emits µs-aligned values, so
     // this is lossless and matches DuckDB's reading of the same file).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -54,10 +54,13 @@ object AnalyticQueries {
         max(col("value")).over(run).as("acc_max"))
     }),
 
-    // collect + last_value/first over groups
+    // collect + last_value/first over groups. The collected list is
+    // serialized with to_json so the driver's comparator (and DuckDB)
+    // hash a string, not a nested array; values rounded to 2dp so both
+    // engines print identical shortest-decimal JSON numbers.
     "q_agg_collect" -> ((s, d) =>
       ev(s, d).groupBy(col("user_id")).agg(
-        sort_array(collect_list(col("value"))).as("vals"),
+        to_json(sort_array(collect_list(round(col("value"), 2)))).as("vals"),
         min_by(col("value"), col("event_id")).as("first_val"),
         max_by(col("value"), col("event_id")).as("last_val"),
         count(lit(1)).as("n"))),
@@ -72,6 +75,19 @@ object AnalyticQueries {
         round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
         round(var_samp(col("l_quantity")), 6).as("v_samp"),
         round(var_pop(col("l_quantity")), 6).as("v_pop"))),
+
+    // merge_agg: merge per-row objects over the group, last write wins
+    // per key (reference funcs_agg.go merge_agg). Expressed as: last
+    // value per (group, key) by event order, assembled into one map.
+    // Two-level partial-agg-friendly plan — no row-at-a-time fold.
+    "q_agg_obj" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(max_by(col("value"), col("event_id")), 2).as("v"))
+        .groupBy(col("user_id"))
+        .agg(to_json(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("v"))))))
+          .as("merged"))),
 
     // deduplicate(keep-first) per key group
     "q_dedup_keyed" -> ((s, d) =>
@@ -106,7 +122,7 @@ object AnalyticQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_agg_collect" ->
-      """SELECT user_id, list_sort(list(value)) AS vals,
+      """SELECT user_id, CAST(to_json(list_sort(list(round(value,2)))) AS VARCHAR) AS vals,
         |  arg_min(value, event_id) AS first_val,
         |  arg_max(value, event_id) AS last_val,
         |  count(*) AS n
@@ -121,6 +137,13 @@ object AnalyticQueries {
         |  round(var_samp(l_quantity),6) AS v_samp,
         |  round(var_pop(l_quantity),6) AS v_pop
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_obj" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, round(arg_max(value, event_id),2) AS v
+        |  FROM events GROUP BY 1,2)
+        |SELECT user_id, CAST(to_json(map_from_entries(
+        |  list_sort(list(struct_pack(key := event_type, value := v))))) AS VARCHAR) AS merged
+        |FROM x GROUP BY user_id""".stripMargin,
     "q_dedup_keyed" ->
       """SELECT user_id, event_type, min(event_id) AS first_eid,
         |  arg_min(value, event_id) AS first_val

@@ -31,9 +31,10 @@ object FunctionQueries {
         r6(exp(col("p_size") / 100.0)).as("exp_v"),
         r6(log(col("p_retailprice"))).as("ln_v"),
         r6(log10(col("p_retailprice"))).as("log10_v"),
-        (col("p_size") * col("p_size")).cast("long").as("pow_v"),
+        pow(col("p_size"), 2).cast("long").as("pow_v"),
         (col("p_size") % 7).as("mod_v"),
-        signum(col("p_retailprice") - 1000).cast("int").as("sign_v"))),
+        signum(col("p_retailprice") - 1000).cast("int").as("sign_v"),
+        conv(col("p_size").cast("string"), 10, 2).as("conv_v"))),
 
     "q_fn_trig" -> ((s, d) => {
       val x = col("p_size") / 100.0
@@ -58,6 +59,8 @@ object FunctionQueries {
         col("p_size").bitwiseXOR(lit(21)).as("bxor_v"),
         bitwise_not(col("p_size")).as("bnot_v"),
         hex(col("p_size").cast("long")).as("dec2hex_v"),
+        // hex2dec validated as a round-trip over varied values
+        conv(hex(col("p_size").cast("long")), 16, 10).cast("long").as("hex2dec_v"),
         chr(lit(65) + col("p_size") % 26).as("chr_v"),
         (floor(col("p_retailprice") * 1.337 * 100) / 100).as("trunc_v"))),
 
@@ -83,7 +86,8 @@ object FunctionQueries {
         col("p_name").startsWith("red").as("sw_v"),
         col("p_name").endsWith("t").as("ew_v"),
         octet_length(col("p_name")).cast("long").as("nb_v"),
-        element_at(split(col("p_name"), " "), 2).as("split_v"))),
+        // coalesce to '' aligns with split_part's out-of-range behavior
+        coalesce(element_at(split(col("p_name"), " "), 2), lit("")).as("split_v"))),
 
     "q_fn_regex" -> ((s, d) =>
       t(s, d, "part").select(
@@ -121,7 +125,11 @@ object FunctionQueries {
         date_format(timestamp_seconds(lit(1700000000L) + col("event_id")),
           "yyyy-MM-dd HH:mm:ss").as("from_unix_v"),
         date_add(lit("1970-01-01").cast("date"),
-          (col("event_id") % 20000).cast("int")).as("from_days_v"))),
+          (col("event_id") % 20000).cast("int")).as("from_days_v"),
+        // convert_tz with a fixed-offset zone (deterministic across
+        // engines; IANA-zone DST behavior covered in FunctionsSpec)
+        date_format(convert_timezone(lit("UTC"), lit("+08:00"), col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("convert_tz_v"))),
 
     "q_fn_hash" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -139,13 +147,22 @@ object FunctionQueries {
         sha2(col("text").cast("binary"), 512).as("sha512_v"),
         crc32(col("text").cast("binary")).as("crc32_v"))),
 
+    // to_json / parse_json (Spark 4 VARIANT) / json_path_query_first /
+    // json_path_exists — real key-presence semantics via json_object_keys
+    // (distinguishes a missing key from a null-valued one), probing a key
+    // that EXISTS and one that doesn't. Reference funcs_misc.go:148,527,538.
     "q_fn_json" -> ((s, d) =>
       t(s, d, "events").select(
         col("event_id"),
         to_json(struct(col("event_id").as("eid"), col("event_type").as("et"))).as("tj_v"),
         get_json_object(col("props"), "$.k").as("jq_first_v"),
-        get_json_object(col("props"), "$.missing").isNotNull.as("jexists_v"))),
+        variant_get(parse_json(col("props")), "$.k", "int").as("parsed_k_v"),
+        array_contains(json_object_keys(col("props")), "k").as("jexists_v"),
+        array_contains(json_object_keys(col("props")), "zzz").as("jexists_neg_v"))),
 
+    // Array-typed outputs are to_json-serialized: the driver's pandas
+    // comparator can't hash nested arrays, and both engines print the
+    // same JSON for integer lists.
     "q_fn_array" -> ((s, d) => {
       val arr = array(col("p_size"), col("p_size") * 2, lit(7))
       t(s, d, "part").select(
@@ -156,35 +173,60 @@ object FunctionQueries {
         array_contains(arr, 14).as("contains_v"),
         array_max(arr).as("max_v"),
         array_min(arr).as("min_v"),
-        sort_array(arr).as("sort_v"),
-        sort_array(array_distinct(array(col("p_size") % 5, lit(3), col("p_size") % 5)))
-          .as("distinct_v"))
+        to_json(sort_array(arr)).as("sort_v"),
+        to_json(sort_array(array_distinct(array(col("p_size") % 5, lit(3), col("p_size") % 5))))
+          .as("distinct_v"),
+        to_json(array_remove(arr, 7)).as("remove_v"),
+        // array_last_position(arr, x) = size+1 - position of x in reverse
+        (when(array_position(reverse(arr), col("p_size") * 2) > 0,
+          size(arr) + 1 - array_position(reverse(arr), col("p_size") * 2))
+          .otherwise(0)).cast("long").as("last_pos_v"))
     }),
 
     "q_fn_array2" -> ((s, d) => {
       val arr = array(col("p_size"), col("p_size") * 2, lit(7))
       t(s, d, "part").select(
         col("p_partkey"),
-        sort_array(array_union(arr, array(lit(1), lit(2)))).as("union_v"),
-        sort_array(array_intersect(arr, array(lit(7), col("p_size")))).as("inter_v"),
-        sort_array(array_except(arr, array(lit(7)))).as("except_v"),
+        to_json(sort_array(array_union(arr, array(lit(1), lit(2))))).as("union_v"),
+        to_json(sort_array(array_intersect(arr, array(lit(7), col("p_size"))))).as("inter_v"),
+        to_json(sort_array(array_except(arr, array(lit(7))))).as("except_v"),
         arrays_overlap(arr, array(lit(14), lit(99))).as("hasany_v"),
-        flatten(array(arr, array(lit(9)))).as("flat_v"),
+        to_json(flatten(array(arr, array(lit(9))))).as("flat_v"),
         array_join(split(col("p_name"), " "), "_").as("join_v"),
-        transform(arr, x => x + 1).as("map_v"),
-        concat(arr, array(lit(0))).as("concat_v"),
-        sequence(lit(1), lit(1) + col("p_size") % 5).as("seq_v"),
-        array_repeat(col("p_size"), 3).as("repeat_v"))
+        to_json(transform(arr, x => x + 1)).as("map_v"),
+        to_json(concat(arr, array(lit(0)))).as("concat_v"),
+        to_json(sequence(lit(1), lit(1) + col("p_size") % 5)).as("seq_v"),
+        to_json(array_repeat(col("p_size"), 3)).as("repeat_v"))
     }),
 
+    // Object (map) functions — reference funcs_obj.go: keys, values,
+    // object_construct, object_concat, object_pick, erase, zip, items,
+    // obj_to_kvpair_array. Map outputs serialized via to_json.
     "q_fn_object" -> ((s, d) => {
-      val m = map(lit("a"), col("value"), lit("b"), col("value") * 2)
+      val m = map(lit("a"), round(col("value"), 2), lit("b"), round(col("value") * 2, 2))
+      val m2 = map(lit("b"), lit(0.5), lit("c"), lit(1.5))
       t(s, d, "events").select(
         col("event_id"),
-        map_keys(m).as("keys_v"),
-        transform(map_values(m), x => round(x, 2)).as("values_v"),
+        to_json(map_keys(m)).as("keys_v"),
+        to_json(map_values(m)).as("values_v"),
         element_at(m, "a").as("get_v"),
-        size(m).cast("long").as("size_v"))
+        size(m).cast("long").as("size_v"),
+        // object_construct drops null-valued entries (funcs_obj.go:191)
+        to_json(map_filter(
+          map(lit("a"), round(col("value"), 2),
+              lit("n"), when(col("event_id") % 2 === 0, round(col("value"), 2))),
+          (_, v) => v.isNotNull)).as("construct_v"),
+        // object_concat: right side wins on key conflict (funcs_obj.go:120)
+        to_json(map_concat(map_filter(m, (k, _) => k =!= "b"), m2)).as("concat_v"),
+        // erase(obj, 'a')
+        to_json(map_filter(m, (k, _) => k =!= "a")).as("erase_v"),
+        // object_pick(obj, 'a')
+        to_json(map_filter(m, (k, _) => k === "a")).as("pick_v"),
+        // zip(keys[], vals[]) → object
+        to_json(map_from_arrays(array(lit("x"), lit("y")),
+          array(round(col("value"), 2), lit(9.5)))).as("zip_v"),
+        // items(obj) → [[k,v]...]; obj_to_kvpair_array → [{key,value}...]
+        to_json(map_entries(m)).as("items_v"))
     }),
 
     "q_fn_encode" -> ((s, d) =>
@@ -198,7 +240,9 @@ object FunctionQueries {
         col("c_custkey"),
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg_v"),
         nullif(col("c_acctbal"), lit(0.0)).isNull.as("zero_bal_v"),
-        isnull(nullif(col("c_mktsegment"), col("c_mktsegment"))).as("isnull_v"))),
+        isnull(nullif(col("c_mktsegment"), col("c_mktsegment"))).as("isnull_v"),
+        // nanvl: sqrt of a negative balance is NaN → fall back to -1
+        round(nanvl(sqrt(col("c_acctbal")), lit(-1.0)), 6).as("nanvl_v"))),
 
     "q_unnest" -> ((s, d) =>
       t(s, d, "part").select(
@@ -217,7 +261,8 @@ object FunctionQueries {
         |  round(log10(p_retailprice),6) AS log10_v,
         |  CAST(p_size*p_size AS BIGINT) AS pow_v,
         |  p_size%7 AS mod_v,
-        |  CAST(sign(p_retailprice-1000) AS INT) AS sign_v
+        |  CAST(sign(p_retailprice-1000) AS INT) AS sign_v,
+        |  bin(p_size) AS conv_v
         |FROM part""".stripMargin,
     "q_fn_trig" ->
       """SELECT p_partkey,
@@ -238,6 +283,7 @@ object FunctionQueries {
         |  p_size & 12 AS band_v, p_size | 3 AS bor_v, xor(p_size, 21) AS bxor_v,
         |  ~p_size AS bnot_v,
         |  to_hex(CAST(p_size AS BIGINT)) AS dec2hex_v,
+        |  CAST(p_size AS BIGINT) AS hex2dec_v,
         |  chr(65 + p_size % 26) AS chr_v,
         |  floor(p_retailprice * 1.337 * 100) / 100 AS trunc_v
         |FROM part""".stripMargin,
@@ -293,7 +339,8 @@ object FunctionQueries {
         |  CAST(floor(epoch(ts)) AS BIGINT) AS to_sec_v,
         |  strftime(TIMESTAMP '1970-01-01' + (1700000000 + event_id) * INTERVAL 1 SECOND,
         |           '%Y-%m-%d %H:%M:%S') AS from_unix_v,
-        |  DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS from_days_v
+        |  DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS from_days_v,
+        |  strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS convert_tz_v
         |FROM events""".stripMargin,
     "q_fn_hash" ->
       """SELECT doc_id, md5(text) AS md5_v, sha256(text) AS sha256_v
@@ -302,7 +349,9 @@ object FunctionQueries {
       """SELECT event_id,
         |  CAST(to_json(struct_pack(eid := event_id, et := event_type)) AS VARCHAR) AS tj_v,
         |  json_extract_string(props, '$.k') AS jq_first_v,
-        |  (json_extract_string(props, '$.missing') IS NOT NULL) AS jexists_v
+        |  CAST(json_extract(props, '$.k') AS INT) AS parsed_k_v,
+        |  list_contains(json_keys(props), 'k') AS jexists_v,
+        |  list_contains(json_keys(props), 'zzz') AS jexists_neg_v
         |FROM events""".stripMargin,
     "q_fn_array" ->
       """SELECT p_partkey,
@@ -312,29 +361,43 @@ object FunctionQueries {
         |  list_contains([p_size, p_size*2, 7], 14) AS contains_v,
         |  list_max([p_size, p_size*2, 7]) AS max_v,
         |  list_min([p_size, p_size*2, 7]) AS min_v,
-        |  list_sort([p_size, p_size*2, 7]) AS sort_v,
-        |  list_sort(list_distinct([p_size%5, 3, p_size%5])) AS distinct_v
+        |  CAST(to_json(list_sort([p_size, p_size*2, 7])) AS VARCHAR) AS sort_v,
+        |  CAST(to_json(list_sort(list_distinct([p_size%5, 3, p_size%5]))) AS VARCHAR) AS distinct_v,
+        |  CAST(to_json(list_filter([p_size, p_size*2, 7], x -> x != 7)) AS VARCHAR) AS remove_v,
+        |  CAST(CASE WHEN list_position(list_reverse([p_size, p_size*2, 7]), p_size*2) IS NOT NULL
+        |    THEN len([p_size, p_size*2, 7]) + 1
+        |         - list_position(list_reverse([p_size, p_size*2, 7]), p_size*2)
+        |    ELSE 0 END AS BIGINT) AS last_pos_v
         |FROM part""".stripMargin,
     "q_fn_array2" ->
       """SELECT p_partkey,
-        |  list_sort(list_distinct(list_concat([p_size, p_size*2, 7], [1, 2]))) AS union_v,
-        |  list_sort(list_distinct(list_filter([p_size, p_size*2, 7],
-        |    x -> list_contains([7, p_size], x)))) AS inter_v,
-        |  list_sort(list_distinct(list_filter([p_size, p_size*2, 7], x -> x != 7))) AS except_v,
+        |  CAST(to_json(list_sort(list_distinct(list_concat([p_size, p_size*2, 7], [1, 2])))) AS VARCHAR) AS union_v,
+        |  CAST(to_json(list_sort(list_distinct(list_filter([p_size, p_size*2, 7],
+        |    x -> list_contains([7, p_size], x))))) AS VARCHAR) AS inter_v,
+        |  CAST(to_json(list_sort(list_distinct(list_filter([p_size, p_size*2, 7], x -> x != 7)))) AS VARCHAR) AS except_v,
         |  list_has_any([p_size, p_size*2, 7], [14, 99]) AS hasany_v,
-        |  flatten([[p_size, p_size*2, 7], [9]]) AS flat_v,
+        |  CAST(to_json(flatten([[p_size, p_size*2, 7], [9]])) AS VARCHAR) AS flat_v,
         |  array_to_string(string_split(p_name, ' '), '_') AS join_v,
-        |  list_transform([p_size, p_size*2, 7], x -> x + 1) AS map_v,
-        |  list_concat([p_size, p_size*2, 7], [0]) AS concat_v,
-        |  range(1, 2 + p_size % 5) AS seq_v,
-        |  [p_size, p_size, p_size] AS repeat_v
+        |  CAST(to_json(list_transform([p_size, p_size*2, 7], x -> x + 1)) AS VARCHAR) AS map_v,
+        |  CAST(to_json(list_concat([p_size, p_size*2, 7], [0])) AS VARCHAR) AS concat_v,
+        |  CAST(to_json(range(1, 2 + p_size % 5)) AS VARCHAR) AS seq_v,
+        |  CAST(to_json([p_size, p_size, p_size]) AS VARCHAR) AS repeat_v
         |FROM part""".stripMargin,
     "q_fn_object" ->
       """SELECT event_id,
-        |  map_keys(map(['a','b'], [value, value*2])) AS keys_v,
-        |  list_transform(map_values(map(['a','b'], [value, value*2])), x -> round(x,2)) AS values_v,
-        |  (map(['a','b'], [value, value*2])['a'])[1] AS get_v,
-        |  CAST(cardinality(map(['a','b'], [value, value*2])) AS BIGINT) AS size_v
+        |  CAST(to_json(map_keys(map(['a','b'], [round(value,2), round(value*2,2)]))) AS VARCHAR) AS keys_v,
+        |  CAST(to_json(map_values(map(['a','b'], [round(value,2), round(value*2,2)]))) AS VARCHAR) AS values_v,
+        |  round(value,2) AS get_v,
+        |  CAST(2 AS BIGINT) AS size_v,
+        |  CAST(CASE WHEN event_id % 2 = 0
+        |    THEN to_json(map(['a','n'], [round(value,2), round(value,2)]))
+        |    ELSE to_json(map(['a'], [round(value,2)])) END AS VARCHAR) AS construct_v,
+        |  CAST(to_json(map(['a','b','c'], [round(value,2), 0.5, 1.5])) AS VARCHAR) AS concat_v,
+        |  CAST(to_json(map(['b'], [round(value*2,2)])) AS VARCHAR) AS erase_v,
+        |  CAST(to_json(map(['a'], [round(value,2)])) AS VARCHAR) AS pick_v,
+        |  CAST(to_json(map(['x','y'], [round(value,2), 9.5])) AS VARCHAR) AS zip_v,
+        |  CAST(to_json([struct_pack(key := 'a', value := round(value,2)),
+        |                struct_pack(key := 'b', value := round(value*2,2))]) AS VARCHAR) AS items_v
         |FROM events""".stripMargin,
     "q_fn_encode" ->
       """SELECT doc_id,
@@ -345,7 +408,8 @@ object FunctionQueries {
       """SELECT c_custkey,
         |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_v,
         |  (nullif(c_acctbal, 0.0) IS NULL) AS zero_bal_v,
-        |  (nullif(c_mktsegment, c_mktsegment) IS NULL) AS isnull_v
+        |  (nullif(c_mktsegment, c_mktsegment) IS NULL) AS isnull_v,
+        |  round(CASE WHEN c_acctbal < 0 THEN -1.0 ELSE sqrt(c_acctbal) END, 6) AS nanvl_v
         |FROM customer""".stripMargin,
     "q_unnest" ->
       """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part""".stripMargin

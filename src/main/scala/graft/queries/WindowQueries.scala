@@ -14,8 +14,9 @@ import graft.Tables
   * Scale notes: time windows groupBy (window, key) → hash shuffle that
   * partitions evenly at any SF; the sliding window uses a range frame
   * partitioned by user so state per partition is bounded by per-key
-  * history; the count window's global row_number is a single-partition
-  * sort — kept for reference parity, the keyed form is the scale path.
+  * history; the count window uses two-pass partition-offset indexing
+  * (range partition → per-partition counts → local row_number + offset)
+  * so no stage ever sorts the whole table in one task.
   */
 object WindowQueries {
 
@@ -51,9 +52,26 @@ object WindowQueries {
         .select(col("user_id"), col("sw.start").cast("long").as("session_start"),
           col("n"), col("sum_val"))),
 
+    // Count window via two-pass partition-offset indexing (the
+    // zipWithIndex pattern): range-partition on the order key, count per
+    // partition (tiny), derive each partition's global offset with a
+    // partition-count self-join (32×32 rows — no unpartitioned window),
+    // then row_number *within* each partition + offset = global index.
+    // No single-partition global sort — survives 100× scale. persist()
+    // pins the sampled range boundaries so both passes see one layout.
     "q_win_count" -> ((s, d) => {
-      val w = Window.orderBy(col("event_id"))
-      ev(s, d).withColumn("rn", row_number().over(w))
+      val parts = ev(s, d)
+        .repartitionByRange(col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      val local = Window.partitionBy(col("pid")).orderBy(col("event_id"))
+      parts.join(broadcast(offsets), "pid")
+        .withColumn("rn", row_number().over(local) + col("off"))
         .withColumn("win_id", floor((col("rn") - 1) / 500))
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"),
@@ -84,7 +102,7 @@ object WindowQueries {
     "q_win_hop" ->
       """SELECT CAST((floor(epoch(ts)/60) - k.k)*60 AS BIGINT) AS ws,
         |  count(*) AS n, round(sum(value),2) AS sum_val
-        |FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) k
+        |FROM events CROSS JOIN (SELECT unnest(range(0, CAST(120/60 AS BIGINT))) AS k) k
         |GROUP BY 1""".stripMargin,
     "q_win_slide" ->
       """SELECT event_id, count(*) OVER w AS n_60s, round(sum(value) OVER w, 2) AS sum_60s
