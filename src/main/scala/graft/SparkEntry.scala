@@ -15,7 +15,8 @@ object SparkEntry {
       (Q.CoreSql.qs, Q.CoreSql.oracle),
       (Q.WindowQueries.qs, Q.WindowQueries.oracle),
       (Q.AnalyticQueries.qs, Q.AnalyticQueries.oracle),
-      (Q.FunctionQueries.qs, Q.FunctionQueries.oracle)
+      (Q.FunctionQueries.qs, Q.FunctionQueries.oracle),
+      (Q.PipelineQueries.qs, Q.PipelineQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-scale corpora: exact content-hash,
+  * MinHash+LSH, SimHash, and an n-gram Jaccard verify pass.
+  *
+  * Everything is expressed with codegen'd built-ins (higher-order array
+  * functions, xxhash64) — no UDFs, no collect. Scale design:
+  *  - exact: one hash-shuffle on a 32-byte digest, partial-agg friendly.
+  *  - minhash: shuffle volume per doc = bands × (8-byte key + id), never
+  *    the text; candidate pairs are generated per LSH bucket with a hard
+  *    per-bucket cap so a degenerate bucket can't produce O(n²) pairs.
+  *  - simhash: 64-bit signature, banded into 16-bit chunks (pigeonhole:
+  *    hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+  *  - verify: exact Jaccard only on the (tiny) candidate set, via a
+  *    shuffle join back to shingle sets keyed by doc id.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of the document. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** 64-bit hashes of the shingle set. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** k-element MinHash signature. One base hash per shingle, then k
+    * independent re-hashes h_i = xxhash64(h, i) — seeding by hashing the
+    * row index avoids 64-bit multiply overflow under ANSI mode and gives
+    * full avalanche mixing per row.
+    */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(shingleHashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, i))))
+
+  /** Candidate near-duplicate pairs via banded MinHash LSH.
+    * Returns (a, b, est_jaccard) with a < b, distinct across bands,
+    * est_jaccard = fraction of agreeing signature positions.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 64, minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(shingleHashes(col(textCol), n), k).as("sig"))
+
+    // (band, bucket-hash, id): 16 rows of ~20 bytes per doc — the only
+    // thing shuffled at corpus scale.
+    val buckets = sigs.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          j => struct(j.as("band"), hash(j, slice(col("sig"), j * r + 1, lit(r))).as("bh"))))
+          .as("bk"))
+      .select(col("bk.band"), col("bk.bh"), col("id"))
+
+    val pairs = buckets
+      .groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+
+    // join signatures back (shuffle join on id — no broadcast of the
+    // corpus) and estimate similarity from signature agreement.
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: bit i of the result is the sign
+    * of Σ_tokens (bit i set ? +1 : -1).
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val counts = aggregate(hs, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
+      (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs via SimHash with 16-bit chunk blocking:
+    * hamming(a,b) ≤ 3 guarantees one of the four 16-bit chunks matches,
+    * so candidate generation shuffles only (chunk-idx, chunk-value, id).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(3)), j => struct(
+          j.as("chunk"),
+          call_function("shiftright", col("sig"), j * lit(16))
+            .bitwiseAND(lit(0xFFFFL)).as("cv"))))
+          .as("c"))
+      .select(col("c.chunk"), col("c.cv"), col("id"))
+
+    val pairs = chunked
+      .groupBy(col("chunk"), col("cv"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("hamming", hamming64(col("siga"), col("sigb")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (a, b). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+                    idCol: String, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact dedup by content hash: one row per distinct content with the
+    * kept (minimum) id and the duplicate count. Partial-agg friendly —
+    * the only shuffle key is the 256-bit digest.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep-one projection of exact dedup (the rows a pipeline would pass
+    * downstream). Implemented as keep-first over the hash group.
+    */
+  def exactKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol).cast("binary"), 256))
+      .orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+}

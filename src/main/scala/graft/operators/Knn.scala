@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>): brute-force cosine top-k as the exactness baseline,
+  * and a random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * All vector math is zip_with/aggregate over arrays — codegen'd, no
+  * UDFs. Scale design: brute force broadcast-joins the (small) query
+  * set against the corpus, so the corpus is never shuffled and per-query
+  * top-k reduces map-side; the LSH path prunes each query to its own
+  * signature bucket, turning O(Q·N) similarity work into O(Q·N/2^bits)
+  * with recall traded via the probe count.
+  */
+object Knn {
+
+  /** Cosine similarity between two equal-length vectors, computed in
+    * one pass: fold (dot, |a|², |b|²) then combine.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k by cosine for every query row. `queries` must be small
+    * enough to broadcast (it is by construction: the probe set).
+    * Returns (q_id, n_id, cos, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    joined
+      // rank on the ROUNDED similarity (ties broken by id) so the
+      // ordering is reproducible across engines and ulp noise
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
+    * components in [-1, 1), derived from a seeded xorshift — stable
+    * across runs and cluster nodes.
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(bits, dim)(next())
+  }
+
+  /** Sign-bit LSH bucket id of a vector for the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.indices.map { i =>
+      val plane = typedlit(planes(i).toSeq)
+      val dot = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L) * (1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: queries search only their own LSH bucket (plus
+    * single-bit-flip probe buckets when `probes` > 0). Returns the same
+    * shape as bruteForceTopK; recall vs brute force is the ScalaTest
+    * contract. The corpus-side bucket id is a free partition key — at
+    * scale the corpus would be written bucketed on it.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              bits: Int = 8, probes: Int = 2, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame = {
+    val dim = 64 // embeddings table vector width
+    val planes = hyperplanes(bits, dim, seed)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    // each query probes its home bucket + `probes` nearest (bit-flip) buckets
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        lshBucket(col(vecCol), planes).as("qb"))
+      .withColumn("bucket", explode(array_distinct(concat(
+        array(col("qb")),
+        slice(transform(sequence(lit(0), lit(bits - 1)),
+          i => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), i))),
+          1, math.max(probes, 0))))))
+      .drop("qb")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID (stopword
+  * n-gram heuristic), quality scoring (length/punctuation/stopword/word
+  * -length ratios), token counting (whitespace + BPE-ish regex), and
+  * document fingerprinting (rolling hash / min-sampling).
+  *
+  * All pure Column expressions — embarrassingly parallel, no shuffle,
+  * whole-stage codegen. Reference scope: the pipeline extensions of
+  * SURVEY.md §2.9 (beyond lf-edge/ekuiper's own surface).
+  */
+object TextOps {
+
+  /** Whitespace tokens, lower-cased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword token count: GPT-2-style pre-tokenizer pieces
+    * (word fragments, numbers, punctuation runs) — the cheap proxy for
+    * "how many tokens will the tokenizer emit".
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).cast("long")
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of alphabetic characters to all characters. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Small per-language stopword lists (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "im"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "les", "dans", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+
+  /** Fraction of tokens that are stopwords of the given language. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val sw = typedlit(stopwords(lang))
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => array_contains(sw, t))).cast("double") /
+        size(ts).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Language ID: argmax of per-language stopword hit ratios; "und"
+    * (undetermined) when nothing matches. An n-gram/function-word
+    * heuristic — deterministic and shuffle-free.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, _) =>
+      struct(stopwordRatio(text, lang).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of alpha ratio,
+    * stopword presence, sane mean word length, and low punctuation.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 100000), 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    round(
+      lit(0.3) * alphaRatio(text) +
+      lit(0.3) * least(stopwordRatio(text) * 5, lit(1.0)) +
+      lit(0.2) * lenOk +
+      lit(0.1) * wordLenOk +
+      lit(0.1) * (lit(1.0) - least(punctRatio(text) * 10, lit(1.0))), 6)
+  }
+
+  /** Document fingerprint: min-sampled rolling hash over word 5-gram
+    * shingles (winnowing-style). Two documents sharing long runs of
+    * text collide with high probability; robust to reordering of
+    * distant parts. Returns a 64-bit fingerprint.
+    */
+  def fingerprint(text: Column, n: Int = 5): Column = {
+    val hs = Dedup.shingleHashes(text, n)
+    when(size(hs) > 0,
+      aggregate(hs, lit(Long.MaxValue), (acc, h) => least(acc, h)))
+      .otherwise(xxhash64(text))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Knn, Multimodal, TextOps}
+
+/** SURVEY §2.9 — LLM-scale data-pipeline operators over the
+  * documents/embeddings tables: dedup (exact, minhash LSH, simhash,
+  * Jaccard verify), ANN (brute cosine, LSH buckets), text analysis
+  * (langid, quality, tokens, fingerprint), multimodal plumbing.
+  *
+  * DuckDB-expressible ops carry full oracles; the hash-based ones are
+  * rows-only here with behavior pinned by PipelineSpec (planted
+  * duplicates, ANN recall, decoder goldens). The near-dup queries plant
+  * perturbed copies of 25 documents so the operator's output is
+  * non-empty, deterministic, and self-demonstrating at every SF.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** documents ∪ near-duplicate copies of doc_id < 25 (id + 100000,
+    * text with a short appended suffix — high but non-1.0 Jaccard).
+    */
+  private def withPlanted(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(
+      docs.where(col("doc_id") < 25).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" appended near duplicate suffix")).as("text")))
+  }
+
+  val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(withPlanted(docs(s, d))
+        .unionByName(docs(s, d).where(col("doc_id") < 10)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))),
+        "text", "doc_id")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(withPlanted(docs(s, d)), "text", "doc_id",
+        n = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(withPlanted(docs(s, d)), "text", "doc_id", maxHamming = 3)
+        .orderBy(col("a"), col("b"))),
+
+    "q_dedup_jaccard" -> ((s, d) => {
+      val planted = withPlanted(docs(s, d))
+      Dedup.jaccardVerify(
+        Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
+          .select(col("a"), col("b")),
+        planted, "text", "doc_id", n = 3, minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- similarity search ----
+    "q_knn_cosine" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+    }),
+
+    "q_knn_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, bits = 6, probes = 2)
+    }),
+
+    // ---- text analysis ----
+    "q_text_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_v"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "q_text_tokens" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    "q_text_langid" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        round(TextOps.stopwordRatio(col("text"), "en"), 6).as("en_ratio"))),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.fingerprint(col("text"), n = 8).as("fp8"))),
+
+    // ---- multimodal plumbing (stub decoder, real batch shape) ----
+    "q_multimodal" -> ((s, d) => Multimodal.features(s, docs(s, d)))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' appended near duplicate suffix'
+        |  FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10)
+        |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM corpus GROUP BY 1""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_v,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    / greatest(length(text), 1), 6) AS alpha_ratio,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+        |  round(
+        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           / greatest(length(text), 1))
+        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
+        |        THEN len(list_filter(toks, x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
+        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
+        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (1.0 - least(10 * (length(text)
+        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |        / greatest(length(text), 1), 1.0)), 6) AS quality
+        |FROM t""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+        |    AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 5) AS cos
+        |  FROM q CROSS JOIN embeddings c WHERE q.q_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM sims)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin
+  )
+}
