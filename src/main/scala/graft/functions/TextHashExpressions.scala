@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the §2.9 dedup/fingerprint hot path.
+  * Each stays inside whole-stage codegen (doGenCode emits a single call
+  * into graft.functions.TextHashing), so a scan→hash→explode pipeline
+  * compiles to one generated loop — no interpreted lambda per element,
+  * no UDF serialization. At 100 TB this is the difference between the
+  * hash being scan-bound vs CPU-bound (round-2 bench: 688 s → ~2 s for
+  * minhash at sf0.1).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashing.shingleHashes($c.toString(), $n))")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.minhashSig(input.asInstanceOf[UTF8String].toString, n, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashing.minhashSig($c.toString(), $n, $k))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simhash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class FingerprintExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.fingerprintMin(input.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.fingerprintMin($c.toString(), $n)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+/** Column-API lifts of the expressions above. */
+object TextHashFunctions {
+  def shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+  def minhash_sig(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), n, k))
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+  def doc_fingerprint(text: Column, n: Int): Column =
+    ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(text), n))
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+/** Tight-loop text hashing kernels behind the custom Catalyst
+  * expressions (MinHashSigExpr, SimHash64Expr, ShingleHashesExpr,
+  * FingerprintExpr). One pass over the document, primitive arrays, no
+  * boxing — these replace nested higher-order-function pipelines that
+  * were interpreted per element (round-2 bench: 688 s for minhash at
+  * sf0.1; these kernels bring the same computation to ~seconds).
+  *
+  * Called from generated Java code (whole-stage codegen), so every
+  * method must stay a static-forwardable pure function.
+  *
+  * Reference semantics: SURVEY §2.9 dedup operators (beyond
+  * lf-edge/ekuiper's own surface).
+  */
+object TextHashing {
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hashes of lower-cased whitespace-delimited tokens, in
+    * document order. FNV-1a over chars, then mixed.
+    */
+  def tokenHashes(text: String): Array[Long] = {
+    val len = text.length
+    val out = new java.util.ArrayList[java.lang.Long](math.max(8, len / 6))
+    var i = 0
+    var h = 0xCBF29CE484222325L
+    var inTok = false
+    while (i < len) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inTok) { out.add(mix64(h)); h = 0xCBF29CE484222325L; inTok = false }
+      } else {
+        val lc = Character.toLowerCase(c)
+        h = (h ^ lc) * 0x100000001B3L
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out.add(mix64(h))
+    val res = new Array[Long](out.size)
+    var j = 0
+    while (j < res.length) { res(j) = out.get(j); j += 1 }
+    res
+  }
+
+  /** Distinct (sorted) 64-bit hashes of word n-gram shingles. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenHashes(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) { h = mix64(h ^ toks(i + j)); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  private val maxSeeds = 512
+  /** Fixed per-position seeds for the k min-hash functions. */
+  private val seeds: Array[Long] = {
+    val a = new Array[Long](maxSeeds)
+    var i = 0
+    while (i < maxSeeds) { a(i) = mix64(0x5DEECE66DL + i * 0x2545F4914F6CDD1DL); i += 1 }
+    a
+  }
+
+  /** k-element MinHash signature: position i holds
+    * min over shingles s of mix64(s ^ seed_i); Long.MaxValue when the
+    * document has no shingles (mirrors the identity of `least`).
+    */
+  def minhashSig(text: String, n: Int, k: Int): Array[Long] = {
+    require(k <= maxSeeds, s"k must be <= $maxSeeds")
+    val sh = shingleHashes(text, n)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      val seed = seeds(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val v = mix64(sh(j) ^ seed)
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over (all, non-distinct) token hashes: bit i of the
+    * result is set iff Σ_tokens (bit i set ? +1 : -1) > 0.
+    */
+  def simhash64(text: String): Long = {
+    val toks = tokenHashes(text)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = toks(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Document fingerprint: minimum shingle hash (min-sampling / MOD-0
+    * winnowing degenerate); whole-text hash when the document is
+    * shorter than one shingle.
+    */
+  def fingerprintMin(text: String, n: Int): Long = {
+    val sh = shingleHashes(text, n)
+    if (sh.isEmpty) {
+      var h = 0xCBF29CE484222325L
+      var i = 0
+      while (i < text.length) { h = (h ^ text.charAt(i)) * 0x100000001B3L; i += 1 }
+      mix64(h)
+    } else sh(0) // sorted ascending — head is the minimum
+  }
+}

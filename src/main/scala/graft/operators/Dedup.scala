@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextHashFunctions._
 
 /** Document deduplication for LLM-scale corpora: exact content-hash,
   * MinHash+LSH, SimHash, and an n-gram Jaccard verify pass.
@@ -34,19 +35,20 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** 64-bit hashes of the shingle set. */
-  def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
-
-  /** k-element MinHash signature. One base hash per shingle, then k
-    * independent re-hashes h_i = xxhash64(h, i) — seeding by hashing the
-    * row index avoids 64-bit multiply overflow under ANSI mode and gives
-    * full avalanche mixing per row.
+  /** 64-bit hashes of the shingle set — codegen kernel
+    * (graft.functions.ShingleHashesExpr); the HOF `shingles` above is
+    * kept as the slow reference implementation pinned against this one
+    * in DedupSpec.
     */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      aggregate(shingleHashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(h, i))))
+  def shingleHashes(text: Column, n: Int): Column = shingle_hashes(text, n)
+
+  /** k-element MinHash signature straight from the text — one
+    * whole-stage-codegen call (tokenize → shingle → k min-hashes in a
+    * tight loop). The round-2 nested higher-order-function version was
+    * interpreted per element and 300× slower.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    minhash_sig(text, n, k)
 
   /** Candidate near-duplicate pairs via banded MinHash LSH.
     * Returns (a, b, est_jaccard) with a < b, distinct across bands,
@@ -58,7 +60,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(shingleHashes(col(textCol), n), k).as("sig"))
+      minhashSignature(col(textCol), n, k).as("sig"))
 
     // (band, bucket-hash, id): 16 rows of ~20 bytes per doc — the only
     // thing shuffled at corpus scale.
@@ -92,18 +94,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit i of the result is the sign
-    * of Σ_tokens (bit i set ? +1 : -1).
+    * of Σ_tokens (bit i set ? +1 : -1). Codegen kernel
+    * (graft.functions.SimHash64Expr).
     */
-  def simhash64(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
-    val counts = aggregate(hs, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, i) => c + when(call_function("shiftright", h, i)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
-    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
-      (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column = simhash64(text)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -114,7 +108,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(3)), j => struct(
           j.as("chunk"),
@@ -141,10 +135,14 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard for a set of candidate pairs (a, b). */
+  /** Exact n-gram Jaccard for a set of candidate pairs (a, b).
+    * Computed over hashed shingles (64-bit) rather than shingle
+    * strings: identical result up to hash collisions (~2⁻⁶⁴ per pair)
+    * at a fraction of the shuffle width.
+    */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
                     idCol: String, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
     pairs
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")

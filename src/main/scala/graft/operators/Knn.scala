@@ -74,33 +74,49 @@ object Knn {
     bits.reduce(_ + _)
   }
 
-  /** Bucketed ANN: queries search only their own LSH bucket (plus
-    * single-bit-flip probe buckets when `probes` > 0). Returns the same
-    * shape as bruteForceTopK; recall vs brute force is the ScalaTest
-    * contract. The corpus-side bucket id is a free partition key — at
-    * scale the corpus would be written bucketed on it.
+  /** Multi-table bucketed ANN: `tables` independent sign-bit LSH
+    * tables; a query's candidates are the union over tables of its own
+    * bucket plus `probes` single-bit-flip probe buckets. Standard
+    * recall/cost dial: P(candidate found) = 1-(1-p_table)^tables, at
+    * cost ≈ tables·(1+probes·bits)·N/2^bits similarity evaluations.
+    *
+    * Scale design: the corpus side carries only (table, bucket, id,
+    * vec) — at 100 TB the corpus would be written bucketed by (table,
+    * bucket) so the probe join is a pruned scan, not a shuffle; the
+    * query side is broadcast. Returns the bruteForceTopK shape; recall
+    * vs brute force is the ScalaTest contract (KnnSpec).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              bits: Int = 8, probes: Int = 2, seed: Long = 42L,
-              excludeSelf: Boolean = true): DataFrame = {
+              bits: Int = 8, tables: Int = 4, probes: Int = 1,
+              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
     val dim = 64 // embeddings table vector width
-    val planes = hyperplanes(bits, dim, seed)
+    val planeSets = Array.tabulate(tables)(t => hyperplanes(bits, dim, seed + 7919L * t))
+
+    def tableBuckets(vec: Column): Column =
+      array(planeSets.indices.map(t =>
+        struct(lit(t).as("tbl"), lshBucket(vec, planeSets(t)).as("bucket"))): _*)
+
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    // each query probes its home bucket + `probes` nearest (bit-flip) buckets
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("tb.tbl"), col("tb.bucket"), col("n_id"), col("n_vec"))
+
+    // query side: per table, home bucket + `probes` single-bit flips
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        lshBucket(col(vecCol), planes).as("qb"))
-      .withColumn("bucket", explode(array_distinct(concat(
-        array(col("qb")),
-        slice(transform(sequence(lit(0), lit(bits - 1)),
-          i => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), i))),
-          1, math.max(probes, 0))))))
-      .drop("qb")
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("q_id"), col("q_vec"), col("tb.tbl"),
+        explode(array_distinct(concat(
+          array(col("tb.bucket")),
+          slice(transform(sequence(lit(0), lit(bits - 1)),
+            i => col("tb.bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))),
+            1, math.max(probes, 0))))).as("bucket"))
+
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)

@@ -97,10 +97,6 @@ object TextOps {
     * text collide with high probability; robust to reordering of
     * distant parts. Returns a 64-bit fingerprint.
     */
-  def fingerprint(text: Column, n: Int = 5): Column = {
-    val hs = Dedup.shingleHashes(text, n)
-    when(size(hs) > 0,
-      aggregate(hs, lit(Long.MaxValue), (acc, h) => least(acc, h)))
-      .otherwise(xxhash64(text))
-  }
+  def fingerprint(text: Column, n: Int = 5): Column =
+    graft.functions.TextHashFunctions.doc_fingerprint(text, n)
 }

@@ -67,7 +67,7 @@ object PipelineQueries {
     "q_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Knn.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 10, bits = 6, probes = 2)
+        k = 10, bits = 6, tables = 4, probes = 1)
     }),
 
     // ---- text analysis ----

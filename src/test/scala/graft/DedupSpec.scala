@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate contracts for the dedup operators (SURVEY §2.9):
+  * the LSH paths must recover perturbed copies, and the codegen
+  * shingle expression must agree with the slow HOF reference
+  * implementation kept in Dedup.shingles.
+  */
+class DedupSpec extends SparkSuite {
+
+  private def docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+
+  /** corpus ∪ near-dup copies (id+100000) of the first 20 docs. */
+  private def planted = {
+    val copies = docs.where(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" appended near duplicate suffix")).as("text"))
+    docs.unionByName(copies)
+  }
+
+  test("codegen shingle_hashes agrees with HOF reference implementation") {
+    val cnt = docs.limit(50).select(
+      size(Dedup.shingleHashes(col("text"), 3)).as("expr_n"),
+      size(array_distinct(Dedup.shingles(col("text"), 3))).as("ref_n"))
+      .where(col("expr_n") =!= col("ref_n")).count()
+    assert(cnt == 0, "codegen shingle count diverges from HOF reference")
+  }
+
+  test("exact dedup: planted exact copies collapse, counts add up") {
+    val withExact = docs.unionByName(
+      docs.where(col("doc_id") < 10).select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val res = Dedup.exact(withExact, "text", "doc_id")
+    val total = res.agg(sum("n_copies")).first().getLong(0)
+    assert(total == withExact.count())
+    assert(res.where(col("n_copies") >= 2).count() >= 10)
+    // keep_id is the minimum id of each group — planted ids never win
+    assert(res.where(col("keep_id") >= 500000).count() == 0)
+  }
+
+  test("minhash LSH recovers planted near-duplicates") {
+    val pairs = Dedup.minhashPairs(planted, "text", "doc_id", n = 3, k = 64,
+      bands = 16, minEstJaccard = 0.5).cache()
+    val hits = pairs.where(col("b") === col("a") + 100000).count()
+    assert(hits >= 16, s"recovered only $hits of 20 planted near-dup pairs")
+    // est_jaccard for an appended-suffix copy must be high
+    assert(pairs.where(col("b") === col("a") + 100000)
+      .agg(min("est_jaccard")).first().getDouble(0) > 0.5)
+    pairs.unpersist()
+  }
+
+  test("simhash recovers planted near-duplicates") {
+    // 4 appended tokens on ~56-token docs shift up to ~8 signature bits
+    // (measured distribution: 19/20 pairs within hamming 8); chunk
+    // blocking guarantees candidates at hamming <= 3 and finds nearly
+    // all pairs at 8 in practice.
+    val pairs = Dedup.simhashPairs(planted, "text", "doc_id", maxHamming = 8)
+    val hits = pairs.where(col("b") === col("a") + 100000).count()
+    assert(hits >= 14, s"recovered only $hits of 20 planted simhash pairs")
+    // the guaranteed regime: every returned pair respects the cutoff
+    assert(pairs.where(col("hamming") > 8).count() == 0)
+  }
+
+  test("jaccard verify: planted pairs score high, filter respects threshold") {
+    val cand = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
+      .select(col("a"), col("b"))
+    val verified = Dedup.jaccardVerify(cand, planted, "text", "doc_id",
+      n = 3, minJaccard = 0.5).cache()
+    assert(verified.where(col("jaccard") < 0.5).count() == 0)
+    assert(verified.where(col("b") === col("a") + 100000).count() >= 16)
+    verified.unpersist()
+  }
+
+  test("no self-pairs and a < b ordering") {
+    val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
+    assert(pairs.where(col("a") >= col("b")).count() == 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+
+/** ANN contracts (SURVEY §2.9): brute force is the exactness baseline;
+  * the LSH-bucketed path must reach a recall floor against it.
+  */
+class KnnSpec extends SparkSuite {
+
+  private def emb = Tables(spark, sf, "embeddings")
+
+  test("brute force: k rows per query, ranked by similarity, no self") {
+    val q = emb.where(col("vec_id") < 5)
+    val res = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10).cache()
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 10))
+    assert(res.where(col("q_id") === col("n_id")).count() == 0)
+    // rank 1 has the max cos within each query group
+    val bad = res.alias("r").join(res.alias("m"), Seq("q_id"))
+      .where(col("r.rank") === 1 && col("m.cos") > col("r.cos")).count()
+    assert(bad == 0)
+    res.unpersist()
+  }
+
+  test("cosine of identical vectors is 1") {
+    val res = Knn.bruteForceTopK(emb.where(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 3, excludeSelf = false)
+    assert(res.where(col("n_id") === col("q_id") && col("cos") < 0.99999).count() == 0)
+  }
+
+  test("multi-table LSH recall vs brute force >= 0.5") {
+    // the synthetic embeddings are near-random (top-10 neighbor cos ~
+    // 0.3), the hardest case for LSH — multi-table + 1-bit probing is
+    // what buys recall here. Real clustered corpora reach the same
+    // recall with far fewer candidates.
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val approx = Knn.lshTopK(q, emb, "vec_id", "embedding", k = 10,
+      bits = 5, tables = 6, probes = 1).select("q_id", "n_id")
+    val hit = approx.intersect(exact).count().toDouble
+    val recall = hit / exact.count()
+    assert(recall >= 0.5, s"LSH recall $recall below floor")
+  }
+
+  test("more tables/probes never reduce candidate coverage") {
+    val q = emb.where(col("vec_id") < 5)
+    val r0 = Knn.lshTopK(q, emb, "vec_id", "embedding", k = 10,
+      bits = 6, tables = 1, probes = 0).count()
+    val r3 = Knn.lshTopK(q, emb, "vec_id", "embedding", k = 10,
+      bits = 6, tables = 4, probes = 2).count()
+    assert(r3 >= r0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.TextHashing
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the text-hashing kernels backing the custom Catalyst
+  * expressions (no Spark needed — pure functions).
+  */
+class TextHashingSpec extends AnyFunSuite {
+
+  test("tokenHashes: case-insensitive, whitespace-delimited, order-preserving") {
+    val a = TextHashing.tokenHashes("The quick  brown\tfox\n")
+    val b = TextHashing.tokenHashes("the QUICK brown fox")
+    assert(a.length == 4)
+    assert(a.toSeq == b.toSeq)
+    assert(TextHashing.tokenHashes("").isEmpty)
+    assert(TextHashing.tokenHashes("   \t\n ").isEmpty)
+  }
+
+  test("tokenHashes: distinct tokens hash differently") {
+    val hs = TextHashing.tokenHashes("alpha beta gamma delta")
+    assert(hs.distinct.length == 4)
+  }
+
+  test("shingleHashes: distinct sorted n-gram hashes; short docs empty") {
+    val hs = TextHashing.shingleHashes("a b c d", 3) // shingles: abc, bcd
+    assert(hs.length == 2)
+    assert(hs.toSeq == hs.sorted.toSeq)
+    assert(TextHashing.shingleHashes("a b", 3).isEmpty)
+    // repeated shingles dedup: "a b a b a b" 2-grams = {ab, ba}
+    assert(TextHashing.shingleHashes("a b a b a b", 2).length == 2)
+  }
+
+  test("shingle order matters") {
+    val x = TextHashing.shingleHashes("a b c", 3)
+    val y = TextHashing.shingleHashes("c b a", 3)
+    assert(x.toSeq != y.toSeq)
+  }
+
+  test("minhashSig: deterministic, identical docs agree, disjoint docs disagree") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val s1 = TextHashing.minhashSig(doc, 3, 64)
+    val s2 = TextHashing.minhashSig(doc, 3, 64)
+    assert(s1.length == 64)
+    assert(s1.toSeq == s2.toSeq)
+    val other = TextHashing.minhashSig("completely different words describing other topics entirely here now", 3, 64)
+    assert(s1.zip(other).count { case (x, y) => x == y } < 8)
+    // empty doc → identity signature
+    assert(TextHashing.minhashSig("", 3, 16).forall(_ == Long.MaxValue))
+  }
+
+  test("minhashSig agreement estimates Jaccard for overlapping docs") {
+    // two docs sharing most of their shingles → most positions agree
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 47).map(i => s"tok$i").mkString(" ") + " x y z"
+    val a = TextHashing.minhashSig(base, 3, 256)
+    val b = TextHashing.minhashSig(near, 3, 256)
+    val agree = a.zip(b).count { case (x, y) => x == y }.toDouble / 256
+    // true shingle Jaccard here is ~0.85; the estimate should land near it
+    assert(agree > 0.6 && agree < 1.0, s"agreement $agree out of range")
+  }
+
+  test("simhash64: near-dup small hamming, different docs large hamming") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base + " tail"
+    val far = (100 to 160).map(i => s"other$i").mkString(" ")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hBase = TextHashing.simhash64(base)
+    assert(hBase == TextHashing.simhash64(base))
+    assert(ham(hBase, TextHashing.simhash64(near)) <= 6)
+    assert(ham(hBase, TextHashing.simhash64(far)) >= 20)
+  }
+
+  test("fingerprintMin: deterministic; equals min shingle hash; text fallback") {
+    val doc = "one two three four five six seven"
+    val fp = TextHashing.fingerprintMin(doc, 5)
+    assert(fp == TextHashing.shingleHashes(doc, 5).min)
+    // shorter than one shingle → whole-text hash, still deterministic
+    val short = TextHashing.fingerprintMin("one two", 5)
+    assert(short == TextHashing.fingerprintMin("one two", 5))
+    assert(short != TextHashing.fingerprintMin("one three", 5))
+  }
+
+  test("mix64 avalanche: single-bit input flips ~half the output bits") {
+    val h0 = TextHashing.mix64(0x1234L)
+    val h1 = TextHashing.mix64(0x1235L)
+    val flipped = java.lang.Long.bitCount(h0 ^ h1)
+    assert(flipped >= 16 && flipped <= 48)
+  }
+}
