@@ -90,7 +90,17 @@ object WindowQueries {
       ev(s, d).withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("user_id"), col("event_id"), col("rn"))
-    })
+    }),
+
+    // Conditional state window (reference pkg/ast/statement.go
+    // STATE_WINDOW): per user, open at value > 100, close at value < 10.
+    // Streaming twin: graft.streaming.ConditionWindow (StreamingSpec).
+    "q_win_state" -> ((s, d) =>
+      graft.streaming.ConditionWindow.batch(ev(s, d), "user_id", "ts", "event_id",
+        "value", col("value") > 100, col("value") < 10)
+        .select(col("user_id"), col("grp").cast("long").as("win_seq"),
+          unix_micros(col("w_start")).as("ws"), unix_micros(col("w_end")).as("we"),
+          col("n"), col("sum_val")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -135,6 +145,27 @@ object WindowQueries {
       """SELECT user_id, event_id, rn FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn <= 3""".stripMargin
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_win_state" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS open_f,
+        |    CASE WHEN value < 10 THEN 1 ELSE 0 END AS close_f
+        |  FROM events),
+        |g AS (
+        |  SELECT *, coalesce(sum(close_f) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+        |  FROM e),
+        |o AS (
+        |  SELECT *,
+        |    max(open_f) OVER (PARTITION BY user_id, grp ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS opened,
+        |    max(close_f) OVER (PARTITION BY user_id, grp) AS has_close
+        |  FROM g)
+        |SELECT user_id, CAST(grp AS BIGINT) AS win_seq,
+        |  epoch_us(min(ts)) AS ws, epoch_us(max(ts)) AS we,
+        |  count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM o WHERE opened = 1 AND has_close = 1
+        |GROUP BY user_id, grp""".stripMargin
   )
 }

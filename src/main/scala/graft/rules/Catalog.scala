@@ -1,0 +1,80 @@
+package graft.rules
+
+import graft.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Stream/table definition: a named, schema'd source plus event-time
+  * metadata. eKuiper equivalent: the stream registry populated by
+  * `CREATE STREAM name (fields) WITH (TYPE=..., FORMAT=...,
+  * DATASOURCE=..., TIMESTAMP=...)` (docs/en_US/sqls/streams.md).
+  */
+final case class StreamDef(name: String, source: Source,
+                           isTable: Boolean = false,
+                           timestampCol: Option[String] = None,
+                           watermark: Option[String] = None)
+
+/** Catalog of streams and tables (SURVEY §2.8). Holds definitions
+  * only — plans are built per rule at start, so a definition change
+  * takes effect on the next rule (re)start, like the reference.
+  */
+final class Catalog {
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, StreamDef]()
+
+  def register(d: StreamDef): Unit = defs.put(d.name, d)
+  def get(name: String): Option[StreamDef] = Option(defs.get(name))
+  def drop(name: String): Unit = defs.remove(name)
+  def list: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    defs.keySet().asScala.toSeq.sorted
+  }
+
+  /** eKuiper-style DDL:
+    * {{{
+    * CREATE STREAM demo (a BIGINT, b STRING) WITH
+    *   (TYPE="file", FORMAT="json", DATASOURCE="/data/in",
+    *    TIMESTAMP="ts", WATERMARK="10 seconds")
+    * CREATE TABLE dim (...) WITH (TYPE="file", FORMAT="parquet", DATASOURCE="...")
+    * }}}
+    * TYPE ∈ file | memory | simulator | nexmark | mqtt | http_pull |
+    * http_push | websocket | sse | redis | neuron | edgex.
+    */
+  def executeDdl(ddl: String): StreamDef = {
+    val d = Catalog.parseDdl(ddl)
+    register(d)
+    d
+  }
+}
+
+object Catalog {
+  private val ddlRe =
+    """(?is)\s*CREATE\s+(STREAM|TABLE)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*?)\)\s*WITH\s*\((.*)\)\s*;?\s*""".r
+
+  def parseDdl(ddl: String): StreamDef = ddl match {
+    case ddlRe(kind, name, fields, withClause) =>
+      val props = parseWith(withClause)
+      val schema = StructType.fromDDL(fields)
+      val tpe = props.getOrElse("type", "file").toLowerCase
+      val fmt = props.getOrElse("format", "json").toLowerCase
+      val ds = props.getOrElse("datasource", name)
+      val source: Source = tpe match {
+        case "file" => FileSource(ds, fmt, Some(schema), props - "type" - "format" - "datasource")
+        case "memory" => MemorySource(ds)
+        case "simulator" =>
+          SimulatorSource(props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty),
+            props.getOrElse("interval", "1000").toLong, schema)
+        case "nexmark" => NexmarkBidSource()
+        case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
+        case other => throw new IllegalArgumentException(s"unknown source type $other")
+      }
+      StreamDef(name, source, isTable = kind.equalsIgnoreCase("TABLE"),
+        timestampCol = props.get("timestamp"),
+        watermark = props.get("watermark"))
+    case _ => throw new IllegalArgumentException(s"cannot parse DDL: $ddl")
+  }
+
+  /** KEY="value" pairs, comma-separated, case-insensitive keys. */
+  private[rules] def parseWith(s: String): Map[String, String] =
+    """(?s)([A-Za-z_]+)\s*=\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(s)
+      .map(m => m.group(1).toLowerCase -> m.group(2).replace("\\\"", "\"").replace("\\n", "\n"))
+      .toMap
+}

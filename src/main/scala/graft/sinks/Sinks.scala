@@ -1,0 +1,149 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Sink abstraction (SURVEY §2.7). Mirrors the reference's sink
+  * contract (docs/en_US/guide/sinks): every sink receives each result
+  * batch, optionally reshaped by a data template and batched. Batch
+  * rules call writeBatch once; streaming rules run writeStream.
+  *
+  * Common features implemented once in `Sink`:
+  *  - dataTemplate: `{{field}}` substitution producing one formatted
+  *    string per row (reference: sink dataTemplate).
+  *  - fields projection ("sendSingle" style column pruning).
+  */
+trait Sink {
+  def options: Map[String, String]
+
+  /** Apply common sink features to the outgoing frame. */
+  protected def shaped(df: DataFrame): DataFrame = {
+    val projected = options.get("fields") match {
+      case Some(fs) => df.select(fs.split(",").map(f => col(f.trim)).toIndexedSeq: _*)
+      case None => df
+    }
+    options.get("dataTemplate") match {
+      case Some(tpl) =>
+        // {{a}} -> value of column a, rendered row-wise; pure Column
+        // expression so templating runs distributed, not on the driver.
+        val parts = Sink.templateParts(tpl)
+        val rendered = parts.map {
+          case Left(lit0) => lit(lit0)
+          case Right(field) => coalesce(projected(field).cast("string"), lit(""))
+        }
+        projected.select(concat(rendered: _*).as("payload"))
+      case None => projected
+    }
+  }
+
+  /** One bounded result set (batch rule, or one micro-batch). */
+  def writeBatch(df: DataFrame): Unit
+
+  /** Continuous delivery for a streaming rule: foreachBatch keeps the
+    * per-sink logic identical in both modes.
+    */
+  def writeStream(df: DataFrame, queryName: String,
+                  triggerMs: Long = 0, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream.queryName(queryName)
+      .outputMode(options.getOrElse("outputMode", "append"))
+      .foreachBatch((b: DataFrame, _: Long) => writeBatch(b))
+    val w2 = if (triggerMs > 0) w.trigger(Trigger.ProcessingTime(triggerMs)) else w
+    checkpoint.fold(w2)(c => w2.option("checkpointLocation", c)).start()
+  }
+}
+
+object Sink {
+  /** Split "a {{b}} c" into Left(literal) / Right(fieldName) parts. */
+  def templateParts(tpl: String): Seq[Either[String, String]] = {
+    val re = "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r
+    val out = scala.collection.mutable.ListBuffer[Either[String, String]]()
+    var last = 0
+    for (m <- re.findAllMatchIn(tpl)) {
+      if (m.start > last) out += Left(tpl.substring(last, m.start))
+      out += Right(m.group(1))
+      last = m.end
+    }
+    if (last < tpl.length) out += Left(tpl.substring(last))
+    out.toList
+  }
+}
+
+/** File sink: json / csv / parquet, append mode, optional partition
+  * columns. Reference: internal/io/file/sink.go (rolling files —
+  * Spark's per-micro-batch part files are the cluster-native
+  * equivalent of the reference's single-writer rolling policy).
+  */
+final case class FileSink(path: String, format: String = "json",
+                          options: Map[String, String] = Map.empty) extends Sink {
+  require(Seq("json", "csv", "parquet").contains(format), s"unsupported format $format")
+  def writeBatch(df: DataFrame): Unit = {
+    val shapedDf = shaped(df)
+    val w = shapedDf.write.mode(options.getOrElse("mode", "append"))
+    val w2 = options.get("partitionBy")
+      .fold(w)(p => w.partitionBy(p.split(",").map(_.trim).toIndexedSeq: _*))
+    format match {
+      case "json" => w2.json(path)
+      case "csv" => w2.option("header", "true").csv(path)
+      case "parquet" => w2.parquet(path)
+    }
+  }
+}
+
+/** Memory sink: appends each batch to a named in-process topic
+  * (readable by MemorySource — the reference's rule-pipeline pattern).
+  */
+final case class MemorySink(topic: String,
+                            options: Map[String, String] = Map.empty) extends Sink {
+  def writeBatch(df: DataFrame): Unit =
+    graft.sources.MemoryHub.append(topic, shaped(df))
+}
+
+/** Log sink: rows to the driver log, capped. Reference: log sink. */
+final case class LogSink(max: Int = 20,
+                         options: Map[String, String] = Map.empty) extends Sink {
+  def writeBatch(df: DataFrame): Unit =
+    shaped(df).limit(max).collect().foreach(r => println(s"[graft-sink] $r"))
+}
+
+/** Nop sink: full evaluation, discarded output (the reference's nop
+  * sink; also what Bench uses to defeat lazy pruning).
+  */
+final case class NopSink(options: Map[String, String] = Map.empty) extends Sink {
+  def writeBatch(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+}
+
+/** Connector sinks (mqtt / rest / redis / edgex / neuron / websocket).
+  * Zero-egress container → the transport is a deterministic STUB that
+  * records would-be-published payloads per (kind, endpoint) for tests
+  * to assert on. Template/projection/batching logic — the engine's
+  * share of a sink — is real and shared via Sink.shaped.
+  */
+final case class ConnectorSink(kind: String, endpoint: String,
+                               options: Map[String, String] = Map.empty) extends Sink {
+  require(ConnectorSink.kinds.contains(kind), s"unknown connector $kind")
+  def writeBatch(df: DataFrame): Unit = {
+    val out = shaped(df)
+    val payloads: Seq[String] = (out.schema.fieldNames.toSeq match {
+      case Seq("payload") => out.collect().map(_.getString(0)).toSeq
+      case _ => out.toJSON.collect().toSeq
+    })
+    val batchSize = options.getOrElse("batchSize", "0").toInt
+    val grouped = if (batchSize > 1)
+      payloads.grouped(batchSize).map(_.mkString("[", ",", "]")).toSeq
+    else payloads
+    ConnectorSink.record(kind, endpoint, grouped)
+  }
+}
+
+object ConnectorSink {
+  val kinds: Set[String] = Set("mqtt", "rest", "redis", "edgex", "neuron", "websocket")
+  private val published =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[String]]()
+  def record(kind: String, endpoint: String, payloads: Seq[String]): Unit =
+    published.merge((kind, endpoint), payloads.toVector, (a, b) => a ++ b)
+  def sent(kind: String, endpoint: String): Vector[String] =
+    Option(published.get((kind, endpoint))).getOrElse(Vector.empty)
+  def clear(kind: String, endpoint: String): Unit = published.remove((kind, endpoint))
+}

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source abstraction (SURVEY §2.6). The reference (lf-edge/ekuiper
+  * `internal/io`) exposes every connector as a stream of decoded
+  * rows; graft maps each onto a Spark DataFrame (batch "scan table"
+  * semantics) and/or a Structured Streaming readStream (stream
+  * semantics), so a rule's plan is identical in both modes and
+  * scales with executors instead of a single reader goroutine.
+  */
+trait Source {
+  /** Bounded read — eKuiper "table" semantics. */
+  def batch(spark: SparkSession): DataFrame
+  /** Unbounded read — eKuiper "stream" semantics. */
+  def stream(spark: SparkSession): DataFrame
+}
+
+/** File source: json / csv / lines / parquet, batch + streaming.
+  * Reference: internal/io/file/source.go (json, csv, lines decoding);
+  * unlike the reference's single-reader tail loop, directories are
+  * listed and split across executors, and new files are picked up
+  * per micro-batch.
+  *
+  * `lines` is the reference's raw-line format: one string column
+  * `value` per input line.
+  */
+final case class FileSource(path: String, format: String = "json",
+                            schema: Option[StructType] = None,
+                            options: Map[String, String] = Map.empty) extends Source {
+  require(Seq("json", "csv", "lines", "parquet").contains(format),
+    s"unsupported file format $format")
+
+  def batch(spark: SparkSession): DataFrame = {
+    val r = spark.read.options(options)
+    format match {
+      case "lines" => r.text(path).withColumnRenamed("text", "value")
+      case "json" => schema.fold(r.json(path))(s => r.schema(s).json(path))
+      case "csv" =>
+        val rr = r.option("header", options.getOrElse("header", "true"))
+        schema.fold(rr.option("inferSchema", "true").csv(path))(s => rr.schema(s).csv(path))
+      case "parquet" => schema.fold(r.parquet(path))(s => r.schema(s).parquet(path))
+    }
+  }
+
+  def stream(spark: SparkSession): DataFrame = {
+    val r = spark.readStream.options(options)
+    format match {
+      case "lines" => r.text(path).withColumnRenamed("text", "value")
+      case "json" =>
+        r.schema(schema.getOrElse(
+          throw new IllegalArgumentException("streaming json needs a schema"))).json(path)
+      case "csv" =>
+        r.option("header", options.getOrElse("header", "true"))
+          .schema(schema.getOrElse(
+            throw new IllegalArgumentException("streaming csv needs a schema"))).csv(path)
+      case "parquet" =>
+        schema.fold(r.parquet(path))(s => r.schema(s).parquet(path))
+    }
+  }
+}
+
+/** Memory source: rows registered in-process (eKuiper memory source —
+  * rule-to-rule hand-off). Batch = the registered frame; stream = all
+  * registered rows replayed through an in-memory stream by the rules
+  * engine (see RulesSpec / MemoryHub).
+  */
+final case class MemorySource(topic: String) extends Source {
+  def batch(spark: SparkSession): DataFrame = MemoryHub.frame(spark, topic)
+  def stream(spark: SparkSession): DataFrame = MemoryHub.frame(spark, topic)
+}
+
+/** Process-wide registry backing MemorySource/MemorySink — the Spark
+  * analog of the reference's in-process pub/sub
+  * (internal/io/memory/pubsub). Driver-side registry of small frames;
+  * data itself stays distributed (DataFrames, not collected rows).
+  */
+object MemoryHub {
+  private val topics = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def publish(topic: String, df: DataFrame): Unit = topics.put(topic, df)
+  def append(topic: String, df: DataFrame): Unit =
+    topics.merge(topic, df, (a, b) => a.unionByName(b))
+  def frame(spark: SparkSession, topic: String): DataFrame =
+    Option(topics.get(topic)).getOrElse(
+      throw new NoSuchElementException(s"memory topic $topic"))
+  def exists(topic: String): Boolean = topics.containsKey(topic)
+  def drop(topic: String): Unit = topics.remove(topic)
+}
+
+/** Simulator source (reference: internal/io/simulator): replays a seed
+  * list of JSON rows, optionally looping, at a fixed interval. The
+  * streaming form rides Spark's rate source (1 row per interval tick)
+  * and indexes into the seed list — deterministic content, real
+  * event-time column `ts`.
+  */
+final case class SimulatorSource(seedJson: Seq[String], intervalMs: Long = 1000,
+                                 schema: StructType, loop: Boolean = true) extends Source {
+  def batch(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(
+      spark.createDataset(seedJson)(org.apache.spark.sql.Encoders.STRING))
+
+  def stream(spark: SparkSession): DataFrame = {
+    val n = seedJson.size
+    val seeds = typedlit(seedJson)
+    val rps = math.max(1, 1000 / math.max(1, intervalMs))
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+    val idx = if (loop) pmod(col("value"), lit(n)) else col("value")
+    rate.where(if (loop) lit(true) else col("value") < n)
+      .select(col("timestamp").as("ts"),
+        from_json(element_at(seeds, (idx + 1).cast("int")), schema).as("m"))
+      .select(col("ts"), col("m.*"))
+  }
+}
+
+/** Nexmark generator (reference: internal/io/nexmark): the standard
+  * streaming-benchmark bid stream, generated deterministically from
+  * the row index so every executor produces the same data given the
+  * same offsets. Batch form generates `count` bids via range() —
+  * fully parallel, no driver-side loop.
+  */
+final case class NexmarkBidSource(count: Long = 10000, rowsPerSecond: Long = 1000)
+    extends Source {
+  private def bids(base: DataFrame): DataFrame =
+    base.select(
+      col("id").as("auction_seq"),
+      (lit(1000) + pmod(col("id"), lit(997))).as("auction"),
+      (lit(2000) + pmod(xxhash64(col("id")), lit(501)).cast("long")).as("bidder"),
+      (lit(100) + pmod(xxhash64(col("id"), lit(1)), lit(9901)).cast("long")).as("price"),
+      col("ts"))
+
+  def batch(spark: SparkSession): DataFrame =
+    bids(spark.range(count).toDF("id")
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("id") * 100)))
+
+  def stream(spark: SparkSession): DataFrame =
+    bids(spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(col("value").as("id"), col("timestamp").as("ts")))
+}
+
+/** Connector sources (mqtt / http_pull / http_push / websocket / sse /
+  * redis / neuron / edgex). The container has no network egress, so the
+  * transport layer is a deterministic STUB: frames are taken from an
+  * injectable in-memory feed (tests push frames; production would swap
+  * the transport). Everything after the transport — payload decoding
+  * to the declared schema, batch/stream plumbing — is real Spark code,
+  * which is the part that matters for the engine.
+  *
+  * Reference: internal/io/mqtt/source.go, internal/io/http,
+  * internal/io/edgex, internal/io/redis, internal/io/websocket.
+  */
+final case class ConnectorSource(kind: String, topic: String,
+                                 schema: StructType,
+                                 options: Map[String, String] = Map.empty) extends Source {
+  require(ConnectorSource.kinds.contains(kind), s"unknown connector $kind")
+
+  /** Decode raw JSON frames from the stub transport to typed rows. */
+  private def decode(spark: SparkSession, raw: DataFrame): DataFrame =
+    raw.select(from_json(col("frame"), schema).as("m"), col("arrival_ts"))
+      .select(col("m.*"), col("arrival_ts"))
+
+  def batch(spark: SparkSession): DataFrame =
+    decode(spark, ConnectorFeed.frames(spark, kind, topic))
+  def stream(spark: SparkSession): DataFrame =
+    decode(spark, ConnectorFeed.frames(spark, kind, topic))
+}
+
+object ConnectorSource {
+  val kinds: Set[String] =
+    Set("mqtt", "http_pull", "http_push", "websocket", "sse", "redis", "neuron", "edgex")
+}
+
+/** STUB transport feed for ConnectorSource — deterministic, in-memory,
+  * test-injectable. A real deployment replaces this object with a
+  * broker client; nothing else changes.
+  */
+object ConnectorFeed {
+  private val feeds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[(String, Long)]]()
+
+  /** Tests/simulations push (jsonFrame, arrivalMillis). */
+  def push(kind: String, topic: String, frameJson: String, arrivalMs: Long): Unit =
+    feeds.merge((kind, topic), Vector((frameJson, arrivalMs)), (a, b) => a ++ b)
+
+  def clear(kind: String, topic: String): Unit = feeds.remove((kind, topic))
+
+  def frames(spark: SparkSession, kind: String, topic: String): DataFrame = {
+    val rows = Option(feeds.get((kind, topic))).getOrElse(Vector.empty)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      rows.map { case (f, ts) => org.apache.spark.sql.Row(f, ts) }.asJava,
+      StructType.fromDDL("frame string, arrival_ms bigint"))
+    df.select(col("frame"), timestamp_millis(col("arrival_ms")).as("arrival_ts"))
+  }
+}

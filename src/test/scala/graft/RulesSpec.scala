@@ -1,0 +1,115 @@
+package graft
+
+import graft.rules._
+import graft.sinks._
+import graft.sources._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Rules-engine lifecycle (SURVEY §2.8): DDL → catalog, rule create/
+  * start/stop/status/explain, sink delivery — the reference's
+  * create-rule REST flow (internal/server), minus HTTP.
+  */
+class RulesSpec extends SparkSuite {
+
+  private def newEngine = new RuleEngine(spark)
+
+  private def writeJson(dir: java.nio.file.Path, rows: Seq[String]): Unit =
+    Files.write(dir.resolve("part-0.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+
+  test("DDL parses into catalog stream defs") {
+    val eng = newEngine
+    val d = eng.createStream(
+      """CREATE STREAM demo (a BIGINT, b STRING, ts TIMESTAMP) WITH
+        | (TYPE="file", FORMAT="json", DATASOURCE="/tmp/never-read",
+        |  TIMESTAMP="ts", WATERMARK="10 seconds")""".stripMargin)
+    assert(d.name == "demo" && !d.isTable)
+    assert(d.timestampCol.contains("ts") && d.watermark.contains("10 seconds"))
+    assert(d.source.asInstanceOf[FileSource].format == "json")
+    val t = eng.createStream(
+      """CREATE TABLE dim (k BIGINT, v STRING) WITH (TYPE="memory", DATASOURCE="dimtopic")""")
+    assert(t.isTable && t.source == MemorySource("dimtopic"))
+    assert(eng.catalog.list == Seq("demo", "dim"))
+  }
+
+  test("batch rule: file source -> SQL -> memory sink, full lifecycle") {
+    val dir = Files.createTempDirectory("graft_rule_in")
+    writeJson(dir, Seq(
+      """{"device":"d1","temp":50}""",
+      """{"device":"d1","temp":70}""",
+      """{"device":"d2","temp":10}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM sensor (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}")""".stripMargin)
+    MemoryHub.drop("rule_out")
+    eng.create(Rule("r1",
+      "SELECT device, count(*) AS n, sum(temp) AS total FROM sensor GROUP BY device",
+      Seq(MemorySink("rule_out"))))
+    eng.start("r1")
+    val out = MemoryHub.frame(spark, "rule_out").orderBy("device").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "d1" && out(0).getLong(2) == 120)
+    val st = eng.status("r1")
+    assert(st.state == RuleState.Stopped && st.rowsProcessed == 2)
+    // duplicate create rejected; delete then re-create works
+    intercept[IllegalStateException](eng.create(Rule("r1", "SELECT 1", Nil)))
+    eng.delete("r1")
+    eng.create(Rule("r1", "SELECT 1 AS one", Seq(NopSink())))
+    eng.start("r1")
+  }
+
+  test("streaming rule over file stream delivers to sink incrementally") {
+    val dir = Files.createTempDirectory("graft_stream_in")
+    val ckpt = Files.createTempDirectory("graft_ckpt")
+    writeJson(dir, Seq("""{"device":"a","temp":5}""", """{"device":"b","temp":9}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM live (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}")""".stripMargin)
+    ConnectorSink.clear("mqtt", "out/topic")
+    eng.create(Rule("sr1",
+      "SELECT device, temp * 2 AS t2 FROM live WHERE temp > 1",
+      Seq(ConnectorSink("mqtt", "out/topic",
+        Map("dataTemplate" -> """{"d":"{{device}}","v":{{t2}}}"""))),
+      streaming = true, checkpointDir = Some(ckpt.toString)))
+    eng.start("sr1")
+    try {
+      eng.processAllAvailable("sr1")
+      val sent1 = ConnectorSink.sent("mqtt", "out/topic")
+      assert(sent1.toSet == Set("""{"d":"a","v":10}""", """{"d":"b","v":18}"""))
+      // a second file arrives → only the new rows are delivered
+      Files.write(dir.resolve("part-1.json"), """{"device":"c","temp":7}""".getBytes)
+      eng.processAllAvailable("sr1")
+      val sent2 = ConnectorSink.sent("mqtt", "out/topic")
+      assert(sent2.toSet == sent1.toSet + """{"d":"c","v":14}""")
+      assert(eng.status("sr1").state == RuleState.Running)
+    } finally eng.stop("sr1")
+    assert(eng.status("sr1").state == RuleState.Stopped)
+  }
+
+  test("explain exposes the Catalyst plan with pushed filters") {
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM ev2 (event_id BIGINT, value DOUBLE) WITH
+         | (TYPE="file", FORMAT="parquet", DATASOURCE="$sf/events.parquet")""".stripMargin)
+    eng.create(Rule("er", "SELECT event_id FROM ev2 WHERE event_id < 10", Seq(NopSink())))
+    val plan = eng.explain("er")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(event_id,10)"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("rule SQL can use windows over a simulator/nexmark source") {
+    val eng = newEngine
+    eng.catalog.register(StreamDef("bids", NexmarkBidSource(count = 1000)))
+    MemoryHub.drop("bid_stats")
+    eng.create(Rule("nx",
+      """SELECT auction, count(*) AS n, max(price) AS top
+        |FROM bids GROUP BY auction HAVING count(*) > 0""".stripMargin,
+      Seq(MemorySink("bid_stats"))))
+    eng.start("nx")
+    val n = MemoryHub.frame(spark, "bid_stats").agg(sum("n")).first().getLong(0)
+    assert(n == 1000)
+  }
+}

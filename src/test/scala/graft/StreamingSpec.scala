@@ -1,0 +1,124 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming window semantics (SURVEY §2.2): every streaming operator
+  * must produce exactly the batch answer on the same data — that's the
+  * incremental-computation contract, verified through MemoryStream +
+  * processAllAvailable.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  private implicit def sqlCtx: org.apache.spark.sql.classic.SQLContext = classic.sqlContext
+  private implicit def sparkImplicit: org.apache.spark.sql.SparkSession = spark
+
+  import spark.implicits._
+
+  private val evts: Seq[StateEvt] = {
+    // key 1: open(110) acc(50) close(5) | open(120) unclosed tail
+    // key 2: below-open noise, then open(150) close(1) single-pair
+    Seq(
+      StateEvt(1L, 1000000L, 110.0, open = true, close = false),
+      StateEvt(1L, 2000000L, 50.0, open = false, close = false),
+      StateEvt(1L, 3000000L, 5.0, open = false, close = true),
+      StateEvt(1L, 4000000L, 120.0, open = true, close = false),
+      StateEvt(2L, 1500000L, 30.0, open = false, close = false),
+      StateEvt(2L, 2500000L, 150.0, open = true, close = false),
+      StateEvt(2L, 3500000L, 1.0, open = false, close = true))
+  }
+
+  test("condition window streaming == batch semantics, across micro-batches") {
+    val ms = MemoryStream[StateEvt]
+    val out = ConditionWindow.streaming(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("cond_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(evts.take(3)) // first window of key 1 completes in batch 1
+      q.processAllAvailable()
+      ms.addData(evts.drop(3)) // key 2's window spans state across batches
+      q.processAllAvailable()
+      val rows = spark.table("cond_out").orderBy("key").collect()
+      assert(rows.length == 2)
+      val r1 = rows(0)
+      assert(r1.getLong(0) == 1L && r1.getLong(1) == 1000000L &&
+        r1.getLong(2) == 3000000L && r1.getLong(3) == 3 && r1.getDouble(4) == 165.0)
+      val r2 = rows(1)
+      assert(r2.getLong(0) == 2L && r2.getLong(1) == 2500000L &&
+        r2.getLong(3) == 2 && r2.getDouble(4) == 151.0)
+    } finally q.stop()
+  }
+
+  test("condition window: batch operator matches hand-computed windows") {
+    val df = evts.toDF()
+      .select(col("key").as("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("key").as("event_id"), col("value"))
+    val res = ConditionWindow.batch(df, "user_id", "ts", "event_id", "value",
+      col("value") > 100, col("value") < 10)
+    val rows = res.orderBy("user_id").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(4)).toSeq == Seq(3L, 2L)) // n per window
+  }
+
+  test("count window streaming: one emission per N events per key, seq continues across batches") {
+    val ms = MemoryStream[StateEvt]
+    val out = CountWindowStream.streaming(ms.toDS(), size = 2)
+    val q = out.writeStream.format("memory").queryName("cw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData((1 to 3).map(i => StateEvt(7L, i * 1000L, i.toDouble, open = false, close = false)))
+      q.processAllAvailable()
+      ms.addData((4 to 6).map(i => StateEvt(7L, i * 1000L, i.toDouble, open = false, close = false)))
+      q.processAllAvailable()
+      val rows = spark.table("cw_out").orderBy("windowSeq").collect()
+      // 6 events, size 2 → 3 windows: (1,2),(3,4),(5,6)
+      assert(rows.length == 3)
+      assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+      assert(rows.map(_.getDouble(3)).toSeq == Seq(3.0, 7.0, 11.0))
+    } finally q.stop()
+  }
+
+  test("streaming tumble agg equals batch tumble agg on identical data") {
+    val batchDf = Tables(spark, sf, "events").limit(500).cache()
+    val expected = StreamingWindows.tumbleAgg(batchDf, "ts", "value", "60 seconds", Seq("event_type"))
+      .collect().map(_.toString).sorted
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = ms.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingWindows.tumbleAgg(sdf, "ts", "value", "60 seconds", Seq("event_type"))
+    val q = out.writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val data = batchDf.select("ts", "event_type", "value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+      ms.addData(data.take(250))
+      q.processAllAvailable()
+      ms.addData(data.drop(250)) // incremental update of existing windows
+      q.processAllAvailable()
+      val got = spark.table("tumble_out").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally { q.stop(); batchDf.unpersist() }
+  }
+
+  test("streaming session window equals batch on identical data") {
+    val batchDf = Tables(spark, sf, "events").limit(300).cache()
+    val expected = StreamingWindows.sessionAgg(batchDf, "ts", "value", "3600 seconds", Seq("user_id"))
+      .collect().map(_.toString).sorted
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sdf = ms.toDF().toDF("ts", "user_id", "value")
+    val out = StreamingWindows.sessionAgg(sdf, "ts", "value", "3600 seconds", Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val data = batchDf.select("ts", "user_id", "value").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+      ms.addData(data)
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally { q.stop(); batchDf.unpersist() }
+  }
+}
