@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** zlib/gzip byte kernels for the reference's compress/decompress
+  * (lf-edge/ekuiper internal/binder/function/funcs_misc.go:390 —
+  * zlib, gzip, flate). Static methods callable from generated code.
+  */
+object Compression {
+  def compress(data: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "zlib" =>
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(32, data.length / 2))
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    case "gzip" =>
+      val bos = new java.io.ByteArrayOutputStream(math.max(32, data.length / 2))
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(data); g.close()
+      bos.toByteArray
+    case other => throw new IllegalArgumentException(s"unsupported codec $other")
+  }
+
+  def decompress(data: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "zlib" =>
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(32, data.length * 2))
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated zlib input")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    case "gzip" =>
+      val g = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
+      val out = new java.io.ByteArrayOutputStream(math.max(32, data.length * 2))
+      val buf = new Array[Byte](4096)
+      var n = g.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = g.read(buf) }
+      out.toByteArray
+    case other => throw new IllegalArgumentException(s"unsupported codec $other")
+  }
+}
+
+case class CompressExpr(child: Expression, codec: String) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "compress"
+  override protected def nullSafeEval(input: Any): Any =
+    Compression.compress(input.asInstanceOf[Array[Byte]], codec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.functions.Compression.compress($c, "$codec")""")
+  override protected def withNewChildInternal(newChild: Expression): CompressExpr =
+    copy(child = newChild)
+}
+
+case class DecompressExpr(child: Expression, codec: String) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "decompress"
+  override protected def nullSafeEval(input: Any): Any =
+    Compression.decompress(input.asInstanceOf[Array[Byte]], codec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.functions.Compression.decompress($c, "$codec")""")
+  override protected def withNewChildInternal(newChild: Expression): DecompressExpr =
+    copy(child = newChild)
+}
+
+object CompressionFunctions {
+  def compress(data: Column, codec: String): Column =
+    ColumnBridge.column(CompressExpr(ColumnBridge.expression(data.cast("binary")), codec))
+  def decompress(data: Column, codec: String): Column =
+    ColumnBridge.column(DecompressExpr(ColumnBridge.expression(data), codec))
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge, RegistryBridge}
+
+/** eKuiper-named SQL functions for the rules engine (SURVEY §3): a
+  * user's eKuiper rule SQL runs unchanged where the name or semantics
+  * differ from Spark's. Each registration is an Expression *builder*
+  * composing Catalyst built-ins (or graft's custom codegen
+  * expressions) — never a UDF — so registered functions inline into
+  * whole-stage codegen exactly like natives.
+  *
+  * Names that already exist in Spark with identical semantics (abs,
+  * concat, lower, md5, conv, …) are not re-registered. Reference
+  * inventory: internal/binder/function/funcs_{math,str,misc,obj,
+  * array}.go.
+  */
+object GraftFunctions {
+
+  private def lift(f: Seq[Column] => Column): Seq[Expression] => Expression =
+    args => ColumnBridge.expression(f(args.map(ColumnBridge.column)))
+
+  /** name → column composition. */
+  val builders: Map[String, Seq[Column] => Column] = Map(
+    // ---- math / bits (funcs_math.go) ----
+    "bitand" -> { a => a(0).bitwiseAND(a(1)) },
+    "bitor" -> { a => a(0).bitwiseOR(a(1)) },
+    "bitxor" -> { a => a(0).bitwiseXOR(a(1)) },
+    "bitnot" -> { a => bitwise_not(a(0)) },
+    "dec2hex" -> { a => hex(a(0).cast("long")) },
+    "hex2dec" -> { a => conv(a(0), 16, 10).cast("long") },
+    // trunc(x, d): round toward zero to d places (shadows Spark's
+    // date-trunc inside rule sessions; eKuiper semantics win here)
+    "trunc" -> { a =>
+      val scale = pow(lit(10.0), a(1).cast("double"))
+      (floor(abs(a(0)) * scale) / scale) * signum(a(0)) },
+
+    // ---- string (funcs_str.go) ----
+    "indexof" -> { a => instr(a(0), a(1)).cast("long") - 1 }, // 0-based, -1 missing
+    "numbytes" -> { a => octet_length(a(0)).cast("long") },
+    "split_value" -> { a => element_at(split(a(0), a(1)), a(2).cast("int") + 1) },
+    "regexp_matches" -> { a => regexp_like(a(0), a(1)) },
+    "regexp_substring" -> { a => regexp_extract(a(0), fmtLiteral(a(1)), 0) },
+
+    // ---- datetime (funcs_datetime.go) ----
+    "format_time" -> { a => date_format(a(0), GraftFunctions.fmtLiteral(a(1))) },
+    "from_unix_time" -> { a => from_unixtime(a(0)) },
+    "convert_tz" -> { a => convert_timezone(lit("UTC"), a(1), a(0)) },
+
+    // ---- json (funcs_misc.go json_path_*) ----
+    "json_path_query" -> { a => get_json_object(a(0), GraftFunctions.fmtLiteral(a(1))) },
+    "json_path_query_first" -> { a =>
+      get_json_object(a(0), GraftFunctions.fmtLiteral(a(1)) + "[0]") },
+    "json_path_exists" -> { a =>
+      val path = GraftFunctions.fmtLiteral(a(1))
+      // top-level "$.k" → real key-presence via json_object_keys
+      // (missing ≠ null-valued); deeper paths → value probe
+      if (path.matches("""\$\.[A-Za-z0-9_]+"""))
+        array_contains(json_object_keys(a(0)), path.stripPrefix("$."))
+      else get_json_object(a(0), path).isNotNull },
+
+    // ---- object (funcs_obj.go) ----
+    "object" -> { a => map_from_arrays(a(0), a(1)) },
+    "zip" -> { a => map_from_entries(a(0)) },
+    "items" -> { a => map_entries(a(0)) },
+    "object_construct" -> { a =>
+      // (k1, v1, k2, v2, ...) dropping null values (funcs_obj.go:191)
+      val pairs = a.grouped(2).toSeq
+      map_from_entries(filter(
+        array(pairs.map(p => struct(p(0).as("key"), p(1).as("value"))): _*),
+        e => e.getField("value").isNotNull)) },
+    "object_concat" -> { a =>
+      // last-wins merge without relying on the session map-dedup policy
+      val allKeys = array_distinct(flatten(array(a.map(map_keys): _*)))
+      map_from_entries(transform(allKeys, k =>
+        struct(k.as("key"),
+          coalesce(a.reverse.map(m => try_element_at(m, k)): _*).as("value")))) },
+    "object_pick" -> { a =>
+      map_filter(a(0), (k, _) => array_contains(array(a.drop(1): _*), k)) },
+    "erase" -> { a =>
+      map_filter(a(0), (k, _) => !array_contains(array(a.drop(1): _*), k)) },
+    "obj_to_kvpair_array" -> { a =>
+      transform(map_entries(a(0)), e =>
+        struct(e.getField("key").as("key"), e.getField("value").as("value"))) },
+    "kvpair_array_to_obj" -> { a => map_from_entries(a(0)) },
+
+    // ---- transform (funcs_misc.go) ----
+    "compress" -> { a => CompressionFunctions.compress(a(0), fmtLiteral(a(1))) },
+    "decompress" -> { a => CompressionFunctions.decompress(a(0), fmtLiteral(a(1))) },
+
+    // ---- misc / runtime ----
+    "newuuid" -> { _ => uuid() },
+    "tstamp" -> { _ => unix_millis(current_timestamp()) },
+    "cardinality" -> { a => size(a(0)).cast("long") },
+
+    // ---- graft custom codegen expressions, SQL-reachable ----
+    "minhash_sig" -> { a => TextHashFunctions.minhash_sig(a(0),
+      fmtLiteral(a(1)).toInt, fmtLiteral(a(2)).toInt) },
+    "simhash64" -> { a => TextHashFunctions.simhash64(a(0)) },
+    "shingle_hashes" -> { a => TextHashFunctions.shingle_hashes(a(0), fmtLiteral(a(1)).toInt) },
+    "doc_fingerprint" -> { a => TextHashFunctions.doc_fingerprint(a(0), fmtLiteral(a(1)).toInt) }
+  )
+
+  /** Extract a string literal argument (format names, paths, zones). */
+  private[functions] def fmtLiteral(c: Column): String =
+    ColumnBridge.expression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => String.valueOf(v)
+      case other => throw new IllegalArgumentException(
+        s"argument must be a literal, got $other")
+    }
+
+  /** Register every eKuiper-named function on the session. Idempotent;
+    * RuleEngine calls this so rule SQL has the full surface.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, f) => RegistryBridge.register(spark, name, lift(f)) }
+}

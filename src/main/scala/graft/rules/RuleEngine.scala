@@ -42,6 +42,9 @@ final case class RuleStatus(id: String, state: RuleState,
   */
 final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) {
 
+  // rule SQL gets the full eKuiper-named function surface
+  graft.functions.GraftFunctions.registerAll(spark)
+
   private final class Slot(@volatile var rule: Rule) {
     @volatile var state: RuleState = RuleState.Created
     @volatile var queries: Seq[StreamingQuery] = Nil

@@ -2,14 +2,20 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge between the public Column API and Catalyst Expressions.
   * Spark 4 hides `Column.expr` behind `private[sql]` ColumnNode
   * plumbing; extension libraries that ship custom Expressions (as this
   * one does for text hashing) need exactly these two conversions.
+  *
+  * Column → Expression uses the eager converter, not
+  * ExpressionUtils.expression: the lazy ColumnNodeExpression wrapper
+  * reports itself resolved, so UnresolvedFunctions hidden inside it
+  * would never be analyzed when the expression is returned from a
+  * FunctionRegistry builder (GraftFunctions).
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 }

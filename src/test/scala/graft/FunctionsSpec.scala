@@ -1,0 +1,135 @@
+package graft
+
+import graft.functions.{Compression, GraftFunctions}
+import org.apache.spark.sql.functions._
+
+/** Function-surface contracts (SURVEY §2.5):
+  *  - q_fn_hash2's sha1/sha384/sha512/crc32 pinned against the JDK's
+  *    independent implementations (DuckDB lacks these, so the SQL
+  *    oracle can't cover them).
+  *  - compress/decompress round-trips (zlib + gzip).
+  *  - nondeterministic functions (newuuid/tstamp/rand) checked for
+  *    shape and bounds.
+  *  - eKuiper-named registry functions exercised through spark.sql.
+  */
+class FunctionsSpec extends SparkSuite {
+
+  test("sha1/sha384/sha512/crc32 match JDK golden vectors on real docs") {
+    val rows = Tables(spark, sf, "documents").limit(25)
+      .select(col("text"),
+        sha1(col("text").cast("binary")).as("s1"),
+        sha2(col("text").cast("binary"), 384).as("s384"),
+        sha2(col("text").cast("binary"), 512).as("s512"),
+        crc32(col("text").cast("binary")).as("c32"))
+      .collect()
+    assert(rows.nonEmpty)
+    def jdk(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getString(1) == jdk("SHA-1", t))
+      assert(r.getString(2) == jdk("SHA-384", t))
+      assert(r.getString(3) == jdk("SHA-512", t))
+      val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
+      assert(r.getLong(4) == c.getValue)
+    }
+  }
+
+  test("md5/sha256 classic golden vectors") {
+    val r = spark.sql(
+      "SELECT md5(cast('abc' AS binary)), sha2(cast('abc' AS binary), 256)").first()
+    assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(1) == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("compress/decompress round-trips for zlib and gzip") {
+    for (codec <- Seq("zlib", "gzip")) {
+      val payload = ("graft " * 100).getBytes("UTF-8")
+      val packed = Compression.compress(payload, codec)
+      assert(packed.length < payload.length, s"$codec should shrink repetitive data")
+      assert(Compression.decompress(packed, codec).toSeq == payload.toSeq)
+    }
+    intercept[IllegalArgumentException](Compression.compress(Array[Byte](1), "lz77"))
+  }
+
+  test("compress/decompress as Column expressions and SQL functions") {
+    GraftFunctions.registerAll(spark)
+    val df = Tables(spark, sf, "documents").limit(10).select(col("doc_id"), col("text"))
+    df.createOrReplaceTempView("docs_cmp")
+    val roundtrip = spark.sql(
+      """SELECT doc_id, cast(decompress(compress(text, "zlib"), "zlib") AS string) AS back,
+        |  text FROM docs_cmp""".stripMargin)
+    assert(roundtrip.where(col("back") =!= col("text")).count() == 0)
+  }
+
+  test("eKuiper-named registry functions via SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT dec2hex(255), hex2dec('FF'), bitand(12, 10), bitnot(0),
+        |  indexof('hello', 'll'), numbytes('héllo'), split_value('a/b/c', '/', 1),
+        |  regexp_matches('abc123', '[0-9]+'), regexp_substring('abc123', '[0-9]+'),
+        |  trunc(3.14159, 2), trunc(-3.14159, 2), cardinality(array(1,2,3))""".stripMargin).first()
+    assert(r.getString(0) == "FF")
+    assert(r.getLong(1) == 255L)
+    assert(r.getInt(2) == 8 && r.getInt(3) == -1)
+    assert(r.getLong(4) == 2L) // 0-based
+    assert(r.getLong(5) == 6L) // é is 2 bytes
+    assert(r.getString(6) == "b")
+    assert(r.getBoolean(7) && r.getString(8) == "123")
+    assert(r.getDouble(9) == 3.14 && r.getDouble(10) == -3.14)
+    assert(r.getLong(11) == 3L)
+  }
+
+  test("object functions via SQL: construct/concat/pick/erase/kvpairs") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  to_json(object_construct('a', 1, 'b', cast(NULL AS int), 'c', 3)),
+        |  to_json(object_concat(map('a', 1, 'b', 2), map('b', 9, 'd', 4))),
+        |  to_json(object_pick(map('a', 1, 'b', 2, 'c', 3), 'a', 'c')),
+        |  to_json(erase(map('a', 1, 'b', 2, 'c', 3), 'b')),
+        |  to_json(obj_to_kvpair_array(map('k', 7))),
+        |  to_json(kvpair_array_to_obj(array(struct('x' AS key, 5 AS value))))""".stripMargin)
+      .first()
+    assert(r.getString(0) == """{"a":1,"c":3}""") // null value dropped
+    assert(r.getString(1).contains(""""b":9""") && r.getString(1).contains(""""d":4"""))
+    assert(r.getString(2) == """{"a":1,"c":3}""")
+    assert(r.getString(3) == """{"a":1,"c":3}""")
+    assert(r.getString(4) == """[{"key":"k","value":7}]""")
+    assert(r.getString(5) == """{"x":5}""")
+  }
+
+  test("json path functions distinguish missing from null-valued keys") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT json_path_exists('{"k": null}', '$.k'),
+        |  json_path_exists('{"k": null}', '$.zzz'),
+        |  json_path_query('{"a": {"b": 42}}', '$.a.b')""".stripMargin).first()
+    assert(r.getBoolean(0), "null-valued key still EXISTS")
+    assert(!r.getBoolean(1))
+    assert(r.getString(2) == "42")
+  }
+
+  test("nondeterministic functions: shape and bounds") {
+    GraftFunctions.registerAll(spark)
+    val rows = spark.range(100)
+      .selectExpr("newuuid() AS u", "tstamp() AS t", "rand() AS r").collect()
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert(rows.forall(_.getString(0).matches(uuidRe)))
+    assert(rows.map(_.getString(0)).distinct.length == 100)
+    // tstamp: epoch millis, sane range (2020..2100)
+    assert(rows.forall(r => r.getLong(1) > 1577836800000L && r.getLong(1) < 4102444800000L))
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    // now/current_timestamp: same value within one query (SQL standard)
+    val nowRow = spark.range(5).selectExpr("current_timestamp() AS n").collect()
+    assert(nowRow.map(_.getTimestamp(0)).distinct.length == 1)
+  }
+
+  test("SQL-reachable codegen hashes agree with kernel") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT simhash64('the quick brown fox'), doc_fingerprint('one two three four five six', 5)").first()
+    assert(r.getLong(0) == graft.functions.TextHashing.simhash64("the quick brown fox"))
+    assert(r.getLong(1) == graft.functions.TextHashing.fingerprintMin("one two three four five six", 5))
+  }
+}
