@@ -29,7 +29,7 @@ object Multimodal {
     * "embedding" and samples every `stride`-th 256-byte block as a
     * "frame". Deterministic in the payload bytes — tests pin outputs.
     */
-  private[operators] def stubDecode(a: MediaAsset, stride: Int): MediaFeatures = {
+  def stubDecode(a: MediaAsset, stride: Int): MediaFeatures = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < a.data.length) { hist((a.data(i) & 0xFF) / 16) += 1f; i += 1 }

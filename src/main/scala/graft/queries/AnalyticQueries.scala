@@ -93,7 +93,40 @@ object AnalyticQueries {
     "q_dedup_keyed" -> ((s, d) =>
       ev(s, d).groupBy(col("user_id"), col("event_type")).agg(
         min(col("event_id")).as("first_eid"),
-        min_by(col("value"), col("event_id")).as("first_val")))
+        min_by(col("value"), col("event_id")).as("first_val"))),
+
+    // last_hit_count / last_hit_time / delay (reference funcs_analytic
+    // .go, funcs_misc.go delay): the rule-state functions in their
+    // batch/event-time form. "hit" = the rule condition (value > 100)
+    // fired; the running count/last-fire-time are per-user window
+    // accumulators; delay(value, 1) is the value one event back.
+    "q_analytic_hits" -> ((s, d) => {
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hit = when(col("value") > 100, 1L).otherwise(0L)
+      ev(s, d).select(
+        col("event_id"),
+        sum(hit).over(run).as("last_hit_count"),
+        max(when(col("value") > 100, unix_micros(col("ts")))).over(run)
+          .as("last_hit_time"),
+        lag(col("value"), 1).over(byUser).as("delayed_val"))
+    }),
+
+    // last_agg_hit_count / last_agg_hit_time (funcs_inc_agg.go /
+    // funcs_agg.go): per windowed-agg emission, how many prior window
+    // results fired the rule condition and when the last one fired —
+    // window accumulators over the (tiny) aggregated stream.
+    "q_agg_hits" -> ((s, d) => {
+      val agg = ev(s, d)
+        .groupBy(window(col("ts"), "3600 seconds").as("w"), col("user_id"))
+        .agg(round(sum(col("value")), 2).as("sum_val"))
+        .select(col("user_id"), col("w.start").cast("long").as("ws"), col("sum_val"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ws"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg.withColumn("hit", when(col("sum_val") > 500, 1L).otherwise(0L))
+        .select(col("user_id"), col("ws"),
+          sum(col("hit")).over(run).as("last_agg_hit_count"),
+          max(when(col("hit") === 1, col("ws"))).over(run).as("last_agg_hit_time"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +180,25 @@ object AnalyticQueries {
     "q_dedup_keyed" ->
       """SELECT user_id, event_type, min(event_id) AS first_eid,
         |  arg_min(value, event_id) AS first_val
-        |FROM events GROUP BY user_id, event_type""".stripMargin
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q_analytic_hits" ->
+      """SELECT event_id,
+        |  sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER w AS last_hit_count,
+        |  max(CASE WHEN value > 100 THEN epoch_us(ts) END) OVER w AS last_hit_time,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delayed_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_agg_hits" ->
+      """WITH agg AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ws,
+        |    round(sum(value),2) AS sum_val
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, ws,
+        |  sum(CASE WHEN sum_val > 500 THEN 1 ELSE 0 END) OVER w AS last_agg_hit_count,
+        |  max(CASE WHEN sum_val > 500 THEN ws END) OVER w AS last_agg_hit_time
+        |FROM agg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ws
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

@@ -1,0 +1,128 @@
+package graft.rules
+
+import graft.sinks._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, window}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Graph-API rules (SURVEY §2.8; reference docs/en_US/guide/rules/
+  * graph_rule.md): a Node-RED-style JSON DAG of source → operator →
+  * sink nodes, compiled onto the same Dataset combinators as SQL
+  * rules — one Catalyst plan per sink, so the optimizer sees the
+  * whole pipeline (filter pushdown across node boundaries is free).
+  *
+  * {{{
+  * {"nodes": {
+  *    "src":  {"type":"source", "stream":"demo"},
+  *    "hot":  {"type":"operator", "op":"filter", "expr":"temp > 20"},
+  *    "stat": {"type":"operator", "op":"aggregate",
+  *             "groupBy":["device"], "aggs":["count(*) as n"]},
+  *    "out":  {"type":"sink", "kind":"memory", "endpoint":"t_out"}},
+  *  "edges": {"src":["hot"], "hot":["stat"], "stat":["out"]}}
+  * }}}
+  *
+  * Operators: filter, project (select-exprs), aggregate (groupBy/aggs,
+  * optional tumbling window on a ts column), having, orderby, limit,
+  * join (two inputs; on/how), dedup (keep-first by keys).
+  */
+object GraphRule {
+
+  final case class Compiled(sinkNode: String, df: DataFrame, sink: Sink)
+
+  def compile(spark: SparkSession, catalog: Catalog, json: String,
+              streaming: Boolean = false): Seq[Compiled] = {
+    val root = JsonMethods.parse(json)
+    val nodes: Map[String, JValue] = (root \ "nodes") match {
+      case JObject(fs) => fs.map { case JField(k, v) => k -> v }.toMap
+      case _ => throw new IllegalArgumentException("graph rule needs a nodes object")
+    }
+    // edges in declaration order — join input order follows it
+    val edgeList: Seq[(String, String)] = (root \ "edges") match {
+      case JObject(fs) => fs.flatMap { case JField(from, JArray(tos)) =>
+        tos.collect { case JString(to) => from -> to } }
+      case _ => Seq.empty
+    }
+    val inputsOf: Map[String, Seq[String]] =
+      edgeList.groupBy(_._2).map { case (to, es) => to -> es.map(_._1) }
+
+    def str(v: JValue, field: String): String = (v \ field) match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(s"node needs string '$field'")
+    }
+    def strSeq(v: JValue, field: String): Seq[String] = (v \ field) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+    def optStr(v: JValue, field: String): Option[String] = (v \ field) match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+
+    val memo = scala.collection.mutable.Map[String, DataFrame]()
+    def dfOf(name: String): DataFrame = memo.getOrElseUpdate(name, {
+      val node = nodes.getOrElse(name,
+        throw new IllegalArgumentException(s"edge references unknown node $name"))
+      val ins = inputsOf.getOrElse(name, Seq.empty)
+      str(node, "type") match {
+        case "source" =>
+          val sd = catalog.get(str(node, "stream")).getOrElse(
+            throw new NoSuchElementException(s"stream ${str(node, "stream")} not in catalog"))
+          if (streaming && !sd.isTable) {
+            val base = sd.source.stream(spark)
+            (sd.timestampCol, sd.watermark) match {
+              case (Some(ts), Some(wm)) => base.withWatermark(ts, wm)
+              case _ => base
+            }
+          } else sd.source.batch(spark)
+        case "operator" =>
+          val in = dfOf(ins.headOption.getOrElse(
+            throw new IllegalArgumentException(s"operator $name has no input")))
+          str(node, "op") match {
+            case "filter" => in.where(expr(str(node, "expr")))
+            case "project" => in.selectExpr(strSeq(node, "exprs"): _*)
+            case "aggregate" =>
+              val aggs = strSeq(node, "aggs").map(expr)
+              val keys = strSeq(node, "groupBy").map(expr)
+              val winKeys = optStr(node, "windowTs") match {
+                case Some(ts) => window(col(ts),
+                  optStr(node, "windowSize").getOrElse("60 seconds")).as("w") +: keys
+                case None => keys
+              }
+              in.groupBy(winKeys: _*).agg(aggs.head, aggs.tail: _*)
+            case "having" => in.where(expr(str(node, "expr")))
+            case "orderby" => in.orderBy(strSeq(node, "exprs").map(expr): _*)
+            case "limit" => in.limit(str(node, "n").toInt)
+            case "dedup" => in.dropDuplicates(strSeq(node, "keys"))
+            case "join" =>
+              require(ins.size == 2, s"join $name needs exactly 2 inputs, got $ins")
+              dfOf(ins(0)).alias("l").join(dfOf(ins(1)).alias("r"),
+                expr(str(node, "on")), optStr(node, "how").getOrElse("inner"))
+            case other => throw new IllegalArgumentException(s"unknown op $other")
+          }
+        case "sink" => dfOf(ins.headOption.getOrElse(
+          throw new IllegalArgumentException(s"sink $name has no input")))
+        case other => throw new IllegalArgumentException(s"unknown node type $other")
+      }
+    })
+
+    val opts: JValue => Map[String, String] = v => (v \ "options") match {
+      case JObject(fs) => fs.collect { case JField(k, JString(s)) => k -> s }.toMap
+      case _ => Map.empty
+    }
+    val compiled = nodes.collect { case (name, node) if (node \ "type") == JString("sink") =>
+      val sink: Sink = str(node, "kind") match {
+        case "memory" => MemorySink(str(node, "endpoint"), opts(node))
+        case "file" => FileSink(str(node, "endpoint"),
+          optStr(node, "format").getOrElse("json"), opts(node))
+        case "log" => LogSink(options = opts(node))
+        case "nop" => NopSink(opts(node))
+        case k => ConnectorSink(k, str(node, "endpoint"), opts(node))
+      }
+      Compiled(name, dfOf(name), sink)
+    }.toSeq
+    if (compiled.isEmpty)
+      throw new IllegalArgumentException("graph rule needs at least one sink node")
+    compiled
+  }
+}

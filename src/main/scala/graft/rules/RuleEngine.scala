@@ -16,7 +16,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final case class Rule(id: String, sql: String, sinks: Seq[Sink],
                       streaming: Boolean = false,
                       triggerMs: Long = 0,
-                      checkpointDir: Option[String] = None)
+                      checkpointDir: Option[String] = None,
+                      graphJson: Option[String] = None)
+
+object Rule {
+  /** Graph-API rule (JSON DAG; sinks come from the graph's sink nodes). */
+  def graph(id: String, json: String, streaming: Boolean = false,
+            checkpointDir: Option[String] = None): Rule =
+    Rule(id, sql = "", sinks = Nil, streaming = streaming,
+      checkpointDir = checkpointDir, graphJson = Some(json))
+}
 
 sealed trait RuleState
 object RuleState {
@@ -83,17 +92,23 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     val slot = lookup(id)
     val rule = slot.rule
     try {
-      val df = plan(rule)
+      val outputs: Seq[(DataFrame, Sink)] = rule.graphJson match {
+        case Some(json) =>
+          GraphRule.compile(spark, catalog, json, rule.streaming)
+            .map(c => c.df -> c.sink)
+        case None =>
+          val df = plan(rule)
+          rule.sinks.map(df -> _)
+      }
       if (rule.streaming) {
-        slot.queries = rule.sinks.zipWithIndex.map { case (sink, i) =>
-          val counted = df // metrics tracked in the sink's foreachBatch
-          sink.writeStream(counted, s"${rule.id}_$i", rule.triggerMs,
+        slot.queries = outputs.zipWithIndex.map { case ((df, sink), i) =>
+          sink.writeStream(df, s"${rule.id}_$i", rule.triggerMs,
             rule.checkpointDir.map(c => s"$c/$i"))
         }
       } else {
-        rule.sinks.foreach(_.writeBatch(df))
+        outputs.foreach { case (df, sink) => sink.writeBatch(df) }
         slot.batches.incrementAndGet()
-        slot.rows.addAndGet(df.count())
+        outputs.headOption.foreach { case (df, _) => slot.rows.addAndGet(df.count()) }
       }
       slot.state = RuleState.Running
       if (!rule.streaming) slot.state = RuleState.Stopped // one-shot done
@@ -133,8 +148,11 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
   def explain(id: String): String = {
     val rule = lookup(id).rule
     // explain on the batch form (streaming plans resolve per batch)
-    plan(rule.copy(streaming = false)).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExtendedMode)
+    val df = rule.graphJson match {
+      case Some(json) => GraphRule.compile(spark, catalog, json, streaming = false).head.df
+      case None => plan(rule.copy(streaming = false))
+    }
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
   }
 
   def list: Seq[String] = {

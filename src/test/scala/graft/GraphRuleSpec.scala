@@ -1,0 +1,88 @@
+package graft
+
+import graft.rules._
+import graft.sources.MemoryHub
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Graph-API rules (SURVEY §2.8): JSON DAG → Dataset plan, same
+  * lifecycle as SQL rules.
+  */
+class GraphRuleSpec extends SparkSuite {
+
+  test("filter → aggregate → memory sink pipeline") {
+    val dir = Files.createTempDirectory("graft_graph_in")
+    Files.write(dir.resolve("in.json"),
+      Seq("""{"device":"d1","temp":30}""", """{"device":"d1","temp":40}""",
+          """{"device":"d2","temp":10}""", """{"device":"d2","temp":35}""")
+        .mkString("\n").getBytes)
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gsensor (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("graph_out")
+    eng.create(Rule.graph("g1",
+      """{"nodes": {
+        |  "src":  {"type":"source", "stream":"gsensor"},
+        |  "hot":  {"type":"operator", "op":"filter", "expr":"temp > 20"},
+        |  "stat": {"type":"operator", "op":"aggregate",
+        |           "groupBy":["device"], "aggs":["count(*) as n", "sum(temp) as total"]},
+        |  "out":  {"type":"sink", "kind":"memory", "endpoint":"graph_out"}},
+        | "edges": {"src":["hot"], "hot":["stat"], "stat":["out"]}}""".stripMargin))
+    eng.start("g1")
+    val rows = MemoryHub.frame(spark, "graph_out").orderBy("device").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "d1" && rows(0).getLong(1) == 2 && rows(0).getLong(2) == 70)
+    assert(rows(1).getString(0) == "d2" && rows(1).getLong(1) == 1 && rows(1).getLong(2) == 35)
+    assert(eng.status("g1").state == RuleState.Stopped)
+  }
+
+  test("two-source join node with projection") {
+    val eng = new RuleEngine(spark)
+    MemoryHub.publish("g_orders", spark.range(4).toDF("oid")
+      .withColumn("cid", col("oid") % 2))
+    MemoryHub.publish("g_custs",
+      spark.createDataFrame(Seq((0L, "alice"), (1L, "bob"))).toDF("cid", "cname"))
+    eng.createStream("""CREATE TABLE gorders (oid BIGINT, cid BIGINT) WITH (TYPE="memory", DATASOURCE="g_orders")""")
+    eng.createStream("""CREATE TABLE gcusts (cid BIGINT, cname STRING) WITH (TYPE="memory", DATASOURCE="g_custs")""")
+    MemoryHub.drop("join_out")
+    eng.create(Rule.graph("g2",
+      """{"nodes": {
+        |  "o": {"type":"source", "stream":"gorders"},
+        |  "c": {"type":"source", "stream":"gcusts"},
+        |  "j": {"type":"operator", "op":"join", "on":"l.cid = r.cid", "how":"inner"},
+        |  "p": {"type":"operator", "op":"project", "exprs":["oid", "cname"]},
+        |  "out": {"type":"sink", "kind":"memory", "endpoint":"join_out"}},
+        | "edges": {"o":["j"], "c":["j"], "j":["p"], "p":["out"]}}""".stripMargin))
+    eng.start("g2")
+    val out = MemoryHub.frame(spark, "join_out")
+    assert(out.count() == 4)
+    assert(out.where(col("cname") === "alice").count() == 2)
+  }
+
+  test("graph explain shows one fused Catalyst plan with pushdown") {
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gev (event_id BIGINT, value DOUBLE) WITH
+         | (TYPE="file", FORMAT="parquet", DATASOURCE="$sf/events.parquet")""".stripMargin)
+    eng.create(Rule.graph("g3",
+      """{"nodes": {
+        |  "s": {"type":"source", "stream":"gev"},
+        |  "f": {"type":"operator", "op":"filter", "expr":"event_id < 100"},
+        |  "p": {"type":"operator", "op":"project", "exprs":["event_id"]},
+        |  "o": {"type":"sink", "kind":"nop"}},
+        | "edges": {"s":["f"], "f":["p"], "p":["o"]}}""".stripMargin))
+    val plan = eng.explain("g3")
+    // the filter node's predicate must reach the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(event_id,100)"),
+      s"graph node filter not pushed into scan:\n$plan")
+  }
+
+  test("malformed graphs fail loudly") {
+    val eng = new RuleEngine(spark)
+    eng.create(Rule.graph("bad1", """{"nodes": {"x": {"type":"operator", "op":"filter", "expr":"1=1"}}, "edges": {}}"""))
+    intercept[IllegalArgumentException](eng.start("bad1"))
+    eng.create(Rule.graph("bad2", """{"nodes": {"s": {"type":"sink", "kind":"nop"}}, "edges": {}}"""))
+    intercept[IllegalArgumentException](eng.start("bad2"))
+  }
+}
