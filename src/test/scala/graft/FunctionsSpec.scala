@@ -126,6 +126,13 @@ class FunctionsSpec extends SparkSuite {
     assert(nowRow.map(_.getTimestamp(0)).distinct.length == 1)
   }
 
+  test("array_shuffle permutes, preserves elements") {
+    val rows = spark.sql("SELECT shuffle(sequence(1, 50)) AS a FROM range(20)").collect()
+    rows.foreach(r => assert(r.getSeq[Int](0).sorted == (1 to 50)))
+    // 20 independent shuffles of 50 elements virtually never all agree
+    assert(rows.map(_.getSeq[Int](0)).distinct.length > 1)
+  }
+
   test("SQL-reachable codegen hashes agree with kernel") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql("SELECT simhash64('the quick brown fox'), doc_fingerprint('one two three four five six', 5)").first()
