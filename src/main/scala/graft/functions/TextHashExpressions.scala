@@ -68,6 +68,20 @@ case class FingerprintExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextHashing.langId(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextHashing.langId($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 /** Column-API lifts of the expressions above. */
 object TextHashFunctions {
   def shingle_hashes(text: Column, n: Int): Column =
@@ -78,4 +92,6 @@ object TextHashFunctions {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
   def doc_fingerprint(text: Column, n: Int): Column =
     ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(text), n))
+  def lang_id(text: Column): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 }

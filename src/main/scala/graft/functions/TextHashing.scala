@@ -134,6 +134,51 @@ object TextHashing {
     out
   }
 
+  /** Language-ID stopword tables: token hashes of each language's top
+    * function words (must stay in sync with
+    * graft.operators.TextOps.stopwords — DedupSpec pins equivalence).
+    */
+  private[functions] val langTables: Array[(String, Array[Long])] =
+    Array(
+      "de" -> Array("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "im"),
+      "en" -> Array("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      "es" -> Array("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+      "fr" -> Array("le", "la", "de", "et", "est", "un", "une", "les", "dans", "que"),
+      "zh" -> Array("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+      .map { case (lang, words) =>
+        lang -> words.map(w => tokenHashes(w)(0)).sorted
+      }
+
+  /** One-pass language ID: tokenize once, count stopword hits per
+    * language (binary search in the per-language hash table), return
+    * the best-ratio language or "und" when nothing matches. Same
+    * argmax/tie-break as the HOF reference in TextOps.langId (ties go
+    * to the lexicographically greater language, mirroring Spark's
+    * struct max over (score, lang)).
+    */
+  def langId(text: String): String = {
+    val toks = tokenHashes(text)
+    if (toks.isEmpty) return "und"
+    val hits = new Array[Int](langTables.length)
+    var t = 0
+    while (t < toks.length) {
+      var l = 0
+      while (l < langTables.length) {
+        if (java.util.Arrays.binarySearch(langTables(l)._2, toks(t)) >= 0) hits(l) += 1
+        l += 1
+      }
+      t += 1
+    }
+    var best = -1
+    var l = 0
+    while (l < langTables.length) {
+      // >= : later (lexicographically greater) language wins ties
+      if (hits(l) > 0 && (best < 0 || hits(l) >= hits(best))) best = l
+      l += 1
+    }
+    if (best < 0) "und" else langTables(best)._1
+  }
+
   /** Document fingerprint: minimum shingle hash (min-sampling / MOD-0
     * winnowing degenerate); whole-text hash when the document is
     * shorter than one shingle.

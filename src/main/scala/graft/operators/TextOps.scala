@@ -67,10 +67,15 @@ object TextOps {
   }
 
   /** Language ID: argmax of per-language stopword hit ratios; "und"
-    * (undetermined) when nothing matches. An n-gram/function-word
-    * heuristic — deterministic and shuffle-free.
+    * (undetermined) when nothing matches. One-pass codegen kernel
+    * (graft.functions.LangIdExpr); `langIdReference` below is the
+    * HOF formulation it is pinned against in TextHashingSpec.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.TextHashFunctions.lang_id(text)
+
+  /** Slow HOF reference implementation of langId (tests only). */
+  def langIdReference(text: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, _) =>
       struct(stopwordRatio(text, lang).as("score"), lit(lang).as("lang"))
     }

@@ -107,12 +107,20 @@ object CoreSql {
     "q_join_multi" -> ((s, d) => {
       val r = t(s, d, "region"); val n = t(s, d, "nation"); val c = t(s, d, "customer")
       val o = t(s, d, "orders"); val l = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r.filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // Selective dimension filters FIRST: region→nation (constant 5/25
+      // rows — always broadcast) prunes customer to the ASIA fifth
+      // before it meets orders, and pruned orders shrink the one big
+      // lineitem⋈orders shuffle ~5× — vs filtering after the fact
+      // joins. customer/supplier grow with SF, so no broadcast hint:
+      // AQE broadcasts them at small SF and shuffle-joins at 100 TB.
+      val asiaNations = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      val asiaCust = c.join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      val asiaOrders = o.join(asiaCust.select(col("c_custkey"), col("n_name")),
+        col("o_custkey") === col("c_custkey"))
+      l.join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),

@@ -81,6 +81,15 @@ class TextHashingSpec extends AnyFunSuite {
     assert(short != TextHashing.fingerprintMin("one three", 5))
   }
 
+  test("langId kernel: obvious languages, und fallback") {
+    assert(TextHashing.langId("the cat sat on the mat and it is that") == "en")
+    assert(TextHashing.langId("el que la y en un es por los") == "es")
+    assert(TextHashing.langId("der und die das ist nicht ein") == "de")
+    assert(TextHashing.langId("le chat est dans la maison et les autres") == "fr")
+    assert(TextHashing.langId("zzz qqq xxx") == "und")
+    assert(TextHashing.langId("") == "und")
+  }
+
   test("mix64 avalanche: single-bit input flips ~half the output bits") {
     val h0 = TextHashing.mix64(0x1234L)
     val h1 = TextHashing.mix64(0x1235L)
