@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,6 +73,75 @@ object Knn {
       when(dot >= 0, lit(1L) * (1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Train spherical-k-means centroids for the IVF index: a
+    * deterministic hash-ordered sample seeds `cells` centroids, then
+    * `iters` distributed Lloyd iterations (assign via the codegen
+    * IvfCellExpr, recompute means via posexplode/avg). Only
+    * cells × dim doubles ever reach the driver — corpus-size
+    * independent, so the same code trains on 100 TB.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        cells: Int, iters: Int = 1): Array[Array[Double]] = {
+    def normalized(rows: Seq[Array[Double]]): Array[Array[Double]] =
+      rows.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }.toArray
+
+    val seedRows = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(cells).select(col("v"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = normalized(seedRows.toSeq)
+
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = normalized(cents.indices.map { i =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            v
+          case None => cents(i) // empty cell keeps its centroid
+        }
+      })
+    }
+    cents
+  }
+
+  /** IVF ANN: corpus vectors are assigned to their nearest centroid's
+    * cell (the inverted file); each query scans only its `probes`
+    * closest cells. The cell id is a pure function of the vector and
+    * the (tiny, code-embedded) centroid table, so at scale the corpus
+    * is written partitioned/bucketed by cell and a probe is a pruned
+    * scan. Returns the bruteForceTopK shape.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              cells: Int = 16, probes: Int = 4, iters: Int = 1,
+              excludeSelf: Boolean = true): DataFrame = {
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, cells, iters)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(VectorFunctions.ivf_probe_cells(col(vecCol), cents, probes)).as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
   /** Multi-table bucketed ANN: `tables` independent sign-bit LSH

@@ -66,6 +66,12 @@ object PipelineQueries {
 
     "q_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
+      Knn.ivfTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, cells = 16, probes = 4)
+    }),
+
+    "q_knn_lsh" -> ((s, d) => {
+      val e = emb(s, d)
       Knn.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 10, bits = 6, tables = 4, probes = 1)
     }),

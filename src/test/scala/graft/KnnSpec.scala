@@ -44,6 +44,27 @@ class KnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall $recall below floor")
   }
 
+  test("IVF recall vs brute force >= 0.5 probing 4/16 cells") {
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val approx = Knn.ivfTopK(q, emb, "vec_id", "embedding", k = 10,
+      cells = 16, probes = 4).select("q_id", "n_id")
+    val recall = approx.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
+  test("IVF centroids: deterministic, unit norm, cells x dim only") {
+    val c1 = Knn.trainIvfCentroids(emb, "vec_id", "embedding", cells = 8)
+    val c2 = Knn.trainIvfCentroids(emb, "vec_id", "embedding", cells = 8)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    c1.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
   test("more tables/probes never reduce candidate coverage") {
     val q = emb.where(col("vec_id") < 5)
     val r0 = Knn.lshTopK(q, emb, "vec_id", "embedding", k = 10,

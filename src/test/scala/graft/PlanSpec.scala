@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression contracts (SURVEY §4): the properties that
+  * make these plans survive a 100 TB scale-up, asserted on explain
+  * output so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("filters and projections push into the parquet scan") {
+    val df = Tables(spark, sf, "lineitem")
+      .where(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val s = formatted(df)
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), s)
+    // column pruning: the scan must read only the two referenced columns
+    val readSchema = s.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q_join_multi: constant dims broadcast; no broadcast hint on SF-scaled tables") {
+    val s = planOf("q_join_multi")
+    assert(s.contains("BroadcastHashJoin"), "nation/region should broadcast")
+    // the lineitem join key is the orderkey hash shuffle (or AQE-converted
+    // broadcast at this tiny SF) — either way no cartesian/nested-loop
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_win_count: no unpartitioned global-sort window") {
+    val s = planOf("q_win_count")
+    assert(!s.contains("Window [") || !s.contains("SinglePartition"),
+      s"count window must not run a single-partition global window:\n$s")
+  }
+
+  test("map-only function queries contain no shuffle") {
+    for (name <- Seq("q_fn_math", "q_fn_string", "q_fn_hash", "q_text_quality",
+        "q_text_fingerprint", "q_text_langid")) {
+      val s = planOf(name)
+      assert(!s.contains("Exchange"), s"$name should be shuffle-free:\n$s")
+    }
+  }
+
+  test("aggregations are two-phase (partial before shuffle)") {
+    val s = planOf("q_agg")
+    // partial_ aggregate functions appear in the map-side HashAggregate
+    assert(s.contains("partial_"), s"q_agg should partial-aggregate map-side:\n$s")
+  }
+
+  test("knn brute force broadcasts the probe set, never the corpus") {
+    val s = planOf("q_knn_cosine")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    // the corpus side feeds the join via scan, not via broadcast build
+    assert(s.contains("embeddings"), s)
+  }
+
+  test("dedup minhash pipeline keeps codegen on the signature stage") {
+    val s = formatted(Tables(spark, sf, "documents").select(
+      graft.functions.TextHashFunctions.minhash_sig(col("text"), 3, 64).as("sig")))
+    // the custom expression must sit inside a whole-stage-codegen span
+    // (FormattedMode marks stages with "[codegen id : N]")
+    val proj = s.linesIterator.find(l => l.contains("Project") && l.contains("codegen id"))
+    assert(proj.isDefined, s"minhash projection not codegen'd:\n$s")
+    assert(!s.toLowerCase.contains("batchevalpython") && !s.contains("ScalaUDF"), s)
+  }
+
+  test("whole-stage codegen covers the scalar-function hot path") {
+    val s = formatted(SparkEntry.queries("q_fn_math")(spark, sf))
+    assert(s.contains("codegen id"), s)
+  }
+}
