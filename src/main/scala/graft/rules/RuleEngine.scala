@@ -85,7 +85,14 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       }
       withWm.createOrReplaceTempView(name)
     }
-    spark.sql(rule.sql)
+    // accept the reference's own SQL dialect (TUMBLINGWINDOW(ss,10) …)
+    val sql =
+      if (EkuiperSql.isEkuiperDialect(rule.sql)) {
+        val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
+          .headOption.getOrElse("ts")
+        EkuiperSql.translate(rule.sql, tsCol)
+      } else rule.sql
+    spark.sql(sql)
   }
 
   def start(id: String): Unit = {

@@ -100,6 +100,39 @@ class RulesSpec extends SparkSuite {
       s"filter not pushed:\n$plan")
   }
 
+  test("eKuiper-dialect rule SQL (TUMBLINGWINDOW, window_start) runs unchanged") {
+    val dir = Files.createTempDirectory("graft_ek")
+    writeJson(dir, Seq(
+      """{"device":"a","temp":30,"ts":"2024-01-01T00:00:05Z"}""",
+      """{"device":"a","temp":35,"ts":"2024-01-01T00:00:55Z"}""",
+      """{"device":"b","temp":40,"ts":"2024-01-01T00:01:05Z"}""",
+      """{"device":"a","temp":10,"ts":"2024-01-01T00:01:15Z"}""",
+      """{"device":"b","temp":50,"ts":"2024-01-01T00:02:30Z"}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM kev (device STRING, temp BIGINT, ts TIMESTAMP) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir", TIMESTAMP="ts")""".stripMargin)
+    MemoryHub.drop("kout")
+    eng.create(Rule("ek1",
+      """SELECT device, count(*) AS n, window_start() AS ws
+        |FROM kev WHERE temp > 20
+        |GROUP BY device, TUMBLINGWINDOW(ss, 60)""".stripMargin,
+      Seq(MemorySink("kout"))))
+    eng.start("ek1")
+    val out = MemoryHub.frame(spark, "kout")
+    // equivalent Spark SQL gives identical results
+    val expected = spark.sql(
+      """SELECT device, count(*) AS n, window.start AS ws
+        |FROM kev WHERE temp > 20
+        |GROUP BY device, window(ts, '60 seconds')""".stripMargin)
+    assert(out.count() > 0 && out.exceptAll(expected).count() == 0
+      && expected.exceptAll(out).count() == 0)
+    // per-event/arrival-order windows are rejected with guidance
+    assert(EkuiperSql.isEkuiperDialect("SELECT * FROM x GROUP BY COUNTWINDOW(5)"))
+    intercept[IllegalArgumentException](
+      EkuiperSql.translate("SELECT count(*) FROM kev GROUP BY COUNTWINDOW(5)"))
+  }
+
   test("rule SQL can use windows over a simulator/nexmark source") {
     val eng = newEngine
     eng.catalog.register(StreamDef("bids", NexmarkBidSource(count = 1000)))

@@ -81,6 +81,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("analytic state streaming equals batch window functions across batches") {
+    val evs = Seq(
+      AnEvt(1L, 1000L, 10.0, "view"), AnEvt(1L, 2000L, 20.0, "view"),
+      AnEvt(1L, 3000L, 5.0, "click"), AnEvt(2L, 1500L, 7.0, "buy"),
+      AnEvt(1L, 4000L, 30.0, "click"), AnEvt(2L, 2500L, 3.0, "buy"))
+    val ms = MemoryStream[AnEvt]
+    val q = AnalyticStream.streaming(ms.toDS()).writeStream.format("memory")
+      .queryName("an_out").outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(evs.take(4)); q.processAllAvailable()
+      ms.addData(evs.drop(4)); q.processAllAvailable()
+      val got = spark.table("an_out").orderBy("key", "tsMicros").collect()
+      assert(got.length == 6)
+      // batch reference via window functions on the same data
+      val batch = evs.toDF()
+      batch.createOrReplaceTempView("an_in")
+      val exp = spark.sql(
+        """SELECT key, tsMicros,
+          |  lag(value) OVER w AS lagVal,
+          |  last_value(tag) IGNORE NULLS OVER (PARTITION BY key ORDER BY tsMicros
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latestTag,
+          |  coalesce(lag(tag) OVER w IS NULL OR lag(tag) OVER w <> tag, true) AS hadChanged,
+          |  round(sum(value) OVER (PARTITION BY key ORDER BY tsMicros
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS accSum,
+          |  count(*) OVER (PARTITION BY key ORDER BY tsMicros
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accCnt,
+          |  min(value) OVER (PARTITION BY key ORDER BY tsMicros
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accMin,
+          |  max(value) OVER (PARTITION BY key ORDER BY tsMicros
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accMax
+          |FROM an_in
+          |WINDOW w AS (PARTITION BY key ORDER BY tsMicros)""".stripMargin)
+        .orderBy("key", "tsMicros").collect()
+      got.zip(exp).foreach { case (g, e) => assert(g.toString == e.toString, s"$g != $e") }
+    } finally q.stop()
+  }
+
   test("streaming tumble agg equals batch tumble agg on identical data") {
     val batchDf = Tables(spark, sf, "events").limit(500).cache()
     val expected = StreamingWindows.tumbleAgg(batchDf, "ts", "value", "60 seconds", Seq("event_type"))
