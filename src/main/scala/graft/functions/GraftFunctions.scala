@@ -90,6 +90,52 @@ object GraftFunctions {
     "compress" -> { a => CompressionFunctions.compress(a(0), fmtLiteral(a(1))) },
     "decompress" -> { a => CompressionFunctions.decompress(a(0), fmtLiteral(a(1))) },
 
+    // ---- array renames (funcs_array.go) ----
+    "array_cardinality" -> { a => size(a(0)).cast("long") },
+    "array_create" -> { a => array(a: _*) },
+    "array_concat" -> { a => concat(a: _*) },
+    "array_flatten" -> { a => flatten(a(0)) },
+    "array_contains_any" -> { a => arrays_overlap(a(0), a(1)) },
+    "array_shuffle" -> { a => shuffle(a(0)) },
+    // 0-based index of the last occurrence, -1 when absent
+    "array_last_position" -> { a =>
+      when(array_position(reverse(a(0)), a(1)) === 0, lit(-1L))
+        .otherwise(size(a(0)) - array_position(reverse(a(0)), a(1))) },
+
+    // ---- datetime renames (funcs_datetime.go) ----
+    "cur_date" -> { _ => current_date() },
+    "cur_time" -> { _ => date_format(current_timestamp(), "HH:mm:ss") },
+    "local_time" -> { _ => date_format(localtimestamp(), "HH:mm:ss") },
+    "local_timestamp" -> { _ => localtimestamp() },
+    "day_of_month" -> { a => dayofmonth(a(0)).cast("long") },
+    "day_of_week" -> { a => dayofweek(a(0)).cast("long") },
+    "day_of_year" -> { a => dayofyear(a(0)).cast("long") },
+    "day_name" -> { a => date_format(a(0), "EEEE") },
+    "month_name" -> { a => date_format(a(0), "MMMM") },
+    "microsecond" -> { a => (unix_micros(a(0)) % 1000000L) },
+    "date_diff" -> { a => datediff(a(0), a(1)).cast("long") },
+    "from_days" -> { a => date_from_unix_date((a(0) - 719528).cast("int")) },
+
+    // ---- string renames (funcs_str.go) ----
+    "format" -> { a => format_string(fmtLiteral(a(0)), a.drop(1): _*) },
+    "regexp_substr" -> { a => regexp_extract(a(0), fmtLiteral(a(1)), 0) },
+
+    // ---- hash/stat renames ----
+    "sha256" -> { a => sha2(a(0).cast("binary"), 256) },
+    "sha384" -> { a => sha2(a(0).cast("binary"), 384) },
+    "sha512" -> { a => sha2(a(0).cast("binary"), 512) },
+    "stddevs" -> { a => stddev_pop(a(0)) },
+    "var" -> { a => var_samp(a(0)) },
+    "vars" -> { a => var_pop(a(0)) },
+    "percentile_cont" -> { a => percentile(a(0), a(1)) },
+    "percentile_disc" -> { a => percentile_approx(a(0), a(1), lit(1000000)) },
+    "collect" -> { a => collect_list(a(0)) },
+
+    // ---- object renames (funcs_obj.go) ----
+    "keys" -> { a => map_keys(a(0)) },
+    "values" -> { a => map_values(a(0)) },
+    "object_size" -> { a => size(a(0)).cast("long") },
+
     // ---- misc / runtime ----
     "newuuid" -> { _ => uuid() },
     "tstamp" -> { _ => unix_millis(current_timestamp()) },

@@ -142,7 +142,12 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
                     idCol: String, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+    // shingle only the candidate union (semi-join on the tiny pair id
+    // set), not the full corpus twice — at scale the verify stage cost
+    // is O(candidates), independent of corpus size.
+    val candIds = pairs.select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    val sets = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
     pairs
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")

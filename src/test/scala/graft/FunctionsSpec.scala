@@ -126,6 +126,40 @@ class FunctionsSpec extends SparkSuite {
     assert(nowRow.map(_.getTimestamp(0)).distinct.length == 1)
   }
 
+  test("eKuiper rename registry: arrays, datetime, stats, aggregates") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT array_cardinality(array(1,2,3)), array_create(7, 8),
+        |  array_concat(array(1), array(2,3)), array_contains_any(array(1,2), array(2,9)),
+        |  array_last_position(array('a','b','a'), 'a'),
+        |  array_last_position(array('a','b'), 'z'),
+        |  day_name(DATE'2024-01-01'), month_name(DATE'2024-01-01'),
+        |  day_of_week(DATE'2024-01-07'), date_diff(DATE'2024-01-10', DATE'2024-01-03'),
+        |  from_days(719528), sha256('abc'),
+        |  format('%d-%s', 42, 'x'), regexp_substr('ab12cd', '[0-9]+'),
+        |  keys(map('k', 1)), values(map('k', 1)), object_size(map('a',1,'b',2)),
+        |  microsecond(TIMESTAMP'2024-01-01 00:00:00.000042')""".stripMargin).first()
+    assert(r.getLong(0) == 3 && r.getSeq[Int](1) == Seq(7, 8))
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3) && r.getBoolean(3))
+    assert(r.getLong(4) == 2 && r.getLong(5) == -1)
+    assert(r.getString(6) == "Monday" && r.getString(7) == "January")
+    assert(r.getLong(8) == 1) // Sunday = 1 (MySQL/eKuiper convention)
+    assert(r.getLong(9) == 7)
+    assert(r.getDate(10).toString == "1970-01-01")
+    assert(r.getString(11) == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(12) == "42-x" && r.getString(13) == "12")
+    assert(r.getSeq[String](14) == Seq("k") && r.getSeq[Int](15) == Seq(1))
+    assert(r.getLong(16) == 2 && r.getLong(17) == 42L)
+    // aggregate renames work in GROUP BY context
+    val agg = spark.sql(
+      """SELECT collect(v) AS c, round(percentile_cont(v, 0.5), 1) AS p,
+        |  round(stddevs(v), 4) AS sp
+        |FROM VALUES (double(1)),(double(2)),(double(3)) AS t(v)""".stripMargin).first()
+    assert(agg.getSeq[Double](0).sorted == Seq(1.0, 2.0, 3.0))
+    assert(agg.getDouble(1) == 2.0)
+    assert(agg.getDouble(2) == math.rint(math.sqrt(2.0 / 3.0) * 10000) / 10000)
+  }
+
   test("array_shuffle permutes, preserves elements") {
     val rows = spark.sql("SELECT shuffle(sequence(1, 50)) AS a FROM range(20)").collect()
     rows.foreach(r => assert(r.getSeq[Int](0).sorted == (1 to 50)))
