@@ -90,13 +90,18 @@ final case class FileSink(path: String, format: String = "json",
   }
 }
 
-/** Memory sink: appends each batch to a named in-process topic
-  * (readable by MemorySource — the reference's rule-pipeline pattern).
+/** Memory sink: appends each batch to a named in-process topic —
+  * registry for batch consumers, parquet spool for streaming
+  * consumers (MemorySource.stream) — the reference's rule-pipeline
+  * pattern.
   */
 final case class MemorySink(topic: String,
                             options: Map[String, String] = Map.empty) extends Sink {
-  def writeBatch(df: DataFrame): Unit =
-    graft.sources.MemoryHub.append(topic, shaped(df))
+  def writeBatch(df: DataFrame): Unit = {
+    val out = shaped(df)
+    graft.sources.MemoryHub.append(topic, out)
+    graft.sources.MemoryHub.spool(topic, out)
+  }
 }
 
 /** Log sink: rows to the driver log, capped. Reference: log sink. */

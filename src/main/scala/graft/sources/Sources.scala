@@ -63,22 +63,35 @@ final case class FileSource(path: String, format: String = "json",
 }
 
 /** Memory source: rows registered in-process (eKuiper memory source —
-  * rule-to-rule hand-off). Batch = the registered frame; stream = all
-  * registered rows replayed through an in-memory stream by the rules
-  * engine (see RulesSpec / MemoryHub).
+  * rule-to-rule hand-off). Batch = the registered frame; stream =
+  * readStream over the topic's parquet spool, so a downstream
+  * streaming rule picks up every batch an upstream rule's MemorySink
+  * publishes (the reference's rule-pipeline pattern,
+  * internal/io/memory/pubsub).
   */
 final case class MemorySource(topic: String) extends Source {
   def batch(spark: SparkSession): DataFrame = MemoryHub.frame(spark, topic)
-  def stream(spark: SparkSession): DataFrame = MemoryHub.frame(spark, topic)
+  def stream(spark: SparkSession): DataFrame = {
+    val schema = MemoryHub.topicSchema(spark, topic).getOrElse(
+      throw new IllegalStateException(
+        s"memory topic $topic has no schema yet - publish a frame or spool a batch first"))
+    spark.readStream.schema(schema).parquet(MemoryHub.spoolDir(topic))
+  }
 }
 
 /** Process-wide registry backing MemorySource/MemorySink — the Spark
   * analog of the reference's in-process pub/sub
-  * (internal/io/memory/pubsub). Driver-side registry of small frames;
-  * data itself stays distributed (DataFrames, not collected rows).
+  * (internal/io/memory/pubsub). Two layers:
+  *  - a driver-side registry of (lazy, distributed) DataFrames for
+  *    batch hand-off;
+  *  - a parquet spool directory per topic for streaming hand-off —
+  *    executors write, downstream readStream tails it; no row ever
+  *    passes through the driver.
   */
 object MemoryHub {
   private val topics = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val spools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def publish(topic: String, df: DataFrame): Unit = topics.put(topic, df)
   def append(topic: String, df: DataFrame): Unit =
     topics.merge(topic, df, (a, b) => a.unionByName(b))
@@ -86,7 +99,21 @@ object MemoryHub {
     Option(topics.get(topic)).getOrElse(
       throw new NoSuchElementException(s"memory topic $topic"))
   def exists(topic: String): Boolean = topics.containsKey(topic)
-  def drop(topic: String): Unit = topics.remove(topic)
+  def drop(topic: String): Unit = { topics.remove(topic); spools.remove(topic) }
+
+  /** Stable spool directory for a topic's streaming hand-off. */
+  def spoolDir(topic: String): String =
+    spools.computeIfAbsent(topic, t =>
+      java.nio.file.Files.createTempDirectory(s"graft_hub_${t.replaceAll("\\W", "_")}_")
+        .toString)
+
+  /** Append a batch to the topic's spool (called by MemorySink). */
+  def spool(topic: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(spoolDir(topic))
+
+  private[sources] def topicSchema(spark: SparkSession, topic: String) =
+    Option(topics.get(topic)).map(_.schema).orElse(
+      scala.util.Try(spark.read.parquet(spoolDir(topic)).schema).toOption)
 }
 
 /** Simulator source (reference: internal/io/simulator): replays a seed

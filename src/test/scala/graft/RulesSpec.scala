@@ -133,6 +133,42 @@ class RulesSpec extends SparkSuite {
       EkuiperSql.translate("SELECT count(*) FROM kev GROUP BY COUNTWINDOW(5)"))
   }
 
+  test("rule chaining: streaming rule -> memory topic -> streaming rule") {
+    val dir = Files.createTempDirectory("graft_chain_in")
+    val ck1 = Files.createTempDirectory("graft_chain_ck1")
+    val ck2 = Files.createTempDirectory("graft_chain_ck2")
+    writeJson(dir, Seq("""{"device":"a","temp":30}""", """{"device":"b","temp":15}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM chain_in (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("chain_hub")
+    // rule 1: filter hot readings into the memory topic
+    eng.create(Rule("c1", "SELECT device, temp FROM chain_in WHERE temp > 20",
+      Seq(MemorySink("chain_hub")), streaming = true,
+      checkpointDir = Some(ck1.toString)))
+    eng.start("c1")
+    eng.processAllAvailable("c1")
+    // rule 2: consume the topic as a stream, deliver to a connector
+    eng.createStream(
+      """CREATE STREAM chain_hub (device STRING, temp BIGINT) WITH
+        | (TYPE="memory", DATASOURCE="chain_hub")""".stripMargin)
+    ConnectorSink.clear("mqtt", "chain/out")
+    eng.create(Rule("c2", "SELECT device, temp * 10 AS t10 FROM chain_hub",
+      Seq(ConnectorSink("mqtt", "chain/out",
+        Map("dataTemplate" -> """{{device}}:{{t10}}"""))),
+      streaming = true, checkpointDir = Some(ck2.toString)))
+    eng.start("c2")
+    eng.processAllAvailable("c2")
+    assert(ConnectorSink.sent("mqtt", "chain/out") == Vector("a:300"))
+    // more input flows through both rules
+    Files.write(dir.resolve("part-1.json"), """{"device":"c","temp":25}""".getBytes)
+    eng.processAllAvailable("c1")
+    eng.processAllAvailable("c2")
+    assert(ConnectorSink.sent("mqtt", "chain/out").toSet == Set("a:300", "c:250"))
+    eng.stop("c1"); eng.stop("c2")
+  }
+
   test("rule SQL can use windows over a simulator/nexmark source") {
     val eng = newEngine
     eng.catalog.register(StreamDef("bids", NexmarkBidSource(count = 1000)))
