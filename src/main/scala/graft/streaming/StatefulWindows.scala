@@ -120,6 +120,36 @@ object CountWindowStream {
   }
 }
 
+final case class SlideState(buf: Vector[(Long, Double)])
+final case class SlideOut(key: Long, tsMicros: Long, n: Long, sum: Double)
+
+/** eKuiper's sliding window (docs/en_US/sqls/windows.md SLIDINGWINDOW):
+  * per event, aggregate over the trailing `windowMicros` of that key's
+  * stream. Streaming state = the per-key event buffer pruned to the
+  * window span (bounded by rate × span, the same bound the reference's
+  * in-memory window holds). Batch analog: q_win_slide's range frame.
+  */
+object SlidingWindowStream {
+  def streaming(ds: Dataset[StateEvt], windowMicros: Long)
+               (implicit spark: SparkSession): Dataset[SlideOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[StateEvt], state: GroupState[SlideState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ListBuffer[SlideOut]()
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            buf = (buf :+ (e.tsMicros, e.value))
+              .dropWhile { case (ts, _) => ts < e.tsMicros - windowMicros }
+            out += SlideOut(key, e.tsMicros, buf.size.toLong,
+              math.rint(buf.map(_._2).sum * 100) / 100)
+          }
+          state.update(SlideState(buf))
+          out.iterator
+      }
+  }
+}
+
 /** Streaming twins of the batch time windows (q_win_tumble/hop/
   * session): same grouping expressions on a readStream with a
   * watermark. StreamingSpec pins streaming output == batch output on

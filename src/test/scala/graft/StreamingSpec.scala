@@ -118,6 +118,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding window streaming equals batch range-frame on identical data") {
+    val evs = Seq(
+      StateEvt(1L, 1000000L, 1.0, open = false, close = false),
+      StateEvt(1L, 1500000L, 2.0, open = false, close = false),
+      StateEvt(1L, 2600000L, 4.0, open = false, close = false), // 1.0 falls out (>1s back)
+      StateEvt(2L, 1000000L, 8.0, open = false, close = false),
+      StateEvt(1L, 3500000L, 16.0, open = false, close = false))
+    val ms = MemoryStream[StateEvt]
+    val q = SlidingWindowStream.streaming(ms.toDS(), windowMicros = 1000000L)
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(evs.take(3)); q.processAllAvailable()
+      ms.addData(evs.drop(3)); q.processAllAvailable()
+      val got = spark.table("slide_out").orderBy("key", "tsMicros").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // expected: trailing 1s window, inclusive of both bounds
+      val byKey = evs.groupBy(_.key)
+      val expected = evs.sortBy(e => (e.key, e.tsMicros)).map { e =>
+        val in = byKey(e.key).filter(x =>
+          x.tsMicros <= e.tsMicros && x.tsMicros >= e.tsMicros - 1000000L)
+        (e.key, e.tsMicros, in.size.toLong, math.rint(in.map(_.value).sum * 100) / 100)
+      }
+      assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    } finally q.stop()
+  }
+
   test("streaming tumble agg equals batch tumble agg on identical data") {
     val batchDf = Tables(spark, sf, "events").limit(500).cache()
     val expected = StreamingWindows.tumbleAgg(batchDf, "ts", "value", "60 seconds", Seq("event_type"))
