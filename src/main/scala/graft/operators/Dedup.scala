@@ -56,11 +56,21 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 64, bands: Int = 16,
-                   maxBucket: Int = 64, minEstJaccard: Double = 0.5): DataFrame = {
+                   maxBucket: Int = 64, minEstJaccard: Double = 0.5,
+                   cacheSignatures: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = docs.select(col(idCol).as("id"),
+    // the signature frame feeds three consumers (bucket explode + the
+    // two candidate join-backs); persisting it turns three full-corpus
+    // tokenize/hash passes into one — at 100 TB the (id, 512-byte sig)
+    // frame is ~1000× smaller than the text it derives from. Callers
+    // managing their own lifecycle pass cacheSignatures = false and
+    // persist/unpersist around the call.
+    val raw = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
+    val sigs = if (cacheSignatures)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
 
     // (band, bucket-hash, id): 16 rows of ~20 bytes per doc — the only
     // thing shuffled at corpus scale.
@@ -144,11 +154,15 @@ object Dedup {
                     idCol: String, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
     // shingle only the candidate union (semi-join on the tiny pair id
     // set), not the full corpus twice — at scale the verify stage cost
-    // is O(candidates), independent of corpus size.
-    val candIds = pairs.select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    // is O(candidates), independent of corpus size. The pair set feeds
+    // three consumers (id union + both joins), so pin it: it is the
+    // small end of the computation by construction.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no distinct: left_semi ignores duplicate build keys — saves a shuffle
+    val candIds = p.select(explode(array(col("a"), col("b"))).as("cid"))
     val sets = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
-    pairs
+    p
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("jaccard",
