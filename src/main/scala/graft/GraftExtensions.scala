@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Cluster-wide registration entry point:
+  *
+  * {{{ spark-submit --conf spark.sql.extensions=graft.GraftExtensions … }}}
+  *
+  * injects every eKuiper-named function (GraftFunctions.builders) into
+  * each new session's FunctionRegistry — the idiomatic alternative to
+  * calling GraftFunctions.registerAll(spark) per session. Functions
+  * are Expression builders (codegen), not UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, f) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        args => ColumnBridge.expression(f(args.map(ColumnBridge.column)))))
+    }
+}

@@ -14,4 +14,14 @@ object RegistryBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply a configured SparkSessionExtensions' injected functions to
+    * an existing session (test hook for GraftExtensions; production
+    * sessions get this automatically via spark.sql.extensions).
+    */
+  def applyExtensions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                      spark: SparkSession): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
 }

@@ -111,6 +111,17 @@ class FunctionsSpec extends SparkSuite {
     assert(r.getString(2) == "42")
   }
 
+  test("GraftExtensions registers the full surface on a new session") {
+    // a derived session with the extension applied must resolve the
+    // eKuiper names without any explicit registerAll call
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val fresh = spark.newSession()
+    org.apache.spark.sql.graft.RegistryBridge.applyExtensions(ext, fresh)
+    val r = fresh.sql("SELECT dec2hex(255), split_value('x/y', '/', 0)").first()
+    assert(r.getString(0) == "FF" && r.getString(1) == "x")
+  }
+
   test("nondeterministic functions: shape and bounds") {
     GraftFunctions.registerAll(spark)
     val rows = spark.range(100)
