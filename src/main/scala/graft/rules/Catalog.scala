@@ -62,7 +62,8 @@ object Catalog {
         case "simulator" =>
           SimulatorSource(props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty),
             props.getOrElse("interval", "1000").toLong, schema)
-        case "nexmark" => NexmarkBidSource()
+        case "nexmark" => // DATASOURCE selects the event stream
+          NexmarkSource(if (Seq("bid", "auction", "person").contains(ds)) ds else "bid")
         case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
         case other => throw new IllegalArgumentException(s"unknown source type $other")
       }

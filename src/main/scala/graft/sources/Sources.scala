@@ -142,30 +142,56 @@ final case class SimulatorSource(seedJson: Seq[String], intervalMs: Long = 1000,
   }
 }
 
-/** Nexmark generator (reference: internal/io/nexmark): the standard
-  * streaming-benchmark bid stream, generated deterministically from
-  * the row index so every executor produces the same data given the
-  * same offsets. Batch form generates `count` bids via range() —
-  * fully parallel, no driver-side loop.
+/** Nexmark generator (reference: internal/io/nexmark — Person,
+  * Auction, Bid event streams): generated deterministically from the
+  * row index so every executor produces identical data given the same
+  * offsets. Batch form generates `count` events via range() — fully
+  * parallel, no driver-side loop; streaming rides the rate source.
   */
-final case class NexmarkBidSource(count: Long = 10000, rowsPerSecond: Long = 1000)
-    extends Source {
-  private def bids(base: DataFrame): DataFrame =
-    base.select(
-      col("id").as("auction_seq"),
+final case class NexmarkSource(kind: String = "bid", count: Long = 10000,
+                               rowsPerSecond: Long = 1000) extends Source {
+  require(Seq("bid", "auction", "person").contains(kind), s"unknown nexmark kind $kind")
+
+  private def h(i: Int): org.apache.spark.sql.Column = pmod(xxhash64(col("id"), lit(i)), lit(1L << 40))
+
+  private def shape(base: DataFrame): DataFrame = kind match {
+    case "bid" => base.select(
       (lit(1000) + pmod(col("id"), lit(997))).as("auction"),
-      (lit(2000) + pmod(xxhash64(col("id")), lit(501)).cast("long")).as("bidder"),
-      (lit(100) + pmod(xxhash64(col("id"), lit(1)), lit(9901)).cast("long")).as("price"),
+      (lit(2000) + pmod(h(0), lit(501)).cast("long")).as("bidder"),
+      (lit(100) + pmod(h(1), lit(9901)).cast("long")).as("price"),
+      concat(lit("channel-"), pmod(h(2), lit(10))).as("channel"),
       col("ts"))
+    case "auction" => base.select(
+      (lit(1000) + col("id")).as("id"),
+      concat(lit("item-"), pmod(h(0), lit(1000))).as("item_name"),
+      (lit(10) + pmod(h(1), lit(990)).cast("long")).as("initial_bid"),
+      (lit(1000) + pmod(h(2), lit(9000)).cast("long")).as("reserve"),
+      (lit(2000) + pmod(h(3), lit(501)).cast("long")).as("seller"),
+      pmod(h(4), lit(10)).cast("long").as("category"),
+      col("ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("expires"))
+    case "person" => base.select(
+      (lit(2000) + col("id")).as("id"),
+      concat(lit("person-"), col("id")).as("name"),
+      concat(lit("p"), col("id"), lit("@example.com")).as("email"),
+      concat(lit("city-"), pmod(h(0), lit(50))).as("city"),
+      concat(lit("state-"), pmod(h(1), lit(10))).as("state"),
+      col("ts"))
+  }
 
   def batch(spark: SparkSession): DataFrame =
-    bids(spark.range(count).toDF("id")
+    shape(spark.range(count).toDF("id")
       .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("id") * 100)))
 
   def stream(spark: SparkSession): DataFrame =
-    bids(spark.readStream.format("rate")
+    shape(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
       .select(col("value").as("id"), col("timestamp").as("ts")))
+}
+
+/** Back-compat alias for the bid stream. */
+object NexmarkBidSource {
+  def apply(count: Long = 10000, rowsPerSecond: Long = 1000): NexmarkSource =
+    NexmarkSource("bid", count, rowsPerSecond)
 }
 
 /** Connector sources (mqtt / http_pull / http_push / websocket / sse /

@@ -75,6 +75,24 @@ class SourcesSinksSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("nexmark q4-style rule: bids joined to auctions, max price per category") {
+    import graft.rules._
+    val eng = new RuleEngine(spark)
+    eng.catalog.register(StreamDef("nx_bids", NexmarkSource("bid", count = 2000)))
+    eng.catalog.register(StreamDef("nx_auctions",
+      NexmarkSource("auction", count = 997), isTable = true))
+    MemoryHub.drop("nx_q4")
+    eng.create(Rule("nxq4",
+      """SELECT a.category, count(*) AS n, max(b.price) AS top_price
+        |FROM nx_bids b JOIN nx_auctions a ON b.auction = a.id
+        |GROUP BY a.category""".stripMargin,
+      Seq(MemorySink("nx_q4"))))
+    eng.start("nxq4")
+    val out = MemoryHub.frame(spark, "nx_q4")
+    assert(out.count() == 10) // 10 categories
+    assert(out.agg(sum("n")).first().getLong(0) == 2000) // every bid joins
+  }
+
   test("connector source decodes stub frames to the declared schema") {
     ConnectorFeed.clear("mqtt", "in/topic")
     ConnectorFeed.push("mqtt", "in/topic", """{"device":"a","temp":21}""", 1000L)
