@@ -31,13 +31,23 @@ object AnalyticQueries {
           .over(run).as("latest_nonview"))
     }),
 
-    // had_changed / changed_col over per-user event stream
+    // had_changed / changed_col / changed_cols over per-user event
+    // stream. changed_cols (multi_column_functions.md): only the
+    // columns whose value changed since the previous row — expressed
+    // as a pruned map (JSON-serialized for the oracle compare).
     "q_analytic_changed" -> ((s, d) => {
-      val prev = lag(col("event_type"), 1).over(byUser)
+      val prevT = lag(col("event_type"), 1).over(byUser)
+      val prevV = lag(col("value"), 1).over(byUser)
+      val tChanged = prevT.isNull || prevT =!= col("event_type")
+      val vChanged = prevV.isNull || prevV =!= col("value")
       ev(s, d).select(
         col("event_id"),
-        (prev.isNull || prev =!= col("event_type")).as("had_changed"),
-        when(prev.isNull || prev =!= col("event_type"), col("event_type")).as("changed_val"))
+        tChanged.as("had_changed"),
+        when(tChanged, col("event_type")).as("changed_val"),
+        to_json(map_filter(
+          map(lit("event_type"), when(tChanged, col("event_type")),
+              lit("value"), when(vChanged, col("value").cast("string"))),
+          (_, v) => v.isNotNull)).as("changed_cols"))
     }),
 
     // acc_sum / acc_count / acc_avg / acc_min / acc_max running accumulators
@@ -140,10 +150,17 @@ object AnalyticQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q_analytic_changed" ->
       """SELECT event_id,
-        |  (prev IS NULL OR prev <> event_type) AS had_changed,
-        |  CASE WHEN prev IS NULL OR prev <> event_type THEN event_type END AS changed_val
-        |FROM (SELECT event_id, event_type,
-        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  (prevT IS NULL OR prevT <> event_type) AS had_changed,
+        |  CASE WHEN prevT IS NULL OR prevT <> event_type THEN event_type END AS changed_val,
+        |  CAST(to_json(map_from_entries(list_filter([
+        |      {key: 'event_type', value: CASE WHEN prevT IS NULL OR prevT <> event_type
+        |         THEN event_type END},
+        |      {key: 'value', value: CASE WHEN prevV IS NULL OR prevV <> value
+        |         THEN CAST(value AS VARCHAR) END}
+        |    ], x -> x.value IS NOT NULL))) AS VARCHAR) AS changed_cols
+        |FROM (SELECT event_id, event_type, value,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prevT,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prevV
         |      FROM events)""".stripMargin,
     "q_acc" ->
       """SELECT event_id,
