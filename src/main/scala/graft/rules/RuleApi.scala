@@ -1,0 +1,110 @@
+package graft.rules
+
+import graft.sinks._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The reference's REST management surface (internal/server: streams
+  * and rules CRUD) as a transport-free request handler — the container
+  * has no HTTP server, so the routing/payload layer is modeled as a
+  * pure function `handle(method, path, body) → (status, json)`; an
+  * HTTP frontend would be a ~20-line shim over it.
+  *
+  * Endpoints (mirroring the reference):
+  *   POST   /streams            {"sql": "CREATE STREAM …"}
+  *   GET    /streams            | GET /streams/{name} | DELETE /streams/{name}
+  *   POST   /rules              {"id", "sql", "actions":[{"memory":{"topic":…}}, …]}
+  *   GET    /rules              | GET /rules/{id}/status | DELETE /rules/{id}
+  *   POST   /rules/{id}/start   | POST /rules/{id}/stop
+  *   GET    /rules/{id}/explain
+  */
+final class RuleApi(engine: RuleEngine) {
+
+  private def ok(json: String): (Int, String) = (200, json)
+  private def err(code: Int, msg: String): (Int, String) =
+    (code, s"""{"error":${JsonMethods.compact(JString(msg))}}""")
+
+  def handle(method: String, path: String, body: String = ""): (Int, String) = try {
+    val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
+    (method.toUpperCase, parts) match {
+      case ("POST", List("streams")) =>
+        val sql = (JsonMethods.parse(body) \ "sql") match {
+          case JString(s) => s
+          case _ => return err(400, "body needs {\"sql\": \"CREATE STREAM ...\"}")
+        }
+        val d = engine.createStream(sql)
+        ok(s"""{"name":"${d.name}"}""")
+      case ("GET", List("streams")) =>
+        ok(engine.catalog.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      case ("GET", List("streams", name)) =>
+        engine.catalog.get(name) match {
+          case Some(d) => ok(
+            s"""{"name":"${d.name}","isTable":${d.isTable},""" +
+              s""""timestamp":${d.timestampCol.map("\"" + _ + "\"").getOrElse("null")}}""")
+          case None => err(404, s"stream $name not found")
+        }
+      case ("DELETE", List("streams", name)) =>
+        engine.catalog.drop(name); ok("{}")
+
+      case ("POST", List("rules")) =>
+        val j = JsonMethods.parse(body)
+        val id = (j \ "id") match { case JString(s) => s
+          case _ => return err(400, "rule needs an id") }
+        val sql = (j \ "sql") match { case JString(s) => s
+          case _ => return err(400, "rule needs sql") }
+        val streaming = (j \ "streaming") == JBool(true)
+        val sinks = (j \ "actions") match {
+          case JArray(actions) => actions.map(RuleApi.parseAction)
+          case _ => Seq(LogSink())
+        }
+        engine.create(Rule(id, sql, sinks, streaming = streaming))
+        ok(s"""{"id":"$id","status":"created"}""")
+      case ("GET", List("rules")) =>
+        ok(engine.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      case ("POST", List("rules", id, "start")) =>
+        engine.start(id); ok(s"""{"id":"$id","status":"started"}""")
+      case ("POST", List("rules", id, "stop")) =>
+        engine.stop(id); ok(s"""{"id":"$id","status":"stopped"}""")
+      case ("GET", List("rules", id, "status")) =>
+        val st = engine.status(id)
+        ok(s"""{"id":"$id","state":"${st.state}","batches":${st.batchesProcessed},""" +
+          s""""rows":${st.rowsProcessed}}""")
+      case ("GET", List("rules", id, "explain")) =>
+        ok(JsonMethods.compact(JString(engine.explain(id))))
+      case ("DELETE", List("rules", id)) =>
+        engine.delete(id); ok("{}")
+
+      case _ => err(404, s"no route $method $path")
+    }
+  } catch {
+    case e: NoSuchElementException => err(404, String.valueOf(e.getMessage))
+    case e: IllegalStateException => err(409, String.valueOf(e.getMessage))
+    case e: Exception => err(400, String.valueOf(e.getMessage))
+  }
+}
+
+object RuleApi {
+  /** {"memory": {"topic": "t"}} / {"file": {...}} / {"mqtt": {...}} … —
+    * the reference's action objects.
+    */
+  private def parseAction(j: JValue): Sink = j match {
+    case JObject(List(JField(kind, props))) =>
+      def p(f: String): Option[String] = (props \ f) match {
+        case JString(s) => Some(s); case _ => None
+      }
+      val opts = props match {
+        case JObject(fs) => fs.collect { case JField(k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      kind match {
+        case "memory" => MemorySink(p("topic").getOrElse("out"), opts)
+        case "file" => FileSink(p("path").getOrElse("/tmp/graft-out"),
+          p("format").getOrElse("json"), opts)
+        case "log" => LogSink(options = opts)
+        case "nop" => NopSink(opts)
+        case k => ConnectorSink(k,
+          p("topic").orElse(p("url")).orElse(p("endpoint")).getOrElse("out"), opts)
+      }
+    case _ => throw new IllegalArgumentException(s"bad action: $j")
+  }
+}

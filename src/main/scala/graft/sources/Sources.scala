@@ -30,7 +30,7 @@ trait Source {
 final case class FileSource(path: String, format: String = "json",
                             schema: Option[StructType] = None,
                             options: Map[String, String] = Map.empty) extends Source {
-  require(Seq("json", "csv", "lines", "parquet").contains(format),
+  require(Seq("json", "csv", "lines", "parquet", "binary").contains(format),
     s"unsupported file format $format")
 
   def batch(spark: SparkSession): DataFrame = {
@@ -42,22 +42,26 @@ final case class FileSource(path: String, format: String = "json",
         val rr = r.option("header", options.getOrElse("header", "true"))
         schema.fold(rr.option("inferSchema", "true").csv(path))(s => rr.schema(s).csv(path))
       case "parquet" => schema.fold(r.parquet(path))(s => r.schema(s).parquet(path))
+      // whole-file payloads (reference "binary" format): (path, modTime,
+      // length, content) — the multimodal operators consume `content`
+      case "binary" => r.format("binaryFile").load(path)
     }
   }
 
   def stream(spark: SparkSession): DataFrame = {
     val r = spark.readStream.options(options)
+    def need = schema.getOrElse(
+      throw new IllegalArgumentException(s"streaming $format needs a schema"))
     format match {
       case "lines" => r.text(path).withColumnRenamed("text", "value")
-      case "json" =>
-        r.schema(schema.getOrElse(
-          throw new IllegalArgumentException("streaming json needs a schema"))).json(path)
+      case "json" => r.schema(need).json(path)
       case "csv" =>
-        r.option("header", options.getOrElse("header", "true"))
-          .schema(schema.getOrElse(
-            throw new IllegalArgumentException("streaming csv needs a schema"))).csv(path)
-      case "parquet" =>
-        schema.fold(r.parquet(path))(s => r.schema(s).parquet(path))
+        r.option("header", options.getOrElse("header", "true")).schema(need).csv(path)
+      case "parquet" => schema.fold(r.parquet(path))(s => r.schema(s).parquet(path))
+      case "binary" =>
+        r.format("binaryFile").schema(StructType.fromDDL(
+          "path string, modificationTime timestamp, length bigint, content binary"))
+          .load(path)
     }
   }
 }

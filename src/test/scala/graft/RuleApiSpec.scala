@@ -1,0 +1,53 @@
+package graft
+
+import graft.rules._
+import graft.sources.MemoryHub
+import java.nio.file.Files
+
+/** REST-shaped management surface (SURVEY §2.8): the reference's
+  * stream/rule endpoints as a transport-free handler.
+  */
+class RuleApiSpec extends SparkSuite {
+
+  private def api = new RuleApi(new RuleEngine(spark))
+
+  test("stream CRUD via the endpoint surface") {
+    val a = api
+    val (c1, b1) = a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM api_s (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"/tmp/none\\")"}""")
+    assert(c1 == 200 && b1.contains("api_s"))
+    val (c2, b2) = a.handle("GET", "/streams")
+    assert(c2 == 200 && b2.contains("\"api_s\""))
+    val (c3, b3) = a.handle("GET", "/streams/api_s")
+    assert(c3 == 200 && b3.contains("\"isTable\":false"))
+    assert(a.handle("GET", "/streams/nope")._1 == 404)
+    assert(a.handle("DELETE", "/streams/api_s")._1 == 200)
+    val (_, b4) = a.handle("GET", "/streams")
+    assert(!b4.contains("api_s"))
+  }
+
+  test("rule lifecycle via the endpoint surface") {
+    val dir = Files.createTempDirectory("graft_api_in")
+    Files.write(dir.resolve("a.json"), """{"x":1}
+{"x":5}""".getBytes)
+    val a = api
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM api_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    MemoryHub.drop("api_out")
+    val (cc, _) = a.handle("POST", "/rules",
+      """{"id":"r_api", "sql":"SELECT x * 2 AS y FROM api_in WHERE x > 2",
+        | "actions":[{"memory":{"topic":"api_out"}}]}""".stripMargin)
+    assert(cc == 200)
+    // duplicate create → 409
+    assert(a.handle("POST", "/rules", """{"id":"r_api","sql":"SELECT 1"}""")._1 == 409)
+    assert(a.handle("POST", "/rules/r_api/start")._1 == 200)
+    assert(MemoryHub.frame(spark, "api_out").first().getLong(0) == 10)
+    val (cs, bs) = a.handle("GET", "/rules/r_api/status")
+    assert(cs == 200 && bs.contains("\"rows\":1"))
+    val (ce, be) = a.handle("GET", "/rules/r_api/explain")
+    assert(ce == 200 && be.contains("Physical Plan"))
+    assert(a.handle("DELETE", "/rules/r_api")._1 == 200)
+    assert(a.handle("GET", "/rules/r_api/status")._1 == 404)
+    assert(a.handle("PATCH", "/rules")._1 == 404)
+  }
+}

@@ -133,6 +133,33 @@ class RulesSpec extends SparkSuite {
       EkuiperSql.translate("SELECT count(*) FROM kev GROUP BY COUNTWINDOW(5)"))
   }
 
+  test("streaming rule recovers from checkpoint without reprocessing") {
+    val dir = Files.createTempDirectory("graft_ckpt_in")
+    val ckpt = Files.createTempDirectory("graft_ckpt_state")
+    writeJson(dir, Seq("""{"device":"a","temp":1}"""))
+    ConnectorSink.clear("mqtt", "ckpt/out")
+    def mkEngine(): RuleEngine = {
+      val e = new RuleEngine(spark)
+      e.createStream(
+        s"""CREATE STREAM ck (device STRING, temp BIGINT) WITH
+           | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+      e.create(Rule("ck1", "SELECT device, temp FROM ck",
+        Seq(ConnectorSink("mqtt", "ckpt/out",
+          Map("dataTemplate" -> """{{device}}{{temp}}"""))),
+        streaming = true, checkpointDir = Some(ckpt.toString)))
+      e
+    }
+    val e1 = mkEngine()
+    e1.start("ck1"); e1.processAllAvailable("ck1"); e1.stop("ck1"); e1.delete("ck1")
+    assert(ConnectorSink.sent("mqtt", "ckpt/out") == Vector("a1"))
+    // new engine instance, same checkpoint: only the new file replays
+    Files.write(dir.resolve("b.json"), """{"device":"b","temp":2}""".getBytes)
+    val e2 = mkEngine()
+    e2.start("ck1"); e2.processAllAvailable("ck1"); e2.stop("ck1")
+    assert(ConnectorSink.sent("mqtt", "ckpt/out") == Vector("a1", "b2"),
+      "checkpoint restart must deliver exactly the unseen rows")
+  }
+
   test("rule chaining: streaming rule -> memory topic -> streaming rule") {
     val dir = Files.createTempDirectory("graft_chain_in")
     val ck1 = Files.createTempDirectory("graft_chain_ck1")

@@ -45,6 +45,22 @@ class SourcesSinksSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("binary file source: whole-file payloads feed the multimodal path") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("img1.bin"), Array.tabulate[Byte](300)(_.toByte))
+    Files.write(dir.resolve("img2.bin"), Array.tabulate[Byte](64)(i => (i * 3).toByte))
+    val df = FileSource(dir.toString, "binary").batch(spark)
+    assert(df.count() == 2)
+    assert(df.columns.contains("content") && df.columns.contains("length"))
+    assert(df.agg(sum("length")).first().getLong(0) == 364)
+    // plug into Multimodal: bytes → features without any shuffle
+    import graft.operators.Multimodal
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.asAssets(df.withColumn("id", monotonically_increasing_id()),
+        "id", "content", kind = "image"))
+    assert(feats.count() == 2)
+  }
+
   test("memory source/sink round-trip via MemoryHub") {
     MemoryHub.drop("t1")
     MemoryHub.publish("t1", spark.range(5).toDF("v"))
