@@ -38,7 +38,8 @@ object EkuiperSql {
   def isEkuiperDialect(sql: String): Boolean =
     """(?i)\b(TUMBLING|HOPPING|SESSION|SLIDING|COUNT)WINDOW\s*\(""".r
       .findFirstIn(sql).isDefined ||
-      """(?i)\bwindow_(start|end)\s*\(\s*\)""".r.findFirstIn(sql).isDefined
+      """(?i)\bwindow_(start|end)\s*\(\s*\)""".r.findFirstIn(sql).isDefined ||
+      """\w->\w""".r.findFirstIn(sql).isDefined
 
   /** Translate eKuiper rule SQL to Spark SQL; `tsCol` is the stream's
     * event-time column (StreamDef.timestampCol, default "ts").
@@ -67,6 +68,15 @@ object EkuiperSql {
 
     out = """(?i)\bwindow_start\s*\(\s*\)""".r.replaceAllIn(out, "window.start")
     out = """(?i)\bwindow_end\s*\(\s*\)""".r.replaceAllIn(out, "window.end")
+
+    // arrow access (json_expr.md): a->b->c → a['b']['c'] — works for
+    // struct and map columns. Only the space-free form is eKuiper's;
+    // a spaced " -> " is a Spark lambda and is left alone.
+    val q = java.util.regex.Matcher.quoteReplacement _
+    out = """(\w)->(\w+)""".r.replaceAllIn(out, m => q(s"${m.group(1)}['${m.group(2)}']"))
+    // repeat for chains (each pass rewrites one arrow hop)
+    while ("""]->\w""".r.findFirstIn(out).isDefined)
+      out = """]->(\w+)""".r.replaceAllIn(out, m => q(s"]['${m.group(1)}']"))
     out
   }
 }

@@ -78,6 +78,34 @@ class GraphRuleSpec extends SparkSuite {
       s"graph node filter not pushed into scan:\n$plan")
   }
 
+  test("streaming graph rule delivers incrementally") {
+    val dir = Files.createTempDirectory("graft_graph_stream")
+    val ckpt = Files.createTempDirectory("graft_graph_ckpt")
+    Files.write(dir.resolve("a.json"), """{"device":"a","temp":30}""".getBytes)
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gs (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("gs_out")
+    eng.create(Rule.graph("gstream",
+      """{"nodes": {
+        |  "s": {"type":"source", "stream":"gs"},
+        |  "f": {"type":"operator", "op":"filter", "expr":"temp > 20"},
+        |  "o": {"type":"sink", "kind":"memory", "endpoint":"gs_out"}},
+        | "edges": {"s":["f"], "f":["o"]}}""".stripMargin,
+      streaming = true, checkpointDir = Some(ckpt.toString)))
+    eng.start("gstream")
+    try {
+      eng.processAllAvailable("gstream")
+      assert(MemoryHub.frame(spark, "gs_out").count() == 1)
+      Files.write(dir.resolve("b.json"),
+        """{"device":"b","temp":40}
+          |{"device":"c","temp":5}""".stripMargin.getBytes)
+      eng.processAllAvailable("gstream")
+      assert(MemoryHub.frame(spark, "gs_out").count() == 2) // temp 5 filtered
+    } finally eng.stop("gstream")
+  }
+
   test("malformed graphs fail loudly") {
     val eng = new RuleEngine(spark)
     eng.create(Rule.graph("bad1", """{"nodes": {"x": {"type":"operator", "op":"filter", "expr":"1=1"}}, "edges": {}}"""))

@@ -131,6 +131,19 @@ class RulesSpec extends SparkSuite {
     assert(EkuiperSql.isEkuiperDialect("SELECT * FROM x GROUP BY COUNTWINDOW(5)"))
     intercept[IllegalArgumentException](
       EkuiperSql.translate("SELECT count(*) FROM kev GROUP BY COUNTWINDOW(5)"))
+    // arrow JSON access rewrites; spaced Spark lambdas untouched
+    assert(EkuiperSql.translate("SELECT data->a->b, m->k FROM t") ==
+      "SELECT data['a']['b'], m['k'] FROM t")
+    assert(EkuiperSql.translate("SELECT transform(xs, x -> x + 1), p->q FROM t") ==
+      "SELECT transform(xs, x -> x + 1), p['q'] FROM t")
+    // end-to-end: arrow access over a map column
+    spark.sql("SELECT map('k', 42) AS m").createOrReplaceTempView("arrow_t")
+    val eng2 = newEngine
+    MemoryHub.drop("arrow_out")
+    eng2.create(Rule("ek2", "SELECT m->k AS v FROM arrow_t",
+      Seq(MemorySink("arrow_out"))))
+    eng2.start("ek2")
+    assert(MemoryHub.frame(spark, "arrow_out").first().getInt(0) == 42)
   }
 
   test("streaming rule recovers from checkpoint without reprocessing") {
