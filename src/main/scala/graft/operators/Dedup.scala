@@ -172,6 +172,34 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Transitive duplicate clusters from a pair list: connected
+    * components via distributed label propagation (each node adopts the
+    * minimum id reachable; iterate until fixpoint). For near-dup graphs
+    * the diameter is tiny (dup clusters are near-cliques), so `maxIter`
+    * ~ 5 converges; each iteration is one join + one min-aggregation —
+    * no driver-side graph. Returns (id, cluster) with cluster = the
+    * minimum member id, i.e. the representative a pipeline keeps.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+    for (_ <- 1 to maxIter) {
+      // each node adopts the smallest label among itself and neighbors
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("ncluster"))
+      labels = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+    }
+    labels
+  }
+
   /** Exact dedup by content hash: one row per distinct content with the
     * kept (minimum) id and the duplicate count. Partial-agg friendly —
     * the only shuffle key is the 256-bit digest.

@@ -58,6 +58,26 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_cluster" -> ((s, d) => {
+      val planted = withPlanted(docs(s, d))
+      Dedup.clusters(
+        Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.5)
+          .select(col("a"), col("b")))
+        .orderBy(col("id"))
+    }),
+
+    // embedding-cosine near-dup: all (a < b) pairs above threshold in
+    // the probe subset — brute-force exact, DuckDB-oracled.
+    "q_dedup_embed" -> ((s, d) => {
+      val e = emb(s, d).where(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", round(Knn.cosine(col("va"), col("vb")), 5))
+        .where(col("cos") >= 0.3)
+        .select(col("a"), col("b"), col("cos"))
+    }),
+
     // ---- similarity search ----
     "q_knn_cosine" -> ((s, d) => {
       val e = emb(s, d)
@@ -162,6 +182,14 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
         |    AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 5) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.3""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (

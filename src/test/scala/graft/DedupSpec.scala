@@ -72,6 +72,30 @@ class DedupSpec extends SparkSuite {
     verified.unpersist()
   }
 
+  test("transitive clusters: planted copies land in their original's cluster") {
+    val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.5)
+      .select(col("a"), col("b"))
+    val byId = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted id in the pair graph shares a cluster with its
+    // original (the original may itself merge into a smaller cluster)
+    val plantedIds = byId.keys.filter(_ >= 100000)
+    assert(plantedIds.size >= 16)
+    val wrong = plantedIds.count(p =>
+      byId(p) != byId.getOrElse(p - 100000, p - 100000))
+    assert(wrong == 0, s"$wrong planted ids mis-clustered")
+    // cluster label is always the minimum member id
+    assert(byId.forall { case (id, c) => c <= id })
+  }
+
+  test("clusters handles chains (a-b, b-c merge into one)") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cl = Dedup.clusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cl(_) == 1L))
+    assert(cl(10L) == 10L && cl(11L) == 10L)
+  }
+
   test("no self-pairs and a < b ordering") {
     val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
     assert(pairs.where(col("a") >= col("b")).count() == 0)
