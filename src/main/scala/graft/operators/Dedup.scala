@@ -174,19 +174,32 @@ object Dedup {
 
   /** Transitive duplicate clusters from a pair list: connected
     * components via distributed label propagation (each node adopts the
-    * minimum id reachable; iterate until fixpoint). For near-dup graphs
-    * the diameter is tiny (dup clusters are near-cliques), so `maxIter`
-    * ~ 5 converges; each iteration is one join + one min-aggregation —
-    * no driver-side graph. Returns (id, cluster) with cluster = the
-    * minimum member id, i.e. the representative a pipeline keeps.
+    * minimum id reachable; iterate until fixpoint). The min label
+    * travels one hop per iteration and near-dup clusters are
+    * near-cliques, so the default covers diameter <= 4; raise maxIter
+    * for chainier graphs. Each iteration is one join + one
+    * min-aggregation — no driver-side graph. Returns (id, cluster)
+    * with cluster = the minimum member id, i.e. the representative a
+    * pipeline keeps.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 3): DataFrame = {
     // undirected edge list, both directions
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pin the pair list before mirroring it — the union's two branches
+    // would otherwise evaluate the (expensive) candidate pipeline twice
+    val p = pairs.persist(lvl)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    p.unpersist()
+    // each iteration references `labels` twice (self + neighbor side),
+    // so an unmaterialized loop doubles the recompute tree per pass.
+    // localCheckpoint(eager) truncates the plan to the materialized
+    // RDD each round — flat lineage, same pattern as Spark's own
+    // iterative algorithms (e.g. connected components in GraphX).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      .localCheckpoint(true)
     for (_ <- 1 to maxIter) {
       // each node adopts the smallest label among itself and neighbors
       val viaNeighbor = edges
@@ -196,6 +209,7 @@ object Dedup {
       labels = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
     }
     labels
   }

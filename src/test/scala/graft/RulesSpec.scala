@@ -173,6 +173,32 @@ class RulesSpec extends SparkSuite {
       "checkpoint restart must deliver exactly the unseen rows")
   }
 
+  test("streaming rule joins a stream with a lookup table") {
+    val dir = Files.createTempDirectory("graft_lookup_in")
+    writeJson(dir, Seq("""{"device":"d1","temp":30}""", """{"device":"d2","temp":40}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM lk_ev (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("lk_dim"); MemoryHub.drop("lk_out")
+    MemoryHub.publish("lk_dim",
+      spark.createDataFrame(Seq(("d1", "hall"), ("d2", "roof"))).toDF("device", "site"))
+    // TABLE → batch side of a stream-static join (broadcast lookup)
+    eng.createStream(
+      """CREATE TABLE lk_sites (device STRING, site STRING) WITH
+        | (TYPE="memory", DATASOURCE="lk_dim")""".stripMargin)
+    eng.create(Rule("lkr",
+      "SELECT e.device, e.temp, s.site FROM lk_ev e JOIN lk_sites s ON e.device = s.device",
+      Seq(MemorySink("lk_out")), streaming = true))
+    eng.start("lkr")
+    try {
+      eng.processAllAvailable("lkr")
+      val out = MemoryHub.frame(spark, "lk_out").orderBy("device").collect()
+      assert(out.length == 2)
+      assert(out(0).getString(2) == "hall" && out(1).getString(2) == "roof")
+    } finally eng.stop("lkr")
+  }
+
   test("rule chaining: streaming rule -> memory topic -> streaming rule") {
     val dir = Files.createTempDirectory("graft_chain_in")
     val ck1 = Files.createTempDirectory("graft_chain_ck1")
