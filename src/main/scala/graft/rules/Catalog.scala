@@ -52,12 +52,16 @@ object Catalog {
   def parseDdl(ddl: String): StreamDef = ddl match {
     case ddlRe(kind, name, fields, withClause) =>
       val props = parseWith(withClause)
-      val schema = StructType.fromDDL(fields)
+      // `CREATE STREAM x () WITH (...)` = schemaless (eKuiper default):
+      // file sources infer from existing data at stream start
+      val schema = if (fields.trim.isEmpty) new StructType()
+        else StructType.fromDDL(fields)
       val tpe = props.getOrElse("type", "file").toLowerCase
       val fmt = props.getOrElse("format", "json").toLowerCase
       val ds = props.getOrElse("datasource", name)
+      val declared = if (schema.isEmpty) None else Some(schema)
       val source: Source = tpe match {
-        case "file" => FileSource(ds, fmt, Some(schema), props - "type" - "format" - "datasource")
+        case "file" => FileSource(ds, fmt, declared, props - "type" - "format" - "datasource")
         case "memory" => MemorySource(ds)
         case "simulator" =>
           SimulatorSource(props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty),

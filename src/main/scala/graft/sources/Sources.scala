@@ -50,8 +50,12 @@ final case class FileSource(path: String, format: String = "json",
 
   def stream(spark: SparkSession): DataFrame = {
     val r = spark.readStream.options(options)
+    // schemaless streams (eKuiper's default): infer once from the files
+    // already present, then tail the directory with that schema
     def need = schema.getOrElse(
-      throw new IllegalArgumentException(s"streaming $format needs a schema"))
+      try batch(spark).schema
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"streaming $format needs a schema or at least one existing file to infer from", e) })
     format match {
       case "lines" => r.text(path).withColumnRenamed("text", "value")
       case "json" => r.schema(need).json(path)

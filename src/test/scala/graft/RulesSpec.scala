@@ -173,6 +173,22 @@ class RulesSpec extends SparkSuite {
       "checkpoint restart must deliver exactly the unseen rows")
   }
 
+  test("schemaless CREATE STREAM infers the schema from existing files") {
+    val dir = Files.createTempDirectory("graft_schemaless")
+    writeJson(dir, Seq("""{"device":"a","temp":12}""", """{"device":"b","temp":30}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM sless () WITH (TYPE="file", FORMAT="json", DATASOURCE="$dir")""")
+    MemoryHub.drop("sless_out")
+    eng.create(Rule("slr", "SELECT device FROM sless WHERE temp > 20",
+      Seq(MemorySink("sless_out")), streaming = true))
+    eng.start("slr")
+    try {
+      eng.processAllAvailable("slr")
+      assert(MemoryHub.frame(spark, "sless_out").collect().map(_.getString(0)).toSeq == Seq("b"))
+    } finally eng.stop("slr")
+  }
+
   test("streaming rule joins a stream with a lookup table") {
     val dir = Files.createTempDirectory("graft_lookup_in")
     writeJson(dir, Seq("""{"device":"d1","temp":30}""", """{"device":"d2","temp":40}"""))
