@@ -78,6 +78,29 @@ class GraphRuleSpec extends SparkSuite {
       s"graph node filter not pushed into scan:\n$plan")
   }
 
+  test("aggregate node with a tumbling window") {
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gwin (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |  event_type STRING, value DOUBLE, props STRING) WITH
+         | (TYPE="memory", DATASOURCE="gwin_topic")""".stripMargin)
+    MemoryHub.publish("gwin_topic", Tables(spark, sf, "events"))
+    MemoryHub.drop("gwin_out")
+    eng.create(Rule.graph("gwin_rule",
+      """{"nodes": {
+        |  "s": {"type":"source", "stream":"gwin"},
+        |  "agg": {"type":"operator", "op":"aggregate", "windowTs":"ts",
+        |          "windowSize":"60 seconds", "groupBy":["event_type"],
+        |          "aggs":["count(*) as n"]},
+        |  "o": {"type":"sink", "kind":"memory", "endpoint":"gwin_out"}},
+        | "edges": {"s":["agg"], "agg":["o"]}}""".stripMargin))
+    eng.start("gwin_rule")
+    val out = MemoryHub.frame(spark, "gwin_out")
+    // same cardinality as the verified q_win_tumble aggregation
+    val expected = SparkEntry.queries("q_win_tumble")(spark, sf).count()
+    assert(out.count() == expected)
+  }
+
   test("streaming graph rule delivers incrementally") {
     val dir = Files.createTempDirectory("graft_graph_stream")
     val ckpt = Files.createTempDirectory("graft_graph_ckpt")

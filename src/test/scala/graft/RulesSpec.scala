@@ -131,6 +131,13 @@ class RulesSpec extends SparkSuite {
     assert(EkuiperSql.isEkuiperDialect("SELECT * FROM x GROUP BY COUNTWINDOW(5)"))
     intercept[IllegalArgumentException](
       EkuiperSql.translate("SELECT count(*) FROM kev GROUP BY COUNTWINDOW(5)"))
+    // hop/session window translations
+    assert(EkuiperSql.translate("GROUP BY HOPPINGWINDOW(ss, 30, 10)", "ts") ==
+      "GROUP BY window(ts, '30 seconds', '10 seconds')")
+    assert(EkuiperSql.translate("GROUP BY SESSIONWINDOW(mi, 10, 2)", "ts") ==
+      "GROUP BY session_window(ts, '2 minutes')")
+    assert(EkuiperSql.translate("GROUP BY TUMBLINGWINDOW(hh, 1)", "evt") ==
+      "GROUP BY window(evt, '1 hours')")
     // arrow JSON access rewrites; spaced Spark lambdas untouched
     assert(EkuiperSql.translate("SELECT data->a->b, m->k FROM t") ==
       "SELECT data['a']['b'], m['k'] FROM t")
