@@ -45,6 +45,17 @@ object WindowQueries {
           round(sum(col("value")).over(w), 2).as("sum_60s"))
     }),
 
+    // sliding window with look-ahead (reference SLIDINGWINDOW(unit,
+    // size, delay): window covers [t-size, t+delay])
+    "q_win_slide2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-60000000L, 30000000L)
+      ev(s, d).withColumn("tus", unix_micros(col("ts")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_win"),
+          round(sum(col("value")).over(w), 2).as("sum_win"))
+    }),
+
     "q_win_session" -> ((s, d) =>
       ev(s, d)
         .groupBy(session_window(col("ts"), "3600 seconds").as("sw"), col("user_id"))
@@ -119,6 +130,12 @@ object WindowQueries {
         |FROM (SELECT *, epoch_us(ts) AS tus FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_win_slide2" ->
+      """SELECT event_id, count(*) OVER w AS n_win,
+        |  round(sum(value) OVER w, 2) AS sum_win
+        |FROM (SELECT *, epoch_us(ts) AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 60000000 PRECEDING AND 30000000 FOLLOWING)""".stripMargin,
     "q_win_session" ->
       """WITH x AS (
         |  SELECT user_id, ts, value, epoch(ts) AS es,
