@@ -26,6 +26,30 @@ class RuleApiSpec extends SparkSuite {
     assert(!b4.contains("api_s"))
   }
 
+  test("HTTP server serves the management API end-to-end") {
+    val eng = new RuleEngine(spark)
+    val srv = RuleServer.start(eng, port = 0) // ephemeral port
+    try {
+      def http(method: String, path: String, body: String = ""): (Int, String) = {
+        val url = java.net.URI.create(s"http://127.0.0.1:${srv.port}$path").toURL
+        val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        if (body.nonEmpty) { c.setDoOutput(true); c.getOutputStream.write(body.getBytes) }
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(is.readAllBytes()))
+      }
+      val (c1, _) = http("POST", "/streams",
+        s"""{"sql": "CREATE STREAM http_s (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"/tmp/none\\")"}""")
+      assert(c1 == 200)
+      val (c2, b2) = http("GET", "/streams")
+      assert(c2 == 200 && b2.contains("http_s"))
+      assert(http("GET", "/streams/ghost")._1 == 404)
+      val (c3, b3) = http("GET", "/rules")
+      assert(c3 == 200 && b3 == "[]")
+    } finally srv.stop()
+  }
+
   test("rule lifecycle via the endpoint surface") {
     val dir = Files.createTempDirectory("graft_api_in")
     Files.write(dir.resolve("a.json"), """{"x":1}
