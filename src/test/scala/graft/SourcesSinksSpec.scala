@@ -109,6 +109,40 @@ class SourcesSinksSpec extends SparkSuite {
     assert(out.agg(sum("n")).first().getLong(0) == 2000) // every bid joins
   }
 
+  test("http_pull source fetches and decodes a live localhost endpoint") {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/data", ex => {
+      val body = """[{"device":"a","temp":20},{"device":"b","temp":30}]""".getBytes
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val src = HttpPullSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}/data",
+        StructType.fromDDL("device string, temp bigint"))
+      val df = src.batch(spark)
+      assert(df.count() == 2 && df.agg(sum("temp")).first().getLong(0) == 50)
+    } finally server.stop(0)
+  }
+
+  test("http_push endpoint receives frames into the connector feed") {
+    ConnectorFeed.clear("http_push", "tele")
+    val ep = HttpPushEndpoint.start()
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:${ep.port}/push/tele").toURL
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      c.getOutputStream.write("""{"device":"x","temp":7}""".getBytes)
+      assert(c.getResponseCode == 200)
+      val df = ConnectorSource("http_push", "tele",
+        StructType.fromDDL("device string, temp bigint")).batch(spark)
+      assert(df.count() == 1 && df.first().getString(0) == "x")
+    } finally ep.stop()
+  }
+
   test("connector source decodes stub frames to the declared schema") {
     ConnectorFeed.clear("mqtt", "in/topic")
     ConnectorFeed.push("mqtt", "in/topic", """{"device":"a","temp":21}""", 1000L)
