@@ -51,6 +51,38 @@ final case class HttpPullSource(url: String, schema: StructType,
         "exactly-once story, matching the reference's at-most-once puller")
 }
 
+/** Real sse source (reference: internal/io/sse): connect to a
+  * text/event-stream endpoint, read `data:` frames (until the server
+  * closes or `maxEvents`), decode to the declared schema. The bounded
+  * read is the batch form; a streaming rule re-reads per trigger, the
+  * same at-most-once contract as the reference's SSE client.
+  */
+final case class SseSource(url: String, schema: StructType,
+                           maxEvents: Int = 10000) extends Source {
+  def batch(spark: SparkSession): DataFrame = {
+    val c = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestProperty("Accept", "text/event-stream")
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(c.getInputStream, StandardCharsets.UTF_8))
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      var line = reader.readLine()
+      while (line != null && events.size < maxEvents) {
+        if (line.startsWith("data:")) events += line.stripPrefix("data:").trim
+        line = reader.readLine()
+      }
+    } finally { reader.close(); c.disconnect() }
+    spark.read.schema(schema).json(
+      spark.createDataset(events.toSeq)(org.apache.spark.sql.Encoders.STRING))
+  }
+
+  def stream(spark: SparkSession): DataFrame =
+    throw new UnsupportedOperationException(
+      "sse streaming: re-read per trigger via a batch rule, or feed " +
+        "ConnectorFeed from a long-lived client")
+}
+
 /** Real http_push receiver (reference: internal/io/http push mode): a
   * localhost HTTP endpoint that accepts POSTed JSON frames per topic
   * (`POST /push/{topic}`) into the ConnectorFeed, where

@@ -128,6 +128,28 @@ class SourcesSinksSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("sse source reads data frames from a live event-stream endpoint") {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/events", ex => {
+      val body = ("data: {\"sensor\":\"s1\",\"v\":1}\n\n" +
+        "event: reading\ndata: {\"sensor\":\"s2\",\"v\":2}\n\n" +
+        ": heartbeat comment\n\n" +
+        "data: {\"sensor\":\"s3\",\"v\":3}\n\n").getBytes
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val df = SseSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}/events",
+        StructType.fromDDL("sensor string, v bigint")).batch(spark)
+      assert(df.count() == 3 && df.agg(sum("v")).first().getLong(0) == 6)
+    } finally server.stop(0)
+  }
+
   test("http_push endpoint receives frames into the connector feed") {
     ConnectorFeed.clear("http_push", "tele")
     val ep = HttpPushEndpoint.start()

@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(_.getLong(4)).toSeq == Seq(3L, 2L)) // n per window
   }
 
+  test("condition window: streaming equals batch on 1000 real events across 3 batches") {
+    val evsDf = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .orderBy("tsMicros")
+    val evs = evsDf.collect().map(r =>
+      StateEvt(r.getLong(0), r.getLong(1), r.getDouble(2),
+        open = r.getDouble(2) > 100, close = r.getDouble(2) < 10)).toSeq
+
+    val ms = MemoryStream[StateEvt]
+    val q = ConditionWindow.streaming(ms.toDS()).writeStream.format("memory")
+      .queryName("cond_big").outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped((evs.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("cond_big")
+        .select(col("key"), col("startTs"), col("endTs"), col("n"), col("sum"))
+        .collect().map(_.toString).sorted
+      // batch analog on the same data (same predicates); ties broken by
+      // tsMicros only — events at sf0.001 have unique (user, ts) pairs
+      val batchRes = ConditionWindow.batch(
+        Tables(spark, sf, "events"), "user_id", "ts", "event_id", "value",
+        col("value") > 100, col("value") < 10)
+        .select(col("user_id"), unix_micros(col("w_start")),
+          unix_micros(col("w_end")), col("n"), col("sum_val"))
+        .collect().map(_.toString).sorted
+      assert(got.length == batchRes.length,
+        s"streaming emitted ${got.length} windows, batch ${batchRes.length}")
+      assert(got.toSeq == batchRes.toSeq)
+    } finally q.stop()
+  }
+
   test("count window streaming: one emission per N events per key, seq continues across batches") {
     val ms = MemoryStream[StateEvt]
     val out = CountWindowStream.streaming(ms.toDS(), size = 2)
