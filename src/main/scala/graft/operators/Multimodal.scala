@@ -41,6 +41,27 @@ object Multimodal {
       (frames + stride - 1) / stride, hist)
   }
 
+  /** DETERMINISTIC STUB resize: stands in for an image rescale. Maps
+    * the payload onto a w×h byte grid by uniform sampling (the real
+    * implementation swaps in a codec + interpolation; the Spark-side
+    * shape — payload in, smaller payload + updated dims out — is what
+    * the pipeline depends on).
+    */
+  def resizeStub(a: MediaAsset, w: Int, h: Int): MediaAsset = {
+    val n = math.max(1, w * h)
+    val out = new Array[Byte](n)
+    val len = math.max(1, a.data.length)
+    var i = 0
+    while (i < n) { out(i) = a.data((i.toLong * len / n).toInt); i += 1 }
+    a.copy(data = out, width = w, height = h)
+  }
+
+  /** Resize a whole asset table — partition-local, shuffle-free. */
+  def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a => resizeStub(a, w, h)))
+  }
+
   /** Decode + feature-extract + frame-sample, one partition at a time.
     * mapPartitions (not per-row map) so a real decoder can amortize
     * codec/context setup across the batch — the Scala analogue of a

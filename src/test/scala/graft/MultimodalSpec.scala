@@ -32,6 +32,20 @@ class MultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
   }
 
+  test("resize: deterministic, exact target size, end-to-end into decode") {
+    val a = Multimodal.MediaAsset(3L, "image", Array.tabulate[Byte](1000)(_.toByte), 100, 10, 1)
+    val r = Multimodal.resizeStub(a, 8, 8)
+    assert(r.data.length == 64 && r.width == 8 && r.height == 8)
+    assert(r.data.toSeq == Multimodal.resizeStub(a, 8, 8).data.toSeq)
+    // distributed resize feeds decode without shuffle
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val resized = Multimodal.resize(
+      Multimodal.asAssets(docs, "doc_id", "text"), 16, 16)
+    val feats = Multimodal.decodeFeatures(resized)
+    assert(feats.count() == 50)
+    assert(resized.head().data.length == 256)
+  }
+
   test("frame sampling follows the stride") {
     val bytes = new Array[Byte](256 * 8) // exactly 8 frames
     val a = Multimodal.MediaAsset(2L, "video", bytes, 64, 64, 8)
