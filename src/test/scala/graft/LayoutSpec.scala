@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Physical-layout contracts (SURVEY §4): salting spreads hot keys,
+  * bucketing removes the join shuffle.
+  */
+class LayoutSpec extends SparkSuite {
+
+  test("salted join: identical result set, hot key spread over salts") {
+    // heavily skewed fact: 90% of rows on key 7
+    val fact = spark.range(10000).toDF("i")
+      .select(when(col("i") % 10 < 9, 7L).otherwise(col("i") % 100).as("k"),
+        col("i").as("payload"))
+    val dim = spark.range(100).toDF("k").withColumn("label", concat(lit("d"), col("k")))
+    val plain = fact.join(dim, Seq("k")).agg(count(lit(1)), sum("payload")).first()
+    val salted = Layout.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .agg(count(lit(1)), sum("payload")).first()
+    assert(plain == salted, "salting must not change the join result")
+    // the hot key's rows really get distinct salt values
+    val salts = fact.withColumn("__salt", (rand(42) * 8).cast("int"))
+      .where(col("k") === 7).select("__salt").distinct().count()
+    assert(salts == 8)
+  }
+
+  test("outer salted join preserves unmatched rows exactly once") {
+    val fact = spark.range(100).toDF("k").withColumn("v", col("k") * 2)
+    val dim = spark.range(50).toDF("k").withColumn("label", lit("x"))
+    val res = Layout.saltedJoin(fact, dim, "k", saltFactor = 4, joinType = "left")
+    assert(res.count() == 100)
+    assert(res.where(col("label").isNull).count() == 50)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val n = 1000
+    Layout.writeBucketed(
+      spark.range(n).toDF("k").withColumn("a", col("k") * 2), "graft_bkt_left", "k", 8)
+    Layout.writeBucketed(
+      spark.range(n).toDF("k").withColumn("b", col("k") + 1), "graft_bkt_right", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (tiny test tables would broadcast) —
+      // the property under test is "no ShuffleExchange on either side"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.readBucketed(spark, "graft_bkt_left")
+        .join(Layout.readBucketed(spark, "graft_bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed equi-join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() == n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_right")
+    }
+  }
+
+  test("key histogram surfaces the skew") {
+    val fact = spark.range(1000).toDF("i")
+      .select(when(col("i") % 10 < 9, 7L).otherwise(col("i")).as("k"))
+    val top = Layout.keyHistogram(fact, col("k"), 1).first()
+    assert(top.getLong(0) == 7L && top.getLong(1) == 900L)
+  }
+}
