@@ -199,6 +199,34 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); batchDf.unpersist() }
   }
 
+  test("watermark drops events later than the tolerance (lateTolerance semantics)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = ms.toDF().toDF("ts", "event_type", "value")
+    // 10s tumbling windows, 5s watermark, append mode → a window only
+    // emits once the watermark passes its end, and later arrivals for
+    // it are dropped
+    val out = StreamingWindows.tumbleAgg(sdf, "ts", "value", "10 seconds",
+      Seq("event_type"), watermark = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq((ts(30), "a", 5.0))) // watermark → 25s, closes [0,10)
+      q.processAllAvailable()
+      val closed = spark.table("wm_out").where(col("ws") === 0).collect()
+      assert(closed.length == 1 && closed(0).getLong(2) == 2 &&
+        closed(0).getDouble(3) == 3.0)
+      // a late event inside the closed window is dropped, not re-emitted
+      ms.addData(Seq((ts(3), "a", 100.0)))
+      q.processAllAvailable()
+      val after = spark.table("wm_out").where(col("ws") === 0).collect()
+      assert(after.length == 1 && after(0).getDouble(3) == 3.0,
+        "late event beyond the watermark must not change the closed window")
+    } finally q.stop()
+  }
+
   test("streaming session window equals batch on identical data") {
     val batchDf = Tables(spark, sf, "events").limit(300).cache()
     val expected = StreamingWindows.sessionAgg(batchDf, "ts", "value", "3600 seconds", Seq("user_id"))
