@@ -11,6 +11,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * zlib, gzip, flate). Static methods callable from generated code.
   */
 object Compression {
+  /** Codecs the expressions accept. Checked at construction: the codec
+    * string is spliced into generated Java, so anything outside this
+    * whitelist must be rejected before it can reach codegen.
+    */
+  val codecs: Set[String] = Set("zlib", "gzip")
+
   def compress(data: Array[Byte], codec: String): Array[Byte] = codec match {
     case "zlib" =>
       val d = new java.util.zip.Deflater()
@@ -53,6 +59,8 @@ object Compression {
 }
 
 case class CompressExpr(child: Expression, codec: String) extends UnaryExpression {
+  require(Compression.codecs.contains(codec),
+    s"unsupported codec '$codec' (expected one of ${Compression.codecs.mkString(", ")})")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "compress"
   override protected def nullSafeEval(input: Any): Any =
@@ -64,6 +72,8 @@ case class CompressExpr(child: Expression, codec: String) extends UnaryExpressio
 }
 
 case class DecompressExpr(child: Expression, codec: String) extends UnaryExpression {
+  require(Compression.codecs.contains(codec),
+    s"unsupported codec '$codec' (expected one of ${Compression.codecs.mkString(", ")})")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "decompress"
   override protected def nullSafeEval(input: Any): Any =

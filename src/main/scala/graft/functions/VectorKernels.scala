@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -41,6 +41,58 @@ object VectorKernels {
     val top = scored.sortBy { case (s, i) => (-s, i) }.take(math.min(p, cents.length))
     new GenericArrayData(top.map(_._2))
   }
+
+  /** Widen an array column's data to double[]. `isFloat` is resolved at
+    * plan time from the column's element type and spliced into the
+    * generated call as a constant.
+    */
+  def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val f = a.toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+      out
+    } else a.toDoubleArray()
+
+  /** Cosine similarity in one tight loop. Fold order (dot ascending,
+    * then |a|², then |b|²) matches the interpreted HOF formulation it
+    * replaced bit-for-bit, so oracle-pinned results are unchanged.
+    */
+  def cosineSim(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val va = toDoubles(a, aFloat)
+    val vb = toDoubles(b, bFloat)
+    if (va.length != vb.length)
+      throw new IllegalArgumentException(
+        s"cosine: vectors must have equal length (${va.length} vs ${vb.length})")
+    var dot = 0.0
+    var i = 0
+    while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < va.length) { na += va(i) * va(i); i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < vb.length) { nb += vb(i) * vb(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-bit LSH bucket: bit i set iff vec · planes(i) ≥ 0. */
+  def lshBucket(vec: ArrayData, isFloat: Boolean, planes: Array[Array[Double]]): Long = {
+    val v = toDoubles(vec, isFloat)
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val len = math.min(v.length, p.length)
+      var dot = 0.0
+      var j = 0
+      while (j < len) { dot += v(j) * p(j); j += 1 }
+      if (dot >= 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
 }
 
 case class IvfCellExpr(child: Expression, centroids: Array[Array[Double]])
@@ -71,9 +123,67 @@ case class IvfProbeCellsExpr(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Codegen cosine similarity of two float/double array columns — the
+  * hot kernel of the ANN/near-dup path. The interpreted
+  * aggregate(zip_with(...)) HOF formulation it replaces evaluated a
+  * lambda per vector element; this is one generated static call per
+  * row.
+  */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<float> or array<double>, got $other")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.cosineSim(l.asInstanceOf[ArrayData], isFloat(left),
+      r.asInstanceOf[ArrayData], isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosineSim($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen sign-bit LSH bucket of a vector for a fixed plane set
+  * (embedded in the generated code via addReferenceObj).
+  */
+case class LshBucketExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<float> or array<double>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], childIsFloat, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.lshBucket($c, $childIsFloat, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def ivf_cell(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(IvfCellExpr(ColumnBridge.expression(vec), centroids))
   def ivf_probe_cells(vec: Column, centroids: Array[Array[Double]], p: Int): Column =
     ColumnBridge.column(IvfProbeCellsExpr(ColumnBridge.expression(vec), centroids, p))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def lsh_bucket(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes))
 }

@@ -61,16 +61,17 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // the signature frame feeds three consumers (bucket explode + the
-    // two candidate join-backs); persisting it turns three full-corpus
-    // tokenize/hash passes into one — at 100 TB the (id, 512-byte sig)
-    // frame is ~1000× smaller than the text it derives from. Callers
-    // managing their own lifecycle pass cacheSignatures = false and
-    // persist/unpersist around the call.
+    // two candidate join-backs); materializing it turns three
+    // full-corpus tokenize/hash passes into one — at 100 TB the
+    // (id, 512-byte sig) frame is ~1000× smaller than the text it
+    // derives from. localCheckpoint (not persist): its blocks are
+    // reclaimed by the ContextCleaner once the frame is unreferenced,
+    // so repeated invocations don't accumulate session-lifetime cache
+    // entries. Callers managing their own lifecycle pass
+    // cacheSignatures = false and persist/unpersist around the call.
     val raw = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
-    val sigs = if (cacheSignatures)
-      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else raw
+    val sigs = if (cacheSignatures) raw.localCheckpoint(true) else raw
 
     // (band, bucket-hash, id): 16 rows of ~20 bytes per doc — the only
     // thing shuffled at corpus scale.
@@ -156,8 +157,10 @@ object Dedup {
     // set), not the full corpus twice — at scale the verify stage cost
     // is O(candidates), independent of corpus size. The pair set feeds
     // three consumers (id union + both joins), so pin it: it is the
-    // small end of the computation by construction.
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // small end of the computation by construction. localCheckpoint,
+    // not persist: no explicit unpersist point exists (the result is
+    // lazy), and checkpoint blocks are GC-reclaimed with the frame.
+    val p = pairs.localCheckpoint(true)
     // no distinct: left_semi ignores duplicate build keys — saves a shuffle
     val candIds = p.select(explode(array(col("a"), col("b"))).as("cid"))
     val sets = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
@@ -175,14 +178,15 @@ object Dedup {
   /** Transitive duplicate clusters from a pair list: connected
     * components via distributed label propagation (each node adopts the
     * minimum id reachable; iterate until fixpoint). The min label
-    * travels one hop per iteration and near-dup clusters are
-    * near-cliques, so the default covers diameter <= 4; raise maxIter
-    * for chainier graphs. Each iteration is one join + one
+    * travels one hop per iteration; iteration stops as soon as a round
+    * changes no label (one tiny existence probe per round on the
+    * already-materialized frame), with `maxIter` as a runaway cap for
+    * pathological graphs. Each iteration is one join + one
     * min-aggregation — no driver-side graph. Returns (id, cluster)
     * with cluster = the minimum member id, i.e. the representative a
     * pipeline keeps.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 3): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edge list, both directions
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pin the pair list before mirroring it — the union's two branches
@@ -200,16 +204,21 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxIter) {
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
       // each node adopts the smallest label among itself and neighbors
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("ncluster"))
-      labels = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
+      converged = stepped.where(col("cluster") =!= col("prev")).isEmpty
+      labels = stepped.select(col("id"), col("cluster"))
+      iter += 1
     }
     labels
   }

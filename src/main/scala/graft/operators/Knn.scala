@@ -18,16 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Cosine similarity between two equal-length vectors, computed in
-    * one pass: fold (dot, |a|², |b|²) then combine.
+  /** Cosine similarity between two equal-length vectors — one codegen
+    * kernel call per row (graft.functions.CosineSimExpr). The previous
+    * aggregate(zip_with(...)) formulation interpreted a lambda per
+    * element — the same pathology the minhash path shed for a 27× win;
+    * the kernel replicates its fold order exactly, so results are
+    * bit-identical.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine_sim(a, b)
 
   /** Exact top-k by cosine for every query row. `queries` must be small
     * enough to broadcast (it is by construction: the probe set).
@@ -64,16 +62,12 @@ object Knn {
     Array.fill(bits, dim)(next())
   }
 
-  /** Sign-bit LSH bucket id of a vector for the given hyperplanes. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.indices.map { i =>
-      val plane = typedlit(planes(i).toSeq)
-      val dot = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L) * (1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit LSH bucket id of a vector for the given hyperplanes —
+    * all plane dots in one codegen kernel call (LshBucketExpr; the
+    * planes ride into the generated code via addReferenceObj).
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    VectorFunctions.lsh_bucket(vec, planes)
 
   /** Train spherical-k-means centroids for the IVF index: a
     * deterministic hash-ordered sample seeds `cells` centroids, then

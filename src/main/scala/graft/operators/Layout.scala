@@ -18,10 +18,19 @@ object Layout {
     * rows spread over `saltFactor` tasks instead of one. Exact same
     * result set as `fact.join(dim, keys)` — only the partitioning
     * changes.
+    *
+    * Only fact-preserving join types are legal: the dim side is
+    * replicated saltFactor×, so right/full outer would emit each
+    * unmatched dim row saltFactor times. Use the dim as the fact side
+    * (or plain AQE skew handling) for those.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti only, not '$joinType': " +
+        "the replicated dim side would duplicate unmatched dim rows under right/full outer")
     val salted = fact.withColumn("__salt", (rand(42) * saltFactor).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

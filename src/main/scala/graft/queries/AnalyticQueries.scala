@@ -116,8 +116,12 @@ object AnalyticQueries {
       ev(s, d).select(
         col("event_id"),
         sum(hit).over(run).as("last_hit_count"),
-        max(when(col("value") > 100, unix_micros(col("ts")))).over(run)
-          .as("last_hit_time"),
+        // coalesce to -1: a nullable BIGINT would be promoted to float64
+        // by the driver's pandas hasher and hash-mismatch vs DuckDB even
+        // when values are identical.
+        coalesce(
+          max(when(col("value") > 100, unix_micros(col("ts")))).over(run),
+          lit(-1L)).as("last_hit_time"),
         lag(col("value"), 1).over(byUser).as("delayed_val"))
     }),
 
@@ -132,10 +136,15 @@ object AnalyticQueries {
         .select(col("user_id"), col("w.start").cast("long").as("ws"), col("sum_val"))
       val run = Window.partitionBy(col("user_id")).orderBy(col("ws"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      agg.withColumn("hit", when(col("sum_val") > 500, 1L).otherwise(0L))
+      // threshold 150 (not 500): at sf0.01 hourly per-user sums top out
+      // well under 500, so the accumulator would never fire and the
+      // query would exercise nothing. coalesce(-1) keeps the BIGINT
+      // non-nullable for the driver's hasher.
+      agg.withColumn("hit", when(col("sum_val") > 150, 1L).otherwise(0L))
         .select(col("user_id"), col("ws"),
           sum(col("hit")).over(run).as("last_agg_hit_count"),
-          max(when(col("hit") === 1, col("ws"))).over(run).as("last_agg_hit_time"))
+          coalesce(max(when(col("hit") === 1, col("ws"))).over(run), lit(-1L))
+            .as("last_agg_hit_time"))
     })
   )
 
@@ -200,8 +209,8 @@ object AnalyticQueries {
         |FROM events GROUP BY user_id, event_type""".stripMargin,
     "q_analytic_hits" ->
       """SELECT event_id,
-        |  sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER w AS last_hit_count,
-        |  max(CASE WHEN value > 100 THEN epoch_us(ts) END) OVER w AS last_hit_time,
+        |  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS last_hit_count,
+        |  coalesce(max(CASE WHEN value > 100 THEN epoch_us(ts) END) OVER w, -1) AS last_hit_time,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delayed_val
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -212,8 +221,8 @@ object AnalyticQueries {
         |    round(sum(value),2) AS sum_val
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, ws,
-        |  sum(CASE WHEN sum_val > 500 THEN 1 ELSE 0 END) OVER w AS last_agg_hit_count,
-        |  max(CASE WHEN sum_val > 500 THEN ws END) OVER w AS last_agg_hit_time
+        |  CAST(sum(CASE WHEN sum_val > 150 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS last_agg_hit_count,
+        |  coalesce(max(CASE WHEN sum_val > 150 THEN ws END) OVER w, -1) AS last_agg_hit_time
         |FROM agg
         |WINDOW w AS (PARTITION BY user_id ORDER BY ws
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin

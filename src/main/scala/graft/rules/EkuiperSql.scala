@@ -32,14 +32,57 @@ object EkuiperSql {
     s"'${n.trim} $u'"
   }
 
-  /** True if the SQL uses any eKuiper-only syntax this translator
-    * handles (used by RuleEngine to auto-detect the dialect).
+  /** Apply `f` to every span of `sql` OUTSIDE single-quoted string
+    * literals (with `''` escapes) and backquoted identifiers, which are
+    * copied through verbatim. Keeps the translator's regex rewrites
+    * from corrupting literals like 'a->b'.
     */
-  def isEkuiperDialect(sql: String): Boolean =
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '`') {
+        out.append(f(seg.toString)); seg.clear()
+        val start = i
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (sql.charAt(i) == c) {
+            if (c == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') i += 2 // '' escape
+            else { i += 1; closed = true }
+          } else i += 1
+        }
+        out.append(sql.substring(start, i))
+      } else { seg.append(c); i += 1 }
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
+  /** `sql` with literal/backquoted spans blanked — what dialect
+    * detection and rewrites should look at.
+    */
+  private def withoutLiterals(sql: String): String = {
+    val b = new StringBuilder
+    mapOutsideLiterals(sql) { seg => b.append(seg); seg }
+    b.toString
+  }
+
+  /** True if the SQL uses any eKuiper-only syntax this translator
+    * handles (used by RuleEngine to auto-detect the dialect). String
+    * literals are excluded, so `WHERE note = 'a->b'` alone does not
+    * trigger translation.
+    */
+  def isEkuiperDialect(sql: String): Boolean = {
+    val code = withoutLiterals(sql)
     """(?i)\b(TUMBLING|HOPPING|SESSION|SLIDING|COUNT)WINDOW\s*\(""".r
-      .findFirstIn(sql).isDefined ||
-      """(?i)\bwindow_(start|end)\s*\(\s*\)""".r.findFirstIn(sql).isDefined ||
-      """\w->\w""".r.findFirstIn(sql).isDefined
+      .findFirstIn(code).isDefined ||
+      """(?i)\bwindow_(start|end)\s*\(\s*\)""".r.findFirstIn(code).isDefined ||
+      """\w->\w""".r.findFirstIn(code).isDefined
+  }
 
   /** Translate eKuiper rule SQL to Spark SQL; `tsCol` is the stream's
     * event-time column (StreamDef.timestampCol, default "ts").
@@ -71,12 +114,16 @@ object EkuiperSql {
 
     // arrow access (json_expr.md): a->b->c → a['b']['c'] — works for
     // struct and map columns. Only the space-free form is eKuiper's;
-    // a spaced " -> " is a Spark lambda and is left alone.
+    // a spaced " -> " is a Spark lambda and is left alone. Rewrites run
+    // outside string literals only, so 'a->b' survives untouched.
     val q = java.util.regex.Matcher.quoteReplacement _
-    out = """(\w)->(\w+)""".r.replaceAllIn(out, m => q(s"${m.group(1)}['${m.group(2)}']"))
-    // repeat for chains (each pass rewrites one arrow hop)
-    while ("""]->\w""".r.findFirstIn(out).isDefined)
-      out = """]->(\w+)""".r.replaceAllIn(out, m => q(s"]['${m.group(1)}']"))
+    out = mapOutsideLiterals(out) { seg =>
+      var s = """(\w)->(\w+)""".r.replaceAllIn(seg, m => q(s"${m.group(1)}['${m.group(2)}']"))
+      // repeat for chains (each pass rewrites one arrow hop)
+      while ("""]->\w""".r.findFirstIn(s).isDefined)
+        s = """]->(\w+)""".r.replaceAllIn(s, m => q(s"]['${m.group(1)}']"))
+      s
+    }
     out
   }
 }

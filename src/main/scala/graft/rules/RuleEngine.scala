@@ -113,9 +113,28 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
             rule.checkpointDir.map(c => s"$c/$i"))
         }
       } else {
-        outputs.foreach { case (df, sink) => sink.writeBatch(df) }
+        // piggyback the row counter on the sink's own action via
+        // observe(): the old df.count() re-ran the whole plan a second
+        // time just for the metric.
+        val observed = outputs.zipWithIndex.map {
+          case ((df, sink), 0) =>
+            val obs = new org.apache.spark.sql.Observation(s"rule_${rule.id}_rows")
+            (Some(obs), df.observe(obs, count(lit(1)).as("rows")), sink)
+          case ((df, sink), _) => (None, df, sink)
+        }
+        observed.foreach { case (_, df, sink) => sink.writeBatch(df) }
         slot.batches.incrementAndGet()
-        outputs.headOption.foreach { case (df, _) => slot.rows.addAndGet(df.count()) }
+        observed.headOption.flatMap(_._1).foreach { obs =>
+          // listener delivery is async; bounded poll instead of get()
+          // (which would block forever under a sink that runs no action)
+          val peek = org.apache.spark.sql.graft.ObservationBridge.getOrEmpty _
+          var m = peek(obs)
+          val deadline = System.nanoTime() + 5000L * 1000 * 1000
+          while (m.isEmpty && System.nanoTime() < deadline) {
+            Thread.sleep(10); m = peek(obs)
+          }
+          slot.rows.addAndGet(m.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L))
+        }
       }
       slot.state = RuleState.Running
       if (!rule.streaming) slot.state = RuleState.Stopped // one-shot done

@@ -124,26 +124,57 @@ final case class NopSink(options: Map[String, String] = Map.empty) extends Sink 
   * records would-be-published payloads per (kind, endpoint) for tests
   * to assert on. Template/projection/batching logic — the engine's
   * share of a sink — is real and shared via Sink.shaped.
+  *
+  * Publishing runs on the EXECUTORS via foreachPartition — one client
+  * per partition, rows never pass through the driver (the reference's
+  * sinks all publish from the worker, internal/io/&#42;/sink.go; a
+  * driver-side collect here would OOM the driver at 100 TB). The stub
+  * "broker" is a process-wide registry, which in local mode doubles as
+  * the test observation point; a real deployment swaps
+  * `ConnectorSink.client` for a broker client and nothing else changes.
   */
 final case class ConnectorSink(kind: String, endpoint: String,
                                options: Map[String, String] = Map.empty) extends Sink {
   require(ConnectorSink.kinds.contains(kind), s"unknown connector $kind")
   def writeBatch(df: DataFrame): Unit = {
     val out = shaped(df)
-    val payloads: Seq[String] = (out.schema.fieldNames.toSeq match {
-      case Seq("payload") => out.collect().map(_.getString(0)).toSeq
-      case _ => out.toJSON.collect().toSeq
-    })
+    val payloadCol = out.schema.fieldNames.toSeq match {
+      case Seq("payload") => col("payload")
+      case names => to_json(struct(names.map(col): _*))
+    }
     val batchSize = options.getOrElse("batchSize", "0").toInt
-    val grouped = if (batchSize > 1)
-      payloads.grouped(batchSize).map(_.mkString("[", ",", "]")).toSeq
-    else payloads
-    ConnectorSink.record(kind, endpoint, grouped)
+    val (k, ep) = (kind, endpoint) // don't capture `this` in the closure
+    out.select(payloadCol.cast("string").as("payload"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val client = ConnectorSink.client(k, ep)
+        val payloads = rows.map(_.getString(0))
+        val framed =
+          if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
+          else payloads
+        framed.foreach(client.publish)
+        client.close()
+      }
   }
 }
 
 object ConnectorSink {
   val kinds: Set[String] = Set("mqtt", "rest", "redis", "edgex", "neuron", "websocket")
+
+  /** Per-partition publishing client (stub: records into the in-process
+    * "broker"). A real transport implements this same two-method shape.
+    */
+  trait Client extends Serializable {
+    def publish(payload: String): Unit
+    def close(): Unit
+  }
+
+  /** Client factory, invoked once per partition ON THE EXECUTOR. */
+  def client(kind: String, endpoint: String): Client = new Client {
+    private val buf = scala.collection.mutable.ArrayBuffer[String]()
+    def publish(payload: String): Unit = buf += payload
+    def close(): Unit = record(kind, endpoint, buf.toSeq)
+  }
+
   private val published =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[String]]()
   def record(kind: String, endpoint: String, payloads: Seq[String]): Unit =

@@ -99,10 +99,25 @@ final case class MemorySource(topic: String) extends Source {
 object MemoryHub {
   private val topics = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val spools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val appends = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
 
-  def publish(topic: String, df: DataFrame): Unit = topics.put(topic, df)
-  def append(topic: String, df: DataFrame): Unit =
+  /** Collapse the topic's union tree every N appends: a long-running
+    * chained rule otherwise accretes one unionByName node per batch and
+    * batch-read planning slows linearly. localCheckpoint materializes
+    * the accumulated rows and truncates the lineage; its blocks are
+    * reclaimed by the ContextCleaner when the old frame is replaced.
+    */
+  private val CollapseEvery = 16
+
+  def publish(topic: String, df: DataFrame): Unit = {
+    topics.put(topic, df); appends.remove(topic)
+  }
+  def append(topic: String, df: DataFrame): Unit = {
     topics.merge(topic, df, (a, b) => a.unionByName(b))
+    val n = appends.merge(topic, Int.box(1), (a, b) => Int.box(a + b))
+    if (n % CollapseEvery == 0)
+      topics.computeIfPresent(topic, (_, f) => f.localCheckpoint(true))
+  }
   def frame(spark: SparkSession, topic: String): DataFrame =
     Option(topics.get(topic)).getOrElse(
       throw new NoSuchElementException(s"memory topic $topic"))
@@ -225,8 +240,14 @@ final case class ConnectorSource(kind: String, topic: String,
 
   def batch(spark: SparkSession): DataFrame =
     decode(spark, ConnectorFeed.frames(spark, kind, topic))
+
+  /** Real unbounded stream: readStream over the feed's spool directory,
+    * so a streaming rule sees every pushed frame as a fresh micro-batch
+    * (the MemoryHub pattern). Executors read the spool directly — no
+    * frame passes through the driver after the transport hands it off.
+    */
   def stream(spark: SparkSession): DataFrame =
-    decode(spark, ConnectorFeed.frames(spark, kind, topic))
+    decode(spark, ConnectorFeed.frameStream(spark, kind, topic))
 }
 
 object ConnectorSource {
@@ -241,12 +262,55 @@ object ConnectorSource {
 object ConnectorFeed {
   private val feeds =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[(String, Long)]]()
+  private val spools =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Spool directory backing the streaming form of a feed: each push
+    * lands as one JSON-lines file, which Structured Streaming's file
+    * source picks up as a new micro-batch.
+    */
+  def spoolDir(kind: String, topic: String): String =
+    spools.computeIfAbsent((kind, topic), { case (k, t) =>
+      java.nio.file.Files.createTempDirectory(
+        s"graft_feed_${k}_${t.replaceAll("\\W", "_")}_").toString
+    })
+
+  private def jsonQuote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
 
   /** Tests/simulations push (jsonFrame, arrivalMillis). */
-  def push(kind: String, topic: String, frameJson: String, arrivalMs: Long): Unit =
+  def push(kind: String, topic: String, frameJson: String, arrivalMs: Long): Unit = {
     feeds.merge((kind, topic), Vector((frameJson, arrivalMs)), (a, b) => a ++ b)
+    val line = s"""{"frame": ${jsonQuote(frameJson)}, "arrival_ms": $arrivalMs}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(spoolDir(kind, topic),
+        f"frame_${seq.incrementAndGet()}%012d.json"),
+      java.util.Arrays.asList(line))
+  }
 
-  def clear(kind: String, topic: String): Unit = feeds.remove((kind, topic))
+  def clear(kind: String, topic: String): Unit = {
+    feeds.remove((kind, topic))
+    spools.remove((kind, topic)) // open streams keep tailing the old dir
+  }
+
+  /** Unbounded (frame, arrival_ts) stream over the spool. */
+  def frameStream(spark: SparkSession, kind: String, topic: String): DataFrame =
+    spark.readStream
+      .schema(StructType.fromDDL("frame string, arrival_ms bigint"))
+      .json(spoolDir(kind, topic))
+      .select(col("frame"), timestamp_millis(col("arrival_ms")).as("arrival_ts"))
 
   def frames(spark: SparkSession, kind: String, topic: String): DataFrame = {
     val rows = Option(feeds.get((kind, topic))).getOrElse(Vector.empty)

@@ -19,3 +19,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 }
+
+/** Non-blocking access to Observation metrics: `Observation.get` blocks
+  * indefinitely and `getOrEmpty` is private[sql] — RuleEngine polls
+  * this to read the row counter its batch rules observe.
+  */
+object ObservationBridge {
+  def getOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
+}

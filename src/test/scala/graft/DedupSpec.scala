@@ -96,6 +96,16 @@ class DedupSpec extends SparkSuite {
     assert(cl(10L) == 10L && cl(11L) == 10L)
   }
 
+  test("clusters converges on long chains (diameter 9 -> one cluster)") {
+    import spark.implicits._
+    // 1-2-3-...-10: min label needs 9 hops; the old fixed 3-iteration
+    // loop silently split this into several clusters
+    val longChain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val cl = Dedup.clusters(longChain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size == 10 && cl.values.forall(_ == 1L),
+      s"all chain members must collapse to cluster 1, got $cl")
+  }
+
   test("no self-pairs and a < b ordering") {
     val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
     assert(pairs.where(col("a") >= col("b")).count() == 0)

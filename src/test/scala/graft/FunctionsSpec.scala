@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Compression, GraftFunctions}
+import graft.functions.{CompressExpr, Compression, DecompressExpr, GraftFunctions}
 import org.apache.spark.sql.functions._
 
 /** Function-surface contracts (SURVEY §2.5):
@@ -51,6 +51,21 @@ class FunctionsSpec extends SparkSuite {
       assert(Compression.decompress(packed, codec).toSeq == payload.toSeq)
     }
     intercept[IllegalArgumentException](Compression.compress(Array[Byte](1), "lz77"))
+  }
+
+  test("compress/decompress reject non-whitelisted codecs at construction") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // the codec string is spliced into generated Java, so anything that
+    // could break out of the string literal must die in the constructor,
+    // before codegen ever sees it
+    val bin = ColumnBridge.expression(lit("x").cast("binary"))
+    for (bad <- Seq("lz77", """zl"ib""", "gzip\\\""))
+      intercept[IllegalArgumentException](CompressExpr(bin, bad))
+    intercept[IllegalArgumentException](DecompressExpr(bin, """a");evil("""))
+    // SQL path: a bad codec literal fails the query, not codegen
+    GraftFunctions.registerAll(spark)
+    intercept[Exception](
+      spark.sql("""SELECT compress(cast('x' AS binary), 'no"pe')""").collect())
   }
 
   test("compress/decompress as Column expressions and SQL functions") {

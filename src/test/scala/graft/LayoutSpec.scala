@@ -32,6 +32,19 @@ class LayoutSpec extends SparkSuite {
     assert(res.where(col("label").isNull).count() == 50)
   }
 
+  test("salted join rejects dim-preserving join types") {
+    // the dim side is replicated saltFactor x, so right/full outer would
+    // emit every unmatched dim row saltFactor times — reject up front
+    val fact = spark.range(10).toDF("k")
+    val dim = spark.range(5).toDF("k")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer"))
+      intercept[IllegalArgumentException](
+        Layout.saltedJoin(fact, dim, "k", saltFactor = 4, joinType = jt))
+    // left_semi / left_anti are fact-preserving and stay legal
+    assert(Layout.saltedJoin(fact, dim, "k", joinType = "left_semi").count() == 5)
+    assert(Layout.saltedJoin(fact, dim, "k", joinType = "left_anti").count() == 5)
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val n = 1000
     Layout.writeBucketed(

@@ -89,6 +89,32 @@ class RulesSpec extends SparkSuite {
     assert(eng.status("sr1").state == RuleState.Stopped)
   }
 
+  test("streaming rule over a connector-stub stream gets incremental micro-batches") {
+    val eng = newEngine
+    ConnectorFeed.clear("mqtt", "live/sensor")
+    ConnectorSink.clear("rest", "hook/hot")
+    eng.createStream(
+      """CREATE STREAM msens (device STRING, temp BIGINT) WITH
+        | (TYPE="mqtt", DATASOURCE="live/sensor")""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft_mqtt_ck")
+    eng.create(Rule("rmq", "SELECT device, temp FROM msens WHERE temp > 20",
+      Seq(ConnectorSink("rest", "hook/hot", Map("dataTemplate" -> """{{device}}:{{temp}}"""))),
+      streaming = true, checkpointDir = Some(ckpt.toString)))
+    ConnectorFeed.push("mqtt", "live/sensor", """{"device":"a","temp":25}""", 1000L)
+    eng.start("rmq")
+    try {
+      eng.processAllAvailable("rmq")
+      assert(ConnectorSink.sent("rest", "hook/hot").toSet == Set("a:25"))
+      // frames pushed AFTER the stream started arrive as a new micro-batch
+      ConnectorFeed.push("mqtt", "live/sensor", """{"device":"b","temp":30}""", 2000L)
+      ConnectorFeed.push("mqtt", "live/sensor", """{"device":"c","temp":5}""", 3000L)
+      eng.processAllAvailable("rmq")
+      assert(ConnectorSink.sent("rest", "hook/hot").toSet == Set("a:25", "b:30"))
+      // the stream really ran >= 2 micro-batches, not one bounded frame
+      assert(eng.status("rmq").batchesProcessed >= 2)
+    } finally eng.stop("rmq")
+  }
+
   test("explain exposes the Catalyst plan with pushed filters") {
     val eng = newEngine
     eng.createStream(
@@ -143,6 +169,16 @@ class RulesSpec extends SparkSuite {
       "SELECT data['a']['b'], m['k'] FROM t")
     assert(EkuiperSql.translate("SELECT transform(xs, x -> x + 1), p->q FROM t") ==
       "SELECT transform(xs, x -> x + 1), p['q'] FROM t")
+    // arrows inside string literals survive untouched (incl. '' escapes
+    // and backquoted identifiers), and don't trigger dialect detection
+    assert(EkuiperSql.translate("SELECT m->k FROM t WHERE note = 'a->b'") ==
+      "SELECT m['k'] FROM t WHERE note = 'a->b'")
+    assert(EkuiperSql.translate("SELECT 'it''s x->y here', m->k FROM t") ==
+      "SELECT 'it''s x->y here', m['k'] FROM t")
+    assert(EkuiperSql.translate("SELECT `weird->col`, m->k FROM t") ==
+      "SELECT `weird->col`, m['k'] FROM t")
+    assert(!EkuiperSql.isEkuiperDialect("SELECT x FROM t WHERE note = 'a->b'"))
+    assert(EkuiperSql.isEkuiperDialect("SELECT m->k FROM t"))
     // end-to-end: arrow access over a map column
     spark.sql("SELECT map('k', 42) AS m").createOrReplaceTempView("arrow_t")
     val eng2 = newEngine

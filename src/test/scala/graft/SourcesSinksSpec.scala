@@ -200,13 +200,28 @@ class SourcesSinksSpec extends SparkSuite {
       Vector("val=0!", "val=1!", "val=2!"))
   }
 
-  test("sink batching groups payloads") {
+  test("sink batching groups payloads per partition") {
+    // batching is a transport concern and runs where the rows are: each
+    // partition's client groups its own rows (no driver-side collect)
     ConnectorSink.clear("rest", "api/batched")
     ConnectorSink("rest", "api/batched",
       Map("dataTemplate" -> """{{v}}""", "batchSize" -> "2"))
-      .writeBatch(spark.range(4).toDF("v"))
+      .writeBatch(spark.range(4).toDF("v").repartition(1))
     val sent = ConnectorSink.sent("rest", "api/batched")
     assert(sent.length == 2 && sent.forall(_.startsWith("[")))
+    assert(sent.flatMap(_.stripPrefix("[").stripSuffix("]").split(","))
+      .map(_.trim).sorted.toSeq == Seq("0", "1", "2", "3"))
+  }
+
+  test("connector sink publishes from executors, no driver collect") {
+    ConnectorSink.clear("mqtt", "topic/exec")
+    // 1000 rows across 8 partitions: every row arrives exactly once,
+    // grouped within (not across) partitions
+    ConnectorSink("mqtt", "topic/exec", Map("dataTemplate" -> """{{v}}"""))
+      .writeBatch(spark.range(1000).toDF("v").repartition(8))
+    val sent = ConnectorSink.sent("mqtt", "topic/exec")
+    assert(sent.length == 1000)
+    assert(sent.map(_.toLong).sorted == (0L until 1000L).toVector)
   }
 
   test("template parser handles literals, fields, whitespace") {
