@@ -16,7 +16,8 @@ object SparkEntry {
       (Q.WindowQueries.qs, Q.WindowQueries.oracle),
       (Q.AnalyticQueries.qs, Q.AnalyticQueries.oracle),
       (Q.FunctionQueries.qs, Q.FunctionQueries.oracle),
-      (Q.PipelineQueries.qs, Q.PipelineQueries.oracle)
+      (Q.PipelineQueries.qs, Q.PipelineQueries.oracle),
+      (Q.CodecQueries.qs, Q.CodecQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

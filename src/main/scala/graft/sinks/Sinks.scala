@@ -119,6 +119,67 @@ final case class NopSink(options: Map[String, String] = Map.empty) extends Sink 
     df.write.format("noop").mode("overwrite").save()
 }
 
+/** Delivery-guarantee wrapper (reference: the sink sync cache,
+  * internal/topo/node/cache/sync_cache.go): when the wrapped sink's
+  * writeBatch throws, the batch is spooled to disk and resent — in
+  * arrival order, before any newer batch — on the next writeBatch (or
+  * an explicit flush). The queue is bounded: once `maxCachedBatches`
+  * are spooled, further failures propagate (backpressure instead of
+  * unbounded disk growth).
+  *
+  * The RAW batch is spooled (pre-template/projection), so replay goes
+  * through the wrapped sink's own shaping exactly like a live batch.
+  * Spooling is a distributed parquet write — the batch never touches
+  * the driver.
+  */
+final case class ReliableSink(inner: Sink, cacheDir: String,
+                              maxCachedBatches: Int = 100) extends Sink {
+  def options: Map[String, String] = inner.options
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def pendingDirs(): Seq[java.io.File] =
+    Option(new java.io.File(cacheDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .sortBy(_.getName).toSeq
+
+  /** Number of spooled batches awaiting redelivery. */
+  def pendingBatches: Int = pendingDirs().size
+
+  private def spool(df: DataFrame): Unit = {
+    if (pendingBatches >= maxCachedBatches)
+      throw new IllegalStateException(
+        s"resend cache full ($maxCachedBatches batches) for $cacheDir")
+    df.write.mode("overwrite")
+      .parquet(s"$cacheDir/batch_${System.currentTimeMillis()}_${seq.incrementAndGet()}")
+  }
+
+  private def delete(dir: java.io.File): Unit = {
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      if (f.isDirectory) delete(f) else f.delete()
+    }
+    dir.delete()
+  }
+
+  /** Redeliver spooled batches, oldest first; stops at the first
+    * failure to preserve order. Returns true when the queue drained.
+    */
+  def flush(spark: org.apache.spark.sql.SparkSession): Boolean =
+    pendingDirs().forall { dir =>
+      try {
+        inner.writeBatch(spark.read.parquet(dir.getAbsolutePath))
+        delete(dir); true
+      } catch { case _: Exception => false }
+    }
+
+  def writeBatch(df: DataFrame): Unit =
+    if (!flush(df.sparkSession)) spool(df) // keep order behind the stuck batch
+    else
+      try inner.writeBatch(df)
+      catch { case _: Exception => spool(df) }
+}
+
 /** Connector sinks (mqtt / rest / redis / edgex / neuron / websocket).
   * Zero-egress container → the transport is a deterministic STUB that
   * records would-be-published payloads per (kind, endpoint) for tests
@@ -138,9 +199,13 @@ final case class ConnectorSink(kind: String, endpoint: String,
   require(ConnectorSink.kinds.contains(kind), s"unknown connector $kind")
   def writeBatch(df: DataFrame): Unit = {
     val out = shaped(df)
+    // payload framing: an explicit dataTemplate wins; otherwise encode
+    // per the FORMAT option (json default, delimited, urlencoded)
     val payloadCol = out.schema.fieldNames.toSeq match {
       case Seq("payload") => col("payload")
-      case names => to_json(struct(names.map(col): _*))
+      case names => graft.sources.Codecs.encode(
+        names.map(n => n -> col(n)), options.getOrElse("format", "json"),
+        options.getOrElse("delimiter", ","))
     }
     val batchSize = options.getOrElse("batchSize", "0").toInt
     val (k, ep) = (kind, endpoint) // don't capture `this` in the closure

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Payload codecs beyond JSON — the reference's message converters
+  * (lf-edge/ekuiper internal/converter/delimited/converter.go,
+  * internal/converter/urlencoded): decode a raw frame string into the
+  * declared schema, and encode a result row back into a frame.
+  *
+  * Everything is pure Column expressions (split / str_to_map /
+  * url_decode / concat_ws) — codegen'd, fully distributed, no UDFs;
+  * a 100 TB decode is just a projection over the scan.
+  */
+object Codecs {
+
+  val formats: Set[String] = Set("json", "delimited", "urlencoded")
+
+  /** Decode a delimited frame ("v1,v2,v3") into the declared schema:
+    * positional fields, each cast to its declared type. Reference:
+    * internal/converter/delimited (DELIMITER property, default ",").
+    */
+  def decodeDelimited(frame: Column, schema: StructType, delimiter: String = ","): Column = {
+    // try_cast + empty→null: the reference's converter tolerates short
+    // or malformed fields (and ANSI mode would otherwise throw on them)
+    val parts = split(frame, java.util.regex.Pattern.quote(delimiter))
+    struct(schema.fields.zipWithIndex.map { case (f, i) =>
+      nullif(try_element_at(parts, lit(i + 1)), lit(""))
+        .try_cast(f.dataType.sql).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Encode columns into one delimited frame (nulls render empty). */
+  def encodeDelimited(cols: Seq[Column], delimiter: String = ","): Column =
+    concat_ws(delimiter, cols.map(_.cast("string")): _*)
+
+  /** Decode an application/x-www-form-urlencoded frame
+    * ("a=1&b=x%20y") into the declared schema: percent-decoded keys
+    * and values, fields matched by name, cast to declared types.
+    * Missing keys decode to null (try_element_at — ANSI-safe).
+    * Reference: internal/converter/urlencoded.
+    */
+  def decodeUrlencoded(frame: Column, schema: StructType): Column = {
+    val raw = str_to_map(frame, lit("&"), lit("="))
+    val decoded = map_from_arrays(
+      transform(map_keys(raw), k => url_decode(k)),
+      transform(map_values(raw), v => url_decode(v)))
+    struct(schema.fields.map(f =>
+      try_element_at(decoded, lit(f.name)).try_cast(f.dataType.sql).as(f.name))
+      .toIndexedSeq: _*)
+  }
+
+  /** Encode (name, value) columns as a urlencoded frame; null values
+    * are omitted, like the reference's converter.
+    */
+  def encodeUrlencoded(cols: Seq[(String, Column)]): Column =
+    concat_ws("&", cols.map { case (n, c) =>
+      when(c.isNotNull, concat(lit(n), lit("="), url_encode(c.cast("string"))))
+    }: _*)
+
+  /** Frame-string → typed-struct decode for the given format. */
+  def decode(frame: Column, schema: StructType, format: String,
+             delimiter: String = ","): Column = format.toLowerCase match {
+    case "json" => from_json(frame, schema)
+    case "delimited" => decodeDelimited(frame, schema, delimiter)
+    case "urlencoded" => decodeUrlencoded(frame, schema)
+    case other => throw new IllegalArgumentException(
+      s"unknown payload format '$other' (expected one of ${formats.mkString(", ")})")
+  }
+
+  /** Columns → frame-string encode for the given format. */
+  def encode(cols: Seq[(String, Column)], format: String,
+             delimiter: String = ","): Column = format.toLowerCase match {
+    case "json" => to_json(struct(cols.map { case (n, c) => c.as(n) }: _*))
+    case "delimited" => encodeDelimited(cols.map(_._2), delimiter)
+    case "urlencoded" => encodeUrlencoded(cols)
+    case other => throw new IllegalArgumentException(
+      s"unknown payload format '$other' (expected one of ${formats.mkString(", ")})")
+  }
+}

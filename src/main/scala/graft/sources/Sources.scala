@@ -233,9 +233,18 @@ final case class ConnectorSource(kind: String, topic: String,
                                  options: Map[String, String] = Map.empty) extends Source {
   require(ConnectorSource.kinds.contains(kind), s"unknown connector $kind")
 
-  /** Decode raw JSON frames from the stub transport to typed rows. */
+  private val format = options.getOrElse("format", "json").toLowerCase
+  require(Codecs.formats.contains(format),
+    s"unknown payload format '$format' (expected one of ${Codecs.formats.mkString(", ")})")
+
+  /** Decode raw frames (json / delimited / urlencoded, per FORMAT) from
+    * the stub transport to typed rows — a pure codegen projection.
+    */
   private def decode(spark: SparkSession, raw: DataFrame): DataFrame =
-    raw.select(from_json(col("frame"), schema).as("m"), col("arrival_ts"))
+    raw.select(
+        Codecs.decode(col("frame"), schema, format,
+          options.getOrElse("delimiter", ",")).as("m"),
+        col("arrival_ts"))
       .select(col("m.*"), col("arrival_ts"))
 
   def batch(spark: SparkSession): DataFrame =

@@ -178,6 +178,60 @@ class SourcesSinksSpec extends SparkSuite {
       StructType.fromDDL("a int")))
   }
 
+  test("delimited codec: DDL round-trip through source decode and sink encode") {
+    // source side: delimited frames decode positionally to the declared
+    // schema (reference internal/converter/delimited)
+    ConnectorFeed.clear("mqtt", "in/csvish")
+    ConnectorFeed.push("mqtt", "in/csvish", "a|21|3.5", 1000L)
+    ConnectorFeed.push("mqtt", "in/csvish", "b|25|", 2000L)
+    val d = graft.rules.Catalog.parseDdl(
+      """CREATE STREAM csvish (device STRING, temp BIGINT, v DOUBLE) WITH
+        | (TYPE="mqtt", FORMAT="delimited", DELIMITER="|", DATASOURCE="in/csvish")""".stripMargin)
+    val df = d.source.batch(spark)
+    assert(df.columns.toSeq == Seq("device", "temp", "v", "arrival_ts"))
+    assert(df.agg(sum("temp")).first().getLong(0) == 46)
+    assert(df.where(col("device") === "b").first().isNullAt(2)) // empty field -> null
+    // sink side: rows encode back to delimited frames
+    ConnectorSink.clear("rest", "out/csvish")
+    ConnectorSink("rest", "out/csvish",
+      Map("format" -> "delimited", "delimiter" -> "|", "fields" -> "device,temp"))
+      .writeBatch(df.where(col("device") === "a"))
+    assert(ConnectorSink.sent("rest", "out/csvish") == Vector("a|21"))
+  }
+
+  test("urlencoded codec: decode matches by name, percent-decodes, encode escapes") {
+    ConnectorFeed.clear("http_push", "form")
+    ConnectorFeed.push("http_push", "form", "device=a%20b&temp=21&extra=zz", 1000L)
+    ConnectorFeed.push("http_push", "form", "temp=4&device=plain", 2000L)
+    val src = ConnectorSource("http_push", "form",
+      StructType.fromDDL("device string, temp bigint, missing string"),
+      Map("format" -> "urlencoded"))
+    val rows = src.batch(spark).orderBy("arrival_ts").collect()
+    assert(rows(0).getString(0) == "a b" && rows(0).getLong(1) == 21 && rows(0).isNullAt(2))
+    assert(rows(1).getString(0) == "plain" && rows(1).getLong(1) == 4)
+    // encode: spaces and reserved chars escape; nulls drop out
+    ConnectorSink.clear("rest", "out/form")
+    ConnectorSink("rest", "out/form", Map("format" -> "urlencoded"))
+      .writeBatch(spark.sql("SELECT 'a b' AS device, 21 AS temp, CAST(NULL AS STRING) AS note"))
+    assert(ConnectorSink.sent("rest", "out/form") == Vector("device=a+b&temp=21"))
+    intercept[IllegalArgumentException](ConnectorSource("mqtt", "x",
+      StructType.fromDDL("a int"), Map("format" -> "protobuf")))
+  }
+
+  test("reliable sink spools failed batches and redelivers in order") {
+    val dir = Files.createTempDirectory("graft_resend")
+    FlakySink.reset(failFirst = 2) // first two writeBatch calls throw
+    val rs = ReliableSink(FlakySink(), dir.toString, maxCachedBatches = 10)
+    rs.writeBatch(spark.range(0, 3).toDF("v"))   // fails -> spooled
+    assert(rs.pendingBatches == 1 && FlakySink.delivered.isEmpty)
+    rs.writeBatch(spark.range(3, 6).toDF("v"))   // replay fails -> both queued
+    assert(rs.pendingBatches == 2)
+    rs.writeBatch(spark.range(6, 9).toDF("v"))   // replays both, then live batch
+    assert(rs.pendingBatches == 0)
+    assert(FlakySink.delivered.toList == List(0L until 3L, 3L until 6L, 6L until 9L)
+      .map(_.toList))
+  }
+
   test("file sink writes json/csv/parquet that read back identically") {
     val out = Files.createTempDirectory("graft_sink")
     val df = spark.range(10).toDF("v").withColumn("s", concat(lit("row"), col("v")))
@@ -228,5 +282,24 @@ class SourcesSinksSpec extends SparkSuite {
     assert(Sink.templateParts("a {{ b }} c{{d}}") ==
       Seq(Left("a "), Right("b"), Left(" c"), Right("d")))
     assert(Sink.templateParts("no fields") == Seq(Left("no fields")))
+  }
+}
+
+/** Test sink for ReliableSink: fails the first `failFirst` writeBatch
+  * calls, then records each delivered batch's row values in order.
+  */
+final case class FlakySink(options: Map[String, String] = Map.empty) extends Sink {
+  def writeBatch(df: org.apache.spark.sql.DataFrame): Unit = FlakySink.deliver(df)
+}
+
+object FlakySink {
+  private var failures = 0
+  val delivered = scala.collection.mutable.ListBuffer[List[Long]]()
+  def reset(failFirst: Int): Unit = synchronized {
+    failures = failFirst; delivered.clear()
+  }
+  def deliver(df: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    if (failures > 0) { failures -= 1; throw new RuntimeException("flaky transport down") }
+    delivered += df.orderBy("v").collect().map(_.getLong(0)).toList
   }
 }
