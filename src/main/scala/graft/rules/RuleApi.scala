@@ -17,12 +17,36 @@ import org.json4s.jackson.JsonMethods
   *   GET    /rules              | GET /rules/{id}/status | DELETE /rules/{id}
   *   POST   /rules/{id}/start   | POST /rules/{id}/stop
   *   GET    /rules/{id}/explain
+  *   GET    /data/export        | POST /data/import   (import_export.go)
+  *   GET    /metrics            (all rules' counters in one document)
   */
 final class RuleApi(engine: RuleEngine) {
+
+  // original posted definitions, for export/import round trips
+  // (reference: internal/server/import_export.go works on the JSON
+  // configuration, not the compiled objects)
+  private val streamDdl = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ruleJson = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ok(json: String): (Int, String) = (200, json)
   private def err(code: Int, msg: String): (Int, String) =
     (code, s"""{"error":${JsonMethods.compact(JString(msg))}}""")
+
+  private def createRule(body: String): String = {
+    val j = JsonMethods.parse(body)
+    val id = (j \ "id") match { case JString(s) => s
+      case _ => throw new IllegalArgumentException("rule needs an id") }
+    val sql = (j \ "sql") match { case JString(s) => s
+      case _ => throw new IllegalArgumentException("rule needs sql") }
+    val streaming = (j \ "streaming") == JBool(true)
+    val sinks = (j \ "actions") match {
+      case JArray(actions) => actions.map(RuleApi.parseAction)
+      case _ => Seq(LogSink())
+    }
+    engine.create(Rule(id, sql, sinks, streaming = streaming))
+    ruleJson.put(id, JsonMethods.compact(JsonMethods.render(j)))
+    id
+  }
 
   def handle(method: String, path: String, body: String = ""): (Int, String) = try {
     val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
@@ -33,6 +57,7 @@ final class RuleApi(engine: RuleEngine) {
           case _ => return err(400, "body needs {\"sql\": \"CREATE STREAM ...\"}")
         }
         val d = engine.createStream(sql)
+        streamDdl.put(d.name, sql)
         ok(s"""{"name":"${d.name}"}""")
       case ("GET", List("streams")) =>
         ok(engine.catalog.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
@@ -44,20 +69,10 @@ final class RuleApi(engine: RuleEngine) {
           case None => err(404, s"stream $name not found")
         }
       case ("DELETE", List("streams", name)) =>
-        engine.catalog.drop(name); ok("{}")
+        engine.catalog.drop(name); streamDdl.remove(name); ok("{}")
 
       case ("POST", List("rules")) =>
-        val j = JsonMethods.parse(body)
-        val id = (j \ "id") match { case JString(s) => s
-          case _ => return err(400, "rule needs an id") }
-        val sql = (j \ "sql") match { case JString(s) => s
-          case _ => return err(400, "rule needs sql") }
-        val streaming = (j \ "streaming") == JBool(true)
-        val sinks = (j \ "actions") match {
-          case JArray(actions) => actions.map(RuleApi.parseAction)
-          case _ => Seq(LogSink())
-        }
-        engine.create(Rule(id, sql, sinks, streaming = streaming))
+        val id = createRule(body)
         ok(s"""{"id":"$id","status":"created"}""")
       case ("GET", List("rules")) =>
         ok(engine.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
@@ -72,7 +87,36 @@ final class RuleApi(engine: RuleEngine) {
       case ("GET", List("rules", id, "explain")) =>
         ok(JsonMethods.compact(JString(engine.explain(id))))
       case ("DELETE", List("rules", id)) =>
-        engine.delete(id); ok("{}")
+        engine.delete(id); ruleJson.remove(id); ok("{}")
+
+      case ("GET", List("data", "export")) =>
+        import scala.jdk.CollectionConverters._
+        val streams = JObject(streamDdl.asScala.toList.sortBy(_._1)
+          .map { case (n, ddl) => JField(n, JString(ddl)) })
+        val rules = JObject(ruleJson.asScala.toList.sortBy(_._1)
+          .map { case (id, js) => JField(id, JsonMethods.parse(js)) })
+        ok(JsonMethods.compact(JsonMethods.render(
+          JObject("streams" -> streams, "rules" -> rules))))
+      case ("POST", List("data", "import")) =>
+        val j = JsonMethods.parse(body)
+        val ns = (j \ "streams") match {
+          case JObject(fs) => fs.collect { case JField(n, JString(ddl)) =>
+            engine.createStream(ddl); streamDdl.put(n, ddl); n }
+          case _ => Nil
+        }
+        val nr = (j \ "rules") match {
+          case JObject(fs) => fs.map { case JField(_, rj) =>
+            createRule(JsonMethods.compact(JsonMethods.render(rj))) }
+          case _ => Nil
+        }
+        ok(s"""{"streams":${ns.size},"rules":${nr.size}}""")
+      case ("GET", List("metrics")) =>
+        val per = engine.list.map { id =>
+          val st = engine.status(id)
+          s""""$id":{"state":"${st.state}","batches":${st.batchesProcessed},""" +
+            s""""rows":${st.rowsProcessed}}"""
+        }
+        ok(per.mkString("{", ",", "}"))
 
       case _ => err(404, s"no route $method $path")
     }

@@ -13,11 +13,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (eKuiper's scan-table/batch rule); `true` compiles the same SQL
   * onto readStream sources and runs continuously.
   */
+/** Restart-on-failure policy (reference: rule option restartStrategy —
+  * attempts/delay/multiplier/maxDelay, etc/kuiper.yaml): a streaming
+  * rule whose query dies with an exception is relaunched from its
+  * checkpoint after an exponential backoff, up to `attempts` times.
+  */
+final case class RestartPolicy(attempts: Int = 0, delayMs: Long = 1000,
+                               multiplier: Double = 2.0, maxDelayMs: Long = 30000)
+
+/** Absolute run window (reference: CronDatetimeRange rule option —
+  * internal/topo/rule, datetime begin/end ranges): the rule runs only
+  * inside [beginMs, endMs) and the engine starts/stops it at the
+  * boundaries.
+  */
+final case class ScheduleRange(beginMs: Long, endMs: Long) {
+  require(beginMs < endMs, "schedule window must have beginMs < endMs")
+}
+
 final case class Rule(id: String, sql: String, sinks: Seq[Sink],
                       streaming: Boolean = false,
                       triggerMs: Long = 0,
                       checkpointDir: Option[String] = None,
-                      graphJson: Option[String] = None)
+                      graphJson: Option[String] = None,
+                      restart: RestartPolicy = RestartPolicy(),
+                      schedule: Seq[ScheduleRange] = Nil,
+                      liveLookup: Boolean = false)
 
 object Rule {
   /** Graph-API rule (JSON DAG; sinks come from the graph's sink nodes). */
@@ -32,6 +52,8 @@ object RuleState {
   case object Created extends RuleState
   case object Running extends RuleState
   case object Stopped extends RuleState
+  /** Waiting for the next schedule window to open. */
+  case object Scheduled extends RuleState
   final case class Failed(err: String) extends RuleState
 }
 
@@ -59,8 +81,17 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     @volatile var queries: Seq[StreamingQuery] = Nil
     val batches = new java.util.concurrent.atomic.AtomicLong
     val rows = new java.util.concurrent.atomic.AtomicLong
+    /** Bumped on every stop/delete: in-flight schedule timers and
+      * restart monitors check it and stand down when it moves.
+      */
+    val epoch = new java.util.concurrent.atomic.AtomicLong
   }
   private val slots = new java.util.concurrent.ConcurrentHashMap[String, Slot]()
+
+  /** One shared daemon timer drives schedule windows for all rules. */
+  private val timer = java.util.concurrent.Executors.newScheduledThreadPool(1, r => {
+    val t = new Thread(r, "graft-rule-scheduler"); t.setDaemon(true); t
+  })
 
   def create(rule: Rule): Unit =
     if (slots.putIfAbsent(rule.id, new Slot(rule)) != null)
@@ -68,12 +99,25 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
 
   def createStream(ddl: String): StreamDef = catalog.executeDdl(ddl)
 
+  private def referencedNames(sql: String): Seq[String] =
+    catalog.list.filter(n =>
+      java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(sql).find())
+
+  /** The rule's SQL in Spark dialect (eKuiper window/arrow syntax
+    * translated when detected).
+    */
+  private def sparkSql(rule: Rule, referenced: Seq[String]): String =
+    if (EkuiperSql.isEkuiperDialect(rule.sql)) {
+      val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
+        .headOption.getOrElse("ts")
+      EkuiperSql.translate(rule.sql, tsCol)
+    } else rule.sql
+
   /** Resolve every catalog stream referenced by the rule's SQL as a
     * temp view (stream mode per the rule), then parse the SQL.
     */
   private def plan(rule: Rule): DataFrame = {
-    val referenced = catalog.list.filter(n =>
-      java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(rule.sql).find())
+    val referenced = referencedNames(rule.sql)
     referenced.foreach { name =>
       val d = catalog.get(name).get
       val base =
@@ -86,32 +130,114 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       withWm.createOrReplaceTempView(name)
     }
     // accept the reference's own SQL dialect (TUMBLINGWINDOW(ss,10) …)
-    val sql =
-      if (EkuiperSql.isEkuiperDialect(rule.sql)) {
-        val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
-          .headOption.getOrElse("ts")
-        EkuiperSql.translate(rule.sql, tsCol)
-      } else rule.sql
-    spark.sql(sql)
+    spark.sql(sparkSql(rule, referenced))
+  }
+
+  /** Live-lookup execution (reference: lookup sources,
+    * internal/io/memory/lookupsource.go — external tables queried per
+    * batch, not snapshotted at rule start): the stream side runs as a
+    * normal readStream, but the SQL is re-planned INSIDE foreachBatch
+    * with every referenced table re-resolved fresh, so dimension
+    * changes land in the very next micro-batch. A snapshot join (the
+    * default) analyzes the table's file listing once at rule start.
+    *
+    * Only stateless SQL belongs here: each batch is planned in batch
+    * mode, so cross-batch streaming state (windows, dedup) would reset
+    * — exactly the reference's contract, where lookup joins are
+    * per-event enrichments.
+    */
+  private def launchLiveLookup(slot: Slot, rule: Rule): Seq[StreamingQuery] = {
+    val referenced = referencedNames(rule.sql)
+    val (tables, streams) = referenced.partition(n => catalog.get(n).exists(_.isTable))
+    require(streams.size == 1,
+      s"liveLookup rules need exactly one stream source, found: $streams")
+    val sname = streams.head
+    val sdef = catalog.get(sname).get
+    val base = sdef.source.stream(spark)
+    val withWm = (sdef.timestampCol, sdef.watermark) match {
+      case (Some(ts), Some(wm)) => base.withWatermark(ts, wm)
+      case _ => base
+    }
+    val sql = sparkSql(rule, referenced)
+    rule.sinks.zipWithIndex.map { case (sink, i) =>
+      val w = withWm.writeStream.queryName(s"${rule.id}_$i")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // micro-batches run in a cloned session — register and plan
+          // there, not in the outer session's catalog
+          val sess = b.sparkSession
+          b.createOrReplaceTempView(sname)
+          tables.foreach(t =>
+            catalog.get(t).get.source.batch(sess).createOrReplaceTempView(t))
+          sink.writeBatch(sess.sql(sql))
+        }
+      val w2 = if (rule.triggerMs > 0)
+        w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(rule.triggerMs))
+      else w
+      rule.checkpointDir.fold(w2)(c => w2.option("checkpointLocation", s"$c/$i")).start()
+    }
   }
 
   def start(id: String): Unit = {
     val slot = lookup(id)
     val rule = slot.rule
+    if (rule.schedule.isEmpty) launch(slot, rule)
+    else scheduleTick(slot, rule, slot.epoch.get)
+  }
+
+  /** Schedule driver: inside a window → run and arm a stop at its end;
+    * before one → arm a start at its begin; past them all → Stopped.
+    */
+  private def scheduleTick(slot: Slot, rule: Rule, ep: Long): Unit = {
+    if (slot.epoch.get != ep) return // stopped/deleted meanwhile
+    val now = System.currentTimeMillis()
+    def armAt(atMs: Long)(body: => Unit): Unit =
+      timer.schedule(new Runnable { def run(): Unit = body },
+        math.max(0, atMs - now), java.util.concurrent.TimeUnit.MILLISECONDS)
+    rule.schedule.find(w => now >= w.beginMs && now < w.endMs) match {
+      case Some(w) =>
+        if (slot.state != RuleState.Running) launch(slot, rule)
+        armAt(w.endMs) {
+          if (slot.epoch.get == ep) {
+            slot.queries.foreach(q => try q.stop() catch { case _: Exception => () })
+            slot.queries = Nil
+            slot.state = RuleState.Stopped
+            scheduleTick(slot, rule, ep)
+          }
+        }
+      case None =>
+        rule.schedule.filter(_.beginMs > now).sortBy(_.beginMs).headOption match {
+          case Some(next) =>
+            slot.state = RuleState.Scheduled
+            armAt(next.beginMs)(scheduleTick(slot, rule, ep))
+          case None =>
+            if (slot.state != RuleState.Stopped) slot.state = RuleState.Stopped
+        }
+    }
+  }
+
+  private def planOutputs(rule: Rule): Seq[(DataFrame, Sink)] = rule.graphJson match {
+    case Some(json) =>
+      GraphRule.compile(spark, catalog, json, rule.streaming).map(c => c.df -> c.sink)
+    case None =>
+      val df = plan(rule)
+      rule.sinks.map(df -> _)
+  }
+
+  private def launch(slot: Slot, rule: Rule): Unit = {
     try {
-      val outputs: Seq[(DataFrame, Sink)] = rule.graphJson match {
-        case Some(json) =>
-          GraphRule.compile(spark, catalog, json, rule.streaming)
-            .map(c => c.df -> c.sink)
-        case None =>
-          val df = plan(rule)
-          rule.sinks.map(df -> _)
+      if (rule.streaming && rule.liveLookup) {
+        slot.queries = launchLiveLookup(slot, rule)
+        if (rule.restart.attempts > 0) monitor(slot, rule)
+        slot.state = RuleState.Running
+        return
       }
+      val outputs: Seq[(DataFrame, Sink)] = planOutputs(rule)
       if (rule.streaming) {
         slot.queries = outputs.zipWithIndex.map { case ((df, sink), i) =>
           sink.writeStream(df, s"${rule.id}_$i", rule.triggerMs,
             rule.checkpointDir.map(c => s"$c/$i"))
         }
+        if (rule.restart.attempts > 0) monitor(slot, rule)
       } else {
         // piggyback the row counter on the sink's own action via
         // observe(): the old df.count() re-ran the whole plan a second
@@ -145,8 +271,58 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     }
   }
 
+  /** Restart-on-failure monitor (rule.restart): polls the rule's
+    * queries; a query that died with an exception triggers a relaunch
+    * from the checkpoint after exponential backoff, up to `attempts`
+    * times, then Failed. Stands down when the slot's epoch moves
+    * (stop/delete) or every query terminates cleanly.
+    */
+  private def monitor(slot: Slot, rule: Rule): Unit = {
+    val ep = slot.epoch.get
+    val t = new Thread(() => {
+      var attempt = 0
+      var delay = rule.restart.delayMs
+      var done = false
+      while (!done && slot.epoch.get == ep) {
+        Thread.sleep(200)
+        val qs = slot.queries
+        if (qs.isEmpty) done = true // stopped externally
+        else if (qs.exists(_.exception.isDefined)) {
+          val err = qs.flatMap(_.exception).headOption
+            .map(e => String.valueOf(e.getMessage)).getOrElse("query failed")
+          qs.foreach(q => try q.stop() catch { case _: Exception => () })
+          if (attempt < rule.restart.attempts && slot.epoch.get == ep) {
+            attempt += 1
+            Thread.sleep(delay)
+            delay = math.min((delay * rule.restart.multiplier).toLong,
+              rule.restart.maxDelayMs)
+            if (slot.epoch.get == ep)
+              try {
+                slot.queries =
+                  if (rule.liveLookup) launchLiveLookup(slot, rule)
+                  else planOutputs(rule).zipWithIndex.map { case ((df, sink), i) =>
+                    sink.writeStream(df, s"${rule.id}_r${attempt}_$i", rule.triggerMs,
+                      rule.checkpointDir.map(c => s"$c/$i"))
+                  }
+                slot.state = RuleState.Running
+              } catch { case e: Exception =>
+                slot.state = RuleState.Failed(String.valueOf(e.getMessage)); done = true
+              }
+          } else {
+            slot.state = RuleState.Failed(err)
+            slot.queries = Nil
+            done = true
+          }
+        } else if (qs.forall(!_.isActive)) done = true
+      }
+    }, s"graft-rule-monitor-${rule.id}")
+    t.setDaemon(true)
+    t.start()
+  }
+
   def stop(id: String): Unit = {
     val slot = lookup(id)
+    slot.epoch.incrementAndGet() // stand down timers and monitors
     slot.queries.foreach(_.stop())
     slot.queries = Nil
     slot.state = RuleState.Stopped

@@ -74,4 +74,41 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("GET", "/rules/r_api/status")._1 == 404)
     assert(a.handle("PATCH", "/rules")._1 == 404)
   }
+
+  test("export captures definitions; import restores them on a fresh engine") {
+    val dir = Files.createTempDirectory("graft_exp_in")
+    Files.write(dir.resolve("a.json"), """{"x":4}""".getBytes)
+    val a = api
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM exp_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    a.handle("POST", "/rules",
+      """{"id":"r_exp","sql":"SELECT x FROM exp_in","actions":[{"memory":{"topic":"exp_out"}}]}""")
+    val (ce, doc) = a.handle("GET", "/data/export")
+    assert(ce == 200 && doc.contains("exp_in") && doc.contains("r_exp"))
+    // a fresh engine, seeded only from the exported document
+    val b = new RuleApi(new RuleEngine(spark))
+    val (ci, bi) = b.handle("POST", "/data/import", doc)
+    assert(ci == 200 && bi == """{"streams":1,"rules":1}""")
+    assert(b.handle("GET", "/streams")._2.contains("exp_in"))
+    MemoryHub.drop("exp_out")
+    assert(b.handle("POST", "/rules/r_exp/start")._1 == 200)
+    assert(MemoryHub.frame(spark, "exp_out").first().getLong(0) == 4)
+    // the round trip is idempotent: re-export equals the import source
+    assert(b.handle("GET", "/data/export")._2 == doc)
+  }
+
+  test("metrics endpoint aggregates every rule's counters") {
+    val dir = Files.createTempDirectory("graft_met_in")
+    Files.write(dir.resolve("a.json"), """{"x":1}
+{"x":2}""".getBytes)
+    val a = api
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM met_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    a.handle("POST", "/rules",
+      """{"id":"r_met","sql":"SELECT x FROM met_in","actions":[{"nop":{}}]}""")
+    a.handle("POST", "/rules/r_met/start")
+    val (cm, bm) = a.handle("GET", "/metrics")
+    assert(cm == 200 && bm.contains("\"r_met\"") && bm.contains("\"rows\":2"),
+      s"unexpected metrics: $bm")
+  }
 }

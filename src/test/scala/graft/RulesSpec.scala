@@ -115,6 +115,91 @@ class RulesSpec extends SparkSuite {
     } finally eng.stop("rmq")
   }
 
+  test("restart policy relaunches a failed streaming rule from its checkpoint") {
+    val dir = Files.createTempDirectory("graft_restart_in")
+    val ckpt = Files.createTempDirectory("graft_restart_ck")
+    writeJson(dir, Seq("""{"v":1}""", """{"v":2}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM fsrc (v BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}")""".stripMargin)
+    FlakySink.reset(failFirst = 1) // first micro-batch write dies -> query fails
+    eng.create(Rule("rr", "SELECT v FROM fsrc", Seq(FlakySink()),
+      streaming = true, checkpointDir = Some(ckpt.toString),
+      restart = RestartPolicy(attempts = 3, delayMs = 100)))
+    eng.start("rr")
+    try {
+      // failed batch was never committed, so the relaunch replays it
+      val deadline = System.currentTimeMillis() + 30000
+      while (FlakySink.delivered.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(FlakySink.delivered.flatten.sorted == List(1L, 2L),
+        s"restarted query must redeliver the failed batch, got ${FlakySink.delivered}")
+      assert(eng.status("rr").state == RuleState.Running)
+    } finally eng.stop("rr")
+  }
+
+  test("schedule windows gate when a rule runs") {
+    val eng = newEngine
+    ConnectorFeed.clear("mqtt", "sched/in")
+    ConnectorFeed.push("mqtt", "sched/in", """{"v":5}""", 1000L)
+    eng.createStream(
+      """CREATE STREAM ssrc (v BIGINT) WITH (TYPE="mqtt", DATASOURCE="sched/in")""")
+    MemoryHub.drop("sched_out")
+    val now = System.currentTimeMillis()
+    // window opens 600 ms from now and closes 3 s later
+    eng.create(Rule("rs", "SELECT v FROM ssrc", Seq(MemorySink("sched_out")),
+      schedule = Seq(ScheduleRange(now + 600, now + 3600))))
+    eng.start("rs")
+    assert(eng.status("rs").state == RuleState.Scheduled) // not yet open
+    val deadline = System.currentTimeMillis() + 15000
+    while (!MemoryHub.exists("sched_out") && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(MemoryHub.frame(spark, "sched_out").first().getLong(0) == 5,
+      "rule must have run inside its window")
+    // after the window closes the rule is parked again (no later window -> Stopped)
+    while (eng.status("rs").state != RuleState.Stopped
+      && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(eng.status("rs").state == RuleState.Stopped)
+    // a rule whose windows are all in the past never runs
+    eng.create(Rule("rs2", "SELECT v FROM ssrc", Seq(MemorySink("sched_none")),
+      schedule = Seq(ScheduleRange(now - 10000, now - 5000))))
+    MemoryHub.drop("sched_none")
+    eng.start("rs2")
+    assert(eng.status("rs2").state == RuleState.Stopped && !MemoryHub.exists("sched_none"))
+  }
+
+  test("file-backed lookup table: later micro-batches see updated rows") {
+    val evDir = Files.createTempDirectory("graft_lkp_ev")
+    val lkDir = Files.createTempDirectory("graft_lkp_dim")
+    val ckpt = Files.createTempDirectory("graft_lkp_ck")
+    writeJson(evDir, Seq("""{"device":"d1"}"""))
+    Files.write(lkDir.resolve("dim-0.json"), """{"device":"d1","site":"berlin"}""".getBytes)
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM lev (device STRING) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${evDir.toString}")""".stripMargin)
+    eng.createStream(
+      s"""CREATE TABLE ldim (device STRING, site STRING) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${lkDir.toString}")""".stripMargin)
+    ConnectorSink.clear("rest", "lkp/out")
+    eng.create(Rule("rlk",
+      "SELECT e.device, d.site FROM lev e JOIN ldim d ON e.device = d.device",
+      Seq(ConnectorSink("rest", "lkp/out", Map("dataTemplate" -> """{{device}}@{{site}}"""))),
+      streaming = true, checkpointDir = Some(ckpt.toString), liveLookup = true))
+    eng.start("rlk")
+    try {
+      eng.processAllAvailable("rlk")
+      assert(ConnectorSink.sent("rest", "lkp/out").toSet == Set("d1@berlin"))
+      // the dimension data changes on disk; the batch side of the join
+      // re-reads per micro-batch, so the next event sees the new row
+      Files.write(lkDir.resolve("dim-1.json"), """{"device":"d2","site":"tokyo"}""".getBytes)
+      Files.write(evDir.resolve("ev-1.json"), """{"device":"d2"}""".getBytes)
+      eng.processAllAvailable("rlk")
+      assert(ConnectorSink.sent("rest", "lkp/out").toSet == Set("d1@berlin", "d2@tokyo"))
+    } finally eng.stop("rlk")
+  }
+
   test("explain exposes the Catalyst plan with pushed filters") {
     val eng = newEngine
     eng.createStream(
