@@ -77,6 +77,20 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Positions where two equal-length long signatures agree — the
+    * MinHash similarity estimate's numerator, one tight loop per
+    * candidate pair.
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val xa = a.toLongArray()
+    val xb = b.toLongArray()
+    val n = math.min(xa.length, xb.length)
+    var c = 0
+    var i = 0
+    while (i < n) { if (xa(i) == xb(i)) c += 1; i += 1 }
+    c
+  }
+
   /** Sign-bit LSH bucket: bit i set iff vec · planes(i) ≥ 0. */
   def lshBucket(vec: ArrayData, isFloat: Boolean, planes: Array[Array[Double]]): Long = {
     val v = toDoubles(vec, isFloat)
@@ -151,6 +165,22 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen signature-agreement count of two array<long> MinHash
+  * signatures (replaces an interpreted aggregate(zip_with(...)) over
+  * every candidate pair).
+  */
+case class SigAgreeExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.sigAgree(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SigAgreeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen sign-bit LSH bucket of a vector for a fixed plane set
   * (embedded in the generated code via addReferenceObj).
   */
@@ -184,6 +214,8 @@ object VectorFunctions {
     ColumnBridge.column(IvfProbeCellsExpr(ColumnBridge.expression(vec), centroids, p))
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sig_agree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def lsh_bucket(vec: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes))
 }

@@ -97,9 +97,8 @@ object Dedup {
       .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
+        graft.functions.VectorFunctions.sig_agree(col("sa"), col("sb"))
+          .cast("double") / k)
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
