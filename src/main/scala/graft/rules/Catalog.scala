@@ -45,6 +45,26 @@ final class Catalog {
   }
 }
 
+/** Named-schema registry (reference: internal/schema — schemas
+  * registered once and referenced from stream DDL via SCHEMAID).
+  * Schemas are Spark DDL field lists; a stream declared with
+  * `SCHEMAID="name"` and an empty field list resolves its schema here.
+  */
+object SchemaRegistry {
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  def register(name: String, fieldsDdl: String): StructType = {
+    val s = StructType.fromDDL(fieldsDdl)
+    schemas.put(name, s); s
+  }
+  def get(name: String): Option[StructType] = Option(schemas.get(name))
+  def drop(name: String): Unit = schemas.remove(name)
+  def list: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    schemas.keySet().asScala.toSeq.sorted
+  }
+}
+
 object Catalog {
   private val ddlRe =
     """(?is)\s*CREATE\s+(STREAM|TABLE)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*?)\)\s*WITH\s*\((.*)\)\s*;?\s*""".r
@@ -53,9 +73,15 @@ object Catalog {
     case ddlRe(kind, name, fields, withClause) =>
       val props = parseWith(withClause)
       // `CREATE STREAM x () WITH (...)` = schemaless (eKuiper default):
-      // file sources infer from existing data at stream start
-      val schema = if (fields.trim.isEmpty) new StructType()
-        else StructType.fromDDL(fields)
+      // file sources infer from existing data at stream start; with
+      // SCHEMAID="name" the registered schema fills the empty list
+      val schema =
+        if (fields.trim.nonEmpty) StructType.fromDDL(fields)
+        else parseWith(withClause).get("schemaid") match {
+          case Some(sid) => SchemaRegistry.get(sid).getOrElse(
+            throw new IllegalArgumentException(s"schema '$sid' is not registered"))
+          case None => new StructType()
+        }
       val tpe = props.getOrElse("type", "file").toLowerCase
       val fmt = props.getOrElse("format", "json").toLowerCase
       val ds = props.getOrElse("datasource", name)

@@ -110,6 +110,23 @@ final class RuleApi(engine: RuleEngine) {
           case _ => Nil
         }
         ok(s"""{"streams":${ns.size},"rules":${nr.size}}""")
+      case ("POST", List("schemas")) =>
+        val j = JsonMethods.parse(body)
+        (j \ "name", j \ "fields") match {
+          case (JString(n), JString(f)) =>
+            SchemaRegistry.register(n, f); ok(s"""{"name":"$n"}""")
+          case _ => err(400, "body needs {\"name\": ..., \"fields\": \"a BIGINT, ...\"}")
+        }
+      case ("GET", List("schemas")) =>
+        ok(SchemaRegistry.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      case ("GET", List("schemas", name)) =>
+        SchemaRegistry.get(name) match {
+          case Some(s) => ok(JsonMethods.compact(JString(s.toDDL)))
+          case None => err(404, s"schema $name not found")
+        }
+      case ("DELETE", List("schemas", name)) =>
+        SchemaRegistry.drop(name); ok("{}")
+
       case ("GET", List("metrics")) =>
         val per = engine.list.map { id =>
           val st = engine.status(id)

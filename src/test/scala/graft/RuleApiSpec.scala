@@ -97,6 +97,23 @@ class RuleApiSpec extends SparkSuite {
     assert(b.handle("GET", "/data/export")._2 == doc)
   }
 
+  test("schema registry: DDL resolves SCHEMAID, REST round-trips") {
+    val a = api
+    assert(a.handle("POST", "/schemas",
+      """{"name":"sensor_v1","fields":"device STRING, temp BIGINT"}""")._1 == 200)
+    assert(a.handle("GET", "/schemas")._2.contains("sensor_v1"))
+    assert(a.handle("GET", "/schemas/sensor_v1")._2.contains("device"))
+    // stream DDL with an empty field list + SCHEMAID pulls the schema
+    val d = Catalog.parseDdl(
+      """CREATE STREAM sreg () WITH (TYPE="mqtt", DATASOURCE="sr/in", SCHEMAID="sensor_v1")""")
+    assert(d.source.asInstanceOf[graft.sources.ConnectorSource]
+      .schema.fieldNames.toSeq == Seq("device", "temp"))
+    intercept[IllegalArgumentException](Catalog.parseDdl(
+      """CREATE STREAM bad () WITH (TYPE="mqtt", DATASOURCE="x", SCHEMAID="nope")"""))
+    assert(a.handle("DELETE", "/schemas/sensor_v1")._1 == 200)
+    assert(a.handle("GET", "/schemas/sensor_v1")._1 == 404)
+  }
+
   test("metrics endpoint aggregates every rule's counters") {
     val dir = Files.createTempDirectory("graft_met_in")
     Files.write(dir.resolve("a.json"), """{"x":1}
