@@ -44,14 +44,29 @@ object CodecQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    // encode -> decode is lossless, so the oracle is the projection the
-    // round trip must reproduce
+    // the oracle performs the same encode -> parse -> cast round trip
+    // (string build + split per row), so the bench comparison charges
+    // both engines the same per-row work
     "q_codec_delimited" ->
-      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line,
-        |  l_returnflag AS rflag, CAST(l_quantity AS DOUBLE) AS qty
-        |FROM lineitem""".stripMargin,
+      """WITH f AS (
+        |  SELECT l_orderkey || '|' || l_linenumber || '|' || l_returnflag
+        |    || '|' || CAST(l_quantity AS DOUBLE) AS frame
+        |  FROM lineitem)
+        |SELECT CAST(string_split(frame, '|')[1] AS BIGINT) AS okey,
+        |  CAST(string_split(frame, '|')[2] AS BIGINT) AS line,
+        |  string_split(frame, '|')[3] AS rflag,
+        |  CAST(string_split(frame, '|')[4] AS DOUBLE) AS qty
+        |FROM f""".stripMargin,
+    // events' values are URL-safe, so DuckDB (no url_encode/url_decode
+    // in 1.0) parses the same frames with regexp_extract
     "q_codec_urlencoded" ->
-      """SELECT user_id AS "user", event_type AS etype, round(value, 2) AS v
-        |FROM events""".stripMargin
+      """WITH f AS (
+        |  SELECT 'user=' || user_id || '&etype=' || event_type
+        |    || '&v=' || round(value, 2) AS frame
+        |  FROM events)
+        |SELECT CAST(regexp_extract(frame, 'user=([^&]*)', 1) AS BIGINT) AS "user",
+        |  regexp_extract(frame, 'etype=([^&]*)', 1) AS etype,
+        |  CAST(regexp_extract(frame, 'v=([^&]*)', 1) AS DOUBLE) AS v
+        |FROM f""".stripMargin
   )
 }
