@@ -42,13 +42,15 @@ object Codecs {
     * Reference: internal/converter/urlencoded.
     */
   def decodeUrlencoded(frame: Column, schema: StructType): Column = {
+    // keys are matched in their ENCODED form (computed once at plan
+    // time), so only each field's value needs a runtime url_decode —
+    // no per-element HOF lambda (those run interpreted)
     val raw = str_to_map(frame, lit("&"), lit("="))
-    val decoded = map_from_arrays(
-      transform(map_keys(raw), k => url_decode(k)),
-      transform(map_values(raw), v => url_decode(v)))
-    struct(schema.fields.map(f =>
-      try_element_at(decoded, lit(f.name)).try_cast(f.dataType.sql).as(f.name))
-      .toIndexedSeq: _*)
+    struct(schema.fields.map { f =>
+      val encKey = java.net.URLEncoder.encode(f.name, "UTF-8")
+      url_decode(try_element_at(raw, lit(encKey)))
+        .try_cast(f.dataType.sql).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Encode (name, value) columns as a urlencoded frame; null values

@@ -76,4 +76,29 @@ class PlanSpec extends SparkSuite {
     val s = formatted(SparkEntry.queries("q_fn_math")(spark, sf))
     assert(s.contains("codegen id"), s)
   }
+
+  test("vector kernels run as single codegen calls, not interpreted HOF folds") {
+    // cosine / LSH bucketing / signature agreement were each a
+    // per-element interpreted lambda before r5; pin the kernel forms
+    for (name <- Seq("q_dedup_embed", "q_knn_cosine", "q_knn_lsh")) {
+      val p = planOf(name)
+      assert(!p.contains("aggregate(") && !p.contains("zip_with("),
+        s"$name still folds HOF lambdas:\n${p.take(2000)}")
+    }
+    val embed = planOf("q_dedup_embed")
+    assert(embed.contains("cosine_sim"), embed.take(1500))
+    val lsh = planOf("q_knn_lsh")
+    assert(lsh.contains("lsh_bucket"), lsh.take(1500))
+    val mh = planOf("q_dedup_minhash")
+    assert(mh.contains("sig_agree") && !mh.contains("zip_with("), mh.take(1500))
+  }
+
+  test("codec decode is a codegen projection with no lambda stages") {
+    for (name <- Seq("q_codec_delimited", "q_codec_urlencoded")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("transform("), s"$name uses an interpreted HOF:\n${p.take(1500)}")
+      assert(formatted(df).contains("codegen id"), name)
+    }
+  }
 }

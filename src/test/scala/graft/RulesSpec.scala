@@ -115,6 +115,31 @@ class RulesSpec extends SparkSuite {
     } finally eng.stop("rmq")
   }
 
+  test("batch rule evaluates once: a single Spark job serves sink and metrics") {
+    val dir = Files.createTempDirectory("graft_onejob_in")
+    writeJson(dir, Seq("""{"x":1}""", """{"x":2}""", """{"x":3}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM oj (x BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}")""".stripMargin)
+    eng.create(Rule("roj", "SELECT x * 2 AS y FROM oj", Seq(NopSink())))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      eng.start("roj")
+      Thread.sleep(500) // listener bus is async
+      // the old implementation ran df.count() after the sink write —
+      // a full second evaluation, i.e. 2 jobs for a 1-sink rule
+      assert(jobs.get == 1, s"expected exactly one job, saw ${jobs.get}")
+      assert(eng.status("roj").rowsProcessed == 3)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("restart policy relaunches a failed streaming rule from its checkpoint") {
     val dir = Files.createTempDirectory("graft_restart_in")
     val ckpt = Files.createTempDirectory("graft_restart_ck")
