@@ -157,9 +157,35 @@ object GraftFunctions {
         s"argument must be a literal, got $other")
     }
 
+  /** eKuiper's meta() (funcs_misc.go:489): event metadata lookup.
+    * Sources publish a `__meta` map column (ConnectorSource with
+    * meta="true"); `meta(topic)` reads it. The key may be an eKuiper
+    * bare identifier (meta(topic)) or a string literal (meta('topic'))
+    * — a bare identifier is captured pre-analysis and treated as the
+    * key name, exactly the reference's parse rule. meta() with no args
+    * returns the whole map.
+    */
+  private def metaBuilder(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val metaCol = ColumnBridge.column(UnresolvedAttribute("__meta"))
+    args match {
+      case Seq() => ColumnBridge.expression(metaCol)
+      case Seq(k) =>
+        val key = k match {
+          case a: UnresolvedAttribute => ColumnBridge.column(Literal(a.name))
+          case other => ColumnBridge.column(other)
+        }
+        ColumnBridge.expression(try_element_at(metaCol, key))
+      case _ => throw new IllegalArgumentException("meta() takes zero or one argument")
+    }
+  }
+
   /** Register every eKuiper-named function on the session. Idempotent;
     * RuleEngine calls this so rule SQL has the full surface.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, f) => RegistryBridge.register(spark, name, lift(f)) }
+    RegistryBridge.register(spark, "meta", metaBuilder)
+  }
 }

@@ -81,6 +81,7 @@ object EkuiperSql {
     """(?i)\b(TUMBLING|HOPPING|SESSION|SLIDING|COUNT)WINDOW\s*\(""".r
       .findFirstIn(code).isDefined ||
       """(?i)\bwindow_(start|end)\s*\(\s*\)""".r.findFirstIn(code).isDefined ||
+      """(?i)\bmeta\s*\(\s*[A-Za-z_]""".r.findFirstIn(code).isDefined ||
       """\w->\w""".r.findFirstIn(code).isDefined
   }
 
@@ -111,6 +112,14 @@ object EkuiperSql {
 
     out = """(?i)\bwindow_start\s*\(\s*\)""".r.replaceAllIn(out, "window.start")
     out = """(?i)\bwindow_end\s*\(\s*\)""".r.replaceAllIn(out, "window.end")
+
+    // meta(topic) — eKuiper parses the bare identifier as the metadata
+    // KEY, not a column (funcs_misc.go meta()); quote it so Spark's
+    // analyzer never tries to resolve it as an attribute
+    out = mapOutsideLiterals(out) { seg =>
+      """(?i)\bmeta\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+        .replaceAllIn(seg, m => s"meta('${m.group(1)}')")
+    }
 
     // arrow access (json_expr.md): a->b->c → a['b']['c'] — works for
     // struct and map columns. Only the space-free form is eKuiper's;

@@ -239,13 +239,23 @@ final case class ConnectorSource(kind: String, topic: String,
 
   /** Decode raw frames (json / delimited / urlencoded, per FORMAT) from
     * the stub transport to typed rows — a pure codegen projection.
+    * With meta="true" a `__meta` map column (kind/topic/arrival_ms)
+    * rides along for the SQL meta() function (reference
+    * funcs_misc.go meta()).
     */
-  private def decode(spark: SparkSession, raw: DataFrame): DataFrame =
-    raw.select(
+  private def decode(spark: SparkSession, raw: DataFrame): DataFrame = {
+    val base = raw.select(
         Codecs.decode(col("frame"), schema, format,
           options.getOrElse("delimiter", ",")).as("m"),
         col("arrival_ts"))
       .select(col("m.*"), col("arrival_ts"))
+    if (options.get("meta").contains("true"))
+      base.withColumn("__meta", map(
+        lit("kind"), lit(kind),
+        lit("topic"), lit(topic),
+        lit("arrival_ms"), unix_millis(col("arrival_ts")).cast("string")))
+    else base
+  }
 
   def batch(spark: SparkSession): DataFrame =
     decode(spark, ConnectorFeed.frames(spark, kind, topic))

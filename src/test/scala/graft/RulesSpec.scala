@@ -115,6 +115,29 @@ class RulesSpec extends SparkSuite {
     } finally eng.stop("rmq")
   }
 
+  test("meta() exposes event metadata: bare-identifier and literal keys") {
+    val eng = newEngine
+    ConnectorFeed.clear("mqtt", "meta/in")
+    ConnectorFeed.push("mqtt", "meta/in", """{"device":"a"}""", 4000L)
+    eng.createStream(
+      """CREATE STREAM msrc (device STRING) WITH
+        | (TYPE="mqtt", DATASOURCE="meta/in", META="true")""".stripMargin)
+    MemoryHub.drop("meta_out")
+    eng.create(Rule("rmeta",
+      "SELECT device, meta(topic) AS t, meta('kind') AS k, meta(arrival_ms) AS ts FROM msrc",
+      Seq(MemorySink("meta_out"))))
+    eng.start("rmeta")
+    val r = MemoryHub.frame(spark, "meta_out").first()
+    assert(r.getString(0) == "a" && r.getString(1) == "meta/in"
+      && r.getString(2) == "mqtt" && r.getString(3) == "4000")
+    // unknown keys are null, not an error (try_element_at semantics)
+    eng.create(Rule("rmeta2", "SELECT meta(nope) AS n FROM msrc",
+      Seq(MemorySink("meta_out2"))))
+    MemoryHub.drop("meta_out2")
+    eng.start("rmeta2")
+    assert(MemoryHub.frame(spark, "meta_out2").first().isNullAt(0))
+  }
+
   test("batch rule evaluates once: a single Spark job serves sink and metrics") {
     val dir = Files.createTempDirectory("graft_onejob_in")
     writeJson(dir, Seq("""{"x":1}""", """{"x":2}""", """{"x":3}"""))
