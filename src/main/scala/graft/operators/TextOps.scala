@@ -39,12 +39,13 @@ object TextOps {
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Mean word length over whitespace tokens. */
+  /** Mean word length over whitespace tokens. Σ token lengths is
+    * length(array_join(...)) — codegen'd, no per-element HOF fold.
+    */
   def meanWordLen(text: Column): Column = {
     val ts = tokens(text)
     when(size(ts) > 0,
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(ts).cast("double"))
+      length(array_join(ts, "")).cast("double") / size(ts).cast("double"))
       .otherwise(lit(0.0))
   }
 
