@@ -232,6 +232,43 @@ class SourcesSinksSpec extends SparkSuite {
       .map(_.toList))
   }
 
+  test("memory hub append keeps a bounded plan over 100 appends") {
+    MemoryHub.drop("hub_cap")
+    for (i <- 0 until 100)
+      MemoryHub.append("hub_cap", spark.range(i, i + 1).toDF("v"))
+    val df = MemoryHub.frame(spark, "hub_cap")
+    assert(df.count() == 100 && df.agg(sum("v")).first().getLong(0) == 4950)
+    // without the collapse every 16 appends this union tree is ~100 deep
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    val d = depth(df.queryExecution.logical)
+    assert(d < 30, s"append lineage not collapsed: depth $d")
+    MemoryHub.drop("hub_cap")
+  }
+
+  test("reliable sink under streaming: failed batch redelivers next trigger, query survives") {
+    val in = Files.createTempDirectory("graft_rel_in")
+    val cache = Files.createTempDirectory("graft_rel_cache")
+    val ckpt = Files.createTempDirectory("graft_rel_ck")
+    Files.write(in.resolve("a.json"), """{"v":1}""".getBytes)
+    FlakySink.reset(failFirst = 1)
+    val rs = ReliableSink(FlakySink(), cache.toString)
+    val q = rs.writeStream(
+      FileSource(in.toString, "json",
+        Some(StructType.fromDDL("v bigint"))).stream(spark),
+      "rel_stream", checkpoint = Some(ckpt.toString))
+    try {
+      q.processAllAvailable()
+      // first batch failed into the spool — the QUERY did not die
+      assert(q.isActive && rs.pendingBatches == 1 && FlakySink.delivered.isEmpty)
+      Files.write(in.resolve("b.json"), """{"v":2}""".getBytes)
+      q.processAllAvailable()
+      // next trigger replayed the spooled batch first, then the new one
+      assert(rs.pendingBatches == 0)
+      assert(FlakySink.delivered.toList == List(List(1L), List(2L)))
+    } finally q.stop()
+  }
+
   test("file sink writes json/csv/parquet that read back identically") {
     val out = Files.createTempDirectory("graft_sink")
     val df = spark.range(10).toDF("v").withColumn("s", concat(lit("row"), col("v")))
