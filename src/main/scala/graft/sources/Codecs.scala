@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.StructType
   */
 object Codecs {
 
-  val formats: Set[String] = Set("json", "delimited", "urlencoded")
+  val formats: Set[String] = Set("json", "delimited", "urlencoded", "protobuf")
 
   /** Decode a delimited frame ("v1,v2,v3") into the declared schema:
     * positional fields, each cast to its declared type. Reference:
@@ -61,12 +61,17 @@ object Codecs {
       when(c.isNotNull, concat(lit(n), lit("="), url_encode(c.cast("string"))))
     }: _*)
 
-  /** Frame-string → typed-struct decode for the given format. */
+  /** Frame-string → typed-struct decode for the given format.
+    * Protobuf frames (binary wire format, graft.functions.ProtobufLite)
+    * ride the string transport base64-encoded.
+    */
   def decode(frame: Column, schema: StructType, format: String,
              delimiter: String = ","): Column = format.toLowerCase match {
     case "json" => from_json(frame, schema)
     case "delimited" => decodeDelimited(frame, schema, delimiter)
     case "urlencoded" => decodeUrlencoded(frame, schema)
+    case "protobuf" =>
+      graft.functions.ProtobufFunctions.proto_decode(unbase64(frame), schema)
     case other => throw new IllegalArgumentException(
       s"unknown payload format '$other' (expected one of ${formats.mkString(", ")})")
   }
@@ -77,6 +82,8 @@ object Codecs {
     case "json" => to_json(struct(cols.map { case (n, c) => c.as(n) }: _*))
     case "delimited" => encodeDelimited(cols.map(_._2), delimiter)
     case "urlencoded" => encodeUrlencoded(cols)
+    case "protobuf" => base64(graft.functions.ProtobufFunctions.proto_encode(
+      struct(cols.map { case (n, c) => c.as(n) }: _*)))
     case other => throw new IllegalArgumentException(
       s"unknown payload format '$other' (expected one of ${formats.mkString(", ")})")
   }

@@ -78,6 +78,63 @@ class FunctionsSpec extends SparkSuite {
     assert(roundtrip.where(col("back") =!= col("text")).count() == 0)
   }
 
+  test("protobuf lite codec: wire-format goldens and round trips") {
+    import graft.functions.ProtobufLite
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // the protobuf documentation's canonical example: a message with
+    // field 1 (varint) = 150 encodes as 08 96 01
+    val s1 = StructType.fromDDL("a BIGINT")
+    val row1 = new GenericInternalRow(Array[Any](150L))
+    assert(ProtobufLite.encode(row1, s1).toSeq ==
+      Seq(0x08.toByte, 0x96.toByte, 0x01.toByte))
+    assert(ProtobufLite.decode(Array(0x08.toByte, 0x96.toByte, 0x01.toByte), s1)
+      .getLong(0) == 150L)
+    // field 2 (string) = "testing" encodes as 12 07 "testing"
+    val s2 = StructType.fromDDL("skip BIGINT, b STRING")
+    val bytes2 = Array(0x12, 0x07).map(_.toByte) ++ "testing".getBytes("UTF-8")
+    val d2 = ProtobufLite.decode(bytes2, s2)
+    assert(d2.isNullAt(0) && d2.getUTF8String(1).toString == "testing")
+
+    // full scalar round trip incl. negative varints and null skipping
+    val s3 = StructType.fromDDL(
+      "l BIGINT, i INT, f DOUBLE, g FLOAT, t BOOLEAN, s STRING")
+    val row3 = new GenericInternalRow(Array[Any](
+      -42L, -7, 3.25, 1.5f, true, UTF8String.fromString("héllo")))
+    val back = ProtobufLite.decode(ProtobufLite.encode(row3, s3), s3)
+    assert(back.getLong(0) == -42L && back.getInt(1) == -7
+      && back.getDouble(2) == 3.25 && back.getFloat(3) == 1.5f
+      && back.getBoolean(4) && back.getUTF8String(5).toString == "héllo")
+    // unknown field numbers in the payload are skipped, not fatal
+    val withUnknown = ProtobufLite.encode(row3, s3) ++
+      Array(0x78, 0x01).map(_.toByte) // field 15 varint 1
+    assert(ProtobufLite.decode(withUnknown, s3).getLong(0) == -42L)
+  }
+
+  test("protobuf codec end-to-end through connector source and sink") {
+    import graft.sources.{Codecs, ConnectorFeed, ConnectorSource}
+    import org.apache.spark.sql.types.StructType
+    // sink side encodes real rows; the produced frames feed the source
+    val schema = StructType.fromDDL("device STRING, temp BIGINT, ok BOOLEAN")
+    val frames = spark.sql(
+      """SELECT * FROM VALUES ('a', 21, true), ('b', -3, false) AS t(device, temp, ok)""")
+      .select(Codecs.encode(
+        Seq("device" -> col("device"), "temp" -> col("temp"), "ok" -> col("ok")),
+        "protobuf").as("frame"))
+      .collect().map(_.getString(0))
+    ConnectorFeed.clear("mqtt", "pb/in")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      ConnectorFeed.push("mqtt", "pb/in", f, 1000L + i) }
+    val df = ConnectorSource("mqtt", "pb/in", schema,
+      Map("format" -> "protobuf")).batch(spark)
+    val rows = df.orderBy("device").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "a" && rows(0).getLong(1) == 21 && rows(0).getBoolean(2))
+    assert(rows(1).getString(0) == "b" && rows(1).getLong(1) == -3 && !rows(1).getBoolean(2))
+  }
+
   test("eKuiper-named registry functions via SQL") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
