@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.StructType
   */
 object Codecs {
 
-  val formats: Set[String] = Set("json", "delimited", "urlencoded", "protobuf")
+  val formats: Set[String] = Set("json", "delimited", "urlencoded", "protobuf", "avro")
 
   /** Decode a delimited frame ("v1,v2,v3") into the declared schema:
     * positional fields, each cast to its declared type. Reference:
@@ -72,6 +72,8 @@ object Codecs {
     case "urlencoded" => decodeUrlencoded(frame, schema)
     case "protobuf" =>
       graft.functions.ProtobufFunctions.proto_decode(unbase64(frame), schema)
+    case "avro" =>
+      graft.functions.AvroFunctions.avro_decode(unbase64(frame), schema)
     case other => throw new IllegalArgumentException(
       s"unknown payload format '$other' (expected one of ${formats.mkString(", ")})")
   }
@@ -83,6 +85,8 @@ object Codecs {
     case "delimited" => encodeDelimited(cols.map(_._2), delimiter)
     case "urlencoded" => encodeUrlencoded(cols)
     case "protobuf" => base64(graft.functions.ProtobufFunctions.proto_encode(
+      struct(cols.map { case (n, c) => c.as(n) }: _*)))
+    case "avro" => base64(graft.functions.AvroFunctions.avro_encode(
       struct(cols.map { case (n, c) => c.as(n) }: _*)))
     case other => throw new IllegalArgumentException(
       s"unknown payload format '$other' (expected one of ${formats.mkString(", ")})")

@@ -113,6 +113,53 @@ class FunctionsSpec extends SparkSuite {
     assert(ProtobufLite.decode(withUnknown, s3).getLong(0) == -42L)
   }
 
+  test("avro lite codec: zigzag goldens and nullable round trips") {
+    import graft.functions.AvroLite
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // avro spec: long -1 zigzags to 1; nullable union prefixes branch
+    // index 1 (zigzag 2). record {long? = -1} => [0x02, 0x01]
+    val s1 = StructType.fromDDL("a BIGINT")
+    val row1 = new GenericInternalRow(Array[Any](-1L))
+    assert(AvroLite.encode(row1, s1).toSeq == Seq(0x02.toByte, 0x01.toByte))
+    assert(AvroLite.decode(Array(0x02.toByte, 0x01.toByte), s1).getLong(0) == -1L)
+    // null field = union branch 0 (zigzag 0) only
+    val rowN = new GenericInternalRow(Array[Any](null))
+    assert(AvroLite.encode(rowN, s1).toSeq == Seq(0x00.toByte))
+    assert(AvroLite.decode(Array(0x00.toByte), s1).isNullAt(0))
+
+    val s3 = StructType.fromDDL(
+      "l BIGINT, i INT, f DOUBLE, g FLOAT, t BOOLEAN, s STRING, n STRING")
+    val row3 = new GenericInternalRow(Array[Any](
+      150L, -7, 3.25, 1.5f, true, UTF8String.fromString("héllo"), null))
+    val back = AvroLite.decode(AvroLite.encode(row3, s3), s3)
+    assert(back.getLong(0) == 150L && back.getInt(1) == -7
+      && back.getDouble(2) == 3.25 && back.getFloat(3) == 1.5f
+      && back.getBoolean(4) && back.getUTF8String(5).toString == "héllo"
+      && back.isNullAt(6))
+  }
+
+  test("avro codec end-to-end through connector source and sink") {
+    import graft.sources.{Codecs, ConnectorFeed, ConnectorSource}
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("device STRING, temp BIGINT")
+    val frames = spark.sql(
+      "SELECT * FROM VALUES ('a', 21), ('b', -3) AS t(device, temp)")
+      .select(Codecs.encode(
+        Seq("device" -> col("device"), "temp" -> col("temp")), "avro").as("frame"))
+      .collect().map(_.getString(0))
+    ConnectorFeed.clear("mqtt", "av/in")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      ConnectorFeed.push("mqtt", "av/in", f, 1000L + i) }
+    val rows = ConnectorSource("mqtt", "av/in", schema,
+      Map("format" -> "avro")).batch(spark).orderBy("device").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "a" && rows(0).getLong(1) == 21)
+    assert(rows(1).getString(0) == "b" && rows(1).getLong(1) == -3)
+  }
+
   test("protobuf codec end-to-end through connector source and sink") {
     import graft.sources.{Codecs, ConnectorFeed, ConnectorSource}
     import org.apache.spark.sql.types.StructType

@@ -215,7 +215,7 @@ class SourcesSinksSpec extends SparkSuite {
       .writeBatch(spark.sql("SELECT 'a b' AS device, 21 AS temp, CAST(NULL AS STRING) AS note"))
     assert(ConnectorSink.sent("rest", "out/form") == Vector("device=a+b&temp=21"))
     intercept[IllegalArgumentException](ConnectorSource("mqtt", "x",
-      StructType.fromDDL("a int"), Map("format" -> "avro")))
+      StructType.fromDDL("a int"), Map("format" -> "msgpack")))
   }
 
   test("reliable sink spools failed batches and redelivers in order") {
