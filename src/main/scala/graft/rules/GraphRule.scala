@@ -24,7 +24,10 @@ import org.json4s.jackson.JsonMethods
   *
   * Operators: filter, project (select-exprs), aggregate (groupBy/aggs,
   * optional tumbling window on a ts column), having, orderby, limit,
-  * join (two inputs; on/how), dedup (keep-first by keys).
+  * join (two inputs; on/how), dedup (keep-first by keys), switch
+  * (condition routing: output edge i carries rows matching cases[i];
+  * stopAtFirstMatch=true — the default, like the reference — makes
+  * branches disjoint by excluding earlier cases).
   */
 object GraphRule {
 
@@ -59,7 +62,43 @@ object GraphRule {
       case _ => None
     }
 
-    val memo = scala.collection.mutable.Map[String, DataFrame]()
+    def isSwitch(n: String): Boolean = nodes.get(n).exists(v =>
+      (v \ "type") == JString("operator") && (v \ "op") == JString("switch"))
+
+    /** A switch's output toward one consumer: the rows matching that
+      * edge's case (minus earlier cases under stopAtFirstMatch).
+      */
+    def branchOf(switchName: String, consumer: String): DataFrame = {
+      val node = nodes(switchName)
+      val cases = strSeq(node, "cases")
+      require(cases.nonEmpty, s"switch $switchName needs a cases array")
+      val outs = edgeList.filter(_._1 == switchName).map(_._2)
+      val idx = outs.indexOf(consumer)
+      require(idx >= 0 && idx < cases.size,
+        s"switch $switchName: consumer $consumer has no matching case " +
+          s"(${outs.size} outputs, ${cases.size} cases)")
+      val in = inputDf(switchName)
+      val stopAtFirst = (node \ "stopAtFirstMatch") != JBool(false)
+      val cond =
+        if (stopAtFirst && idx > 0)
+          (cases.take(idx).map(c => s"NOT ($c)") :+ s"(${cases(idx)})").mkString(" AND ")
+        else cases(idx)
+      in.where(expr(cond))
+    }
+
+    /** Resolve `consumer`'s input named `inputName` — per-consumer for
+      * switch nodes, shared otherwise.
+      */
+    def resolveInput(inputName: String, consumer: String): DataFrame =
+      if (isSwitch(inputName)) branchOf(inputName, consumer) else dfOf(inputName)
+
+    def inputDf(name: String): DataFrame = {
+      val ins = inputsOf.getOrElse(name, Seq.empty)
+      resolveInput(ins.headOption.getOrElse(
+        throw new IllegalArgumentException(s"node $name has no input")), name)
+    }
+
+    lazy val memo = scala.collection.mutable.Map[String, DataFrame]()
     def dfOf(name: String): DataFrame = memo.getOrElseUpdate(name, {
       val node = nodes.getOrElse(name,
         throw new IllegalArgumentException(s"edge references unknown node $name"))
@@ -75,9 +114,12 @@ object GraphRule {
               case _ => base
             }
           } else sd.source.batch(spark)
+        case "operator" if str(node, "op") == "switch" =>
+          throw new IllegalArgumentException(
+            s"switch $name resolves per output edge; route consumers through its edges")
         case "operator" =>
-          val in = dfOf(ins.headOption.getOrElse(
-            throw new IllegalArgumentException(s"operator $name has no input")))
+          lazy val in = resolveInput(ins.headOption.getOrElse(
+            throw new IllegalArgumentException(s"operator $name has no input")), name)
           str(node, "op") match {
             case "filter" => in.where(expr(str(node, "expr")))
             case "project" => in.selectExpr(strSeq(node, "exprs"): _*)
@@ -96,12 +138,13 @@ object GraphRule {
             case "dedup" => in.dropDuplicates(strSeq(node, "keys"))
             case "join" =>
               require(ins.size == 2, s"join $name needs exactly 2 inputs, got $ins")
-              dfOf(ins(0)).alias("l").join(dfOf(ins(1)).alias("r"),
-                expr(str(node, "on")), optStr(node, "how").getOrElse("inner"))
+              resolveInput(ins(0), name).alias("l")
+                .join(resolveInput(ins(1), name).alias("r"),
+                  expr(str(node, "on")), optStr(node, "how").getOrElse("inner"))
             case other => throw new IllegalArgumentException(s"unknown op $other")
           }
-        case "sink" => dfOf(ins.headOption.getOrElse(
-          throw new IllegalArgumentException(s"sink $name has no input")))
+        case "sink" => resolveInput(ins.headOption.getOrElse(
+          throw new IllegalArgumentException(s"sink $name has no input")), name)
         case other => throw new IllegalArgumentException(s"unknown node type $other")
       }
     })

@@ -43,7 +43,33 @@ final class RuleApi(engine: RuleEngine) {
       case JArray(actions) => actions.map(RuleApi.parseAction)
       case _ => Seq(LogSink())
     }
-    engine.create(Rule(id, sql, sinks, streaming = streaming))
+    // rule options (reference rule JSON "options"): restartStrategy,
+    // datetime run windows, live lookup, trigger interval, checkpoint
+    def num(v: JValue): Option[Long] = v match {
+      case JInt(n) => Some(n.toLong); case JLong(n) => Some(n)
+      case JDouble(d) => Some(d.toLong); case _ => None
+    }
+    val opts = j \ "options"
+    val restart = (opts \ "restartStrategy") match {
+      case o: JObject => RestartPolicy(
+        attempts = num(o \ "attempts").getOrElse(0L).toInt,
+        delayMs = num(o \ "delay").getOrElse(1000L),
+        multiplier = (o \ "multiplier") match {
+          case JDouble(d) => d; case JInt(n) => n.toDouble; case _ => 2.0 },
+        maxDelayMs = num(o \ "maxDelay").getOrElse(30000L))
+      case _ => RestartPolicy()
+    }
+    val schedule = (opts \ "schedule") match {
+      case JArray(ws) => ws.flatMap { w =>
+        for (b <- num(w \ "begin"); e <- num(w \ "end")) yield ScheduleRange(b, e) }
+      case _ => Nil
+    }
+    engine.create(Rule(id, sql, sinks, streaming = streaming,
+      triggerMs = num(opts \ "trigger").getOrElse(0L),
+      checkpointDir = (opts \ "checkpoint") match {
+        case JString(c) => Some(c); case _ => None },
+      restart = restart, schedule = schedule,
+      liveLookup = (opts \ "liveLookup") == JBool(true)))
     ruleJson.put(id, JsonMethods.compact(JsonMethods.render(j)))
     id
   }

@@ -129,6 +129,47 @@ class GraphRuleSpec extends SparkSuite {
     } finally eng.stop("gstream")
   }
 
+  test("switch node routes rows to branches; stopAtFirstMatch makes them disjoint") {
+    val dir = Files.createTempDirectory("graft_switch_in")
+    Files.write(dir.resolve("in.json"),
+      Seq("""{"device":"d1","temp":30}""", """{"device":"d2","temp":15}""",
+          """{"device":"d3","temp":40}""", """{"device":"d4","temp":5}""")
+        .mkString("\n").getBytes)
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM swsensor (device STRING, temp BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("sw_hot"); MemoryHub.drop("sw_rest")
+    eng.create(Rule.graph("gsw",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"swsensor"},
+        |  "sw":  {"type":"operator", "op":"switch",
+        |          "cases":["temp > 20", "temp > 0"]},
+        |  "hot": {"type":"sink", "kind":"memory", "endpoint":"sw_hot"},
+        |  "rest":{"type":"sink", "kind":"memory", "endpoint":"sw_rest"}},
+        | "edges": {"src":["sw"], "sw":["hot","rest"]}}""".stripMargin))
+    eng.start("gsw")
+    val hot = MemoryHub.frame(spark, "sw_hot").select("device").collect().map(_.getString(0)).sorted
+    val rest = MemoryHub.frame(spark, "sw_rest").select("device").collect().map(_.getString(0)).sorted
+    // second case overlaps the first, but stopAtFirstMatch (default)
+    // excludes rows the first branch already took
+    assert(hot.toSeq == Seq("d1", "d3"), hot.mkString(","))
+    assert(rest.toSeq == Seq("d2", "d4"), rest.mkString(","))
+    // stopAtFirstMatch=false duplicates overlapping rows to both branches
+    MemoryHub.drop("sw_all1"); MemoryHub.drop("sw_all2")
+    eng.create(Rule.graph("gsw2",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"swsensor"},
+        |  "sw":  {"type":"operator", "op":"switch", "stopAtFirstMatch": false,
+        |          "cases":["temp > 20", "temp > 0"]},
+        |  "a": {"type":"sink", "kind":"memory", "endpoint":"sw_all1"},
+        |  "b": {"type":"sink", "kind":"memory", "endpoint":"sw_all2"}},
+        | "edges": {"src":["sw"], "sw":["a","b"]}}""".stripMargin))
+    eng.start("gsw2")
+    assert(MemoryHub.frame(spark, "sw_all1").count() == 2)
+    assert(MemoryHub.frame(spark, "sw_all2").count() == 4)
+  }
+
   test("malformed graphs fail loudly") {
     val eng = new RuleEngine(spark)
     eng.create(Rule.graph("bad1", """{"nodes": {"x": {"type":"operator", "op":"filter", "expr":"1=1"}}, "edges": {}}"""))

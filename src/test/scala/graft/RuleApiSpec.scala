@@ -114,6 +114,24 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("GET", "/schemas/sensor_v1")._1 == 404)
   }
 
+  test("rule options JSON maps to restart/schedule/lookup/trigger settings") {
+    val a = api
+    val now = System.currentTimeMillis()
+    val (c, _) = a.handle("POST", "/rules",
+      s"""{"id":"r_opt","sql":"SELECT 1 AS one","streaming":true,
+         | "actions":[{"nop":{}}],
+         | "options":{
+         |   "restartStrategy":{"attempts":3,"delay":200,"multiplier":1.5,"maxDelay":5000},
+         |   "schedule":[{"begin":${now + 3600000},"end":${now + 7200000}}],
+         |   "trigger":250, "checkpoint":"/tmp/graft_opt_ck", "liveLookup":false}}""".stripMargin)
+    assert(c == 200)
+    // the rule is parked as Scheduled: its window is an hour away
+    a.handle("POST", "/rules/r_opt/start")
+    val (_, st) = a.handle("GET", "/rules/r_opt/status")
+    assert(st.contains("Scheduled"), st)
+    a.handle("POST", "/rules/r_opt/stop")
+  }
+
   test("metrics endpoint aggregates every rule's counters") {
     val dir = Files.createTempDirectory("graft_met_in")
     Files.write(dir.resolve("a.json"), """{"x":1}
