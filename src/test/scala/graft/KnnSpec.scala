@@ -29,6 +29,29 @@ class KnnSpec extends SparkSuite {
     assert(res.where(col("n_id") === col("q_id") && col("cos") < 0.99999).count() == 0)
   }
 
+  test("codegen cosine kernel is bit-identical to the HOF formulation it replaced") {
+    // the kernel replicates the fold order (dot ascending, |a|², |b|²)
+    // exactly — full 64-bit equality on real embedding pairs, no
+    // rounding tolerance
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+      val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+      dot / (sqrt(na) * sqrt(nb))
+    }
+    val a = emb.where(col("vec_id") < 15)
+      .select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb.where(col("vec_id") < 15)
+      .select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("a") < col("b"))
+      .select(Knn.cosine(col("va"), col("vb")).as("kernel"),
+        hofCosine(col("va"), col("vb")).as("hof"))
+    assert(pairs.count() > 50)
+    assert(pairs.where(col("kernel") =!= col("hof")).count() == 0,
+      "kernel and HOF cosine diverged")
+  }
+
   test("multi-table LSH recall vs brute force >= 0.5") {
     // the synthetic embeddings are near-random (top-10 neighbor cos ~
     // 0.3), the hardest case for LSH — multi-table + 1-bit probing is
