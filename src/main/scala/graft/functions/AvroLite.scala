@@ -93,6 +93,9 @@ object AvroLite {
     var i = 0
     while (i < schema.length) {
       val branch = readVarint()
+      if (branch != 0L && branch != 1L)
+        throw new IllegalArgumentException(
+          s"avro codec: invalid union branch $branch for field ${schema.fields(i).name}")
       if (branch == 1L) schema.fields(i).dataType match {
         case LongType => row.update(i, readVarint())
         case IntegerType => row.update(i, readVarint().toInt)
