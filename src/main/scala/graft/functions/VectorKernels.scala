@@ -84,10 +84,13 @@ object VectorKernels {
   def sigAgree(a: ArrayData, b: ArrayData): Int = {
     val xa = a.toLongArray()
     val xb = b.toLongArray()
-    val n = math.min(xa.length, xb.length)
+    if (xa.length != xb.length)
+      throw new IllegalArgumentException(
+        s"sig_agree: signatures must have equal length (${xa.length} vs ${xb.length})" +
+          " - were the two sides minhashed with different k?")
     var c = 0
     var i = 0
-    while (i < n) { if (xa(i) == xb(i)) c += 1; i += 1 }
+    while (i < xa.length) { if (xa(i) == xb(i)) c += 1; i += 1 }
     c
   }
 

@@ -89,29 +89,39 @@ object EkuiperSql {
     * event-time column (StreamDef.timestampCol, default "ts").
     */
   def translate(sql: String, tsCol: String = "ts"): String = {
+    // every rewrite and rejection check runs OUTSIDE string literals —
+    // a quoted 'TUMBLINGWINDOW(ss,5)' or 'a->b' is data, not syntax.
+    // (The durations the window rewrites insert are themselves quoted,
+    // so later passes skip them too.)
     var out = sql
 
-    out = """(?i)\bTUMBLINGWINDOW\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)""".r
-      .replaceAllIn(out, m => s"window($tsCol, ${dur(m.group(1), m.group(2))})")
+    out = mapOutsideLiterals(out) { seg =>
+      var s = seg
+      s = """(?i)\bTUMBLINGWINDOW\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)""".r
+        .replaceAllIn(s, m => s"window($tsCol, ${dur(m.group(1), m.group(2))})")
+      s = """(?i)\bHOPPINGWINDOW\s*\(\s*(\w+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+        .replaceAllIn(s, m =>
+          s"window($tsCol, ${dur(m.group(1), m.group(2))}, ${dur(m.group(1), m.group(3))})")
+      // SESSIONWINDOW(unit, size, timeout): Spark sessionizes on the gap
+      // (= timeout); the reference's max-duration cap has no SQL
+      // equivalent and is intentionally dropped (documented divergence).
+      s = """(?i)\bSESSIONWINDOW\s*\(\s*(\w+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+        .replaceAllIn(s, m => s"session_window($tsCol, ${dur(m.group(1), m.group(3))})")
+      s
+    }
 
-    out = """(?i)\bHOPPINGWINDOW\s*\(\s*(\w+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
-      .replaceAllIn(out, m =>
-        s"window($tsCol, ${dur(m.group(1), m.group(2))}, ${dur(m.group(1), m.group(3))})")
-
-    // SESSIONWINDOW(unit, size, timeout): Spark sessionizes on the gap
-    // (= timeout); the reference's max-duration cap has no SQL
-    // equivalent and is intentionally dropped (documented divergence).
-    out = """(?i)\bSESSIONWINDOW\s*\(\s*(\w+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
-      .replaceAllIn(out, m => s"session_window($tsCol, ${dur(m.group(1), m.group(3))})")
-
+    val code = withoutLiterals(out)
     for (bad <- Seq("SLIDINGWINDOW", "COUNTWINDOW"))
-      if (s"(?i)\\b$bad\\s*\\(".r.findFirstIn(out).isDefined)
+      if (s"(?i)\\b$bad\\s*\\(".r.findFirstIn(code).isDefined)
         throw new IllegalArgumentException(
           s"$bad has no GROUP BY equivalent in Spark SQL - use the operator API " +
             "(sliding: WindowQueries range frame; count: graft.streaming.CountWindowStream)")
 
-    out = """(?i)\bwindow_start\s*\(\s*\)""".r.replaceAllIn(out, "window.start")
-    out = """(?i)\bwindow_end\s*\(\s*\)""".r.replaceAllIn(out, "window.end")
+    out = mapOutsideLiterals(out) { seg =>
+      """(?i)\bwindow_end\s*\(\s*\)""".r.replaceAllIn(
+        """(?i)\bwindow_start\s*\(\s*\)""".r.replaceAllIn(seg, "window.start"),
+        "window.end")
+    }
 
     // meta(topic) — eKuiper parses the bare identifier as the metadata
     // KEY, not a column (funcs_misc.go meta()); quote it so Spark's

@@ -108,8 +108,9 @@ final class RuleApi(engine: RuleEngine) {
         engine.stop(id); ok(s"""{"id":"$id","status":"stopped"}""")
       case ("GET", List("rules", id, "status")) =>
         val st = engine.status(id)
-        ok(s"""{"id":"$id","state":"${st.state}","batches":${st.batchesProcessed},""" +
-          s""""rows":${st.rowsProcessed}}""")
+        ok(s"""{"id":${JsonMethods.compact(JString(id))},""" +
+          s""""state":${JsonMethods.compact(JString(st.state.toString))},""" +
+          s""""batches":${st.batchesProcessed},"rows":${st.rowsProcessed}}""")
       case ("GET", List("rules", id, "explain")) =>
         ok(JsonMethods.compact(JString(engine.explain(id))))
       case ("DELETE", List("rules", id)) =>
@@ -140,7 +141,8 @@ final class RuleApi(engine: RuleEngine) {
         val j = JsonMethods.parse(body)
         (j \ "name", j \ "fields") match {
           case (JString(n), JString(f)) =>
-            SchemaRegistry.register(n, f); ok(s"""{"name":"$n"}""")
+            SchemaRegistry.register(n, f)
+            ok(s"""{"name":${JsonMethods.compact(JString(n))}}""")
           case _ => err(400, "body needs {\"name\": ..., \"fields\": \"a BIGINT, ...\"}")
         }
       case ("GET", List("schemas")) =>
@@ -154,10 +156,13 @@ final class RuleApi(engine: RuleEngine) {
         SchemaRegistry.drop(name); ok("{}")
 
       case ("GET", List("metrics")) =>
+        // ids and Failed messages are user-supplied strings — escape
+        // them, don't interpolate raw
         val per = engine.list.map { id =>
           val st = engine.status(id)
-          s""""$id":{"state":"${st.state}","batches":${st.batchesProcessed},""" +
-            s""""rows":${st.rowsProcessed}}"""
+          s"""${JsonMethods.compact(JString(id))}:{""" +
+            s""""state":${JsonMethods.compact(JString(st.state.toString))},""" +
+            s""""batches":${st.batchesProcessed},"rows":${st.rowsProcessed}}"""
         }
         ok(per.mkString("{", ",", "}"))
 

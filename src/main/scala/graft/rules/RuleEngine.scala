@@ -195,9 +195,14 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
         math.max(0, atMs - now), java.util.concurrent.TimeUnit.MILLISECONDS)
     rule.schedule.find(w => now >= w.beginMs && now < w.endMs) match {
       case Some(w) =>
-        if (slot.state != RuleState.Running) launch(slot, rule)
-        armAt(w.endMs) {
-          if (slot.epoch.get == ep) {
+        // a launch failure parks the rule as Failed permanently — do
+        // not arm the window close (it would overwrite Failed with
+        // Stopped) and do not relaunch at the next window
+        val launched =
+          try { if (slot.state != RuleState.Running) launch(slot, rule); true }
+          catch { case _: Exception => false } // launch() recorded Failed
+        if (launched) armAt(w.endMs) {
+          if (slot.epoch.get == ep && !slot.state.isInstanceOf[RuleState.Failed]) {
             slot.queries.foreach(q => try q.stop() catch { case _: Exception => () })
             slot.queries = Nil
             slot.state = RuleState.Stopped
@@ -241,25 +246,34 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       } else {
         // piggyback the row counter on the sink's own action via
         // observe(): the old df.count() re-ran the whole plan a second
-        // time just for the metric.
+        // time just for the metric. Only a sink whose action pulls all
+        // rows can host the observation — a capped sink (LogSink)
+        // short-circuits the scan and would undercount; with no such
+        // sink, fall back to an explicit (exact) count.
+        val hostIdx = outputs.indexWhere(_._2.consumesAllRows)
         val observed = outputs.zipWithIndex.map {
-          case ((df, sink), 0) =>
+          case ((df, sink), i) if i == hostIdx =>
             val obs = new org.apache.spark.sql.Observation(s"rule_${rule.id}_rows")
             (Some(obs), df.observe(obs, count(lit(1)).as("rows")), sink)
           case ((df, sink), _) => (None, df, sink)
         }
         observed.foreach { case (_, df, sink) => sink.writeBatch(df) }
         slot.batches.incrementAndGet()
-        observed.headOption.flatMap(_._1).foreach { obs =>
-          // listener delivery is async; bounded poll instead of get()
-          // (which would block forever under a sink that runs no action)
-          val peek = org.apache.spark.sql.graft.ObservationBridge.getOrEmpty _
-          var m = peek(obs)
-          val deadline = System.nanoTime() + 5000L * 1000 * 1000
-          while (m.isEmpty && System.nanoTime() < deadline) {
-            Thread.sleep(10); m = peek(obs)
-          }
-          slot.rows.addAndGet(m.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L))
+        observed.flatMap(_._1).headOption match {
+          case Some(obs) =>
+            // listener delivery is async; bounded poll instead of get()
+            // (which would block forever under a sink that runs no action)
+            val peek = org.apache.spark.sql.graft.ObservationBridge.getOrEmpty _
+            var m = peek(obs)
+            val deadline = System.nanoTime() + 5000L * 1000 * 1000
+            while (m.isEmpty && System.nanoTime() < deadline) {
+              Thread.sleep(10); m = peek(obs)
+            }
+            slot.rows.addAndGet(m.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L))
+          case None =>
+            outputs.headOption.foreach { case (df, _) =>
+              slot.rows.addAndGet(df.count())
+            }
         }
       }
       slot.state = RuleState.Running

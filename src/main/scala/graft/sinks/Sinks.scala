@@ -17,6 +17,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 trait Sink {
   def options: Map[String, String]
 
+  /** Whether writeBatch's action pulls EVERY input row (true for
+    * file/memory/nop/connector sinks). RuleEngine attaches its
+    * observe()-based row counter only to such a sink — a capped sink
+    * like LogSink short-circuits the scan and would undercount.
+    */
+  def consumesAllRows: Boolean = true
+
   /** Apply common sink features to the outgoing frame. */
   protected def shaped(df: DataFrame): DataFrame = {
     val projected = options.get("fields") match {
@@ -107,6 +114,7 @@ final case class MemorySink(topic: String,
 /** Log sink: rows to the driver log, capped. Reference: log sink. */
 final case class LogSink(max: Int = 20,
                          options: Map[String, String] = Map.empty) extends Sink {
+  override def consumesAllRows: Boolean = false // capped collect
   def writeBatch(df: DataFrame): Unit =
     shaped(df).limit(max).collect().foreach(r => println(s"[graft-sink] $r"))
 }
@@ -151,8 +159,10 @@ final case class ReliableSink(inner: Sink, cacheDir: String,
     if (pendingBatches >= maxCachedBatches)
       throw new IllegalStateException(
         s"resend cache full ($maxCachedBatches batches) for $cacheDir")
-    df.write.mode("overwrite")
-      .parquet(s"$cacheDir/batch_${System.currentTimeMillis()}_${seq.incrementAndGet()}")
+    // zero-padded so the lexicographic replay order IS arrival order
+    // (unpadded, batch_..._10 would sort before batch_..._9)
+    df.write.mode("overwrite").parquet(
+      f"$cacheDir/batch_${System.currentTimeMillis()}%014d_${seq.incrementAndGet()}%012d")
   }
 
   private def delete(dir: java.io.File): Unit = {
@@ -212,12 +222,13 @@ final case class ConnectorSink(kind: String, endpoint: String,
     out.select(payloadCol.cast("string").as("payload"))
       .foreachPartition { (rows: Iterator[Row]) =>
         val client = ConnectorSink.client(k, ep)
-        val payloads = rows.map(_.getString(0))
-        val framed =
-          if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
-          else payloads
-        framed.foreach(client.publish)
-        client.close()
+        try {
+          val payloads = rows.map(_.getString(0))
+          val framed =
+            if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
+            else payloads
+          framed.foreach(client.publish)
+        } finally client.close() // a mid-partition publish failure must not leak the client
       }
   }
 }

@@ -31,9 +31,13 @@ object Codecs {
     }.toIndexedSeq: _*)
   }
 
-  /** Encode columns into one delimited frame (nulls render empty). */
+  /** Encode columns into one delimited frame (nulls render empty).
+    * Each column is coalesced to "" BEFORE concat_ws — concat_ws drops
+    * null arguments entirely (value and separator), which would shift
+    * every later field one position left on decode.
+    */
   def encodeDelimited(cols: Seq[Column], delimiter: String = ","): Column =
-    concat_ws(delimiter, cols.map(_.cast("string")): _*)
+    concat_ws(delimiter, cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
 
   /** Decode an application/x-www-form-urlencoded frame
     * ("a=1&b=x%20y") into the declared schema: percent-decoded keys
@@ -43,12 +47,16 @@ object Codecs {
     */
   def decodeUrlencoded(frame: Column, schema: StructType): Column = {
     // keys are matched in their ENCODED form (computed once at plan
-    // time), so only each field's value needs a runtime url_decode —
-    // no per-element HOF lambda (those run interpreted)
-    val raw = str_to_map(frame, lit("&"), lit("="))
+    // time) via per-field regexp_extract — no str_to_map, which throws
+    // on duplicate keys (mapKeyDedupPolicy=EXCEPTION), and no
+    // per-element HOF lambda (those run interpreted). First occurrence
+    // wins; missing or empty values null out; invalid percent escapes
+    // null out via try_url_decode rather than killing the query.
     struct(schema.fields.map { f =>
-      val encKey = java.net.URLEncoder.encode(f.name, "UTF-8")
-      url_decode(try_element_at(raw, lit(encKey)))
+      val encKey = java.util.regex.Pattern.quote(
+        java.net.URLEncoder.encode(f.name, "UTF-8"))
+      call_function("try_url_decode",
+        nullif(regexp_extract(frame, s"(?:^|&)$encKey=([^&]*)", 1), lit("")))
         .try_cast(f.dataType.sql).as(f.name)
     }.toIndexedSeq: _*)
   }

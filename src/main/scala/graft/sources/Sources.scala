@@ -321,7 +321,16 @@ object ConnectorFeed {
 
   def clear(kind: String, topic: String): Unit = {
     feeds.remove((kind, topic))
-    spools.remove((kind, topic)) // open streams keep tailing the old dir
+    // delete spooled frame files but KEEP the directory mapping: the
+    // dir is reused after clear, so frames pushed later stay visible
+    // to already-running streams (file names are globally sequenced —
+    // the file-stream source never re-reads a seen name) and repeated
+    // clear/push cycles don't leak temp directories.
+    Option(spools.get((kind, topic))).foreach { dir =>
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("frame_")).foreach(_.delete())
+    }
   }
 
   /** Unbounded (frame, arrival_ts) stream over the spool. */
