@@ -312,6 +312,15 @@ class RulesSpec extends SparkSuite {
       "SELECT `weird->col`, m['k'] FROM t")
     assert(!EkuiperSql.isEkuiperDialect("SELECT x FROM t WHERE note = 'a->b'"))
     assert(EkuiperSql.isEkuiperDialect("SELECT m->k FROM t"))
+    // window keywords inside literals are data: not rewritten, and a
+    // quoted SLIDINGWINDOW does not trigger the rejection
+    assert(EkuiperSql.translate("SELECT m->k, 'TUMBLINGWINDOW(ss,5)' AS note FROM t") ==
+      "SELECT m['k'], 'TUMBLINGWINDOW(ss,5)' AS note FROM t")
+    assert(EkuiperSql.translate(
+      "SELECT m->k, 'use SLIDINGWINDOW(ss,5)' AS hint FROM t") ==
+      "SELECT m['k'], 'use SLIDINGWINDOW(ss,5)' AS hint FROM t")
+    assert(EkuiperSql.translate("SELECT 'window_start()' AS lit, window_start() FROM t") ==
+      "SELECT 'window_start()' AS lit, window.start FROM t")
     // end-to-end: arrow access over a map column
     spark.sql("SELECT map('k', 42) AS m").createOrReplaceTempView("arrow_t")
     val eng2 = newEngine

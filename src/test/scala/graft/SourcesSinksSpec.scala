@@ -199,6 +199,31 @@ class SourcesSinksSpec extends SparkSuite {
     assert(ConnectorSink.sent("rest", "out/csvish") == Vector("a|21"))
   }
 
+  test("delimited codec: null fields keep their position through the round trip") {
+    // concat_ws drops null ARGUMENTS (value and separator), which would
+    // shift every later field; encodeDelimited must coalesce first
+    val frame = spark.sql("SELECT 1 AS a, CAST(NULL AS STRING) AS b, 'x' AS c")
+      .select(Codecs.encodeDelimited(Seq(col("a"), col("b"), col("c")), "|").as("f"))
+      .first().getString(0)
+    assert(frame == "1||x", frame)
+    val back = spark.sql(s"SELECT '$frame' AS f")
+      .select(Codecs.decodeDelimited(col("f"),
+        StructType.fromDDL("a BIGINT, b STRING, c STRING"), "|").as("m"))
+      .select("m.*").first()
+    assert(back.getLong(0) == 1 && back.isNullAt(1) && back.getString(2) == "x")
+  }
+
+  test("urlencoded codec tolerates duplicate keys and bad escapes") {
+    val row = spark.sql("SELECT 'a=1&a=2&v=%zz&ok=fine' AS f")
+      .select(Codecs.decodeUrlencoded(col("f"),
+        StructType.fromDDL("a BIGINT, v STRING, ok STRING, missing STRING")).as("m"))
+      .select("m.*").first()
+    assert(row.getLong(0) == 1)      // first occurrence wins, no dup-key error
+    assert(row.isNullAt(1))          // invalid %zz escape -> null, not a crash
+    assert(row.getString(2) == "fine")
+    assert(row.isNullAt(3))
+  }
+
   test("urlencoded codec: decode matches by name, percent-decodes, encode escapes") {
     ConnectorFeed.clear("http_push", "form")
     ConnectorFeed.push("http_push", "form", "device=a%20b&temp=21&extra=zz", 1000L)
