@@ -48,6 +48,26 @@ object GraftFunctions {
     "format_time" -> { a => date_format(a(0), GraftFunctions.fmtLiteral(a(1))) },
     "from_unix_time" -> { a => from_unixtime(a(0)) },
     "convert_tz" -> { a => convert_timezone(lit("UTC"), a(1), a(0)) },
+    // to_seconds(t): Unix seconds (funcs_misc.go:124)
+    "to_seconds" -> { a => a(0).cast("timestamp").cast("long") },
+    // date_calc(t, "±goDuration"): t shifted by a signed Go-style
+    // duration literal ("1h30m", "-20m"), rendered
+    // "yyyy-MM-dd HH:mm:ss" like the reference (funcs_datetime.go:87)
+    "date_calc" -> { a =>
+      val deltaMs = GraftFunctions.goDurationMs(GraftFunctions.fmtLiteral(a(1)))
+      date_format(
+        timestamp_millis(unix_millis(a(0).cast("timestamp")) + lit(deltaMs)),
+        "yyyy-MM-dd HH:mm:ss") },
+    // array_map(funcName, arr): apply a named scalar function to every
+    // element (funcs_array.go:504). The name is a literal, so it
+    // resolves at plan time — to a graft builder if registered, else a
+    // Spark native — and the inner expression is ordinary Catalyst.
+    "array_map" -> { a =>
+      val fname = GraftFunctions.fmtLiteral(a(0))
+      GraftFunctions.builders.get(fname) match {
+        case Some(b) => transform(a(1), x => b(Seq(x)))
+        case None => transform(a(1), x => call_function(fname, x))
+      } },
 
     // ---- json (funcs_misc.go json_path_*) ----
     "json_path_query" -> { a => get_json_object(a(0), GraftFunctions.fmtLiteral(a(1))) },
@@ -148,6 +168,23 @@ object GraftFunctions {
     "shingle_hashes" -> { a => TextHashFunctions.shingle_hashes(a(0), fmtLiteral(a(1)).toInt) },
     "doc_fingerprint" -> { a => TextHashFunctions.doc_fingerprint(a(0), fmtLiteral(a(1)).toInt) }
   )
+
+  /** Go-style duration literal ("1h30m", "-20m", "1.5s") → millis,
+    * matching the reference's time.ParseDuration argument to date_calc.
+    */
+  private[functions] def goDurationMs(s0: String): Long = {
+    val (sign, s) =
+      if (s0.startsWith("-")) (-1L, s0.drop(1))
+      else if (s0.startsWith("+")) (1L, s0.drop(1)) else (1L, s0)
+    val unitNs = Map("ns" -> 1L, "us" -> 1000L, "ms" -> 1000000L,
+      "s" -> 1000000000L, "m" -> 60000000000L, "h" -> 3600000000000L)
+    val re = """(\d+(?:\.\d+)?)(ns|us|ms|s|m|h)""".r
+    val parts = re.findAllMatchIn(s).toList
+    require(parts.nonEmpty && parts.map(_.matched).mkString == s,
+      s"invalid duration '$s0' (expected Go-style, e.g. 1h30m, -20m)")
+    val ns = parts.map(m => (m.group(1).toDouble * unitNs(m.group(2))).toLong).sum
+    sign * ns / 1000000L
+  }
 
   /** Extract a string literal argument (format names, paths, zones). */
   private[functions] def fmtLiteral(c: Column): String =

@@ -37,7 +37,7 @@ object EkuiperSql {
     * copied through verbatim. Keeps the translator's regex rewrites
     * from corrupting literals like 'a->b'.
     */
-  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+  private[rules] def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
     var i = 0

@@ -104,14 +104,31 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(sql).find())
 
   /** The rule's SQL in Spark dialect (eKuiper window/arrow syntax
-    * translated when detected).
+    * translated when detected), with the reference's rule-context
+    * functions substituted at plan time (funcs_misc.go): rule_id() →
+    * the rule's id, rule_start() → launch epoch-millis, event_time()
+    * → the stream's event-time column. Plan time IS rule start, so
+    * literal substitution reproduces the reference's context values.
     */
-  private def sparkSql(rule: Rule, referenced: Seq[String]): String =
-    if (EkuiperSql.isEkuiperDialect(rule.sql)) {
-      val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
-        .headOption.getOrElse("ts")
-      EkuiperSql.translate(rule.sql, tsCol)
-    } else rule.sql
+  private def sparkSql(rule: Rule, referenced: Seq[String]): String = {
+    val translated =
+      if (EkuiperSql.isEkuiperDialect(rule.sql)) {
+        val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
+          .headOption.getOrElse("ts")
+        EkuiperSql.translate(rule.sql, tsCol)
+      } else rule.sql
+    val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
+      .headOption.getOrElse("ts")
+    EkuiperSql.mapOutsideLiterals(translated) { seg =>
+      var s = seg
+      s = """(?i)\brule_id\s*\(\s*\)""".r.replaceAllIn(s,
+        java.util.regex.Matcher.quoteReplacement(s"'${rule.id.replace("'", "''")}'"))
+      s = """(?i)\brule_start\s*\(\s*\)""".r
+        .replaceAllIn(s, String.valueOf(System.currentTimeMillis()))
+      s = """(?i)\bevent_time\s*\(\s*\)""".r.replaceAllIn(s, tsCol)
+      s
+    }
+  }
 
   /** Resolve every catalog stream referenced by the rule's SQL as a
     * temp view (stream mode per the rule), then parse the SQL.

@@ -78,6 +78,24 @@ class FunctionsSpec extends SparkSuite {
     assert(roundtrip.where(col("back") =!= col("text")).count() == 0)
   }
 
+  test("to_seconds / date_calc / array_map match the reference semantics") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT to_seconds(timestamp'2024-01-02 03:04:05Z') AS secs,
+        |  date_calc(timestamp'2024-01-02 03:04:05Z', '1h30m') AS fwd,
+        |  date_calc(timestamp'2024-01-02 03:04:05Z', '-20m') AS back,
+        |  array_map('abs', array(-1, 2, -3)) AS absd,
+        |  array_map('dec2hex', array(255, 16)) AS hexd""".stripMargin).first()
+    assert(r.getLong(0) == 1704164645L)
+    assert(r.getString(1) == "2024-01-02 04:34:05")
+    assert(r.getString(2) == "2024-01-02 02:44:05")
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[String](4) == Seq("FF", "10"))
+    // malformed duration fails at plan time, not mid-job
+    intercept[Exception](spark.sql(
+      "SELECT date_calc(timestamp'2024-01-02 03:04:05', 'one hour')").collect())
+  }
+
   test("protobuf lite codec: wire-format goldens and round trips") {
     import graft.functions.ProtobufLite
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow

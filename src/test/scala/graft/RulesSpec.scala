@@ -138,6 +138,28 @@ class RulesSpec extends SparkSuite {
     assert(MemoryHub.frame(spark, "meta_out2").first().isNullAt(0))
   }
 
+  test("rule-context functions substitute at plan time: rule_id, rule_start, event_time") {
+    val dir = Files.createTempDirectory("graft_ctx_in")
+    writeJson(dir, Seq("""{"device":"a","temp":5,"ts":"2024-01-02T03:04:05Z"}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM ctxs (device STRING, temp BIGINT, ts TIMESTAMP) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}",
+         |  TIMESTAMP="ts")""".stripMargin)
+    MemoryHub.drop("ctx_out")
+    val before = System.currentTimeMillis()
+    eng.create(Rule("r'ctx",
+      "SELECT device, rule_id() AS rid, rule_start() AS rst, event_time() AS et FROM ctxs",
+      Seq(MemorySink("ctx_out"))))
+    eng.start("r'ctx")
+    val r = MemoryHub.frame(spark, "ctx_out").first()
+    assert(r.getString(1) == "r'ctx") // quoted-id injection-safe
+    assert(r.getLong(2) >= before && r.getLong(2) <= System.currentTimeMillis())
+    assert(r.get(3).toString.startsWith("2024-01-02"))
+    // quoted occurrences stay literal
+    assert(!EkuiperSql.isEkuiperDialect("SELECT 'rule_id()' AS s FROM t"))
+  }
+
   test("batch rule evaluates once: a single Spark job serves sink and metrics") {
     val dir = Files.createTempDirectory("graft_onejob_in")
     writeJson(dir, Seq("""{"x":1}""", """{"x":2}""", """{"x":3}"""))
