@@ -107,9 +107,12 @@ object FunctionQueries {
         dayofyear(col("o_orderdate")).cast("long").as("doy_v"),
         quarter(col("o_orderdate")).cast("long").as("q_v"))),
 
-    "q_fn_datetime2" -> ((s, d) =>
+    "q_fn_datetime2" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s) // date_calc
       t(s, d, "events").select(
         col("event_id"),
+        expr("date_calc(ts, '1h30m')").as("date_calc_v"),
+        expr("date_calc(ts, '-20m')").as("date_calc_neg_v"),
         hour(col("ts")).cast("long").as("hr_v"),
         minute(col("ts")).cast("long").as("mi_v"),
         second(col("ts")).cast("long").as("se_v"),
@@ -129,7 +132,8 @@ object FunctionQueries {
         // convert_tz with a fixed-offset zone (deterministic across
         // engines; IANA-zone DST behavior covered in FunctionsSpec)
         date_format(convert_timezone(lit("UTC"), lit("+08:00"), col("ts")),
-          "yyyy-MM-dd HH:mm:ss").as("convert_tz_v"))),
+          "yyyy-MM-dd HH:mm:ss").as("convert_tz_v"))
+    }),
 
     "q_fn_hash" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -326,6 +330,8 @@ object FunctionQueries {
         |FROM orders""".stripMargin,
     "q_fn_datetime2" ->
       """SELECT event_id,
+        |  strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS date_calc_v,
+        |  strftime(ts - INTERVAL 20 MINUTE, '%Y-%m-%d %H:%M:%S') AS date_calc_neg_v,
         |  CAST(hour(ts) AS BIGINT) AS hr_v,
         |  CAST(minute(ts) AS BIGINT) AS mi_v,
         |  CAST(CAST(floor(epoch(ts)) AS BIGINT) % 60 AS BIGINT) AS se_v,
