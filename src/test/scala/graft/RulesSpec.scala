@@ -138,6 +138,44 @@ class RulesSpec extends SparkSuite {
     assert(MemoryHub.frame(spark, "meta_out2").first().isNullAt(0))
   }
 
+  test("stream-stream join: two watermarked streams join within a time bound") {
+    val d1 = Files.createTempDirectory("graft_ss_left")
+    val d2 = Files.createTempDirectory("graft_ss_right")
+    val ckpt = Files.createTempDirectory("graft_ss_ck")
+    writeJson(d1, Seq(
+      """{"device":"a","temp":21,"ts":"2024-01-02T03:00:10Z"}""",
+      """{"device":"b","temp":30,"ts":"2024-01-02T03:00:20Z"}"""))
+    Files.write(d2.resolve("part-0.json"), Seq(
+      """{"device":"a","site":"berlin","ts":"2024-01-02T03:00:30Z"}""",
+      """{"device":"b","site":"tokyo","ts":"2024-01-02T05:00:00Z"}""") // outside bound
+      .mkString("\n").getBytes("UTF-8"))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM ssl (device STRING, temp BIGINT, ts TIMESTAMP) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${d1.toString}",
+         |  TIMESTAMP="ts", WATERMARK="10 seconds")""".stripMargin)
+    eng.createStream(
+      s"""CREATE STREAM ssr (device STRING, site STRING, ts TIMESTAMP) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${d2.toString}",
+         |  TIMESTAMP="ts", WATERMARK="10 seconds")""".stripMargin)
+    MemoryHub.drop("ss_out")
+    eng.create(Rule("rss",
+      """SELECT l.device, l.temp, r.site
+        |FROM ssl l JOIN ssr r
+        |  ON l.device = r.device
+        | AND r.ts BETWEEN l.ts - INTERVAL 1 MINUTE AND l.ts + INTERVAL 1 MINUTE""".stripMargin,
+      Seq(MemorySink("ss_out")), streaming = true,
+      checkpointDir = Some(ckpt.toString)))
+    eng.start("rss")
+    try {
+      eng.processAllAvailable("rss")
+      val rows = MemoryHub.frame(spark, "ss_out").collect()
+      // device a joins (20s apart); device b's right event is 2h away
+      assert(rows.length == 1 && rows(0).getString(0) == "a"
+        && rows(0).getString(2) == "berlin", rows.mkString(";"))
+    } finally eng.stop("rss")
+  }
+
   test("rule-context functions substitute at plan time: rule_id, rule_start, event_time") {
     val dir = Files.createTempDirectory("graft_ctx_in")
     writeJson(dir, Seq("""{"device":"a","temp":5,"ts":"2024-01-02T03:04:05Z"}"""))
