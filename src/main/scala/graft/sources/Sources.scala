@@ -237,6 +237,23 @@ final case class ConnectorSource(kind: String, topic: String,
   require(Codecs.formats.contains(format),
     s"unknown payload format '$format' (expected one of ${Codecs.formats.mkString(", ")})")
 
+  /** Declared schema, or — for schemaless JSON streams (eKuiper's
+    * default: `CREATE STREAM x () WITH (TYPE="mqtt", ...)`) — one
+    * inferred from the frames already pushed to the feed, the same
+    * contract as FileSource's schemaless streaming.
+    */
+  private def effectiveSchema(spark: SparkSession): StructType =
+    if (schema.nonEmpty) schema
+    else {
+      require(format == "json",
+        s"schemaless connector streams are json-only; declare fields for format '$format'")
+      val frames = ConnectorFeed.frames(spark, kind, topic)
+        .select(col("frame").as("value"))
+      require(!frames.isEmpty,
+        s"schemaless $kind stream '$topic' needs at least one pushed frame to infer from")
+      spark.read.json(frames.as(org.apache.spark.sql.Encoders.STRING)).schema
+    }
+
   /** Decode raw frames (json / delimited / urlencoded, per FORMAT) from
     * the stub transport to typed rows — a pure codegen projection.
     * With meta="true" a `__meta` map column (kind/topic/arrival_ms)
@@ -245,7 +262,7 @@ final case class ConnectorSource(kind: String, topic: String,
     */
   private def decode(spark: SparkSession, raw: DataFrame): DataFrame = {
     val base = raw.select(
-        Codecs.decode(col("frame"), schema, format,
+        Codecs.decode(col("frame"), effectiveSchema(spark), format,
           options.getOrElse("delimiter", ",")).as("m"),
         col("arrival_ts"))
       .select(col("m.*"), col("arrival_ts"))

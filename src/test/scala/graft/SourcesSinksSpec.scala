@@ -178,6 +178,31 @@ class SourcesSinksSpec extends SparkSuite {
       StructType.fromDDL("a int")))
   }
 
+  test("schemaless connector stream infers its schema from pushed frames") {
+    ConnectorFeed.clear("mqtt", "schemaless/in")
+    ConnectorFeed.push("mqtt", "schemaless/in", """{"device":"a","temp":21}""", 1000L)
+    ConnectorFeed.push("mqtt", "schemaless/in", """{"device":"b","temp":25}""", 2000L)
+    val d = graft.rules.Catalog.parseDdl(
+      """CREATE STREAM sless2 () WITH (TYPE="mqtt", DATASOURCE="schemaless/in")""")
+    val df = d.source.batch(spark)
+    assert(df.columns.toSeq == Seq("device", "temp", "arrival_ts"))
+    assert(df.agg(sum("temp")).first().getLong(0) == 46)
+    // schemaless streaming works too (schema pinned at stream start)
+    val q = d.source.stream(spark).writeStream.format("memory")
+      .queryName("sless2_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sless2_out").count() == 2)
+      ConnectorFeed.push("mqtt", "schemaless/in", """{"device":"c","temp":9}""", 3000L)
+      q.processAllAvailable()
+      assert(spark.table("sless2_out").count() == 3)
+    } finally q.stop()
+    // schemaless requires at least one frame and json format
+    ConnectorFeed.clear("mqtt", "schemaless/empty")
+    intercept[IllegalArgumentException](
+      ConnectorSource("mqtt", "schemaless/empty", new StructType()).batch(spark))
+  }
+
   test("delimited codec: DDL round-trip through source decode and sink encode") {
     // source side: delimited frames decode positionally to the declared
     // schema (reference internal/converter/delimited)
