@@ -255,9 +255,10 @@ class RulesSpec extends SparkSuite {
       """CREATE STREAM ssrc (v BIGINT) WITH (TYPE="mqtt", DATASOURCE="sched/in")""")
     MemoryHub.drop("sched_out")
     val now = System.currentTimeMillis()
-    // window opens 600 ms from now and closes 3 s later
+    // window opens 1.5 s out (wide margin: the Scheduled assert below
+    // must run before it) and closes ~3 s later
     eng.create(Rule("rs", "SELECT v FROM ssrc", Seq(MemorySink("sched_out")),
-      schedule = Seq(ScheduleRange(now + 600, now + 3600))))
+      schedule = Seq(ScheduleRange(now + 1500, now + 4500))))
     eng.start("rs")
     assert(eng.status("rs").state == RuleState.Scheduled) // not yet open
     val deadline = System.currentTimeMillis() + 15000
