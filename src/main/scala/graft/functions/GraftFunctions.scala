@@ -54,9 +54,9 @@ object GraftFunctions {
     // duration literal ("1h30m", "-20m"), rendered
     // "yyyy-MM-dd HH:mm:ss" like the reference (funcs_datetime.go:87)
     "date_calc" -> { a =>
-      val deltaMs = GraftFunctions.goDurationMs(GraftFunctions.fmtLiteral(a(1)))
+      val deltaUs = GraftFunctions.goDurationMicros(GraftFunctions.fmtLiteral(a(1)))
       date_format(
-        timestamp_millis(unix_millis(a(0).cast("timestamp")) + lit(deltaMs)),
+        timestamp_micros(unix_micros(a(0).cast("timestamp")) + lit(deltaUs)),
         "yyyy-MM-dd HH:mm:ss") },
     // array_map(funcName, arr): apply a named scalar function to every
     // element (funcs_array.go:504). The name is a literal, so it
@@ -169,10 +169,13 @@ object GraftFunctions {
     "doc_fingerprint" -> { a => TextHashFunctions.doc_fingerprint(a(0), fmtLiteral(a(1)).toInt) }
   )
 
-  /** Go-style duration literal ("1h30m", "-20m", "1.5s") → millis,
-    * matching the reference's time.ParseDuration argument to date_calc.
+  /** Go-style duration literal ("1h30m", "-20m", "1.5s") → micros.
+    * The reference's time.ParseDuration keeps nanosecond precision;
+    * Spark timestamps carry microseconds, so micros (not millis) is the
+    * finest representable shift — '500us' and '1.5ms' stay exact, and
+    * only sub-microsecond residue truncates.
     */
-  private[functions] def goDurationMs(s0: String): Long = {
+  private[functions] def goDurationMicros(s0: String): Long = {
     val (sign, s) =
       if (s0.startsWith("-")) (-1L, s0.drop(1))
       else if (s0.startsWith("+")) (1L, s0.drop(1)) else (1L, s0)
@@ -183,7 +186,7 @@ object GraftFunctions {
     require(parts.nonEmpty && parts.map(_.matched).mkString == s,
       s"invalid duration '$s0' (expected Go-style, e.g. 1h30m, -20m)")
     val ns = parts.map(m => (m.group(1).toDouble * unitNs(m.group(2))).toLong).sum
-    sign * ns / 1000000L
+    sign * ns / 1000L
   }
 
   /** Extract a string literal argument (format names, paths, zones). */

@@ -42,26 +42,60 @@ object VectorKernels {
     new GenericArrayData(top.map(_._2))
   }
 
-  /** Widen an array column's data to double[]. `isFloat` is resolved at
-    * plan time from the column's element type and spliced into the
-    * generated call as a constant.
+  // Element-type codes resolved at plan time and spliced into the
+  // generated call as constants (see VectorElem).
+  final val ElemFloat = 0
+  final val ElemDouble = 1
+  final val ElemInt = 2
+  final val ElemLong = 3
+  final val ElemShort = 4
+  final val ElemByte = 5
+
+  /** Widen an array column's data to double[] for any numeric element
+    * type. The code is resolved at plan time from the column's element
+    * type and spliced into the generated call as a constant.
     */
-  def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] =
-    if (isFloat) {
+  def toDoubles(a: ArrayData, elem: Int): Array[Double] = elem match {
+    case ElemFloat =>
       val f = a.toFloatArray()
       val out = new Array[Double](f.length)
       var i = 0
       while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
       out
-    } else a.toDoubleArray()
+    case ElemDouble => a.toDoubleArray()
+    case ElemInt =>
+      val v = a.toIntArray()
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+      out
+    case ElemLong =>
+      val v = a.toLongArray()
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+      out
+    case ElemShort =>
+      val v = a.toShortArray()
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+      out
+    case ElemByte =>
+      val v = a.toByteArray()
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+      out
+  }
 
   /** Cosine similarity in one tight loop. Fold order (dot ascending,
     * then |a|², then |b|²) matches the interpreted HOF formulation it
     * replaced bit-for-bit, so oracle-pinned results are unchanged.
     */
-  def cosineSim(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val va = toDoubles(a, aFloat)
-    val vb = toDoubles(b, bFloat)
+  def cosineSim(a: ArrayData, aElem: Int, b: ArrayData, bElem: Int): Double = {
+    val va = toDoubles(a, aElem)
+    val vb = toDoubles(b, bElem)
     if (va.length != vb.length)
       throw new IllegalArgumentException(
         s"cosine: vectors must have equal length (${va.length} vs ${vb.length})")
@@ -95,8 +129,8 @@ object VectorKernels {
   }
 
   /** Sign-bit LSH bucket: bit i set iff vec · planes(i) ≥ 0. */
-  def lshBucket(vec: ArrayData, isFloat: Boolean, planes: Array[Array[Double]]): Long = {
-    val v = toDoubles(vec, isFloat)
+  def lshBucket(vec: ArrayData, elem: Int, planes: Array[Array[Double]]): Long = {
+    val v = toDoubles(vec, elem)
     var sig = 0L
     var i = 0
     while (i < planes.length) {
@@ -150,19 +184,13 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"$prettyName expects array<float> or array<double>, got $other")
-  }
-
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorKernels.cosineSim(l.asInstanceOf[ArrayData], isFloat(left),
-      r.asInstanceOf[ArrayData], isFloat(right))
+    VectorKernels.cosineSim(l.asInstanceOf[ArrayData], VectorElem.code(left, prettyName),
+      r.asInstanceOf[ArrayData], VectorElem.code(right, prettyName))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.cosineSim($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+      s"graft.functions.VectorKernels.cosineSim($a, ${VectorElem.code(left, prettyName)}," +
+        s" $b, ${VectorElem.code(right, prettyName)})")
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
@@ -192,22 +220,34 @@ case class LshBucketExpr(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
 
-  private def childIsFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"$prettyName expects array<float> or array<double>, got $other")
-  }
-
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], childIsFloat, planes)
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData],
+      VectorElem.code(child, prettyName), planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.lshBucket($c, $childIsFloat, $ref)")
+      s"graft.functions.VectorKernels.lshBucket($c, ${VectorElem.code(child, prettyName)}, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)
+}
+
+/** Plan-time element-type code of a numeric array column (spliced into
+  * generated kernel calls as a constant). Any numeric element type is
+  * accepted — int/long/short/byte vectors widen to double exactly like
+  * the HOF formulation these kernels replaced.
+  */
+object VectorElem {
+  def code(e: Expression, fn: String): Int = e.dataType match {
+    case ArrayType(FloatType, _) => VectorKernels.ElemFloat
+    case ArrayType(DoubleType, _) => VectorKernels.ElemDouble
+    case ArrayType(IntegerType, _) => VectorKernels.ElemInt
+    case ArrayType(LongType, _) => VectorKernels.ElemLong
+    case ArrayType(ShortType, _) => VectorKernels.ElemShort
+    case ArrayType(ByteType, _) => VectorKernels.ElemByte
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an array of numeric elements, got $other")
+  }
 }
 
 object VectorFunctions {

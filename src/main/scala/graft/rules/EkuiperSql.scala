@@ -66,8 +66,16 @@ object EkuiperSql {
     * detection and rewrites should look at.
     */
   private def withoutLiterals(sql: String): String = {
+    // each masked literal becomes ONE space, not nothing — deleting the
+    // span would merge the tokens around it (TUMBLING'x'WINDOW( →
+    // TUMBLINGWINDOW() and false-trigger detection/rejection regexes.
     val b = new StringBuilder
-    mapOutsideLiterals(sql) { seg => b.append(seg); seg }
+    var first = true
+    mapOutsideLiterals(sql) { seg =>
+      if (!first) b.append(' ')
+      first = false
+      b.append(seg); seg
+    }
     b.toString
   }
 

@@ -125,18 +125,33 @@ final class RuleApi(engine: RuleEngine) {
         ok(JsonMethods.compact(JsonMethods.render(
           JObject("streams" -> streams, "rules" -> rules))))
       case ("POST", List("data", "import")) =>
+        // Per-item apply with a collected error list (the reference's
+        // import result shape): one bad stream/rule doesn't abort the
+        // rest, and partial state is reported instead of hidden behind
+        // an opaque failure status.
         val j = JsonMethods.parse(body)
+        val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
         val ns = (j \ "streams") match {
           case JObject(fs) => fs.collect { case JField(n, JString(ddl)) =>
-            engine.createStream(ddl); streamDdl.put(n, ddl); n }
+            try { engine.createStream(ddl); streamDdl.put(n, ddl); Some(n) }
+            catch { case e: Exception =>
+              errors += (s"stream $n" -> String.valueOf(e.getMessage)); None }
+          }.flatten
           case _ => Nil
         }
         val nr = (j \ "rules") match {
-          case JObject(fs) => fs.map { case JField(_, rj) =>
-            createRule(JsonMethods.compact(JsonMethods.render(rj))) }
+          case JObject(fs) => fs.flatMap { case JField(n, rj) =>
+            try Some(createRule(JsonMethods.compact(JsonMethods.render(rj))))
+            catch { case e: Exception =>
+              errors += (s"rule $n" -> String.valueOf(e.getMessage)); None }
+          }
           case _ => Nil
         }
-        ok(s"""{"streams":${ns.size},"rules":${nr.size}}""")
+        val errJson = errors.toList.map { case (what, msg) =>
+          s"""{"item":${JsonMethods.compact(JString(what))},""" +
+            s""""error":${JsonMethods.compact(JString(msg))}}"""
+        }.mkString("[", ",", "]")
+        ok(s"""{"streams":${ns.size},"rules":${nr.size},"errors":$errJson}""")
       case ("POST", List("schemas")) =>
         val j = JsonMethods.parse(body)
         (j \ "name", j \ "fields") match {

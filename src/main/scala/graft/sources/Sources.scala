@@ -330,10 +330,16 @@ object ConnectorFeed {
   def push(kind: String, topic: String, frameJson: String, arrivalMs: Long): Unit = {
     feeds.merge((kind, topic), Vector((frameJson, arrivalMs)), (a, b) => a ++ b)
     val line = s"""{"frame": ${jsonQuote(frameJson)}, "arrival_ms": $arrivalMs}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(spoolDir(kind, topic),
-        f"frame_${seq.incrementAndGet()}%012d.json"),
-      java.util.Arrays.asList(line))
+    // Write to a non-matching temp name, then atomically rename into
+    // place: the file-stream source tailing this directory lists files
+    // by name and reads each exactly once, so a frame file must never
+    // be visible half-written.
+    val dir = java.nio.file.Paths.get(spoolDir(kind, topic))
+    val name = f"frame_${seq.incrementAndGet()}%012d.json"
+    val tmp = dir.resolve(name + ".tmp")
+    java.nio.file.Files.write(tmp, java.util.Arrays.asList(line))
+    java.nio.file.Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def clear(kind: String, topic: String): Unit = {

@@ -94,6 +94,14 @@ class FunctionsSpec extends SparkSuite {
     // malformed duration fails at plan time, not mid-job
     intercept[Exception](spark.sql(
       "SELECT date_calc(timestamp'2024-01-02 03:04:05', 'one hour')").collect())
+    // sub-millisecond durations keep microsecond precision (the
+    // reference's time.ParseDuration is ns-precise): a 500us shift
+    // across a second boundary must land in the next second
+    val sub = spark.sql(
+      """SELECT date_calc(timestamp'2024-01-02 03:04:05.9997', '500us') AS a,
+        |  date_calc(timestamp'2024-01-02 03:04:05.9997', '1.5ms') AS b""".stripMargin).first()
+    assert(sub.getString(0) == "2024-01-02 03:04:06")
+    assert(sub.getString(1) == "2024-01-02 03:04:06")
   }
 
   test("protobuf lite codec: wire-format goldens and round trips") {

@@ -52,6 +52,26 @@ class KnnSpec extends SparkSuite {
       "kernel and HOF cosine diverged")
   }
 
+  test("cosine kernel accepts any numeric element type") {
+    // int/long vectors widened to double exactly like the HOF
+    // formulation the kernel replaced — no regression for callers with
+    // array<int> embeddings
+    val df = spark.sql(
+      """SELECT array(1, 2, 3) AS vi, array(bigint(1), bigint(2), bigint(3)) AS vl,
+        |  array(double(1), double(2), double(3)) AS vd,
+        |  array(float(3), float(2), float(1)) AS vf""".stripMargin)
+    val r = df.select(
+      Knn.cosine(col("vi"), col("vd")).as("ii"),
+      Knn.cosine(col("vl"), col("vd")).as("ll"),
+      Knn.cosine(col("vi"), col("vf")).as("mixed")).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 10.0 / 14.0) < 1e-12)
+    // non-numeric arrays still fail loudly
+    intercept[Exception](
+      df.select(Knn.cosine(array(lit("a")), col("vd"))).collect())
+  }
+
   test("multi-table LSH recall vs brute force >= 0.5") {
     // the synthetic embeddings are near-random (top-10 neighbor cos ~
     // 0.3), the hardest case for LSH — multi-table + 1-bit probing is

@@ -88,13 +88,34 @@ class RuleApiSpec extends SparkSuite {
     // a fresh engine, seeded only from the exported document
     val b = new RuleApi(new RuleEngine(spark))
     val (ci, bi) = b.handle("POST", "/data/import", doc)
-    assert(ci == 200 && bi == """{"streams":1,"rules":1}""")
+    assert(ci == 200 && bi == """{"streams":1,"rules":1,"errors":[]}""")
     assert(b.handle("GET", "/streams")._2.contains("exp_in"))
     MemoryHub.drop("exp_out")
     assert(b.handle("POST", "/rules/r_exp/start")._1 == 200)
     assert(MemoryHub.frame(spark, "exp_out").first().getLong(0) == 4)
     // the round trip is idempotent: re-export equals the import source
     assert(b.handle("GET", "/data/export")._2 == doc)
+  }
+
+  test("import applies per item and reports failures instead of aborting") {
+    val dir = Files.createTempDirectory("graft_imp_part")
+    Files.write(dir.resolve("a.json"), """{"x":7}""".getBytes)
+    val a = new RuleApi(new RuleEngine(spark))
+    // middle rule collides with an existing id → fails at create; the
+    // good stream and the good rule around it must still land, and the
+    // response must name the failed item
+    val doc =
+      s"""{"streams":{"imp_ok":"CREATE STREAM imp_ok (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"},
+         |"rules":{
+         |  "r_dup":{"id":"r_dup","sql":"SELECT x FROM imp_ok","actions":[{"memory":{"topic":"imp_t"}}]},
+         |  "r_dup2":{"id":"r_dup","sql":"SELECT x FROM imp_ok","actions":[{"memory":{"topic":"imp_t"}}]},
+         |  "r_ok2":{"id":"r_ok2","sql":"SELECT x FROM imp_ok","actions":[{"memory":{"topic":"imp_t"}}]}
+         |}}""".stripMargin
+    val (c, body) = a.handle("POST", "/data/import", doc)
+    assert(c == 200, body)
+    assert(body.contains(""""streams":1""") && body.contains(""""rules":2"""), body)
+    assert(body.contains("r_dup2"), body)
+    assert(a.handle("GET", "/rules")._2.contains("r_ok2"))
   }
 
   test("schema registry: DDL resolves SCHEMAID, REST round-trips") {

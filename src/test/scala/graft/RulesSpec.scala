@@ -373,6 +373,13 @@ class RulesSpec extends SparkSuite {
       "SELECT `weird->col`, m['k'] FROM t")
     assert(!EkuiperSql.isEkuiperDialect("SELECT x FROM t WHERE note = 'a->b'"))
     assert(EkuiperSql.isEkuiperDialect("SELECT m->k FROM t"))
+    // a masked literal leaves a token boundary behind: code adjacent to
+    // a literal must not merge into a false keyword (TUMBLING'x'WINDOW(
+    // is not TUMBLINGWINDOW(), and a quoted span between COUNT and
+    // WINDOW( must not trip the COUNTWINDOW rejection
+    assert(!EkuiperSql.isEkuiperDialect("SELECT a AS TUMBLING'x'WINDOW(b) FROM t"))
+    assert(EkuiperSql.translate("SELECT m->k, COUNT'x'WINDOW(b) FROM t") ==
+      "SELECT m['k'], COUNT'x'WINDOW(b) FROM t")
     // window keywords inside literals are data: not rewritten, and a
     // quoted SLIDINGWINDOW does not trigger the rejection
     assert(EkuiperSql.translate("SELECT m->k, 'TUMBLINGWINDOW(ss,5)' AS note FROM t") ==

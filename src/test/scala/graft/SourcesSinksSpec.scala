@@ -176,6 +176,12 @@ class SourcesSinksSpec extends SparkSuite {
     assert(df.agg(sum("temp")).first().getLong(0) == 46)
     intercept[IllegalArgumentException](ConnectorSource("carrier-pigeon", "x",
       StructType.fromDDL("a int")))
+    // spool frames land atomically: only fully-written frame_*.json
+    // files are ever visible to the tailing stream (no .tmp residue)
+    val spool = new java.io.File(ConnectorFeed.spoolDir("mqtt", "in/topic"))
+    val names = spool.listFiles().map(_.getName).toSeq
+    assert(names.count(_.matches("frame_\\d{12}\\.json")) == 2, names)
+    assert(!names.exists(_.endsWith(".tmp")), names)
   }
 
   test("schemaless connector stream infers its schema from pushed frames") {
