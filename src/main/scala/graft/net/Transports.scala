@@ -1,0 +1,116 @@
+package graft.net
+
+import graft.sources.ConnectorFeed
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+/** Bridges between real wire-protocol clients and the Spark-side
+  * connector plumbing.
+  *
+  * Ingest path (source): a long-lived client subscribes on the broker
+  * and appends every received frame to [[graft.sources.ConnectorFeed]]
+  * — the spool a `ConnectorSource` stream tails — so a streaming rule
+  * sees broker messages as incremental micro-batches. This is the
+  * reference's source connection model (one subscriber connection per
+  * stream, internal/io/mqtt/source.go) with Spark's file-stream spool
+  * as the hand-off, keeping decode + planning fully distributed.
+  *
+  * Egress path (sink): `ConnectorSink` asks [[SinkTransports]] for a
+  * per-partition client; when the endpoint is a broker URL a real
+  * publisher is created ON THE EXECUTOR (one connection per partition,
+  * the reference's per-worker publisher shape).
+  */
+object FeedBridges {
+
+  private final case class Key(kind: String, topic: String, server: String)
+  private val bridges = new ConcurrentHashMap[Key, AutoCloseable]()
+
+  /** Ensure a subscriber bridge is running for (kind, topic, server).
+    * Idempotent; called from ConnectorSource when the DDL carries a
+    * SERVER option. The bridge's frames flow into ConnectorFeed under
+    * (kind, topic), exactly like stub pushes — everything downstream
+    * is unchanged.
+    */
+  def ensure(kind: String, topic: String, server: String): Unit = {
+    val key = Key(kind, topic, server)
+    bridges.computeIfAbsent(key, _ => start(kind, topic, server))
+  }
+
+  private def start(kind: String, topic: String, server: String): AutoCloseable = kind match {
+    case "mqtt" =>
+      val client = MqttClient.connect(server, s"graft-src-${topic.hashCode.toHexString}")
+      client.subscribe(topic, (_, payload) =>
+        ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
+          System.currentTimeMillis()))
+      () => client.close()
+    case "websocket" =>
+      val client = WebSocketClient.connect(server)
+      client.onText { msg =>
+        ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis())
+      }
+      () => client.close()
+    case "redis" =>
+      val client = RedisClient.connect(server)
+      client.subscribe(topic, msg =>
+        ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis()))
+      () => client.close()
+    case other =>
+      throw new IllegalArgumentException(
+        s"no real transport for connector kind '$other' (mqtt, websocket, redis)")
+  }
+
+  /** Close and forget every bridge (test teardown). */
+  def closeAll(): Unit = {
+    bridges.forEach((_, c) => try c.close() catch { case _: Exception => () })
+    bridges.clear()
+  }
+}
+
+/** Real per-partition sink clients, selected by endpoint URL scheme.
+  * Runs on executors — must not capture driver-side state.
+  */
+object SinkTransports {
+  import graft.sinks.ConnectorSink.Client
+
+  /** True if this (kind, endpoint) pair names a real transport. */
+  def supports(kind: String, endpoint: String): Boolean = kind match {
+    case "mqtt" => endpoint.startsWith("tcp://") || endpoint.startsWith("mqtt://")
+    case "websocket" => endpoint.startsWith("ws://")
+    case "redis" | "rest" => kind == "redis" && endpoint.startsWith("redis://")
+    case _ => false
+  }
+
+  /** endpoint "scheme://host:port/topic" → (serverUrl, topic). */
+  private def split(endpoint: String): (String, String) = {
+    val u = java.net.URI.create(endpoint)
+    val topic = Option(u.getPath).map(_.stripPrefix("/")).getOrElse("")
+    require(topic.nonEmpty, s"sink endpoint needs a topic path: $endpoint")
+    (s"${u.getScheme}://${u.getHost}:${u.getPort}", topic)
+  }
+
+  def client(kind: String, endpoint: String): Client = kind match {
+    case "mqtt" =>
+      val (server, topic) = split(endpoint)
+      new Client {
+        private val c = MqttClient.connect(server,
+          s"graft-sink-${Thread.currentThread().getId}")
+        def publish(payload: String): Unit = c.publish(topic, payload)
+        def close(): Unit = c.close()
+      }
+    case "websocket" =>
+      new Client {
+        private val c = WebSocketClient.connect(endpoint)
+        def publish(payload: String): Unit = c.sendText(payload)
+        def close(): Unit = c.close()
+      }
+    case "redis" =>
+      val (server, topic) = split(endpoint)
+      new Client {
+        private val c = RedisClient.connect(server)
+        def publish(payload: String): Unit = c.publishChannel(topic, payload)
+        def close(): Unit = c.close()
+      }
+    case other =>
+      throw new IllegalArgumentException(s"no real sink transport for '$other'")
+  }
+}
