@@ -292,7 +292,10 @@ final class MqttClient private (socket: Socket, clientId: String) {
   private val in = new BufferedInputStream(socket.getInputStream)
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
   private val acks = new ConcurrentHashMap[Int, CountDownLatch]()
-  @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
+  // filter → handler: each subscription keeps its own callback and the
+  // reader dispatches by topicMatches, so a second subscribe() never
+  // reroutes the first filter's deliveries
+  private val subs = new ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
   @volatile private var connected = false
 
   private def send(ptype: Int, flags: Int, body: Array[Byte]): Unit =
@@ -320,7 +323,9 @@ final class MqttClient private (socket: Socket, clientId: String) {
             val pid = if (qos > 0) r.u16() else 0
             val payload = r.rest()
             if (qos == 1) send(PUBACK, 0, packetIdBody(pid))
-            onMessage(topic, payload)
+            subs.forEach { (filter, handler) =>
+              if (topicMatches(filter, topic)) handler(topic, payload)
+            }
           case PUBACK | SUBACK | UNSUBACK =>
             val r = new BodyReader(p.body)
             Option(acks.remove(r.u16())).foreach(_.countDown())
@@ -330,23 +335,44 @@ final class MqttClient private (socket: Socket, clientId: String) {
         p = readPacket(in)
       }
     } catch { case _: Exception => () }
+    finally { // fail every pending waiter so a dead connection can't hang callers 10 s
+      acks.forEach((_, l) => l.countDown())
+      acks.clear()
+    }
   }, s"mqtt-client-$clientId")
   reader.setDaemon(true)
   reader.start()
 
   private def awaitAck(pid: Int, what: String): Unit = {
     val latch = acks.get(pid)
-    if (latch != null && !latch.await(10, TimeUnit.SECONDS))
-      throw new java.io.IOException(s"mqtt: $what #$pid not acknowledged in 10s")
+    try {
+      if (latch != null && !latch.await(10, TimeUnit.SECONDS))
+        throw new java.io.IOException(s"mqtt: $what #$pid not acknowledged in 10s")
+    } finally acks.remove(pid) // no entry may outlive its waiter
   }
 
-  /** Register the message callback, then subscribe (blocks on SUBACK). */
+  /** Register the filter's callback, then subscribe (blocks on SUBACK).
+    * Repeat calls add independent subscriptions; frames are dispatched
+    * to every filter that matches.
+    */
   def subscribe(filter: String, handler: (String, Array[Byte]) => Unit): Unit = {
-    onMessage = handler
+    subs.put(filter, handler)
     val pid = nextId.getAndIncrement()
     acks.put(pid, new CountDownLatch(1))
     send(SUBSCRIBE, 0x02, subscribeBody(pid, Seq(filter -> 1)))
     awaitAck(pid, "subscribe")
+  }
+
+  /** Drop the filter's callback and tell the broker (blocks on UNSUBACK). */
+  def unsubscribe(filter: String): Unit = {
+    subs.remove(filter)
+    val pid = nextId.getAndIncrement()
+    acks.put(pid, new CountDownLatch(1))
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(pid >> 8); b.write(pid & 0xff)
+    putString(b, filter)
+    send(UNSUBSCRIBE, 0x02, b.toByteArray)
+    awaitAck(pid, "unsubscribe")
   }
 
   /** QoS-1 publish: blocks until the broker PUBACKs. */

@@ -1,0 +1,327 @@
+package graft.net
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+
+/** RESP (REdis Serialization Protocol, the public redis.io wire spec),
+  * dependency-free over JDK sockets.
+  *
+  * The reference's redis source/sink (internal/io/redis/source.go,
+  * internal/io/redis/sink.go) wrap go-redis; graft implements the
+  * protocol itself — command arrays out, typed replies in, pub/sub
+  * push messages — so the transport is REAL and testable in a
+  * zero-egress container against [[RedisStubServer]]. Production
+  * points the same client at any RESP2 server.
+  *
+  * Command scope: SUBSCRIBE/UNSUBSCRIBE push mode, PUBLISH, PING —
+  * the channel pub/sub surface the reference's redis stream/sink
+  * uses. Key-value commands are out of scope (lookup tables go
+  * through the engine's liveLookup path).
+  */
+object Resp {
+
+  /** One decoded RESP value. Arrays decode to Seq[Any]; bulk strings
+    * to String (null bulk → null); integers to Long; errors throw at
+    * the call site that reads them.
+    */
+  final case class Error(msg: String)
+
+  /** Encode one command as a RESP array of bulk strings (the only
+    * client→server form, spec "Sending commands to a Redis server").
+    */
+  def writeCommand(out: OutputStream, parts: Seq[String]): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(s"*${parts.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+    parts.foreach { p =>
+      val bytes = p.getBytes(StandardCharsets.UTF_8)
+      b.write(s"$$${bytes.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+      b.write(bytes)
+      b.write('\r'); b.write('\n')
+    }
+    out.write(b.toByteArray)
+    out.flush()
+  }
+
+  private def readLine(in: InputStream): String = {
+    val sb = new StringBuilder
+    var b = in.read()
+    while (b != '\r') {
+      if (b < 0) throw new EOFException("resp: eof in line")
+      sb.append(b.toChar)
+      b = in.read()
+    }
+    require(in.read() == '\n', "resp: expected \\n after \\r")
+    sb.toString
+  }
+
+  /** Read one reply: +simple / -error / :integer / $bulk / *array.
+    * Returns String | Long | Error | Seq[Any] | null; null return on
+    * clean EOF before the first byte.
+    */
+  def readReply(in: InputStream): Any = {
+    val t = in.read()
+    if (t < 0) return null
+    t.toChar match {
+      case '+' => readLine(in)
+      case '-' => Error(readLine(in))
+      case ':' => readLine(in).toLong
+      case '$' =>
+        val n = readLine(in).toInt
+        if (n < 0) null
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new EOFException("resp: eof in bulk string")
+            off += r
+          }
+          require(in.read() == '\r' && in.read() == '\n', "resp: bad bulk terminator")
+          new String(buf, StandardCharsets.UTF_8)
+        }
+      case '*' =>
+        val n = readLine(in).toInt
+        if (n < 0) null
+        else Seq.fill(n)(readReply(in))
+      case other =>
+        throw new java.io.IOException(s"resp: unknown reply type '$other'")
+    }
+  }
+
+  /** "redis://host:port" (or bare "host:port") → (host, port). */
+  def parseServer(url: String): (String, Int) =
+    if (url.contains("://")) {
+      val u = java.net.URI.create(url)
+      require(u.getScheme == "redis", s"redis server url must be redis://host:port, got $url")
+      (u.getHost, if (u.getPort > 0) u.getPort else 6379)
+    } else {
+      val i = url.lastIndexOf(':')
+      require(i > 0, s"redis server must be host:port, got $url")
+      (url.substring(0, i), url.substring(i + 1).toInt)
+    }
+}
+
+/** Blocking redis client. Two mutually exclusive modes, matching the
+  * RESP spec's subscriber-connection restriction: a client that has
+  * called [[subscribe]] is a push-mode subscriber (reader thread
+  * dispatches `message` pushes; only (UN)SUBSCRIBE/PING allowed); a
+  * client that hasn't is a request/reply commander ([[publishChannel]],
+  * [[ping]]). `Transports` creates one client per direction, so each
+  * instance lives in exactly one mode.
+  */
+final class RedisClient private (socket: Socket) {
+  import Resp._
+
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+  private val in = new BufferedInputStream(socket.getInputStream)
+  private val handlers = new ConcurrentHashMap[String, String => Unit]()
+  private val subscribeAcks = new ConcurrentHashMap[String, CountDownLatch]()
+  @volatile private var subscriberMode = false
+
+  private def send(parts: String*): Unit = out.synchronized { writeCommand(out, parts) }
+
+  /** Reader loop for subscriber mode: dispatches `message` pushes to
+    * the channel's handler and counts down `subscribe` confirmations.
+    */
+  private lazy val reader: Thread = {
+    val t = new Thread(() => {
+      try {
+        var r = readReply(in)
+        while (r != null) {
+          r match {
+            case Seq("message", ch: String, payload: String) =>
+              val h = handlers.get(ch)
+              if (h != null) h(payload)
+            case Seq("subscribe", ch: String, _) =>
+              Option(subscribeAcks.remove(ch)).foreach(_.countDown())
+            case Seq("unsubscribe", ch: String, _) =>
+              Option(subscribeAcks.remove(ch)).foreach(_.countDown())
+            case _ => () // pong / other pushes
+          }
+          r = readReply(in)
+        }
+      } catch { case _: Exception => () }
+      finally { // fail any waiter so close() during subscribe can't hang 10 s
+        subscribeAcks.forEach((_, l) => l.countDown())
+        subscribeAcks.clear()
+      }
+    }, "redis-client-reader")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Enter subscriber mode on `channel`; `handler` runs on the reader
+    * thread per published message. Blocks until the server confirms
+    * the subscription. Multiple channels per client are fine — each
+    * keeps its own handler.
+    */
+  def subscribe(channel: String, handler: String => Unit): Unit = {
+    subscriberMode = true
+    handlers.put(channel, handler)
+    val latch = new CountDownLatch(1)
+    subscribeAcks.put(channel, latch)
+    reader // start the push loop before the confirmation arrives
+    send("SUBSCRIBE", channel)
+    try {
+      if (!latch.await(10, TimeUnit.SECONDS))
+        throw new java.io.IOException(s"redis: SUBSCRIBE $channel not confirmed in 10s")
+    } finally subscribeAcks.remove(channel)
+  }
+
+  def unsubscribe(channel: String): Unit = {
+    handlers.remove(channel)
+    send("UNSUBSCRIBE", channel)
+  }
+
+  /** PUBLISH payload to channel; returns the receiver count the server
+    * reports. Request/reply mode only.
+    */
+  def publishChannel(channel: String, payload: String): Long = {
+    require(!subscriberMode, "redis: cannot PUBLISH on a subscriber connection")
+    out.synchronized {
+      writeCommand(out, Seq("PUBLISH", channel, payload))
+      readReply(in) match {
+        case n: Long => n
+        case Error(msg) => throw new java.io.IOException(s"redis: $msg")
+        case other => throw new java.io.IOException(s"redis: unexpected PUBLISH reply $other")
+      }
+    }
+  }
+
+  def ping(): Unit = {
+    require(!subscriberMode, "redis: use subscriber-mode ping via SUBSCRIBE keepalive")
+    out.synchronized {
+      writeCommand(out, Seq("PING"))
+      readReply(in) match {
+        case "PONG" => ()
+        case other => throw new java.io.IOException(s"redis: unexpected PING reply $other")
+      }
+    }
+  }
+
+  def close(): Unit = try socket.close() catch { case _: Exception => () }
+}
+
+object RedisClient {
+  def connect(serverUrl: String): RedisClient = {
+    val (host, port) = Resp.parseServer(serverUrl)
+    val s = new Socket(host, port)
+    s.setTcpNoDelay(true)
+    new RedisClient(s)
+  }
+}
+
+/** Minimal in-process RESP pub/sub server: SUBSCRIBE / UNSUBSCRIBE /
+  * PUBLISH / PING, one thread per connection (test scale). The
+  * production deployment points [[RedisClient]] at a real server;
+  * this stub exists so the transport is end-to-end testable without
+  * egress, exactly like [[MqttBroker]] / [[WebSocketHub]].
+  */
+final class RedisStubServer private (server: ServerSocket) {
+  import Resp._
+
+  private final class Conn(val socket: Socket) {
+    val out = new BufferedOutputStream(socket.getOutputStream)
+    val channels = ConcurrentHashMap.newKeySet[String]()
+    def push(parts: Seq[Any]): Unit = out.synchronized {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(s"*${parts.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+      parts.foreach {
+        case s: String =>
+          val bytes = s.getBytes(StandardCharsets.UTF_8)
+          b.write(s"$$${bytes.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+          b.write(bytes); b.write('\r'); b.write('\n')
+        case n: Long => b.write(s":$n\r\n".getBytes(StandardCharsets.US_ASCII))
+        case other => throw new IllegalArgumentException(s"resp push: $other")
+      }
+      out.write(b.toByteArray); out.flush()
+    }
+  }
+
+  private val conns = ConcurrentHashMap.newKeySet[Conn]()
+  @volatile private var closed = false
+
+  def port: Int = server.getLocalPort
+  def address: String = s"redis://${server.getInetAddress.getHostAddress}:$port"
+
+  private val acceptThread = new Thread(() => {
+    try while (!closed) {
+      val s = server.accept()
+      s.setTcpNoDelay(true)
+      val conn = new Conn(s)
+      conns.add(conn)
+      val t = new Thread(() => serve(conn), s"redis-stub-conn-${s.getPort}")
+      t.setDaemon(true)
+      t.start()
+    } catch { case _: Exception => () }
+  }, "redis-stub-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  private def serve(conn: Conn): Unit = {
+    val in = new BufferedInputStream(conn.socket.getInputStream)
+    try {
+      var r = readReply(in)
+      while (r != null) {
+        r match {
+          case Seq(cmd: String, rest @ _*) => cmd.toUpperCase match {
+            case "SUBSCRIBE" =>
+              rest.foreach { case ch: String =>
+                conn.channels.add(ch)
+                conn.push(Seq("subscribe", ch, conn.channels.size.toLong))
+              }
+            case "UNSUBSCRIBE" =>
+              rest.foreach { case ch: String =>
+                conn.channels.remove(ch)
+                conn.push(Seq("unsubscribe", ch, conn.channels.size.toLong))
+              }
+            case "PUBLISH" =>
+              val Seq(ch: String, payload: String) = rest
+              var n = 0L
+              conns.forEach { c =>
+                if ((c ne conn) && c.channels.contains(ch)) {
+                  try { c.push(Seq("message", ch, payload)); n += 1 }
+                  catch { case _: Exception => () } // dead subscriber
+                }
+              }
+              conn.out.synchronized { // plain :n integer reply, not an array
+                conn.out.write(s":$n\r\n".getBytes(StandardCharsets.US_ASCII))
+                conn.out.flush()
+              }
+            case "PING" =>
+              conn.out.synchronized {
+                conn.out.write("+PONG\r\n".getBytes(StandardCharsets.US_ASCII))
+                conn.out.flush()
+              }
+            case other =>
+              conn.out.synchronized {
+                conn.out.write(s"-ERR unknown command '$other'\r\n"
+                  .getBytes(StandardCharsets.US_ASCII))
+                conn.out.flush()
+              }
+          }
+          case _ => () // ignore non-array noise
+        }
+        r = readReply(in)
+      }
+    } catch { case _: Exception => () }
+    finally {
+      conns.remove(conn)
+      try conn.socket.close() catch { case _: Exception => () }
+    }
+  }
+
+  def close(): Unit = {
+    closed = true
+    try server.close() catch { case _: Exception => () }
+    conns.forEach(c => try c.socket.close() catch { case _: Exception => () })
+  }
+}
+
+object RedisStubServer {
+  def start(port: Int = 0): RedisStubServer =
+    new RedisStubServer(new ServerSocket(port, 50, InetAddress.getLoopbackAddress))
+}

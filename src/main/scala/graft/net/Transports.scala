@@ -76,8 +76,8 @@ object SinkTransports {
   def supports(kind: String, endpoint: String): Boolean = kind match {
     case "mqtt" => endpoint.startsWith("tcp://") || endpoint.startsWith("mqtt://")
     case "websocket" => endpoint.startsWith("ws://")
-    case "redis" | "rest" => kind == "redis" && endpoint.startsWith("redis://")
-    case _ => false
+    case "redis" => endpoint.startsWith("redis://")
+    case _ => false // rest goes through the HTTP sink path, not graft.net
   }
 
   /** endpoint "scheme://host:port/topic" → (serverUrl, topic). */

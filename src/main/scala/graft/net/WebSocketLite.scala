@@ -47,8 +47,12 @@ object WebSocketLite {
       while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xff).toInt); i -= 1 }
     }
     if (mask) {
+      // mask keys need unpredictability only against proxy cache poisoning
+      // (RFC 6455 §5.3 notes "any" new key per frame); ThreadLocalRandom
+      // avoids a syscall-seeded SecureRandom allocation per frame on the
+      // sink hot path
       val key = new Array[Byte](4)
-      new java.security.SecureRandom().nextBytes(key)
+      java.util.concurrent.ThreadLocalRandom.current().nextBytes(key)
       out.write(key)
       val masked = new Array[Byte](n)
       var i = 0

@@ -221,7 +221,13 @@ final case class ConnectorSink(kind: String, endpoint: String,
     val (k, ep) = (kind, endpoint) // don't capture `this` in the closure
     out.select(payloadCol.cast("string").as("payload"))
       .foreachPartition { (rows: Iterator[Row]) =>
-        val client = ConnectorSink.client(k, ep)
+        // broker-URL endpoints (tcp:// mqtt, ws://, redis://) get a REAL
+        // per-partition publisher built ON THE EXECUTOR (the reference's
+        // per-worker publisher shape, internal/io/mqtt/sink.go); anything
+        // else records into the in-process stub for tests
+        val client =
+          if (graft.net.SinkTransports.supports(k, ep)) graft.net.SinkTransports.client(k, ep)
+          else ConnectorSink.client(k, ep)
         try {
           val payloads = rows.map(_.getString(0))
           val framed =

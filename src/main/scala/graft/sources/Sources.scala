@@ -237,6 +237,17 @@ final case class ConnectorSource(kind: String, topic: String,
   require(Codecs.formats.contains(format),
     s"unknown payload format '$format' (expected one of ${Codecs.formats.mkString(", ")})")
 
+  /** With a SERVER DDL option the transport is REAL: a long-lived
+    * subscriber ([[graft.net.FeedBridges]]) connects to the broker and
+    * spools every received frame into this feed, so broker messages
+    * flow to the rule as micro-batches (reference model: one
+    * subscriber connection per stream, internal/io/mqtt/source.go).
+    * Without SERVER the feed stays test-injectable via
+    * [[ConnectorFeed.push]].
+    */
+  private def ensureTransport(): Unit =
+    options.get("server").foreach(server => graft.net.FeedBridges.ensure(kind, topic, server))
+
   /** Declared schema, or — for schemaless JSON streams (eKuiper's
     * default: `CREATE STREAM x () WITH (TYPE="mqtt", ...)`) — one
     * inferred from the frames already pushed to the feed, the same
@@ -274,16 +285,20 @@ final case class ConnectorSource(kind: String, topic: String,
     else base
   }
 
-  def batch(spark: SparkSession): DataFrame =
+  def batch(spark: SparkSession): DataFrame = {
+    ensureTransport()
     decode(spark, ConnectorFeed.frames(spark, kind, topic))
+  }
 
   /** Real unbounded stream: readStream over the feed's spool directory,
     * so a streaming rule sees every pushed frame as a fresh micro-batch
     * (the MemoryHub pattern). Executors read the spool directly — no
     * frame passes through the driver after the transport hands it off.
     */
-  def stream(spark: SparkSession): DataFrame =
+  def stream(spark: SparkSession): DataFrame = {
+    ensureTransport()
     decode(spark, ConnectorFeed.frameStream(spark, kind, topic))
+  }
 }
 
 object ConnectorSource {
