@@ -1,0 +1,333 @@
+package graft
+
+import graft.net._
+import graft.sinks.ConnectorSink
+import graft.sources.{ConnectorFeed, ConnectorSource}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Wire-protocol and engine-integration tests for graft.net: the
+  * MQTT 3.1.1 broker/client, RFC 6455 WebSocket hub/client, RESP
+  * redis stub/client, and the ConnectorSource/ConnectorSink plumbing
+  * that rides them when a stream carries a SERVER option or a sink
+  * endpoint is a broker URL.
+  */
+class NetSpec extends SparkSuite {
+
+  /** Poll until `cond` or ~5 s — broker deliveries are asynchronous. */
+  private def awaitCond(cond: => Boolean, what: String): Unit = {
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(cond, s"timed out waiting for $what")
+  }
+
+  // ---- MQTT ----
+
+  test("mqtt: QoS-1 publish round-trips through the broker to a wildcard subscription") {
+    val broker = MqttBroker.start()
+    try {
+      val received = new ConcurrentLinkedQueue[(String, String)]()
+      val sub = MqttClient.connect(broker.address, "sub1")
+      sub.subscribe("sensors/+/temp", (t, p) =>
+        received.add(t -> new String(p, StandardCharsets.UTF_8)))
+      val pub = MqttClient.connect(broker.address, "pub1")
+      pub.publish("sensors/a/temp", "21.5") // blocks on PUBACK — QoS-1 edge proven
+      pub.publish("sensors/b/temp", "22.5")
+      pub.publish("sensors/a/humidity", "55") // no filter match
+      awaitCond(received.size == 2, "two wildcard-matched deliveries")
+      assert(received.toArray.toSet == Set(
+        ("sensors/a/temp", "21.5"), ("sensors/b/temp", "22.5")))
+      sub.close(); pub.close()
+    } finally broker.close()
+  }
+
+  test("mqtt: second subscription keeps the first filter's handler (no clobbering)") {
+    val broker = MqttBroker.start()
+    try {
+      val xs = new ConcurrentLinkedQueue[String]()
+      val ys = new ConcurrentLinkedQueue[String]()
+      val sub = MqttClient.connect(broker.address, "sub2")
+      sub.subscribe("x/#", (_, p) => xs.add(new String(p, StandardCharsets.UTF_8)))
+      sub.subscribe("y/+", (_, p) => ys.add(new String(p, StandardCharsets.UTF_8)))
+      val pub = MqttClient.connect(broker.address, "pub2")
+      pub.publish("x/deep/topic", "for-x")
+      pub.publish("y/leaf", "for-y")
+      awaitCond(xs.size == 1 && ys.size == 1, "each handler one delivery")
+      assert(xs.peek() == "for-x" && ys.peek() == "for-y")
+
+      sub.unsubscribe("x/#")
+      pub.publish("x/deep/topic", "after-unsub")
+      pub.publish("y/other", "still-y")
+      awaitCond(ys.size == 2, "y handler still live after x unsubscribe")
+      assert(xs.size == 1, "unsubscribed filter must receive nothing")
+      sub.close(); pub.close()
+    } finally broker.close()
+  }
+
+  test("mqtt: topicMatches implements + and # per spec") {
+    import Mqtt.topicMatches
+    assert(topicMatches("a/b/c", "a/b/c"))
+    assert(!topicMatches("a/b/c", "a/b"))
+    assert(topicMatches("a/+/c", "a/x/c"))
+    assert(!topicMatches("a/+/c", "a/x/y"))
+    assert(topicMatches("a/#", "a/x/y/z"))
+    assert(topicMatches("#", "anything/at/all"))
+    assert(!topicMatches("a/+", "a"))
+    assert(!topicMatches("+", "a/b"))
+  }
+
+  // ---- WebSocket ----
+
+  test("websocket: hub re-broadcasts a masked client frame to other clients") {
+    val hub = WebSocketHub.start()
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val listener = WebSocketClient.connect(hub.url)
+      listener.onText(got.add(_))
+      val sender = WebSocketClient.connect(hub.url)
+      sender.sendText("""{"k":1}""")
+      sender.sendText("""{"k":2}""")
+      awaitCond(got.size == 2, "hub broadcast to the listener")
+      assert(got.toArray.toSet == Set("""{"k":1}""", """{"k":2}"""))
+      assert(hub.received.size == 2, "hub records frames for assertions")
+      sender.close(); listener.close()
+    } finally hub.close()
+  }
+
+  // ---- Redis / RESP ----
+
+  test("resp: codec round-trips commands and replies") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Resp.writeCommand(buf, Seq("PUBLISH", "ch", "payload with spaces"))
+    val in = new java.io.ByteArrayInputStream(
+      buf.toByteArray ++ "+OK\r\n:42\r\n$-1\r\n-ERR boom\r\n".getBytes(StandardCharsets.US_ASCII))
+    assert(Resp.readReply(in) == Seq("PUBLISH", "ch", "payload with spaces"))
+    assert(Resp.readReply(in) == "OK")
+    assert(Resp.readReply(in) == 42L)
+    assert(Resp.readReply(in) == null)
+    assert(Resp.readReply(in) == Resp.Error("ERR boom"))
+  }
+
+  test("redis: SUBSCRIBE/PUBLISH round-trips through the stub server") {
+    val server = RedisStubServer.start()
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = RedisClient.connect(server.address)
+      sub.subscribe("events", got.add(_))
+      val pub = RedisClient.connect(server.address)
+      pub.ping()
+      assert(pub.publishChannel("events", "e1") == 1L, "one subscriber counted")
+      assert(pub.publishChannel("other", "dropped") == 0L)
+      awaitCond(got.size == 1, "subscribed channel delivery")
+      assert(got.peek() == "e1")
+
+      sub.unsubscribe("events")
+      Thread.sleep(50) // let the server process the UNSUBSCRIBE
+      assert(pub.publishChannel("events", "e2") == 0L, "no subscriber after unsubscribe")
+      sub.close(); pub.close()
+    } finally server.close()
+  }
+
+  test("redis: publish on a subscriber connection is rejected") {
+    val server = RedisStubServer.start()
+    try {
+      val sub = RedisClient.connect(server.address)
+      sub.subscribe("c", _ => ())
+      intercept[IllegalArgumentException](sub.publishChannel("c", "x"))
+      sub.close()
+    } finally server.close()
+  }
+
+  // ---- engine wiring: SERVER option → FeedBridges → ConnectorSource ----
+
+  test("connector source with SERVER ingests frames published to a real mqtt broker") {
+    val broker = MqttBroker.start()
+    try {
+      ConnectorFeed.clear("mqtt", "net/in")
+      val src = ConnectorSource("mqtt", "net/in",
+        StructType.fromDDL("device string, temp bigint"),
+        Map("server" -> broker.address))
+      // building the batch frame starts the subscriber bridge
+      assert(src.batch(spark).count() == 0)
+      val pub = MqttClient.connect(broker.address, "ext-pub")
+      pub.publish("net/in", """{"device":"a","temp":21}""")
+      pub.publish("net/in", """{"device":"b","temp":25}""")
+      awaitCond(src.batch(spark).count() == 2, "broker frames landing in the feed")
+      val rows = src.batch(spark).orderBy("device")
+        .select("device", "temp").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("a", 21L), ("b", 25L)))
+      pub.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("connector source SERVER stream: broker frames arrive as micro-batches") {
+    val broker = MqttBroker.start()
+    try {
+      ConnectorFeed.clear("mqtt", "net/stream")
+      val src = ConnectorSource("mqtt", "net/stream",
+        StructType.fromDDL("v bigint"), Map("server" -> broker.address))
+      val q = src.stream(spark).writeStream.format("memory")
+        .queryName("net_stream_out").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val pub = MqttClient.connect(broker.address, "stream-pub")
+        pub.publish("net/stream", """{"v":1}""")
+        pub.publish("net/stream", """{"v":2}""")
+        awaitCond({ q.processAllAvailable(); spark.table("net_stream_out").count() == 2 },
+          "two broker frames as micro-batch rows")
+        assert(spark.table("net_stream_out").agg(sum("v")).first().getLong(0) == 3)
+        pub.close()
+      } finally q.stop()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("connector source with SERVER ingests from the redis stub server") {
+    val server = RedisStubServer.start()
+    try {
+      ConnectorFeed.clear("redis", "net/redis")
+      val src = ConnectorSource("redis", "net/redis",
+        StructType.fromDDL("x bigint"), Map("server" -> server.address))
+      assert(src.batch(spark).count() == 0) // starts the bridge
+      val pub = RedisClient.connect(server.address)
+      pub.publishChannel("net/redis", """{"x":7}""")
+      awaitCond(src.batch(spark).count() == 1, "redis frame landing in the feed")
+      assert(src.batch(spark).select("x").first().getLong(0) == 7L)
+      pub.close()
+    } finally { FeedBridges.closeAll(); server.close() }
+  }
+
+  // ---- engine wiring: broker-URL endpoint → SinkTransports → ConnectorSink ----
+
+  test("connector sink publishes partitions to a real mqtt broker") {
+    val broker = MqttBroker.start()
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = MqttClient.connect(broker.address, "sink-sub")
+      sub.subscribe("net/out", (_, p) => got.add(new String(p, StandardCharsets.UTF_8)))
+      val df = spark.range(3).select(col("id"))
+      ConnectorSink("mqtt", s"${broker.address}/net/out").writeBatch(df)
+      awaitCond(got.size == 3, "three published rows at the subscriber")
+      assert(got.toArray.map(_.toString).toSet ==
+        Set("""{"id":0}""", """{"id":1}""", """{"id":2}"""))
+      sub.close()
+    } finally broker.close()
+  }
+
+  test("connector sink publishes to the websocket hub") {
+    val hub = WebSocketHub.start()
+    try {
+      val df = spark.range(2).select(col("id"))
+      ConnectorSink("websocket", hub.url).writeBatch(df)
+      awaitCond(hub.received.size == 2, "hub received both frames")
+      assert(hub.received.toSet == Set("""{"id":0}""", """{"id":1}"""))
+    } finally hub.close()
+  }
+
+  test("connector sink publishes to the redis stub server") {
+    val server = RedisStubServer.start()
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = RedisClient.connect(server.address)
+      sub.subscribe("out", got.add(_))
+      val df = spark.range(2).select(col("id"))
+      ConnectorSink("redis", s"${server.address}/out").writeBatch(df)
+      awaitCond(got.size == 2, "redis subscriber received both frames")
+      assert(got.toArray.map(_.toString).toSet == Set("""{"id":0}""", """{"id":1}"""))
+      sub.close()
+    } finally server.close()
+  }
+
+  // ---- full reference pipeline: broker → decode → windowed SQL → broker ----
+
+  test("e2e rule: mqtt broker in, TUMBLINGWINDOW SQL, mqtt broker out (nexmark-style)") {
+    val broker = MqttBroker.start()
+    val eng = new graft.rules.RuleEngine(spark)
+    try {
+      ConnectorFeed.clear("mqtt", "nex/bids")
+      eng.createStream(
+        s"""CREATE STREAM bids (auction BIGINT, price BIGINT, ts TIMESTAMP) WITH
+           | (TYPE="mqtt", DATASOURCE="nex/bids", FORMAT="json",
+           |  SERVER="${broker.address}", TIMESTAMP="ts")""".stripMargin)
+      // the stream's subscriber must be live before anything publishes —
+      // MQTT has no replay without persistent sessions (same as the
+      // reference: a rule subscribes on start and sees only new frames)
+      FeedBridges.ensure("mqtt", "nex/bids", broker.address)
+      // bid events via the REAL broker, not the generator
+      val pub = MqttClient.connect(broker.address, "nex-pub")
+      pub.publish("nex/bids", """{"auction":1,"price":100,"ts":"2024-01-01T00:00:05Z"}""")
+      pub.publish("nex/bids", """{"auction":1,"price":200,"ts":"2024-01-01T00:00:30Z"}""")
+      pub.publish("nex/bids", """{"auction":2,"price":500,"ts":"2024-01-01T00:00:40Z"}""")
+      pub.publish("nex/bids", """{"auction":1,"price":300,"ts":"2024-01-01T00:01:10Z"}""")
+      awaitCond(ConnectorSource("mqtt", "nex/bids",
+        StructType.fromDDL("auction bigint, price bigint, ts timestamp"),
+        Map.empty).batch(spark).count() == 4, "bids spooled from the broker")
+
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = MqttClient.connect(broker.address, "nex-sub")
+      sub.subscribe("nex/out", (_, p) => got.add(new String(p, StandardCharsets.UTF_8)))
+      eng.create(graft.rules.Rule("nexq4",
+        """SELECT auction, count(*) AS bids, max(price) AS top
+          |FROM bids GROUP BY auction, TUMBLINGWINDOW(ss, 60)""".stripMargin,
+        Seq(ConnectorSink("mqtt", s"${broker.address}/nex/out",
+          Map("dataTemplate" -> """{"a":{{auction}},"n":{{bids}},"top":{{top}}}""")))))
+      eng.start("nexq4")
+      awaitCond(got.size == 3, "three window aggregates published back")
+      assert(got.toArray.map(_.toString).toSet == Set(
+        """{"a":1,"n":2,"top":200}""", // window [00:00, 00:01): auction 1 twice
+        """{"a":2,"n":1,"top":500}""", // window [00:00, 00:01): auction 2 once
+        """{"a":1,"n":1,"top":300}""")) // window [00:01, 00:02)
+      pub.close(); sub.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("e2e streaming rule: broker-fed stream filters back to the broker incrementally") {
+    val broker = MqttBroker.start()
+    val eng = new graft.rules.RuleEngine(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_net_ck")
+    try {
+      ConnectorFeed.clear("mqtt", "live/in")
+      eng.createStream(
+        s"""CREATE STREAM netlive (device STRING, temp BIGINT) WITH
+           | (TYPE="mqtt", DATASOURCE="live/in", SERVER="${broker.address}")""".stripMargin)
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = MqttClient.connect(broker.address, "live-sub")
+      sub.subscribe("live/alerts", (_, p) => got.add(new String(p, StandardCharsets.UTF_8)))
+      eng.create(graft.rules.Rule("netlive-rule",
+        "SELECT device, temp FROM netlive WHERE temp > 20",
+        Seq(ConnectorSink("mqtt", s"${broker.address}/live/alerts",
+          Map("dataTemplate" -> """{{device}}:{{temp}}"""))),
+        streaming = true, checkpointDir = Some(ckpt.toString)))
+      eng.start("netlive-rule")
+      try {
+        val pub = MqttClient.connect(broker.address, "live-pub")
+        pub.publish("live/in", """{"device":"a","temp":25}""")
+        pub.publish("live/in", """{"device":"b","temp":5}""")
+        awaitCond({ eng.processAllAvailable("netlive-rule"); got.size == 1 },
+          "hot reading published as an alert")
+        assert(got.peek() == "a:25")
+        // a frame published AFTER the stream started arrives as a new micro-batch
+        pub.publish("live/in", """{"device":"c","temp":30}""")
+        awaitCond({ eng.processAllAvailable("netlive-rule"); got.size == 2 },
+          "second alert from a later micro-batch")
+        assert(got.toArray.map(_.toString).toSet == Set("a:25", "c:30"))
+        pub.close()
+      } finally eng.stop("netlive-rule")
+      sub.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("sink transport selection: broker URLs are real, plain endpoints stay stubbed") {
+    assert(SinkTransports.supports("mqtt", "tcp://127.0.0.1:1883/t"))
+    assert(SinkTransports.supports("websocket", "ws://127.0.0.1:80/s"))
+    assert(SinkTransports.supports("redis", "redis://127.0.0.1:6379/c"))
+    assert(!SinkTransports.supports("rest", "redis://127.0.0.1:6379/c"))
+    assert(!SinkTransports.supports("rest", "http://x/y"))
+    assert(!SinkTransports.supports("mqtt", "memdb"))
+    // stub path still records when the endpoint is not a broker URL
+    ConnectorSink.clear("mqtt", "plain-endpoint")
+    ConnectorSink("mqtt", "plain-endpoint").writeBatch(spark.range(1).select(col("id")))
+    assert(ConnectorSink.sent("mqtt", "plain-endpoint") == Vector("""{"id":0}"""))
+  }
+}
