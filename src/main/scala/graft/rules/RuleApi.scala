@@ -64,11 +64,24 @@ final class RuleApi(engine: RuleEngine) {
         for (b <- num(w \ "begin"); e <- num(w \ "end")) yield ScheduleRange(b, e) }
       case _ => Nil
     }
+    // periodic rules (reference options "cron" + "duration"): the rule
+    // runs for `duration` at every cron fire; any `schedule` ranges
+    // gate which fires count (cronDatetimeRange)
+    val cron = (opts \ "cron") match {
+      case JString(expr) =>
+        val dur = (opts \ "duration") match {
+          case JString(d) => Cron.parseDuration(d)
+          case other => num(other).map(_ * 1000).getOrElse(throw new IllegalArgumentException(
+            "cron rule needs a \"duration\" (e.g. \"10m\")"))
+        }
+        Some(CronSchedule(expr, dur))
+      case _ => None
+    }
     engine.create(Rule(id, sql, sinks, streaming = streaming,
       triggerMs = num(opts \ "trigger").getOrElse(0L),
       checkpointDir = (opts \ "checkpoint") match {
         case JString(c) => Some(c); case _ => None },
-      restart = restart, schedule = schedule,
+      restart = restart, schedule = schedule, cron = cron,
       liveLookup = (opts \ "liveLookup") == JBool(true)))
     ruleJson.put(id, JsonMethods.compact(JsonMethods.render(j)))
     id

@@ -37,6 +37,7 @@ final case class Rule(id: String, sql: String, sinks: Seq[Sink],
                       graphJson: Option[String] = None,
                       restart: RestartPolicy = RestartPolicy(),
                       schedule: Seq[ScheduleRange] = Nil,
+                      cron: Option[CronSchedule] = None,
                       liveLookup: Boolean = false)
 
 object Rule {
@@ -197,12 +198,15 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
   def start(id: String): Unit = {
     val slot = lookup(id)
     val rule = slot.rule
-    if (rule.schedule.isEmpty) launch(slot, rule)
+    if (rule.schedule.isEmpty && rule.cron.isEmpty) launch(slot, rule)
     else scheduleTick(slot, rule, slot.epoch.get)
   }
 
   /** Schedule driver: inside a window → run and arm a stop at its end;
     * before one → arm a start at its begin; past them all → Stopped.
+    * Windows come from the static `schedule` ranges, or — for a
+    * periodic rule — from the cron expression's fires, with any static
+    * ranges gating which fires count (reference cronDatetimeRange).
     */
   private def scheduleTick(slot: Slot, rule: Rule, ep: Long): Unit = {
     if (slot.epoch.get != ep) return // stopped/deleted meanwhile
@@ -210,7 +214,11 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     def armAt(atMs: Long)(body: => Unit): Unit =
       timer.schedule(new Runnable { def run(): Unit = body },
         math.max(0, atMs - now), java.util.concurrent.TimeUnit.MILLISECONDS)
-    rule.schedule.find(w => now >= w.beginMs && now < w.endMs) match {
+    val currentWindow = rule.cron match {
+      case Some(c) => c.windowAt(now, rule.schedule)
+      case None => rule.schedule.find(w => now >= w.beginMs && now < w.endMs)
+    }
+    currentWindow match {
       case Some(w) =>
         // a launch failure parks the rule as Failed permanently — do
         // not arm the window close (it would overwrite Failed with
@@ -227,10 +235,14 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
           }
         }
       case None =>
-        rule.schedule.filter(_.beginMs > now).sortBy(_.beginMs).headOption match {
+        val nextBegin = rule.cron match {
+          case Some(c) => c.nextBegin(now, rule.schedule)
+          case None => rule.schedule.filter(_.beginMs > now).map(_.beginMs).minOption
+        }
+        nextBegin match {
           case Some(next) =>
             slot.state = RuleState.Scheduled
-            armAt(next.beginMs)(scheduleTick(slot, rule, ep))
+            armAt(next)(scheduleTick(slot, rule, ep))
           case None =>
             if (slot.state != RuleState.Stopped) slot.state = RuleState.Stopped
         }

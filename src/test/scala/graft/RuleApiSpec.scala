@@ -167,4 +167,29 @@ class RuleApiSpec extends SparkSuite {
     assert(cm == 200 && bm.contains("\"r_met\"") && bm.contains("\"rows\":2"),
       s"unexpected metrics: $bm")
   }
+
+  test("cron-scheduled rule JSON (reference cron + duration options) is accepted") {
+    val dir = Files.createTempDirectory("graft_cron_in")
+    Files.write(dir.resolve("a.json"), """{"x":3}""".getBytes)
+    val a = api
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM cron_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    // next Jan-1 fire is in the future → rule parks as Scheduled
+    val (cc, _) = a.handle("POST", "/rules",
+      """{"id":"r_cron","sql":"SELECT x FROM cron_in",
+        | "actions":[{"nop":{}}],
+        | "options":{"cron":"0 0 1 1 *","duration":"10m"}}""".stripMargin)
+    assert(cc == 200)
+    a.handle("POST", "/rules/r_cron/start")
+    val (_, st) = a.handle("GET", "/rules/r_cron/status")
+    assert(st.contains("Scheduled"), st)
+    a.handle("POST", "/rules/r_cron/stop")
+    // malformed cron / missing duration are rejected at create time
+    assert(a.handle("POST", "/rules",
+      """{"id":"r_badcron","sql":"SELECT x FROM cron_in",
+        | "options":{"cron":"not a cron","duration":"10m"}}""".stripMargin)._1 == 400)
+    assert(a.handle("POST", "/rules",
+      """{"id":"r_nodur","sql":"SELECT x FROM cron_in",
+        | "options":{"cron":"* * * * *"}}""".stripMargin)._1 == 400)
+  }
 }

@@ -516,4 +516,73 @@ class RulesSpec extends SparkSuite {
     val n = MemoryHub.frame(spark, "bid_stats").agg(sum("n")).first().getLong(0)
     assert(n == 1000)
   }
+
+  test("cron parser: field grammar, nextFire, durations") {
+    import java.time.ZoneId
+    val utc = ZoneId.of("UTC")
+    val jan1 = 1704067200000L // 2024-01-01T00:00:00Z, a Monday
+    def next(expr: String, from: Long) = Cron.nextFire(Cron.parse(expr), from, utc)
+    assert(next("*/15 * * * *", jan1 + 1).contains(1704068100000L)) // 00:15
+    assert(next("0 0 1 1 *", jan1 + 1).contains(1735689600000L)) // Jan 1 2025
+    assert(next("30 2 * * mon", jan1).contains(1704076200000L)) // Mon 02:30
+    // dom/dow both restricted → OR: first Friday (Jan 5) precedes the 13th
+    assert(next("0 0 13 * fri", jan1 + 1).contains(1704412800000L))
+    assert(next("0 0 30 2 *", jan1).isEmpty) // Feb 30 never fires
+    assert(next("0 0 * jan *", jan1).contains(jan1)) // month names; at-or-after
+    intercept[IllegalArgumentException](Cron.parse("* * * *")) // 4 fields
+    intercept[IllegalArgumentException](Cron.parse("61 * * * *")) // out of range
+    assert(Cron.parseDuration("90s") == 90000L)
+    assert(Cron.parseDuration("1h30m") == 5400000L)
+    assert(Cron.parseDuration("500ms") == 500L)
+    assert(Cron.parseDuration("10") == 10000L) // bare number = seconds
+    intercept[IllegalArgumentException](Cron.parseDuration("10 bananas"))
+  }
+
+  test("cron schedule windows: active fire, next begin, datetime-range gates") {
+    import java.time.ZoneId
+    val c = CronSchedule("*/10 * * * *", 300000L, ZoneId.of("UTC")) // every 10 min, run 5 min
+    val now = 1704067920000L // 00:12 — inside the 00:10 fire's 5-min window
+    assert(c.windowAt(now).contains(ScheduleRange(1704067800000L, 1704068100000L)))
+    assert(c.nextBegin(now).contains(1704068400000L)) // 00:20
+    assert(c.windowAt(1704068160000L).isEmpty) // 00:16 — between windows
+    // gates (reference cronDatetimeRange): only fires inside a range count
+    val gate = Seq(ScheduleRange(1704069000000L, 1704070800000L)) // [00:30, 01:00)
+    assert(c.windowAt(now, gate).isEmpty) // 00:10 fire is outside the gate
+    assert(c.nextBegin(now, gate).contains(1704069000000L)) // first gated fire 00:30
+    assert(c.nextBegin(1704070800000L, gate).isEmpty) // gate closed, nothing ever valid
+  }
+
+  test("cron-scheduled rule runs during a fire window and parks outside") {
+    val eng = newEngine
+    ConnectorFeed.clear("mqtt", "cron/in")
+    ConnectorFeed.push("mqtt", "cron/in", """{"v":9}""", 1000L)
+    eng.createStream(
+      """CREATE STREAM cronsrc (v BIGINT) WITH (TYPE="mqtt", DATASOURCE="cron/in")""")
+    // fires every minute and runs 2 min → some window always contains now
+    MemoryHub.drop("cron_out")
+    eng.create(Rule("rcron", "SELECT v FROM cronsrc", Seq(MemorySink("cron_out")),
+      cron = Some(CronSchedule("* * * * *", 120000L))))
+    eng.start("rcron")
+    val deadline = System.currentTimeMillis() + 15000
+    while (!MemoryHub.exists("cron_out") && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(MemoryHub.frame(spark, "cron_out").first().getLong(0) == 9,
+      "rule must have run inside the live cron window")
+    eng.stop("rcron")
+    // next fire a year out → parked as Scheduled
+    eng.create(Rule("rcron2", "SELECT v FROM cronsrc", Seq(MemorySink("cron_never")),
+      cron = Some(CronSchedule("0 0 1 1 *", 60000L))))
+    MemoryHub.drop("cron_never")
+    eng.start("rcron2")
+    assert(eng.status("rcron2").state == RuleState.Scheduled)
+    assert(!MemoryHub.exists("cron_never"))
+    // cron gated by an exhausted datetime range → Stopped, never runs
+    eng.create(Rule("rcron3", "SELECT v FROM cronsrc", Seq(MemorySink("cron_gone")),
+      cron = Some(CronSchedule("* * * * *", 60000L)),
+      schedule = Seq(ScheduleRange(1000L, 2000L))))
+    MemoryHub.drop("cron_gone")
+    eng.start("rcron3")
+    assert(eng.status("rcron3").state == RuleState.Stopped)
+    assert(!MemoryHub.exists("cron_gone"))
+  }
 }
