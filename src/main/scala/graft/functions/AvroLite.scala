@@ -8,15 +8,16 @@ import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Dependency-free Avro binary codec for flat records — the
-  * reference's avro converter without the avro jars (absent in this
-  * container): Avro's binary encoding is a public spec — fields in
-  * schema order with no tags, zigzag varints for int/long, IEEE
-  * little-endian for float/double, length-prefixed UTF-8 for
-  * string/bytes. Every field is treated as the nullable union
-  * ["null", T] (the conventional nullable-record shape): a 0/1 union
-  * index precedes each value. Nested records, arrays, and maps are out
-  * of scope (documented divergence).
+/** Dependency-free Avro binary codec — the reference's avro converter
+  * without the avro jars (absent in this container): Avro's binary
+  * encoding is a public spec — fields in schema order with no tags,
+  * zigzag varints for int/long, IEEE little-endian for float/double,
+  * length-prefixed UTF-8 for string/bytes. Every field is treated as
+  * the nullable union ["null", T] (the conventional nullable-record
+  * shape): a 0/1 union index precedes each value. Nested records
+  * encode recursively — a struct field is its union index followed by
+  * the sub-record's fields inline, per the spec. Arrays and maps
+  * remain out of scope (documented divergence).
   */
 object AvroLite {
 
@@ -31,6 +32,12 @@ object AvroLite {
 
   def encode(values: InternalRow, schema: StructType): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(64)
+    encodeInto(out, values, schema)
+    out.toByteArray
+  }
+
+  private def encodeInto(out: java.io.ByteArrayOutputStream,
+                         values: InternalRow, schema: StructType): Unit = {
     var i = 0
     while (i < schema.length) {
       if (values.isNullAt(i)) writeVarint(out, zigzag(0L)) // union branch: null
@@ -52,16 +59,18 @@ object AvroLite {
           case BinaryType =>
             val bytes = values.getBinary(i)
             writeVarint(out, zigzag(bytes.length.toLong)); out.write(bytes)
+          case st: StructType => // nested record: fields inline, spec order
+            encodeInto(out, values.getStruct(i, st.length), st)
           case other => throw new IllegalArgumentException(
-            s"avro codec: unsupported field type $other")
+            s"avro codec: unsupported field type $other (arrays/maps are not supported; " +
+              "nested records are)")
         }
       }
       i += 1
     }
-    out.toByteArray
   }
 
-  def decode(bytes: Array[Byte], schema: StructType): InternalRow = {
+  private final class Reader(bytes: Array[Byte]) {
     var pos = 0
     def readVarint(): Long = {
       var shift = 0; var v = 0L
@@ -89,26 +98,36 @@ object AvroLite {
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n; out
     }
+    def readBoolean(): Boolean = {
+      if (pos >= bytes.length)
+        throw new IllegalArgumentException("avro codec: truncated boolean")
+      val v = bytes(pos) != 0; pos += 1; v
+    }
+  }
+
+  def decode(bytes: Array[Byte], schema: StructType): InternalRow =
+    decodeRecord(new Reader(bytes), schema)
+
+  private def decodeRecord(r: Reader, schema: StructType): InternalRow = {
     val row = new GenericInternalRow(schema.length)
     var i = 0
     while (i < schema.length) {
-      val branch = readVarint()
+      val branch = r.readVarint()
       if (branch != 0L && branch != 1L)
         throw new IllegalArgumentException(
           s"avro codec: invalid union branch $branch for field ${schema.fields(i).name}")
       if (branch == 1L) schema.fields(i).dataType match {
-        case LongType => row.update(i, readVarint())
-        case IntegerType => row.update(i, readVarint().toInt)
-        case BooleanType =>
-          if (pos >= bytes.length)
-            throw new IllegalArgumentException("avro codec: truncated boolean")
-          row.update(i, bytes(pos) != 0); pos += 1
-        case DoubleType => row.update(i, java.lang.Double.longBitsToDouble(readFixed(8)))
-        case FloatType => row.update(i, java.lang.Float.intBitsToFloat(readFixed(4).toInt))
-        case StringType => row.update(i, UTF8String.fromBytes(readBytes()))
-        case BinaryType => row.update(i, readBytes())
+        case LongType => row.update(i, r.readVarint())
+        case IntegerType => row.update(i, r.readVarint().toInt)
+        case BooleanType => row.update(i, r.readBoolean())
+        case DoubleType => row.update(i, java.lang.Double.longBitsToDouble(r.readFixed(8)))
+        case FloatType => row.update(i, java.lang.Float.intBitsToFloat(r.readFixed(4).toInt))
+        case StringType => row.update(i, UTF8String.fromBytes(r.readBytes()))
+        case BinaryType => row.update(i, r.readBytes())
+        case st: StructType => row.update(i, decodeRecord(r, st))
         case other => throw new IllegalArgumentException(
-          s"avro codec: unsupported field type $other")
+          s"avro codec: unsupported field type $other (arrays/maps are not supported; " +
+            "nested records are)")
       }
       i += 1
     }

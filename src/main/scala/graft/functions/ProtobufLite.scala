@@ -20,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * layout protoc generates for a message declared in schema order).
   * Supported field types: LONG/INT (varint), BOOLEAN (varint),
   * DOUBLE (fixed64), FLOAT (fixed32), STRING/BINARY
-  * (length-delimited). Unknown field numbers in the input are skipped
-  * by wire type; absent fields decode to null. Nested messages,
-  * repeated fields, and packed encodings are out of scope (documented
-  * divergence — the reference delegates those to protoc descriptors).
+  * (length-delimited), STRUCT (length-delimited nested message,
+  * encoded recursively with the same numbering convention). Unknown
+  * field numbers in the input are skipped by wire type; absent fields
+  * decode to null. Repeated fields and packed encodings are out of
+  * scope (documented divergence — the reference delegates those to
+  * protoc descriptors).
   */
 object ProtobufLite {
 
@@ -68,8 +70,13 @@ object ProtobufLite {
             writeVarint(out, (fieldNo << 3) | 2)
             val bytes = values.getBinary(i)
             writeVarint(out, bytes.length.toLong); out.write(bytes)
+          case st: StructType => // nested message: length-delimited submessage
+            writeVarint(out, (fieldNo << 3) | 2)
+            val bytes = encode(values.getStruct(i, st.length), st)
+            writeVarint(out, bytes.length.toLong); out.write(bytes)
           case other => throw new IllegalArgumentException(
-            s"protobuf codec: unsupported field type $other")
+            s"protobuf codec: unsupported field type $other (repeated/packed fields " +
+              "are not supported; nested messages are)")
         }
       }
       i += 1
@@ -136,6 +143,7 @@ object ProtobufLite {
         case StringType if wire == 2 =>
           row.update(idx, UTF8String.fromBytes(r.readBytes()))
         case BinaryType if wire == 2 => row.update(idx, r.readBytes())
+        case st: StructType if wire == 2 => row.update(idx, decode(r.readBytes(), st))
         case _ => r.skip(wire) // declared type and wire type disagree
       }
     }

@@ -167,6 +167,59 @@ class FunctionsSpec extends SparkSuite {
       && back.isNullAt(6))
   }
 
+  test("nested records: avro and protobuf codecs recurse through struct fields") {
+    import graft.functions.{AvroLite, ProtobufLite}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // protobuf documentation's nested example: field 3 = submessage
+    // {field 1 (varint) = 150} encodes as 1a 03 08 96 01
+    val nested3 = StructType.fromDDL("s1 BIGINT, s2 BIGINT, sub STRUCT<a: BIGINT>")
+    val rowG = new GenericInternalRow(Array[Any](
+      null, null, new GenericInternalRow(Array[Any](150L))))
+    assert(ProtobufLite.encode(rowG, nested3).toSeq ==
+      Seq(0x1a, 0x03, 0x08, 0x96, 0x01).map(_.toByte))
+    val backG = ProtobufLite.decode(Seq(0x1a, 0x03, 0x08, 0x96, 0x01).map(_.toByte).toArray, nested3)
+    assert(backG.getStruct(2, 1).getLong(0) == 150L)
+
+    // two-level round trips, null nested struct included, both codecs
+    val deep = StructType.fromDDL(
+      "id BIGINT, pos STRUCT<lat: DOUBLE, tag: STRUCT<name: STRING>>, gone STRUCT<x: BIGINT>")
+    val rowD = new GenericInternalRow(Array[Any](
+      5L,
+      new GenericInternalRow(Array[Any](
+        48.25, new GenericInternalRow(Array[Any](UTF8String.fromString("berlin"))))),
+      null))
+    for (codec <- Seq[(org.apache.spark.sql.catalyst.InternalRow, StructType) =>
+        org.apache.spark.sql.catalyst.InternalRow](
+      (r, s) => AvroLite.decode(AvroLite.encode(r, s), s),
+      (r, s) => ProtobufLite.decode(ProtobufLite.encode(r, s), s))) {
+      val back = codec(rowD, deep)
+      assert(back.getLong(0) == 5L)
+      val pos = back.getStruct(1, 2)
+      assert(pos.getDouble(0) == 48.25)
+      assert(pos.getStruct(1, 1).getUTF8String(0).toString == "berlin")
+      assert(back.isNullAt(2))
+    }
+
+    // DDL-level: a nested-schema stream decodes through the codec path
+    import graft.sources.{Codecs, ConnectorFeed, ConnectorSource}
+    val schema = StructType.fromDDL("device STRING, pos STRUCT<lat: DOUBLE, lon: DOUBLE>")
+    val frames = spark.sql(
+      "SELECT 'a' AS device, named_struct('lat', 1.5D, 'lon', -2.5D) AS pos")
+      .select(Codecs.encode(
+        Seq("device" -> col("device"), "pos" -> col("pos")), "avro").as("frame"))
+      .collect().map(_.getString(0))
+    ConnectorFeed.clear("mqtt", "nested/in")
+    frames.foreach(ConnectorFeed.push("mqtt", "nested/in", _, 1000L))
+    val rows = ConnectorSource("mqtt", "nested/in", schema,
+      Map("format" -> "avro")).batch(spark)
+      .select(col("device"), col("pos.lat"), col("pos.lon")).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "a"
+      && rows(0).getDouble(1) == 1.5 && rows(0).getDouble(2) == -2.5)
+  }
+
   test("avro codec end-to-end through connector source and sink") {
     import graft.sources.{Codecs, ConnectorFeed, ConnectorSource}
     import org.apache.spark.sql.types.StructType
