@@ -297,6 +297,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
   // reroutes the first filter's deliveries
   private val subs = new ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
   @volatile private var connected = false
+  @volatile private var readerDead = false
 
   private def send(ptype: Int, flags: Int, body: Array[Byte]): Unit =
     out.synchronized { writePacket(out, ptype, flags, body) }
@@ -336,6 +337,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
       }
     } catch { case _: Exception => () }
     finally { // fail every pending waiter so a dead connection can't hang callers 10 s
+      readerDead = true // set BEFORE release so released waiters observe the failure
       acks.forEach((_, l) => l.countDown())
       acks.clear()
     }
@@ -348,6 +350,11 @@ final class MqttClient private (socket: Socket, clientId: String) {
     try {
       if (latch != null && !latch.await(10, TimeUnit.SECONDS))
         throw new java.io.IOException(s"mqtt: $what #$pid not acknowledged in 10s")
+      // the latch releases on real acks AND on reader death; only the
+      // former is success — a dead connection must fail fast, not
+      // report a QoS-1 publish as delivered
+      if (readerDead)
+        throw new java.io.IOException(s"mqtt: connection lost before $what #$pid was acknowledged")
     } finally acks.remove(pid) // no entry may outlive its waiter
   }
 

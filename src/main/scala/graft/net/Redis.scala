@@ -119,6 +119,7 @@ final class RedisClient private (socket: Socket) {
   private val handlers = new ConcurrentHashMap[String, String => Unit]()
   private val subscribeAcks = new ConcurrentHashMap[String, CountDownLatch]()
   @volatile private var subscriberMode = false
+  @volatile private var readerDead = false
 
   private def send(parts: String*): Unit = out.synchronized { writeCommand(out, parts) }
 
@@ -144,6 +145,7 @@ final class RedisClient private (socket: Socket) {
         }
       } catch { case _: Exception => () }
       finally { // fail any waiter so close() during subscribe can't hang 10 s
+        readerDead = true // set BEFORE release so released waiters observe the failure
         subscribeAcks.forEach((_, l) => l.countDown())
         subscribeAcks.clear()
       }
@@ -168,6 +170,10 @@ final class RedisClient private (socket: Socket) {
     try {
       if (!latch.await(10, TimeUnit.SECONDS))
         throw new java.io.IOException(s"redis: SUBSCRIBE $channel not confirmed in 10s")
+      // reader death also releases the latch; that is a failed
+      // subscription (no live ingest), not a confirmation
+      if (readerDead)
+        throw new java.io.IOException(s"redis: connection lost before SUBSCRIBE $channel was confirmed")
     } finally subscribeAcks.remove(channel)
   }
 
