@@ -291,7 +291,15 @@ final class MqttClient private (socket: Socket, clientId: String) {
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val in = new BufferedInputStream(socket.getInputStream)
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
-  private val acks = new ConcurrentHashMap[Int, CountDownLatch]()
+  // per-pid waiter with its own outcome flag: the latch also releases on
+  // reader death, and a global "dead" flag would mis-report an op whose
+  // real ack arrived just before the connection dropped
+  private final class AckWaiter {
+    val latch = new CountDownLatch(1)
+    @volatile var acked = false
+    def complete(): Unit = { acked = true; latch.countDown() }
+  }
+  private val acks = new ConcurrentHashMap[Int, AckWaiter]()
   // filter → handler: each subscription keeps its own callback and the
   // reader dispatches by topicMatches, so a second subscribe() never
   // reroutes the first filter's deliveries
@@ -329,7 +337,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
             }
           case PUBACK | SUBACK | UNSUBACK =>
             val r = new BodyReader(p.body)
-            Option(acks.remove(r.u16())).foreach(_.countDown())
+            Option(acks.remove(r.u16())).foreach(_.complete())
           case PINGRESP => ()
           case _ => ()
         }
@@ -338,7 +346,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
     } catch { case _: Exception => () }
     finally { // fail every pending waiter so a dead connection can't hang callers 10 s
       readerDead = true // set BEFORE release so released waiters observe the failure
-      acks.forEach((_, l) => l.countDown())
+      acks.forEach((_, w) => w.latch.countDown())
       acks.clear()
     }
   }, s"mqtt-client-$clientId")
@@ -346,14 +354,20 @@ final class MqttClient private (socket: Socket, clientId: String) {
   reader.start()
 
   private def awaitAck(pid: Int, what: String): Unit = {
-    val latch = acks.get(pid)
+    val w = acks.get(pid)
     try {
-      if (latch != null && !latch.await(10, TimeUnit.SECONDS))
+      if (w == null) return // already acked and removed by the reader
+      // if the reader died before our put, its drain missed this entry
+      // and nothing will ever count the latch down — fail fast instead
+      // of blocking the full timeout
+      if (readerDead && !w.acked)
+        throw new java.io.IOException(s"mqtt: connection lost before $what #$pid was acknowledged")
+      if (!w.latch.await(10, TimeUnit.SECONDS))
         throw new java.io.IOException(s"mqtt: $what #$pid not acknowledged in 10s")
       // the latch releases on real acks AND on reader death; only the
-      // former is success — a dead connection must fail fast, not
-      // report a QoS-1 publish as delivered
-      if (readerDead)
+      // per-pid flag distinguishes them — an ack that landed just before
+      // the drop still counts as success
+      if (!w.acked)
         throw new java.io.IOException(s"mqtt: connection lost before $what #$pid was acknowledged")
     } finally acks.remove(pid) // no entry may outlive its waiter
   }
@@ -365,7 +379,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
   def subscribe(filter: String, handler: (String, Array[Byte]) => Unit): Unit = {
     subs.put(filter, handler)
     val pid = nextId.getAndIncrement()
-    acks.put(pid, new CountDownLatch(1))
+    acks.put(pid, new AckWaiter)
     send(SUBSCRIBE, 0x02, subscribeBody(pid, Seq(filter -> 1)))
     awaitAck(pid, "subscribe")
   }
@@ -374,7 +388,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
   def unsubscribe(filter: String): Unit = {
     subs.remove(filter)
     val pid = nextId.getAndIncrement()
-    acks.put(pid, new CountDownLatch(1))
+    acks.put(pid, new AckWaiter)
     val b = new java.io.ByteArrayOutputStream()
     b.write(pid >> 8); b.write(pid & 0xff)
     putString(b, filter)
@@ -385,7 +399,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
   /** QoS-1 publish: blocks until the broker PUBACKs. */
   def publish(topic: String, payload: Array[Byte]): Unit = {
     val pid = nextId.getAndIncrement()
-    acks.put(pid, new CountDownLatch(1))
+    acks.put(pid, new AckWaiter)
     send(PUBLISH, 0x02 /* qos1 */, publishBody(topic, pid, payload, qos = 1))
     awaitAck(pid, "publish")
   }

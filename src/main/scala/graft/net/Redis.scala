@@ -117,7 +117,15 @@ final class RedisClient private (socket: Socket) {
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val in = new BufferedInputStream(socket.getInputStream)
   private val handlers = new ConcurrentHashMap[String, String => Unit]()
-  private val subscribeAcks = new ConcurrentHashMap[String, CountDownLatch]()
+  // per-channel waiter with its own outcome flag: the latch also
+  // releases on reader death, which must read as failure — but a
+  // confirmation that landed just before the drop is still a success
+  private final class SubWaiter {
+    val latch = new CountDownLatch(1)
+    @volatile var confirmed = false
+    def complete(): Unit = { confirmed = true; latch.countDown() }
+  }
+  private val subscribeAcks = new ConcurrentHashMap[String, SubWaiter]()
   @volatile private var subscriberMode = false
   @volatile private var readerDead = false
 
@@ -136,9 +144,9 @@ final class RedisClient private (socket: Socket) {
               val h = handlers.get(ch)
               if (h != null) h(payload)
             case Seq("subscribe", ch: String, _) =>
-              Option(subscribeAcks.remove(ch)).foreach(_.countDown())
+              Option(subscribeAcks.remove(ch)).foreach(_.complete())
             case Seq("unsubscribe", ch: String, _) =>
-              Option(subscribeAcks.remove(ch)).foreach(_.countDown())
+              Option(subscribeAcks.remove(ch)).foreach(_.complete())
             case _ => () // pong / other pushes
           }
           r = readReply(in)
@@ -146,7 +154,7 @@ final class RedisClient private (socket: Socket) {
       } catch { case _: Exception => () }
       finally { // fail any waiter so close() during subscribe can't hang 10 s
         readerDead = true // set BEFORE release so released waiters observe the failure
-        subscribeAcks.forEach((_, l) => l.countDown())
+        subscribeAcks.forEach((_, w) => w.latch.countDown())
         subscribeAcks.clear()
       }
     }, "redis-client-reader")
@@ -163,16 +171,20 @@ final class RedisClient private (socket: Socket) {
   def subscribe(channel: String, handler: String => Unit): Unit = {
     subscriberMode = true
     handlers.put(channel, handler)
-    val latch = new CountDownLatch(1)
-    subscribeAcks.put(channel, latch)
+    val w = new SubWaiter
+    subscribeAcks.put(channel, w)
     reader // start the push loop before the confirmation arrives
     send("SUBSCRIBE", channel)
     try {
-      if (!latch.await(10, TimeUnit.SECONDS))
+      // if the reader died before our put, its drain missed this entry —
+      // fail fast instead of blocking the full timeout
+      if (readerDead && !w.confirmed)
+        throw new java.io.IOException(s"redis: connection lost before SUBSCRIBE $channel was confirmed")
+      if (!w.latch.await(10, TimeUnit.SECONDS))
         throw new java.io.IOException(s"redis: SUBSCRIBE $channel not confirmed in 10s")
-      // reader death also releases the latch; that is a failed
-      // subscription (no live ingest), not a confirmation
-      if (readerDead)
+      // reader death also releases the latch; only the per-channel flag
+      // distinguishes a real confirmation from the drain
+      if (!w.confirmed)
         throw new java.io.IOException(s"redis: connection lost before SUBSCRIBE $channel was confirmed")
     } finally subscribeAcks.remove(channel)
   }

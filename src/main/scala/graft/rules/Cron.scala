@@ -7,8 +7,10 @@ import java.time.{Instant, ZoneId, ZonedDateTime}
   * (internal/topo/rule: options "cron" + "duration", optionally gated
   * by cronDatetimeRange windows). Supports `*`, lists `a,b`, ranges
   * `a-b`, and step suffixes (slash-n on a star or range); day-of-week
-  * 0-7 with 7 = Sunday. Standard cron OR-semantics: when BOTH day
-  * fields are restricted, a day matches if either field matches.
+  * 0-7 with 7 = Sunday. Day semantics follow robfig/cron (the
+  * reference's parser): when both day fields are explicitly restricted
+  * a day matches if either matches (standard cron OR); when either is
+  * star-prefixed (`*` or `*/n`) a day must match both.
   */
 object Cron {
 
@@ -50,20 +52,24 @@ object Cron {
       dom = field(fields(2), 1, 31),
       months = field(fields(3), 1, 12, monthNames),
       dow = field(fields(4), 0, 7, dowNames).map(d => if (d == 7) 0 else d),
-      domStar = fields(2) == "*",
-      dowStar = fields(4) == "*")
+      // robfig/cron (the reference's parser) treats any field that
+      // *starts* with `*` (e.g. `*/2`) as a star for day-matching
+      // purposes, so `0 0 */2 * mon` gets dow-only semantics there.
+      domStar = fields(2).startsWith("*"),
+      dowStar = fields(4).startsWith("*"))
   }
 
-  private def matches(spec: Spec, t: ZonedDateTime): Boolean = {
-    val dayOk =
-      if (spec.domStar && spec.dowStar) true
-      else if (spec.domStar) spec.dow(t.getDayOfWeek.getValue % 7)
-      else if (spec.dowStar) spec.dom(t.getDayOfMonth)
-      // both restricted → standard cron OR
-      else spec.dom(t.getDayOfMonth) || spec.dow(t.getDayOfWeek.getValue % 7)
-    spec.minutes(t.getMinute) && spec.hours(t.getHour) &&
-      spec.months(t.getMonthValue) && dayOk
+  /** robfig-style day matching: if either day field is star-prefixed,
+    * a day must satisfy BOTH sets (a plain `*` resolves to the full
+    * set, so this degrades to the usual single-field check); only when
+    * both fields are explicitly restricted does standard cron OR apply.
+    */
+  private def dayMatches(spec: Spec, t: ZonedDateTime): Boolean = {
+    val domOk = spec.dom(t.getDayOfMonth)
+    val dowOk = spec.dow(t.getDayOfWeek.getValue % 7)
+    if (spec.domStar || spec.dowStar) domOk && dowOk else domOk || dowOk
   }
+
 
   /** First fire time (minute-aligned epoch ms) at or after `fromMs`,
     * or None within a 4-year search horizon (e.g. Feb 30 never fires).
@@ -77,12 +83,7 @@ object Cron {
     val horizon = t.plusYears(4)
     while (t.isBefore(horizon)) {
       // fast-skip whole days when the date can't match
-      val dayOk =
-        if (spec.domStar && spec.dowStar) spec.months(t.getMonthValue)
-        else if (spec.domStar) spec.months(t.getMonthValue) && spec.dow(t.getDayOfWeek.getValue % 7)
-        else if (spec.dowStar) spec.months(t.getMonthValue) && spec.dom(t.getDayOfMonth)
-        else spec.months(t.getMonthValue) &&
-          (spec.dom(t.getDayOfMonth) || spec.dow(t.getDayOfWeek.getValue % 7))
+      val dayOk = spec.months(t.getMonthValue) && dayMatches(spec, t)
       if (!dayOk) t = t.plusDays(1).withHour(0).withMinute(0)
       else if (!spec.hours(t.getHour)) t = t.plusHours(1).withMinute(0)
       else if (!spec.minutes(t.getMinute)) t = t.plusMinutes(1)
@@ -146,15 +147,21 @@ final case class CronSchedule(expr: String, durationMs: Long,
   /** Epoch ms of the next (gate-valid) fire strictly after `nowMs`. */
   def nextBegin(nowMs: Long, gates: Seq[ScheduleRange] = Nil): Option[Long] = {
     var from = nowMs + 1
-    var guard = 0
-    while (guard < 10000) {
+    while (true) {
       Cron.nextFire(spec, from, zone) match {
         case Some(f) =>
           if (gated(f, gates)) return Some(f)
-          from = f + 1; guard += 1
+          // f fails every gate: gates already ended (f >= endMs) are dead
+          // forever, so the next possible valid fire is at the earliest
+          // gate opening after f — jump there instead of stepping
+          // fire-by-fire (a `* * * * *` cron gated by a range weeks out
+          // would otherwise exhaust any step budget).
+          val nextGateOpen = gates.collect { case g if g.beginMs > f => g.beginMs }
+          if (nextGateOpen.isEmpty) return None // no gate lies ahead
+          from = nextGateOpen.min
         case None => return None
       }
     }
-    None
+    None // unreachable
   }
 }

@@ -529,6 +529,9 @@ class RulesSpec extends SparkSuite {
     assert(next("0 0 13 * fri", jan1 + 1).contains(1704412800000L))
     assert(next("0 0 30 2 *", jan1).isEmpty) // Feb 30 never fires
     assert(next("0 0 * jan *", jan1).contains(jan1)) // month names; at-or-after
+    // robfig star-prefix semantics: `*/2` dom is a star, so the day
+    // must match BOTH fields (odd day AND Monday) → Jan 15, not Jan 3
+    assert(next("0 0 */2 * mon", jan1 + 1).contains(1705276800000L))
     intercept[IllegalArgumentException](Cron.parse("* * * *")) // 4 fields
     intercept[IllegalArgumentException](Cron.parse("61 * * * *")) // out of range
     assert(Cron.parseDuration("90s") == 90000L)
@@ -550,6 +553,15 @@ class RulesSpec extends SparkSuite {
     assert(c.windowAt(now, gate).isEmpty) // 00:10 fire is outside the gate
     assert(c.nextBegin(now, gate).contains(1704069000000L)) // first gated fire 00:30
     assert(c.nextBegin(1704070800000L, gate).isEmpty) // gate closed, nothing ever valid
+    // a frequent cron gated by a far-future range must jump to the gate
+    // opening, not step fire-by-fire (would exhaust any step budget)
+    val everyMin = CronSchedule("* * * * *", 60000L, ZoneId.of("UTC"))
+    val in30d = 1704067200000L + 30L * 86400000L // 30 days after Jan 1
+    val farGate = Seq(ScheduleRange(in30d, in30d + 3600000L))
+    assert(everyMin.nextBegin(1704067200000L, farGate).contains(in30d))
+    // dead gate behind + live gate ahead: skip to the live one
+    val mixed = Seq(ScheduleRange(1000L, 2000L), ScheduleRange(in30d, in30d + 60000L))
+    assert(everyMin.nextBegin(1704067200000L, mixed).contains(in30d))
   }
 
   test("cron-scheduled rule runs during a fire window and parks outside") {
@@ -584,5 +596,15 @@ class RulesSpec extends SparkSuite {
     eng.start("rcron3")
     assert(eng.status("rcron3").state == RuleState.Stopped)
     assert(!MemoryHub.exists("cron_gone"))
+    // frequent cron gated by a range 30 days out: a valid fire lies
+    // ahead, so the rule must park Scheduled (not Stopped)
+    val in30d = System.currentTimeMillis() + 30L * 86400000L
+    eng.create(Rule("rcron4", "SELECT v FROM cronsrc", Seq(MemorySink("cron_later")),
+      cron = Some(CronSchedule("* * * * *", 60000L)),
+      schedule = Seq(ScheduleRange(in30d, in30d + 3600000L))))
+    MemoryHub.drop("cron_later")
+    eng.start("rcron4")
+    assert(eng.status("rcron4").state == RuleState.Scheduled)
+    assert(!MemoryHub.exists("cron_later"))
   }
 }
