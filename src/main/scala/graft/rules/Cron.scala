@@ -10,7 +10,7 @@ import java.time.{Instant, ZoneId, ZonedDateTime}
   * 0-7 with 7 = Sunday. Day semantics follow robfig/cron (the
   * reference's parser): when both day fields are explicitly restricted
   * a day matches if either matches (standard cron OR); when either is
-  * star-prefixed (`*` or `*/n`) a day must match both.
+  * star-prefixed (a bare star or a slash-step star) a day must match both.
   */
 object Cron {
 
