@@ -336,8 +336,11 @@ final class MqttClient private (socket: Socket, clientId: String) {
               if (topicMatches(filter, topic)) handler(topic, payload)
             }
           case PUBACK | SUBACK | UNSUBACK =>
+            // complete but never remove: only the waiter's finally removes
+            // its own entry, so awaitAck can treat a missing entry as a
+            // lost connection rather than a completed ack
             val r = new BodyReader(p.body)
-            Option(acks.remove(r.u16())).foreach(_.complete())
+            Option(acks.get(r.u16())).foreach(_.complete())
           case PINGRESP => ()
           case _ => ()
         }
@@ -346,8 +349,7 @@ final class MqttClient private (socket: Socket, clientId: String) {
     } catch { case _: Exception => () }
     finally { // fail every pending waiter so a dead connection can't hang callers 10 s
       readerDead = true // set BEFORE release so released waiters observe the failure
-      acks.forEach((_, w) => w.latch.countDown())
-      acks.clear()
+      acks.forEach((_, w) => w.latch.countDown()) // entries stay: waiters remove their own
     }
   }, s"mqtt-client-$clientId")
   reader.setDaemon(true)
@@ -356,7 +358,12 @@ final class MqttClient private (socket: Socket, clientId: String) {
   private def awaitAck(pid: Int, what: String): Unit = {
     val w = acks.get(pid)
     try {
-      if (w == null) return // already acked and removed by the reader
+      // entries are only ever removed by their own waiter's finally, so a
+      // missing entry here can't mean "already acked" — it means the map
+      // was never populated for this pid (a caller bug) or the entry was
+      // lost; either way the delivery is unconfirmed
+      if (w == null)
+        throw new java.io.IOException(s"mqtt: connection lost before $what #$pid was acknowledged")
       // if the reader died before our put, its drain missed this entry
       // and nothing will ever count the latch down — fail fast instead
       // of blocking the full timeout

@@ -28,6 +28,9 @@ object WebSocketLite {
 
   final case class Frame(op: Int, payload: Array[Byte])
 
+  // shared client-side frame mask source; SecureRandom is thread-safe
+  private[net] val maskRandom = new java.security.SecureRandom()
+
   def acceptKey(key: String): String =
     Base64.getEncoder.encodeToString(
       MessageDigest.getInstance("SHA-1")
@@ -47,12 +50,11 @@ object WebSocketLite {
       while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xff).toInt); i -= 1 }
     }
     if (mask) {
-      // mask keys need unpredictability only against proxy cache poisoning
-      // (RFC 6455 §5.3 notes "any" new key per frame); ThreadLocalRandom
-      // avoids a syscall-seeded SecureRandom allocation per frame on the
-      // sink hot path
+      // RFC 6455 §10.3: mask keys must not be predictable by the server
+      // (proxy cache poisoning), so draw from a shared SecureRandom; one
+      // static instance avoids the per-frame seeding cost
       val key = new Array[Byte](4)
-      java.util.concurrent.ThreadLocalRandom.current().nextBytes(key)
+      WebSocketLite.maskRandom.nextBytes(key)
       out.write(key)
       val masked = new Array[Byte](n)
       var i = 0
@@ -219,7 +221,7 @@ final class WebSocketClient private (socket: Socket, path: String, hostHeader: S
 
   locally {
     val keyBytes = new Array[Byte](16)
-    new java.security.SecureRandom().nextBytes(keyBytes)
+    WebSocketLite.maskRandom.nextBytes(keyBytes)
     val key = Base64.getEncoder.encodeToString(keyBytes)
     val req = s"GET $path HTTP/1.1\r\nHost: $hostHeader\r\n" +
       "Upgrade: websocket\r\nConnection: Upgrade\r\n" +

@@ -66,6 +66,26 @@ class NetSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("mqtt: QoS-1 publish on a lost connection throws instead of silently succeeding") {
+    val broker = MqttBroker.start()
+    val pub = MqttClient.connect(broker.address, "pub-lost")
+    try {
+      pub.publish("t/ok", "delivered") // healthy path first
+      broker.close() // drop the connection under the client
+      // the reader dies on EOF and fails pending waiters; a publish whose
+      // waiter can never be completed must surface the lost connection,
+      // never report QoS-1 delivery
+      val ex = intercept[Exception] {
+        // allow a few attempts: the first write may land in the TCP buffer
+        // before the OS notices the peer is gone
+        var i = 0
+        while (i < 5) { pub.publish("t/lost", "undelivered"); i += 1 }
+      }
+      assert(ex.isInstanceOf[java.io.IOException] || ex.getCause.isInstanceOf[java.io.IOException],
+        s"expected an IOException surfacing the lost connection, got $ex")
+    } finally { pub.close(); broker.close() }
+  }
+
   test("mqtt: topicMatches implements + and # per spec") {
     import Mqtt.topicMatches
     assert(topicMatches("a/b/c", "a/b/c"))
