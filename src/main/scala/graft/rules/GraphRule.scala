@@ -1,8 +1,8 @@
 package graft.rules
 
 import graft.sinks._
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, window}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, session_window, window}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -27,7 +27,27 @@ import org.json4s.jackson.JsonMethods
   * join (two inputs; on/how), dedup (keep-first by keys), switch
   * (condition routing: output edge i carries rows matching cases[i];
   * stopAtFirstMatch=true — the default, like the reference — makes
-  * branches disjoint by excluding earlier cases).
+  * branches disjoint by excluding earlier cases), window, watermark.
+  *
+  * `window` is a first-class node like the reference's
+  * (internal/topo/graph/io.go OpIO "window"; props per
+  * internal/topo/graph/node.go Window and
+  * internal/topo/planner/planner_graph.go parseWindow): props
+  * windowType (tumblingwindow | hoppingwindow | sessionwindow), unit
+  * (dd|hh|mi|ss|ms), size, interval, and optionally ts (event-time
+  * column; defaults to the upstream stream's timestamp). It compiles to
+  * the same `functions.window`/`session_window` grouping key the SQL
+  * dialect produces, consumed by the downstream aggregate node, which
+  * exposes the window struct as `w` (w.start / w.end projectable
+  * downstream). slidingwindow / countwindow have no GROUP-BY
+  * equivalent — same documented rejection as [[EkuiperSql]], pointing
+  * at the operator API.
+  *
+  * `watermark` mirrors internal/topo/graph/node.go Watermark
+  * (emitters, sendWatermark) plus a Spark-native `delay`; in streaming
+  * mode it applies `withWatermark(ts, delay)`, in batch it is a
+  * pass-through (the reference's watermark op is likewise a stream-only
+  * event-time gate).
   */
 object GraphRule {
 
@@ -62,8 +82,74 @@ object GraphRule {
       case _ => None
     }
 
-    def isSwitch(n: String): Boolean = nodes.get(n).exists(v =>
-      (v \ "type") == JString("operator") && (v \ "op") == JString("switch"))
+    def optInt(v: JValue, field: String): Option[Int] = (v \ field) match {
+      case JInt(n) => Some(n.toInt)
+      case JString(s) if s.nonEmpty && s.forall(_.isDigit) => Some(s.toInt)
+      case _ => None
+    }
+
+    def opIs(n: String, op: String): Boolean = nodes.get(n).exists(v =>
+      (v \ "type") == JString("operator") && (v \ "op") == JString(op))
+    def isSwitch(n: String): Boolean = opIs(n, "switch")
+    def isWindow(n: String): Boolean = opIs(n, "window")
+
+    // time units per the reference's pkg/ast/window.go token set
+    def unitName(u: String): String = u.toLowerCase match {
+      case "dd" => "days"
+      case "hh" => "hours"
+      case "mi" => "minutes"
+      case "ss" => "seconds"
+      case "ms" => "milliseconds"
+      case other => throw new IllegalArgumentException(s"invalid window unit '$other'")
+    }
+
+    /** Event-time column for a node: its own `ts` prop, else walk up to
+      * the first source's declared timestamp column.
+      */
+    def tsOf(name: String): Option[String] = nodes.get(name).flatMap { v =>
+      optStr(v, "ts").orElse {
+        if ((v \ "type") == JString("source"))
+          catalog.get(str(v, "stream")).flatMap(_.timestampCol)
+        else inputsOf.getOrElse(name, Seq.empty).headOption.flatMap(tsOf)
+      }
+    }
+
+    /** The grouping Column a window node contributes — validation rules
+      * follow the reference's parseWindow
+      * (internal/topo/planner/planner_graph.go:621).
+      */
+    def windowColOf(name: String): Column = {
+      val v = nodes(name)
+      val ts = tsOf(name).getOrElse(throw new IllegalArgumentException(
+        s"window $name needs a 'ts' prop or an upstream stream with a declared timestamp"))
+      val size = optInt(v, "size").getOrElse(
+        throw new IllegalArgumentException(s"window $name needs integer 'size'"))
+      require(size > 0, s"window $name: size $size is invalid")
+      val interval = optInt(v, "interval").getOrElse(0)
+      val unit = unitName(optStr(v, "unit").getOrElse("ss"))
+      optStr(v, "windowType").getOrElse("tumblingwindow").toLowerCase match {
+        case "tumblingwindow" =>
+          require(interval == 0 || interval == size,
+            s"window $name: tumbling window interval must equal size")
+          window(col(ts), s"$size $unit")
+        case "hoppingwindow" =>
+          require(interval > 0, s"window $name: hopping window interval must be greater than 0")
+          require(interval <= size, s"window $name: hopping window interval must be less than size")
+          window(col(ts), s"$size $unit", s"$interval $unit")
+        case "sessionwindow" =>
+          // reference semantics: Interval is the session timeout; Size
+          // (the max-length cap) has no session_window equivalent — the
+          // same documented approximation as EkuiperSql SESSIONWINDOW
+          require(interval > 0,
+            s"window $name: session window interval (timeout) must be greater than 0")
+          session_window(col(ts), s"$interval $unit")
+        case t @ ("slidingwindow" | "countwindow") =>
+          throw new IllegalArgumentException(
+            s"window $name: $t has no GROUP-BY equivalent; use the operator API " +
+              "(sliding: WindowQueries range frame; count: graft.streaming.CountWindowStream)")
+        case other => throw new IllegalArgumentException(s"window $name: unknown window type $other")
+      }
+    }
 
     /** A switch's output toward one consumer: the rows matching that
       * edge's case (minus earlier cases under stopAtFirstMatch).
@@ -90,7 +176,12 @@ object GraphRule {
       * switch nodes, shared otherwise.
       */
     def resolveInput(inputName: String, consumer: String): DataFrame =
-      if (isSwitch(inputName)) branchOf(inputName, consumer) else dfOf(inputName)
+      if (isSwitch(inputName)) branchOf(inputName, consumer)
+      else if (isWindow(inputName) && !opIs(consumer, "aggregate"))
+        throw new IllegalArgumentException(
+          s"window $inputName must feed an aggregate node, not $consumer — " +
+            "windows group rows; only an aggregate can consume the grouping")
+      else dfOf(inputName)
 
     def inputDf(name: String): DataFrame = {
       val ins = inputsOf.getOrElse(name, Seq.empty)
@@ -126,16 +217,40 @@ object GraphRule {
             case "aggregate" =>
               val aggs = strSeq(node, "aggs").map(expr)
               val keys = strSeq(node, "groupBy").map(expr)
-              val winKeys = optStr(node, "windowTs") match {
-                case Some(ts) => window(col(ts),
-                  optStr(node, "windowSize").getOrElse("60 seconds")).as("w") +: keys
-                case None => keys
+              // a dedicated upstream window node wins over the inline
+              // windowTs shorthand; both surface the struct as `w`
+              val winKeys = ins.headOption.filter(isWindow) match {
+                case Some(winNode) => windowColOf(winNode).as("w") +: keys
+                case None => optStr(node, "windowTs") match {
+                  case Some(ts) => window(col(ts),
+                    optStr(node, "windowSize").getOrElse("60 seconds")).as("w") +: keys
+                  case None => keys
+                }
               }
               in.groupBy(winKeys: _*).agg(aggs.head, aggs.tail: _*)
             case "having" => in.where(expr(str(node, "expr")))
             case "orderby" => in.orderBy(strSeq(node, "exprs").map(expr): _*)
             case "limit" => in.limit(str(node, "n").toInt)
             case "dedup" => in.dropDuplicates(strSeq(node, "keys"))
+            case "window" =>
+              windowColOf(name) // validate props eagerly, even pre-aggregate
+              in // pass-through: the consuming aggregate applies the grouping
+            case "watermark" =>
+              // reference Watermark props: emitters + sendWatermark
+              // (internal/topo/graph/node.go:30); delay is the Spark
+              // lateness bound. Batch mode has no event-time clock, so
+              // the node is a pass-through there, like the reference's
+              // stream-only watermark op.
+              val emitters = strSeq(node, "emitters")
+              emitters.foreach { e =>
+                require(nodes.get(e).exists(v => (v \ "type") == JString("source")),
+                  s"watermark $name: emitter $e does not exist as a source node")
+              }
+              if (streaming) {
+                val ts = tsOf(name).getOrElse(throw new IllegalArgumentException(
+                  s"watermark $name needs a 'ts' prop or an upstream stream with a declared timestamp"))
+                in.withWatermark(ts, optStr(node, "delay").getOrElse("0 seconds"))
+              } else in
             case "join" =>
               require(ins.size == 2, s"join $name needs exactly 2 inputs, got $ins")
               resolveInput(ins(0), name).alias("l")

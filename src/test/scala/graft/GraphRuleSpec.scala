@@ -101,6 +101,136 @@ class GraphRuleSpec extends SparkSuite {
     assert(out.count() == expected)
   }
 
+  test("window node: tumbling/hopping/session compile to the same agg as the DataFrame API") {
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gwn (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |  event_type STRING, value DOUBLE, props STRING) WITH
+         | (TYPE="memory", DATASOURCE="gwn_topic")""".stripMargin)
+    MemoryHub.publish("gwn_topic", Tables(spark, sf, "events"))
+    val ev = Tables(spark, sf, "events")
+
+    def run(winProps: String, out: String): Array[String] = {
+      MemoryHub.drop(out)
+      eng.create(Rule.graph(s"gr_$out",
+        s"""{"nodes": {
+           |  "s":   {"type":"source", "stream":"gwn"},
+           |  "win": {"type":"operator", "op":"window", $winProps},
+           |  "agg": {"type":"operator", "op":"aggregate", "groupBy":["event_type"],
+           |          "aggs":["count(*) as n", "round(sum(value), 2) as sv"]},
+           |  "p":   {"type":"operator", "op":"project",
+           |          "exprs":["w.start as ws", "event_type", "n", "sv"]},
+           |  "o":   {"type":"sink", "kind":"memory", "endpoint":"$out"}},
+           | "edges": {"s":["win"], "win":["agg"], "agg":["p"], "p":["o"]}}""".stripMargin))
+      eng.start(s"gr_$out")
+      MemoryHub.frame(spark, out).collect().map(_.toString).sorted
+    }
+
+    // tumbling: reference props {type, unit, size} (graph/node.go Window)
+    val tum = run(""""windowType":"tumblingwindow", "unit":"ss", "size":3600, "ts":"ts"""", "gwn_tum")
+    val tumExp = ev.groupBy(window(col("ts"), "3600 seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
+      .collect().map(_.toString).sorted
+    assert(tum.toSeq == tumExp.toSeq && tum.nonEmpty)
+
+    // hopping: interval < size → overlapping windows
+    val hop = run(""""windowType":"hoppingwindow", "unit":"mi", "size":120, "interval":60, "ts":"ts"""", "gwn_hop")
+    val hopExp = ev.groupBy(window(col("ts"), "120 minutes", "60 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
+      .collect().map(_.toString).sorted
+    assert(hop.toSeq == hopExp.toSeq && hop.length > tum.length)
+
+    // session: interval is the gap timeout
+    val ses = run(""""windowType":"sessionwindow", "unit":"ss", "size":7200, "interval":3600, "ts":"ts"""", "gwn_ses")
+    val sesExp = ev.groupBy(session_window(col("ts"), "3600 seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
+      .collect().map(_.toString).sorted
+    assert(ses.toSeq == sesExp.toSeq && ses.nonEmpty)
+  }
+
+  test("window node validation: reference parseWindow rules, consumer restriction") {
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gwv (ts TIMESTAMP, value DOUBLE) WITH
+         | (TYPE="memory", DATASOURCE="gwv_topic")""".stripMargin)
+    MemoryHub.publish("gwv_topic",
+      Tables(spark, sf, "events").select("ts", "value"))
+    def bad(id: String, winProps: String, edges: String =
+        """{"s":["win"], "win":["agg"], "agg":["o"]}"""): Unit = {
+      eng.create(Rule.graph(id,
+        s"""{"nodes": {
+           |  "s":   {"type":"source", "stream":"gwv"},
+           |  "win": {"type":"operator", "op":"window", $winProps},
+           |  "agg": {"type":"operator", "op":"aggregate", "aggs":["count(*) as n"]},
+           |  "f":   {"type":"operator", "op":"filter", "expr":"1=1"},
+           |  "o":   {"type":"sink", "kind":"nop"}},
+           | "edges": $edges}""".stripMargin))
+      intercept[IllegalArgumentException](eng.start(id))
+    }
+    // hopping interval must be in (0, size]; sliding/count are rejected
+    bad("wv1", """"windowType":"hoppingwindow", "unit":"ss", "size":10, "ts":"ts"""")
+    bad("wv2", """"windowType":"hoppingwindow", "unit":"ss", "size":10, "interval":20, "ts":"ts"""")
+    bad("wv3", """"windowType":"slidingwindow", "unit":"ss", "size":10, "ts":"ts"""")
+    bad("wv4", """"windowType":"countwindow", "size":10, "ts":"ts"""")
+    bad("wv5", """"windowType":"tumblingwindow", "unit":"year", "size":1, "ts":"ts"""")
+    // a window may only feed an aggregate
+    bad("wv6", """"windowType":"tumblingwindow", "unit":"ss", "size":10, "ts":"ts"""",
+      """{"s":["win"], "win":["f"], "f":["o"]}""")
+  }
+
+  test("streaming graph: watermark + window nodes gate and aggregate event time") {
+    val dir = Files.createTempDirectory("graft_graph_wm")
+    val ckpt = Files.createTempDirectory("graft_graph_wm_ckpt")
+    Files.write(dir.resolve("a.json"),
+      Seq("""{"device":"a","temp":30,"ts":"2024-01-01T10:00:05"}""",
+          """{"device":"b","temp":40,"ts":"2024-01-01T10:00:15"}""",
+          """{"device":"c","temp":50,"ts":"2024-01-01T10:00:20"}""")
+        .mkString("\n").getBytes)
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM gwm (device STRING, temp BIGINT, ts TIMESTAMP) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("gwm_out")
+    val graphJson =
+      """{"nodes": {
+        |  "s":   {"type":"source", "stream":"gwm"},
+        |  "wm":  {"type":"operator", "op":"watermark", "ts":"ts",
+        |          "delay":"1 seconds", "emitters":["s"]},
+        |  "win": {"type":"operator", "op":"window",
+        |          "windowType":"tumblingwindow", "unit":"ss", "size":60, "ts":"ts"},
+        |  "agg": {"type":"operator", "op":"aggregate",
+        |          "aggs":["count(*) as n", "sum(temp) as total"]},
+        |  "p":   {"type":"operator", "op":"project", "exprs":["w.start as ws", "n", "total"]},
+        |  "o":   {"type":"sink", "kind":"memory", "endpoint":"gwm_out"}},
+        | "edges": {"s":["wm"], "wm":["win"], "win":["agg"], "agg":["p"], "p":["o"]}}""".stripMargin
+    eng.create(Rule.graph("gwm_rule", graphJson,
+      streaming = true, checkpointDir = Some(ckpt.toString)))
+    eng.start("gwm_rule")
+    try {
+      eng.processAllAvailable("gwm_rule")
+      // append mode: the 10:00 window can't emit until the watermark
+      // passes its end; push it with a later event
+      Files.write(dir.resolve("b.json"),
+        """{"device":"d","temp":60,"ts":"2024-01-01T10:02:30"}""".getBytes)
+      eng.processAllAvailable("gwm_rule")
+      val rows = MemoryHub.frame(spark, "gwm_out").collect()
+      assert(rows.length == 1, rows.mkString(","))
+      assert(rows(0).getLong(1) == 3 && rows(0).getLong(2) == 120, rows(0).toString)
+    } finally eng.stop("gwm_rule")
+
+    // the same DAG in batch mode aggregates every window, no gating
+    MemoryHub.drop("gwm_out")
+    eng.create(Rule.graph("gwm_batch", graphJson))
+    eng.start("gwm_batch")
+    val batch = MemoryHub.frame(spark, "gwm_out").orderBy("ws").collect()
+    assert(batch.length == 2, batch.mkString(","))
+    assert(batch(0).getLong(1) == 3 && batch(0).getLong(2) == 120)
+    assert(batch(1).getLong(1) == 1 && batch(1).getLong(2) == 60)
+  }
+
   test("streaming graph rule delivers incrementally") {
     val dir = Files.createTempDirectory("graft_graph_stream")
     val ckpt = Files.createTempDirectory("graft_graph_ckpt")
