@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,11 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * Supported field types: LONG/INT (varint), BOOLEAN (varint),
   * DOUBLE (fixed64), FLOAT (fixed32), STRING/BINARY
   * (length-delimited), STRUCT (length-delimited nested message,
-  * encoded recursively with the same numbering convention). Unknown
-  * field numbers in the input are skipped by wire type; absent fields
-  * decode to null. Repeated fields and packed encodings are out of
-  * scope (documented divergence — the reference delegates those to
-  * protoc descriptors).
+  * encoded recursively with the same numbering convention), and ARRAY
+  * for `repeated` fields (the reference handles these via protoc
+  * descriptors, internal/converter/protobuf/converter.go): numeric/
+  * bool elements encode packed (proto3 default — one length-delimited
+  * payload of concatenated values) and decode from both packed and
+  * unpacked tag streams; string/bytes/message elements are one
+  * length-delimited tag per element, per the spec (those types cannot
+  * be packed). Unknown field numbers in the input are skipped by wire
+  * type; absent fields decode to null, except repeated fields which
+  * decode to empty arrays (proto3 repeated semantics: absent and
+  * empty are indistinguishable, so null arrays also encode to
+  * nothing). Null array elements are rejected — protobuf has no
+  * element-level null.
   */
 object ProtobufLite {
 
@@ -74,9 +83,57 @@ object ProtobufLite {
             writeVarint(out, (fieldNo << 3) | 2)
             val bytes = encode(values.getStruct(i, st.length), st)
             writeVarint(out, bytes.length.toLong); out.write(bytes)
+          case at: ArrayType => // repeated field
+            val arr = values.getArray(i)
+            val n = arr.numElements()
+            var j = 0
+            while (j < n) {
+              if (arr.isNullAt(j)) throw new IllegalArgumentException(
+                s"protobuf codec: null element in repeated field ${schema.fields(i).name}")
+              j += 1
+            }
+            at.elementType match {
+              case StringType | BinaryType | _: StructType =>
+                // cannot be packed: one length-delimited tag per element
+                j = 0
+                while (j < n) {
+                  writeVarint(out, (fieldNo << 3) | 2)
+                  val bytes = at.elementType match {
+                    case StringType => arr.getUTF8String(j).getBytes
+                    case BinaryType => arr.getBinary(j)
+                    case st: StructType => encode(arr.getStruct(j, st.length), st)
+                    case _ => throw new MatchError(at.elementType)
+                  }
+                  writeVarint(out, bytes.length.toLong); out.write(bytes)
+                  j += 1
+                }
+              case elem => // packed numeric/bool payload (proto3 default)
+                if (n > 0) {
+                  val tmp = new java.io.ByteArrayOutputStream(16)
+                  j = 0
+                  while (j < n) {
+                    elem match {
+                      case LongType => writeVarint(tmp, arr.getLong(j))
+                      case IntegerType => writeVarint(tmp, arr.getInt(j).toLong)
+                      case BooleanType => writeVarint(tmp, if (arr.getBoolean(j)) 1L else 0L)
+                      case DoubleType =>
+                        var b = 0; var v = java.lang.Double.doubleToLongBits(arr.getDouble(j))
+                        while (b < 8) { tmp.write((v & 0xff).toInt); v >>>= 8; b += 1 }
+                      case FloatType =>
+                        var b = 0; var v = java.lang.Float.floatToIntBits(arr.getFloat(j))
+                        while (b < 4) { tmp.write(v & 0xff); v >>>= 8; b += 1 }
+                      case other => throw new IllegalArgumentException(
+                        s"protobuf codec: unsupported repeated element type $other")
+                    }
+                    j += 1
+                  }
+                  writeVarint(out, (fieldNo << 3) | 2)
+                  writeVarint(out, tmp.size.toLong)
+                  tmp.writeTo(out)
+                }
+            }
           case other => throw new IllegalArgumentException(
-            s"protobuf codec: unsupported field type $other (repeated/packed fields " +
-              "are not supported; nested messages are)")
+            s"protobuf codec: unsupported field type $other")
         }
       }
       i += 1
@@ -126,6 +183,15 @@ object ProtobufLite {
   def decode(bytes: Array[Byte], schema: StructType): InternalRow = {
     val row = new GenericInternalRow(schema.length) // all-null start
     val r = new Reader(bytes)
+    // repeated-field accumulators, allocated only when a message
+    // actually carries arrays
+    var lists: Array[scala.collection.mutable.ArrayBuffer[Any]] = null
+    def listFor(idx: Int): scala.collection.mutable.ArrayBuffer[Any] = {
+      if (lists == null)
+        lists = new Array[scala.collection.mutable.ArrayBuffer[Any]](schema.length)
+      if (lists(idx) == null) lists(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
+      lists(idx)
+    }
     while (r.hasMore) {
       val tag = r.readVarint()
       val fieldNo = (tag >>> 3).toInt
@@ -144,8 +210,48 @@ object ProtobufLite {
           row.update(idx, UTF8String.fromBytes(r.readBytes()))
         case BinaryType if wire == 2 => row.update(idx, r.readBytes())
         case st: StructType if wire == 2 => row.update(idx, decode(r.readBytes(), st))
+        case at: ArrayType if wire == 2 => at.elementType match {
+          case StringType => listFor(idx) += UTF8String.fromBytes(r.readBytes())
+          case BinaryType => listFor(idx) += r.readBytes()
+          case st: StructType => listFor(idx) += decode(r.readBytes(), st)
+          case elem => // packed payload of concatenated numeric values
+            val pr = new Reader(r.readBytes())
+            val buf = listFor(idx)
+            while (pr.hasMore) elem match {
+              case LongType => buf += pr.readVarint()
+              case IntegerType => buf += pr.readVarint().toInt
+              case BooleanType => buf += (pr.readVarint() != 0L)
+              case DoubleType => buf += java.lang.Double.longBitsToDouble(pr.readFixed(8))
+              case FloatType => buf += java.lang.Float.intBitsToFloat(pr.readFixed(4).toInt)
+              case other => throw new IllegalArgumentException(
+                s"protobuf codec: unsupported repeated element type $other")
+            }
+        }
+        // unpacked repeated numerics: one scalar tag per element
+        case at: ArrayType if wire == 0 => at.elementType match {
+          case LongType => listFor(idx) += r.readVarint()
+          case IntegerType => listFor(idx) += r.readVarint().toInt
+          case BooleanType => listFor(idx) += (r.readVarint() != 0L)
+          case _ => r.skip(wire)
+        }
+        case at: ArrayType if wire == 1 && at.elementType == DoubleType =>
+          listFor(idx) += java.lang.Double.longBitsToDouble(r.readFixed(8))
+        case at: ArrayType if wire == 5 && at.elementType == FloatType =>
+          listFor(idx) += java.lang.Float.intBitsToFloat(r.readFixed(4).toInt)
         case _ => r.skip(wire) // declared type and wire type disagree
       }
+    }
+    // repeated fields always materialize: absent → empty, proto3-style
+    var i = 0
+    while (i < schema.length) {
+      schema.fields(i).dataType match {
+        case _: ArrayType =>
+          val vals = if (lists != null && lists(i) != null) lists(i).toArray
+                     else Array.empty[Any]
+          row.update(i, new GenericArrayData(vals))
+        case _ => ()
+      }
+      i += 1
     }
     row
   }
