@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully evaluated through a noop sink (count() lets
   * Catalyst prune unevaluated projections, under-measuring projection
   * queries). One warm-up query absorbs JVM/classloader/parquet-footer
-  * startup so per-query numbers are steady-state. Failures are recorded
-  * by name, never silently timed as fast runs.
+  * startup, then each query runs SPARK_GRAFT_RUNS times (default 3) and
+  * the median is reported — the first run pays any per-query codegen /
+  * footer cost and the median discards that outlier, which keeps
+  * run-to-run variance well under the ~20% single-shot noise. Failures
+  * are recorded by name, never silently timed as fast runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,6 +31,7 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     // warm-up (untimed): one agg query touching the biggest table
     try runOnce(names.find(_ == "q_agg").getOrElse(names.head))
     catch { case _: Throwable => () }
@@ -35,8 +39,10 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { name =>
       val sec =
-        try runOnce(name)
-        catch { case e: Throwable =>
+        try {
+          val times = (1 to runs).map(_ => runOnce(name)).sorted
+          times(times.length / 2)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name; -1.0
         }

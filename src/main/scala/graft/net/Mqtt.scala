@@ -112,14 +112,48 @@ object Mqtt {
 
   // ---- packet builders ----
 
-  def connectPacket(clientId: String, keepAliveS: Int = 60): Array[Byte] = {
+  /** CONNECT body (spec §3.1). Username/password flags 0x80/0x40 gate the
+    * matching payload fields; password is only legal with username (spec
+    * §3.1.2-22), matching the reference's mqtt connection props.
+    */
+  def connectPacket(clientId: String, keepAliveS: Int = 60,
+                    username: Option[String] = None,
+                    password: Option[String] = None): Array[Byte] = {
+    require(password.isEmpty || username.isDefined,
+      "mqtt: password requires username (spec 3.1.2-22)")
     val b = new java.io.ByteArrayOutputStream()
     putString(b, "MQTT")
     b.write(4) // protocol level 3.1.1
-    b.write(0x02) // clean session
+    var flags = 0x02 // clean session
+    if (username.isDefined) flags |= 0x80
+    if (password.isDefined) flags |= 0x40
+    b.write(flags)
     b.write(keepAliveS >> 8); b.write(keepAliveS & 0xff)
     putString(b, clientId)
+    username.foreach(putString(b, _))
+    password.foreach(putString(b, _))
     b.toByteArray
+  }
+
+  /** Decoded CONNECT payload fields the broker needs. */
+  final case class ConnectInfo(clientId: String, username: Option[String],
+                               password: Option[String])
+
+  /** Parse a CONNECT body (spec §3.1): variable header then payload in
+    * flag order clientId, [will topic+message], [username], [password].
+    */
+  def parseConnect(body: Array[Byte]): ConnectInfo = {
+    val r = new BodyReader(body)
+    val proto = r.string()
+    require(proto == "MQTT" || proto == "MQIsdp", s"mqtt: bad protocol name $proto")
+    r.u8() // protocol level
+    val flags = r.u8()
+    r.u16() // keep-alive
+    val clientId = r.string()
+    if ((flags & 0x04) != 0) { r.string(); r.string() } // will topic + message
+    val username = if ((flags & 0x80) != 0) Some(r.string()) else None
+    val password = if ((flags & 0x40) != 0) Some(r.string()) else None
+    ConnectInfo(clientId, username, password)
   }
 
   def publishBody(topic: String, packetId: Int, payload: Array[Byte], qos: Int): Array[Byte] = {
@@ -174,7 +208,8 @@ object Mqtt {
   * QoS 0 — the graft client's at-least-once edge is publisher→broker
   * PUBACK, same as the reference's default sink QoS.
   */
-final class MqttBroker private (server: ServerSocket) {
+final class MqttBroker private (server: ServerSocket,
+                                credentials: Option[(String, String)]) {
   import Mqtt._
 
   private final class Conn(val socket: Socket) {
@@ -213,6 +248,16 @@ final class MqttBroker private (server: ServerSocket) {
     try {
       val hello = readPacket(in)
       require(hello != null && hello.ptype == CONNECT, "mqtt: expected CONNECT")
+      val info = parseConnect(hello.body)
+      credentials match {
+        case Some((u, p)) if !(info.username.contains(u) && info.password.contains(p)) =>
+          // return code 4: bad user name or password (spec §3.2.2.3);
+          // the server MUST then close the connection (spec §3.1.4-5)
+          conn.send(CONNACK, 0, Array[Byte](0, 4))
+          conn.socket.close()
+          return
+        case _ => ()
+      }
       conn.send(CONNACK, 0, Array[Byte](0, 0)) // session-present=0, accepted
       var p = readPacket(in)
       while (p != null) {
@@ -276,9 +321,12 @@ final class MqttBroker private (server: ServerSocket) {
 }
 
 object MqttBroker {
-  /** Bind a broker on the loopback interface (port 0 = ephemeral). */
-  def start(port: Int = 0): MqttBroker =
-    new MqttBroker(new ServerSocket(port, 50, InetAddress.getLoopbackAddress))
+  /** Bind a broker on the loopback interface (port 0 = ephemeral).
+    * With `credentials`, CONNECTs that don't carry the matching
+    * username/password are refused with return code 4.
+    */
+  def start(port: Int = 0, credentials: Option[(String, String)] = None): MqttBroker =
+    new MqttBroker(new ServerSocket(port, 50, InetAddress.getLoopbackAddress), credentials)
 }
 
 /** Blocking MQTT 3.1.1 client. `publish` at QoS 1 waits for the
