@@ -31,16 +31,30 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toIntOption.getOrElse(3).max(1)
     // warm-up (untimed): one agg query touching the biggest table
     try runOnce(names.find(_ == "q_agg").getOrElse(names.head))
     catch { case _: Throwable => () }
+
+    // Queries that persist/localCheckpoint (q_win_count, the dedup family)
+    // leave storage blocks behind; rerunning 67 queries x N in one JVM
+    // accumulates enough of them that eviction churn inflates later runs
+    // 2-4x. Clear the cache and drop unreferenced checkpoint RDDs between
+    // timed runs so each measurement starts from the same storage state.
+    def resetStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc() // lets the ContextCleaner reclaim localCheckpoint RDDs
+    }
 
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { name =>
       val sec =
         try {
-          val times = (1 to runs).map(_ => runOnce(name)).sorted
+          val times = (1 to runs).map { _ =>
+            resetStorage()
+            runOnce(name)
+          }.sorted
           times(times.length / 2)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -193,12 +193,21 @@ object Mqtt {
     fs.length == ts.length
   }
 
-  /** "tcp://host:port" or "tcp://host:port/base/topic" → (host, port). */
+  /** "tcp://host:port" or "tcp://host:port/base/topic" → (host, port).
+    * `ssl://` / `mqtts://` name the TLS listener (same scheme set as the
+    * reference's mqtt connection props).
+    */
   def parseServer(url: String): (String, Int) = {
     val u = java.net.URI.create(url)
-    require(u.getScheme == "tcp" || u.getScheme == "mqtt",
-      s"mqtt server url must be tcp://host:port, got $url")
+    require(Set("tcp", "mqtt", "ssl", "mqtts").contains(u.getScheme),
+      s"mqtt server url must be tcp://host:port or ssl://host:port, got $url")
     (u.getHost, u.getPort)
+  }
+
+  /** True if the url names the TLS scheme. */
+  def isTlsUrl(url: String): Boolean = {
+    val scheme = java.net.URI.create(url).getScheme
+    scheme == "ssl" || scheme == "mqtts"
   }
 }
 
@@ -222,8 +231,18 @@ final class MqttBroker private (server: ServerSocket,
   private val conns = ConcurrentHashMap.newKeySet[Conn]()
   @volatile private var closed = false
 
+  /** Timing-safe credential comparison (the broker may front real
+    * traffic in a deployment; string == leaks length/prefix timing).
+    */
+  private def constEq(offered: Option[String], expected: String): Boolean =
+    offered.exists(o => java.security.MessageDigest.isEqual(
+      o.getBytes(StandardCharsets.UTF_8), expected.getBytes(StandardCharsets.UTF_8)))
+
   def port: Int = server.getLocalPort
-  def address: String = s"tcp://${server.getInetAddress.getHostAddress}:$port"
+  def address: String =
+    if (server.isInstanceOf[javax.net.ssl.SSLServerSocket])
+      s"ssl://${server.getInetAddress.getHostAddress}:$port"
+    else s"tcp://${server.getInetAddress.getHostAddress}:$port"
 
   /** Messages delivered per topic (observation point for tests). */
   private val delivered = new java.util.concurrent.atomic.AtomicLong()
@@ -250,9 +269,14 @@ final class MqttBroker private (server: ServerSocket,
       require(hello != null && hello.ptype == CONNECT, "mqtt: expected CONNECT")
       val info = parseConnect(hello.body)
       credentials match {
-        case Some((u, p)) if !(info.username.contains(u) && info.password.contains(p)) =>
-          // return code 4: bad user name or password (spec §3.2.2.3);
-          // the server MUST then close the connection (spec §3.1.4-5)
+        case Some(_) if info.username.isEmpty && info.password.isEmpty =>
+          // no credentials offered at all → code 5 "not authorized"
+          // (spec §3.2.2.3); the server MUST then close (spec §3.1.4-5)
+          conn.send(CONNACK, 0, Array[Byte](0, 5))
+          conn.socket.close()
+          return
+        case Some((u, p)) if !(constEq(info.username, u) && constEq(info.password, p)) =>
+          // wrong credentials → code 4 "bad user name or password"
           conn.send(CONNACK, 0, Array[Byte](0, 4))
           conn.socket.close()
           return
@@ -322,18 +346,27 @@ final class MqttBroker private (server: ServerSocket,
 
 object MqttBroker {
   /** Bind a broker on the loopback interface (port 0 = ephemeral).
-    * With `credentials`, CONNECTs that don't carry the matching
-    * username/password are refused with return code 4.
+    * With `credentials`, CONNECTs that carry no username/password are
+    * refused with return code 5 (not authorized) and wrong ones with
+    * code 4 (bad user name or password). With `tls` the listener is an
+    * SSLServerSocket presenting the configured cert.
     */
-  def start(port: Int = 0, credentials: Option[(String, String)] = None): MqttBroker =
-    new MqttBroker(new ServerSocket(port, 50, InetAddress.getLoopbackAddress), credentials)
+  def start(port: Int = 0, credentials: Option[(String, String)] = None,
+            tls: Option[Tls.ServerConfig] = None): MqttBroker = {
+    val server = tls match {
+      case Some(cfg) => Tls.serverSocket(port, cfg)
+      case None => new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+    }
+    new MqttBroker(server, credentials)
+  }
 }
 
 /** Blocking MQTT 3.1.1 client. `publish` at QoS 1 waits for the
   * broker's PUBACK (at-least-once to the broker); subscriptions
   * dispatch on a reader thread.
   */
-final class MqttClient private (socket: Socket, clientId: String) {
+final class MqttClient private (socket: Socket, clientId: String,
+                                username: Option[String], password: Option[String]) {
   import Mqtt._
 
   private val out = new BufferedOutputStream(socket.getOutputStream)
@@ -359,8 +392,10 @@ final class MqttClient private (socket: Socket, clientId: String) {
     out.synchronized { writePacket(out, ptype, flags, body) }
 
   // CONNECT handshake happens before the reader thread starts, so the
-  // CONNACK is read inline here.
-  send(CONNECT, 0, connectPacket(clientId))
+  // CONNACK is read inline here. Credentials ride the CONNECT payload
+  // (spec §3.1), matching the reference's username/password connection
+  // props (internal/io/mqtt/v4client/client.go:44,63-67).
+  send(CONNECT, 0, connectPacket(clientId, username = username, password = password))
   locally {
     val ack = readPacket(in)
     require(ack != null && ack.ptype == CONNACK, "mqtt: expected CONNACK")
@@ -472,10 +507,22 @@ final class MqttClient private (socket: Socket, clientId: String) {
 }
 
 object MqttClient {
-  def connect(serverUrl: String, clientId: String): MqttClient = {
+  /** Connect and complete the CONNECT/CONNACK handshake. An `ssl://`
+    * url (or an explicit `tls` config) wraps the connection in TLS. A
+    * refused handshake throws AND closes the socket — the credential-
+    * rejection path must not leak the connection.
+    */
+  def connect(serverUrl: String, clientId: String,
+              username: Option[String] = None, password: Option[String] = None,
+              tls: Option[Tls.ClientConfig] = None): MqttClient = {
     val (host, port) = Mqtt.parseServer(serverUrl)
-    val s = new Socket(host, port)
-    s.setTcpNoDelay(true)
-    new MqttClient(s, clientId)
+    val effectiveTls = if (tls.isEmpty && Mqtt.isTlsUrl(serverUrl)) Some(Tls.ClientConfig()) else tls
+    val s = Tls.socket(host, port, effectiveTls)
+    try new MqttClient(s, clientId, username, password)
+    catch {
+      case e: Throwable =>
+        try s.close() catch { case _: Exception => () }
+        throw e
+    }
   }
 }

@@ -90,11 +90,14 @@ object Resp {
     }
   }
 
-  /** "redis://host:port" (or bare "host:port") → (host, port). */
+  /** "redis://host:port" (or bare "host:port") → (host, port).
+    * `rediss://` names the TLS listener (the redis.io URI scheme).
+    */
   def parseServer(url: String): (String, Int) =
     if (url.contains("://")) {
       val u = java.net.URI.create(url)
-      require(u.getScheme == "redis", s"redis server url must be redis://host:port, got $url")
+      require(u.getScheme == "redis" || u.getScheme == "rediss",
+        s"redis server url must be redis://host:port, got $url")
       (u.getHost, if (u.getPort > 0) u.getPort else 6379)
     } else {
       val i = url.lastIndexOf(':')
@@ -111,11 +114,24 @@ object Resp {
   * [[ping]]). `Transports` creates one client per direction, so each
   * instance lives in exactly one mode.
   */
-final class RedisClient private (socket: Socket) {
+final class RedisClient private (socket: Socket, password: Option[String]) {
   import Resp._
 
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val in = new BufferedInputStream(socket.getInputStream)
+
+  // AUTH runs inline before any other traffic (and before the lazy
+  // reader thread exists), matching the reference's password connection
+  // prop (internal/io/redis/redisSub.go:36-37,60-61). A rejected AUTH
+  // throws here; connect() closes the socket.
+  password.foreach { pw =>
+    writeCommand(out, Seq("AUTH", pw))
+    readReply(in) match {
+      case "OK" => ()
+      case Error(msg) => throw new java.io.IOException(s"redis: AUTH failed: $msg")
+      case other => throw new java.io.IOException(s"redis: unexpected AUTH reply $other")
+    }
+  }
   private val handlers = new ConcurrentHashMap[String, String => Unit]()
   // per-channel waiter with its own outcome flag: the latch also
   // releases on reader death, which must read as failure — but a
@@ -224,11 +240,21 @@ final class RedisClient private (socket: Socket) {
 }
 
 object RedisClient {
-  def connect(serverUrl: String): RedisClient = {
+  /** Connect, optionally AUTH, optionally over TLS (`rediss://` url or
+    * explicit config). A failed AUTH throws and closes the socket.
+    */
+  def connect(serverUrl: String, password: Option[String] = None,
+              tls: Option[Tls.ClientConfig] = None): RedisClient = {
     val (host, port) = Resp.parseServer(serverUrl)
-    val s = new Socket(host, port)
-    s.setTcpNoDelay(true)
-    new RedisClient(s)
+    val effectiveTls =
+      if (tls.isEmpty && serverUrl.startsWith("rediss://")) Some(Tls.ClientConfig()) else tls
+    val s = Tls.socket(host, port, effectiveTls)
+    try new RedisClient(s, password)
+    catch {
+      case e: Throwable =>
+        try s.close() catch { case _: Exception => () }
+        throw e
+    }
   }
 }
 
@@ -238,12 +264,15 @@ object RedisClient {
   * this stub exists so the transport is end-to-end testable without
   * egress, exactly like [[MqttBroker]] / [[WebSocketHub]].
   */
-final class RedisStubServer private (server: ServerSocket) {
+final class RedisStubServer private (server: ServerSocket,
+                                     password: Option[String]) {
   import Resp._
 
   private final class Conn(val socket: Socket) {
     val out = new BufferedOutputStream(socket.getOutputStream)
     val channels = ConcurrentHashMap.newKeySet[String]()
+    // authenticated iff no password is required; AUTH flips it
+    @volatile var authed: Boolean = password.isEmpty
     def push(parts: Seq[Any]): Unit = out.synchronized {
       val b = new java.io.ByteArrayOutputStream()
       b.write(s"*${parts.length}\r\n".getBytes(StandardCharsets.US_ASCII))
@@ -263,7 +292,10 @@ final class RedisStubServer private (server: ServerSocket) {
   @volatile private var closed = false
 
   def port: Int = server.getLocalPort
-  def address: String = s"redis://${server.getInetAddress.getHostAddress}:$port"
+  def address: String =
+    if (server.isInstanceOf[javax.net.ssl.SSLServerSocket])
+      s"rediss://${server.getInetAddress.getHostAddress}:$port"
+    else s"redis://${server.getInetAddress.getHostAddress}:$port"
 
   private val acceptThread = new Thread(() => {
     try while (!closed) {
@@ -286,6 +318,26 @@ final class RedisStubServer private (server: ServerSocket) {
       while (r != null) {
         r match {
           case Seq(cmd: String, rest @ _*) => cmd.toUpperCase match {
+            case "AUTH" =>
+              val ok = password.exists(p => rest.lastOption.exists {
+                case offered: String => java.security.MessageDigest.isEqual(
+                  offered.getBytes(StandardCharsets.UTF_8), p.getBytes(StandardCharsets.UTF_8))
+                case _ => false
+              })
+              conn.out.synchronized {
+                val reply =
+                  if (password.isEmpty) "-ERR Client sent AUTH, but no password is set\r\n"
+                  else if (ok) { conn.authed = true; "+OK\r\n" }
+                  else "-WRONGPASS invalid username-password pair or user is disabled.\r\n"
+                conn.out.write(reply.getBytes(StandardCharsets.US_ASCII))
+                conn.out.flush()
+              }
+            case _ if !conn.authed =>
+              conn.out.synchronized {
+                conn.out.write("-NOAUTH Authentication required.\r\n"
+                  .getBytes(StandardCharsets.US_ASCII))
+                conn.out.flush()
+              }
             case "SUBSCRIBE" =>
               rest.foreach { case ch: String =>
                 conn.channels.add(ch)
@@ -340,6 +392,16 @@ final class RedisStubServer private (server: ServerSocket) {
 }
 
 object RedisStubServer {
-  def start(port: Int = 0): RedisStubServer =
-    new RedisStubServer(new ServerSocket(port, 50, InetAddress.getLoopbackAddress))
+  /** With `password`, every command before a successful AUTH is refused
+    * with -NOAUTH (the requirepass contract). With `tls` the listener
+    * presents the configured cert.
+    */
+  def start(port: Int = 0, password: Option[String] = None,
+            tls: Option[Tls.ServerConfig] = None): RedisStubServer = {
+    val server = tls match {
+      case Some(cfg) => Tls.serverSocket(port, cfg)
+      case None => new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+    }
+    new RedisStubServer(server, password)
+  }
 }

@@ -22,8 +22,16 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object FeedBridges {
 
-  private final case class Key(kind: String, topic: String, server: String)
+  private final case class Key(kind: String, topic: String, server: String,
+                               options: Map[String, String])
   private val bridges = new ConcurrentHashMap[Key, AutoCloseable]()
+
+  // the connection-shaping DDL props (reference: mqtt username/password
+  // props internal/io/mqtt/v4client/client.go:44,63-67, redis password
+  // redisSub.go:36-37, shared cert layer pkg/cert/cert.go) — only these
+  // participate in bridge identity, so unrelated options (format,
+  // delimiter) don't spawn duplicate connections
+  private val connProps = Set("username", "password", "rootCaPath", "skipCertVerify", "tls")
 
   /** Ensure a subscriber bridge is running for (kind, topic, server).
     * Idempotent; called from ConnectorSource when the DDL carries a
@@ -31,32 +39,38 @@ object FeedBridges {
     * (kind, topic), exactly like stub pushes — everything downstream
     * is unchanged.
     */
-  def ensure(kind: String, topic: String, server: String): Unit = {
-    val key = Key(kind, topic, server)
-    bridges.computeIfAbsent(key, _ => start(kind, topic, server))
+  def ensure(kind: String, topic: String, server: String,
+             options: Map[String, String] = Map.empty): Unit = {
+    val key = Key(kind, topic, server, options.view.filterKeys(connProps).toMap)
+    bridges.computeIfAbsent(key, _ => start(kind, topic, server, options))
   }
 
-  private def start(kind: String, topic: String, server: String): AutoCloseable = kind match {
-    case "mqtt" =>
-      val client = MqttClient.connect(server, s"graft-src-${topic.hashCode.toHexString}")
-      client.subscribe(topic, (_, payload) =>
-        ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
-          System.currentTimeMillis()))
-      () => client.close()
-    case "websocket" =>
-      val client = WebSocketClient.connect(server)
-      client.onText { msg =>
-        ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis())
-      }
-      () => client.close()
-    case "redis" =>
-      val client = RedisClient.connect(server)
-      client.subscribe(topic, msg =>
-        ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis()))
-      () => client.close()
-    case other =>
-      throw new IllegalArgumentException(
-        s"no real transport for connector kind '$other' (mqtt, websocket, redis)")
+  private def start(kind: String, topic: String, server: String,
+                    options: Map[String, String]): AutoCloseable = {
+    val tls = Tls.clientFromOptions(options)
+    kind match {
+      case "mqtt" =>
+        val client = MqttClient.connect(server, s"graft-src-${topic.hashCode.toHexString}",
+          username = options.get("username"), password = options.get("password"), tls = tls)
+        client.subscribe(topic, (_, payload) =>
+          ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
+            System.currentTimeMillis()))
+        () => client.close()
+      case "websocket" =>
+        val client = WebSocketClient.connect(server, tls = tls)
+        client.onText { msg =>
+          ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis())
+        }
+        () => client.close()
+      case "redis" =>
+        val client = RedisClient.connect(server, password = options.get("password"), tls = tls)
+        client.subscribe(topic, msg =>
+          ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis()))
+        () => client.close()
+      case other =>
+        throw new IllegalArgumentException(
+          s"no real transport for connector kind '$other' (mqtt, websocket, redis)")
+    }
   }
 
   /** Close and forget every bridge (test teardown). */
@@ -74,9 +88,9 @@ object SinkTransports {
 
   /** True if this (kind, endpoint) pair names a real transport. */
   def supports(kind: String, endpoint: String): Boolean = kind match {
-    case "mqtt" => endpoint.startsWith("tcp://") || endpoint.startsWith("mqtt://")
-    case "websocket" => endpoint.startsWith("ws://")
-    case "redis" => endpoint.startsWith("redis://")
+    case "mqtt" => Seq("tcp://", "mqtt://", "ssl://", "mqtts://").exists(endpoint.startsWith)
+    case "websocket" => endpoint.startsWith("ws://") || endpoint.startsWith("wss://")
+    case "redis" => endpoint.startsWith("redis://") || endpoint.startsWith("rediss://")
     case _ => false // rest goes through the HTTP sink path, not graft.net
   }
 
@@ -88,29 +102,34 @@ object SinkTransports {
     (s"${u.getScheme}://${u.getHost}:${u.getPort}", topic)
   }
 
-  def client(kind: String, endpoint: String): Client = kind match {
-    case "mqtt" =>
-      val (server, topic) = split(endpoint)
-      new Client {
-        private val c = MqttClient.connect(server,
-          s"graft-sink-${Thread.currentThread().getId}")
-        def publish(payload: String): Unit = c.publish(topic, payload)
-        def close(): Unit = c.close()
-      }
-    case "websocket" =>
-      new Client {
-        private val c = WebSocketClient.connect(endpoint)
-        def publish(payload: String): Unit = c.sendText(payload)
-        def close(): Unit = c.close()
-      }
-    case "redis" =>
-      val (server, topic) = split(endpoint)
-      new Client {
-        private val c = RedisClient.connect(server)
-        def publish(payload: String): Unit = c.publishChannel(topic, payload)
-        def close(): Unit = c.close()
-      }
-    case other =>
-      throw new IllegalArgumentException(s"no real sink transport for '$other'")
+  def client(kind: String, endpoint: String,
+             options: Map[String, String] = Map.empty): Client = {
+    val tls = Tls.clientFromOptions(options)
+    kind match {
+      case "mqtt" =>
+        val (server, topic) = split(endpoint)
+        new Client {
+          private val c = MqttClient.connect(server,
+            s"graft-sink-${Thread.currentThread().getId}",
+            username = options.get("username"), password = options.get("password"), tls = tls)
+          def publish(payload: String): Unit = c.publish(topic, payload)
+          def close(): Unit = c.close()
+        }
+      case "websocket" =>
+        new Client {
+          private val c = WebSocketClient.connect(endpoint, tls = tls)
+          def publish(payload: String): Unit = c.sendText(payload)
+          def close(): Unit = c.close()
+        }
+      case "redis" =>
+        val (server, topic) = split(endpoint)
+        new Client {
+          private val c = RedisClient.connect(server, password = options.get("password"), tls = tls)
+          def publish(payload: String): Unit = c.publishChannel(topic, payload)
+          def close(): Unit = c.close()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"no real sink transport for '$other'")
+    }
   }
 }

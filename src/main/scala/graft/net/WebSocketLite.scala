@@ -143,7 +143,10 @@ final class WebSocketHub private (server: ServerSocket) {
   @volatile private var closed = false
 
   def port: Int = server.getLocalPort
-  def url: String = s"ws://${server.getInetAddress.getHostAddress}:$port/stream"
+  def url: String =
+    if (server.isInstanceOf[javax.net.ssl.SSLServerSocket])
+      s"wss://${server.getInetAddress.getHostAddress}:$port/stream"
+    else s"ws://${server.getInetAddress.getHostAddress}:$port/stream"
   def received: Seq[String] = { import scala.jdk.CollectionConverters._; received0.asScala.toSeq }
 
   private val acceptThread = new Thread(() => {
@@ -205,8 +208,16 @@ final class WebSocketHub private (server: ServerSocket) {
 }
 
 object WebSocketHub {
-  def start(port: Int = 0): WebSocketHub =
-    new WebSocketHub(new ServerSocket(port, 50, InetAddress.getLoopbackAddress))
+  /** With `tls` the listener is an SSLServerSocket presenting the
+    * configured cert; `url` then reports the wss:// scheme.
+    */
+  def start(port: Int = 0, tls: Option[Tls.ServerConfig] = None): WebSocketHub = {
+    val server = tls match {
+      case Some(cfg) => Tls.serverSocket(port, cfg)
+      case None => new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+    }
+    new WebSocketHub(server)
+  }
 }
 
 /** Blocking WebSocket client: upgrade handshake, masked sends, reader
@@ -263,13 +274,23 @@ final class WebSocketClient private (socket: Socket, path: String, hostHeader: S
 }
 
 object WebSocketClient {
-  /** Connect to ws://host:port/path. */
-  def connect(url: String): WebSocketClient = {
+  /** Connect to ws://host:port/path (or wss:// for TLS; an explicit
+    * `tls` config also upgrades a ws:// url). A refused upgrade throws
+    * and closes the socket.
+    */
+  def connect(url: String, tls: Option[Tls.ClientConfig] = None): WebSocketClient = {
     val u = java.net.URI.create(url)
-    require(u.getScheme == "ws", s"websocket url must be ws://..., got $url")
+    require(u.getScheme == "ws" || u.getScheme == "wss",
+      s"websocket url must be ws://... or wss://..., got $url")
     val path = if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath
-    val s = new Socket(u.getHost, u.getPort)
-    s.setTcpNoDelay(true)
-    new WebSocketClient(s, path, s"${u.getHost}:${u.getPort}")
+    val effectiveTls =
+      if (tls.isEmpty && u.getScheme == "wss") Some(Tls.ClientConfig()) else tls
+    val s = Tls.socket(u.getHost, u.getPort, effectiveTls)
+    try new WebSocketClient(s, path, s"${u.getHost}:${u.getPort}")
+    catch {
+      case e: Throwable =>
+        try s.close() catch { case _: Exception => () }
+        throw e
+    }
   }
 }

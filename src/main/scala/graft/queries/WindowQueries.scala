@@ -68,13 +68,16 @@ object WindowQueries {
     // partition (tiny), derive each partition's global offset with a
     // partition-count self-join (32×32 rows — no unpartitioned window),
     // then row_number *within* each partition + offset = global index.
-    // No single-partition global sort — survives 100× scale. persist()
-    // pins the sampled range boundaries so both passes see one layout.
+    // No single-partition global sort — survives 100× scale.
+    // localCheckpoint (not persist) pins the sampled range boundaries so
+    // both passes see one layout, and its blocks are reclaimed by the
+    // ContextCleaner once unreferenced — repeated invocations in a
+    // long-lived engine don't accumulate session-lifetime cache entries.
     "q_win_count" -> ((s, d) => {
       val parts = ev(s, d)
         .repartitionByRange(col("event_id"))
         .withColumn("pid", spark_partition_id())
-        .persist()
+        .localCheckpoint(true)
       val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       val offsets = counts.as("a")
         .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")

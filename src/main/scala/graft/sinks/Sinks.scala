@@ -218,15 +218,16 @@ final case class ConnectorSink(kind: String, endpoint: String,
         options.getOrElse("delimiter", ","))
     }
     val batchSize = options.getOrElse("batchSize", "0").toInt
-    val (k, ep) = (kind, endpoint) // don't capture `this` in the closure
+    val (k, ep, opts) = (kind, endpoint, options) // don't capture `this` in the closure
     out.select(payloadCol.cast("string").as("payload"))
       .foreachPartition { (rows: Iterator[Row]) =>
         // broker-URL endpoints (tcp:// mqtt, ws://, redis://) get a REAL
         // per-partition publisher built ON THE EXECUTOR (the reference's
         // per-worker publisher shape, internal/io/mqtt/sink.go); anything
-        // else records into the in-process stub for tests
+        // else records into the in-process stub for tests. Credential and
+        // TLS DDL props ride along to the executor-side client.
         val client =
-          if (graft.net.SinkTransports.supports(k, ep)) graft.net.SinkTransports.client(k, ep)
+          if (graft.net.SinkTransports.supports(k, ep)) graft.net.SinkTransports.client(k, ep, opts)
           else ConnectorSink.client(k, ep)
         try {
           val payloads = rows.map(_.getString(0))

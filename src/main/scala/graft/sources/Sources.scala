@@ -246,7 +246,8 @@ final case class ConnectorSource(kind: String, topic: String,
     * [[ConnectorFeed.push]].
     */
   private def ensureTransport(): Unit =
-    options.get("server").foreach(server => graft.net.FeedBridges.ensure(kind, topic, server))
+    options.get("server").foreach(server =>
+      graft.net.FeedBridges.ensure(kind, topic, server, options))
 
   /** Declared schema, or — for schemaless JSON streams (eKuiper's
     * default: `CREATE STREAM x () WITH (TYPE="mqtt", ...)`) — one

@@ -340,8 +340,11 @@ class NetSpec extends SparkSuite {
 
   test("sink transport selection: broker URLs are real, plain endpoints stay stubbed") {
     assert(SinkTransports.supports("mqtt", "tcp://127.0.0.1:1883/t"))
+    assert(SinkTransports.supports("mqtt", "ssl://127.0.0.1:8883/t"))
     assert(SinkTransports.supports("websocket", "ws://127.0.0.1:80/s"))
+    assert(SinkTransports.supports("websocket", "wss://127.0.0.1:443/s"))
     assert(SinkTransports.supports("redis", "redis://127.0.0.1:6379/c"))
+    assert(SinkTransports.supports("redis", "rediss://127.0.0.1:6380/c"))
     assert(!SinkTransports.supports("rest", "redis://127.0.0.1:6379/c"))
     assert(!SinkTransports.supports("rest", "http://x/y"))
     assert(!SinkTransports.supports("mqtt", "memdb"))
@@ -350,4 +353,199 @@ class NetSpec extends SparkSuite {
     ConnectorSink("mqtt", "plain-endpoint").writeBatch(spark.range(1).select(col("id")))
     assert(ConnectorSink.sent("mqtt", "plain-endpoint") == Vector("""{"id":0}"""))
   }
+
+  // ---- authentication ----
+
+  test("mqtt auth: credentialed broker refuses anonymous (code 5) and wrong creds (code 4)") {
+    val broker = MqttBroker.start(credentials = Some("alice" -> "s3cret"))
+    try {
+      val anon = intercept[IllegalArgumentException](MqttClient.connect(broker.address, "anon"))
+      assert(anon.getMessage.contains("code 5"), anon.getMessage)
+      val bad = intercept[IllegalArgumentException](
+        MqttClient.connect(broker.address, "bad", Some("alice"), Some("wrong")))
+      assert(bad.getMessage.contains("code 4"), bad.getMessage)
+    } finally broker.close()
+  }
+
+  test("mqtt auth: correct credentials connect and round-trip QoS-1 publish/subscribe") {
+    val broker = MqttBroker.start(credentials = Some("alice" -> "s3cret"))
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = MqttClient.connect(broker.address, "auth-sub", Some("alice"), Some("s3cret"))
+      sub.subscribe("auth/t", (_, p) => got.add(new String(p, StandardCharsets.UTF_8)))
+      val pub = MqttClient.connect(broker.address, "auth-pub", Some("alice"), Some("s3cret"))
+      pub.publish("auth/t", "hello") // blocks on PUBACK through the auth'd session
+      awaitCond(got.size == 1, "delivery over the credentialed session")
+      assert(got.peek() == "hello")
+      sub.close(); pub.close()
+    } finally broker.close()
+  }
+
+  test("mqtt auth: connectPacket/parseConnect round-trip, incl. the will-flag field skip") {
+    import Mqtt._
+    val info = parseConnect(connectPacket("cid-1", username = Some("u"), password = Some("pw")))
+    assert(info == ConnectInfo("cid-1", Some("u"), Some("pw")))
+    assert(parseConnect(connectPacket("plain")) == ConnectInfo("plain", None, None))
+    // hand-build a CONNECT with the will flag set: parseConnect must skip
+    // will-topic + will-message before reading username/password
+    val b = new java.io.ByteArrayOutputStream()
+    putString(b, "MQTT"); b.write(4)
+    b.write(0x80 | 0x40 | 0x04 | 0x02) // username | password | will | clean session
+    b.write(0); b.write(60)
+    putString(b, "willed"); putString(b, "last/topic"); putString(b, "gone")
+    putString(b, "u2"); putString(b, "p2")
+    assert(parseConnect(b.toByteArray) == ConnectInfo("willed", Some("u2"), Some("p2")))
+  }
+
+  test("mqtt auth: DDL USERNAME/PASSWORD props reach the broker through the source bridge") {
+    val broker = MqttBroker.start(credentials = Some("rule" -> "pw1"))
+    try {
+      ConnectorFeed.clear("mqtt", "auth/in")
+      // wrong creds in the DDL options → the bridge's CONNECT is refused
+      intercept[IllegalArgumentException] {
+        ConnectorSource("mqtt", "auth/in", StructType.fromDDL("v bigint"),
+          Map("server" -> broker.address, "username" -> "rule", "password" -> "no"))
+          .batch(spark)
+      }
+      val src = ConnectorSource("mqtt", "auth/in", StructType.fromDDL("v bigint"),
+        Map("server" -> broker.address, "username" -> "rule", "password" -> "pw1"))
+      assert(src.batch(spark).count() == 0) // starts the credentialed bridge
+      val pub = MqttClient.connect(broker.address, "auth-ext", Some("rule"), Some("pw1"))
+      pub.publish("auth/in", """{"v":9}""")
+      awaitCond(src.batch(spark).count() == 1, "frame through the credentialed bridge")
+      assert(src.batch(spark).select("v").first().getLong(0) == 9L)
+      pub.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("redis auth: AUTH gate — reject wrong password, NOAUTH before auth, accept right one") {
+    val server = RedisStubServer.start(password = Some("redispw"))
+    try {
+      // wrong password → connect throws (AUTH rejected inline)
+      val bad = intercept[java.io.IOException](
+        RedisClient.connect(server.address, password = Some("nope")))
+      assert(bad.getMessage.contains("AUTH failed"), bad.getMessage)
+      // no AUTH at all → commands refused with -NOAUTH
+      val anon = RedisClient.connect(server.address)
+      val noauth = intercept[java.io.IOException](anon.ping())
+      assert(noauth.getMessage.contains("NOAUTH"), noauth.getMessage)
+      anon.close()
+      // right password → full pub/sub round-trip
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = RedisClient.connect(server.address, password = Some("redispw"))
+      sub.subscribe("auth-ch", got.add(_))
+      val pub = RedisClient.connect(server.address, password = Some("redispw"))
+      assert(pub.publishChannel("auth-ch", "a1") == 1L)
+      awaitCond(got.size == 1, "delivery over the authenticated connections")
+      assert(got.peek() == "a1")
+      sub.close(); pub.close()
+    } finally server.close()
+  }
+
+  // ---- TLS (props named after the reference's pkg/cert layer) ----
+
+  test("tls: mqtt publish/subscribe round-trips over an SSL listener with CA validation") {
+    val broker = MqttBroker.start(tls = Some(TlsTestCerts.serverConfig))
+    try {
+      assert(broker.address.startsWith("ssl://"), broker.address)
+      val cfg = Some(Tls.ClientConfig(rootCaPath = Some(TlsTestCerts.certPath)))
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = MqttClient.connect(broker.address, "tls-sub", tls = cfg)
+      sub.subscribe("tls/t", (_, p) => got.add(new String(p, StandardCharsets.UTF_8)))
+      val pub = MqttClient.connect(broker.address, "tls-pub", tls = cfg)
+      pub.publish("tls/t", "secure")
+      awaitCond(got.size == 1, "delivery over TLS")
+      assert(got.peek() == "secure")
+      sub.close(); pub.close()
+    } finally broker.close()
+  }
+
+  test("tls: websocket hub round-trips over wss with skipCertVerify") {
+    val hub = WebSocketHub.start(tls = Some(TlsTestCerts.serverConfig))
+    try {
+      assert(hub.url.startsWith("wss://"), hub.url)
+      val cfg = Some(Tls.ClientConfig(skipCertVerify = true))
+      val got = new ConcurrentLinkedQueue[String]()
+      val listener = WebSocketClient.connect(hub.url, tls = cfg)
+      listener.onText(got.add(_))
+      val sender = WebSocketClient.connect(hub.url, tls = cfg)
+      sender.sendText("""{"tls":1}""")
+      awaitCond(got.size == 1, "wss broadcast")
+      assert(got.peek() == """{"tls":1}""")
+      sender.close(); listener.close()
+    } finally hub.close()
+  }
+
+  test("tls: redis pub/sub round-trips over rediss with CA validation") {
+    val server = RedisStubServer.start(tls = Some(TlsTestCerts.serverConfig))
+    try {
+      assert(server.address.startsWith("rediss://"), server.address)
+      val cfg = Some(Tls.ClientConfig(rootCaPath = Some(TlsTestCerts.certPath)))
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = RedisClient.connect(server.address, tls = cfg)
+      sub.subscribe("tls-ch", got.add(_))
+      val pub = RedisClient.connect(server.address, tls = cfg)
+      assert(pub.publishChannel("tls-ch", "enc") == 1L)
+      awaitCond(got.size == 1, "delivery over rediss")
+      assert(got.peek() == "enc")
+      sub.close(); pub.close()
+    } finally server.close()
+  }
+
+  test("tls: plaintext client against a TLS listener fails instead of hanging") {
+    val broker = MqttBroker.start(tls = Some(TlsTestCerts.serverConfig))
+    try {
+      intercept[Exception] {
+        // strip the scheme down to tcp:// — no TLS config → plain socket
+        val plain = "tcp://" + broker.address.stripPrefix("ssl://")
+        MqttClient.connect(plain, "plain-vs-tls")
+      }
+    } finally broker.close()
+  }
+
+  test("tls: clientFromOptions maps the reference's cert props") {
+    assert(Tls.clientFromOptions(Map("format" -> "json")).isEmpty)
+    assert(Tls.clientFromOptions(Map("tls" -> "true")).contains(Tls.ClientConfig(None, false)))
+    assert(Tls.clientFromOptions(Map("skipCertVerify" -> "true"))
+      .contains(Tls.ClientConfig(None, true)))
+    assert(Tls.clientFromOptions(Map("rootCaPath" -> "/ca.pem"))
+      .contains(Tls.ClientConfig(Some("/ca.pem"), false)))
+  }
+}
+
+/** Self-signed test certificate, generated once per JVM with the JDK's
+  * own keytool, then re-exported as the PEM pair the reference's cert
+  * props (pkg/cert/cert.go) expect: a certificate PEM (also used as the
+  * client's rootCaPath — self-signed) and an unencrypted PKCS#8 key PEM.
+  */
+object TlsTestCerts {
+  lazy val (certPath: String, keyPath: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("ks.p12")
+    import scala.sys.process._
+    val rc = Seq("keytool", "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ks.toString,
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1", "-validity", "3650",
+      "-ext", "san=ip:127.0.0.1").!
+    require(rc == 0, s"keytool exited $rc")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val fin = new java.io.FileInputStream(ks.toFile)
+    try store.load(fin, "changeit".toCharArray) finally fin.close()
+    val key = store.getKey("graft", "changeit".toCharArray)
+    val cert = store.getCertificate("graft")
+    def pem(label: String, der: Array[Byte]): String =
+      s"-----BEGIN $label-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes(StandardCharsets.US_ASCII))
+          .encodeToString(der) +
+        s"\n-----END $label-----\n"
+    val certFile = dir.resolve("server.crt")
+    val keyFile = dir.resolve("server.key")
+    java.nio.file.Files.write(certFile,
+      pem("CERTIFICATE", cert.getEncoded).getBytes(StandardCharsets.US_ASCII))
+    java.nio.file.Files.write(keyFile,
+      pem("PRIVATE KEY", key.getEncoded).getBytes(StandardCharsets.US_ASCII))
+    (certFile.toString, keyFile.toString)
+  }
+
+  def serverConfig: Tls.ServerConfig = Tls.ServerConfig(certPath, keyPath)
 }

@@ -41,6 +41,23 @@ class PlanSpec extends SparkSuite {
       s"count window must not run a single-partition global window:\n$s")
   }
 
+  test("q_win_count: repeated invocations leave no persistent cache entries") {
+    // localCheckpoint blocks are reclaimable by the ContextCleaner once the
+    // frame is unreferenced; a persist() here would grow getPersistentRDDs
+    // forever in a long-lived engine. Run twice, drop references, GC, and
+    // require the persistent-RDD map back at (or below) its starting size.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 2)
+      SparkEntry.queries("q_win_count")(spark, sf).write.format("noop").mode("overwrite").save()
+    System.gc()
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"q_win_count leaked cache entries: ${spark.sparkContext.getPersistentRDDs}")
+  }
+
   test("map-only function queries contain no shuffle") {
     for (name <- Seq("q_fn_math", "q_fn_string", "q_fn_hash", "q_text_quality",
         "q_text_fingerprint", "q_text_langid")) {
