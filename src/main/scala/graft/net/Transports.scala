@@ -31,7 +31,8 @@ object FeedBridges {
   // redisSub.go:36-37, shared cert layer pkg/cert/cert.go) — only these
   // participate in bridge identity, so unrelated options (format,
   // delimiter) don't spawn duplicate connections
-  private val connProps = Set("username", "password", "rootCaPath", "skipCertVerify", "tls")
+  private val connProps =
+    Set("username", "password", "rootCaPath", "skipCertVerify", "tls", "messageType")
 
   /** Ensure a subscriber bridge is running for (kind, topic, server).
     * Idempotent; called from ConnectorSource when the DDL carries a
@@ -67,9 +68,30 @@ object FeedBridges {
         client.subscribe(topic, msg =>
           ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis()))
         () => client.close()
+      case "edgex" =>
+        // the EdgeX message bus IS mqtt or redis (reference
+        // internal/io/edgex/client/edgex.go); ride the matching graft
+        // transport and unwrap the JSON MessageEnvelope → flattened
+        // readings before spooling, so the declared schema sees
+        // {resourceName: value} objects exactly like the reference rule
+        val messageType = options.getOrElse("messageType", "event")
+        def pushEnvelope(frame: String): Unit =
+          graft.sources.Edgex.decodeEnvelope(frame, messageType)
+            .foreach(flat => ConnectorFeed.push(kind, topic, flat, System.currentTimeMillis()))
+        if (server.startsWith("redis")) {
+          val client = RedisClient.connect(server, password = options.get("password"), tls = tls)
+          client.subscribe(topic, pushEnvelope)
+          () => client.close()
+        } else {
+          val client = MqttClient.connect(server, s"graft-edgex-${topic.hashCode.toHexString}",
+            username = options.get("username"), password = options.get("password"), tls = tls)
+          client.subscribe(topic, (_, payload) =>
+            pushEnvelope(new String(payload, StandardCharsets.UTF_8)))
+          () => client.close()
+        }
       case other =>
         throw new IllegalArgumentException(
-          s"no real transport for connector kind '$other' (mqtt, websocket, redis)")
+          s"no real transport for connector kind '$other' (mqtt, websocket, redis, edgex)")
     }
   }
 
@@ -91,6 +113,9 @@ object SinkTransports {
     case "mqtt" => Seq("tcp://", "mqtt://", "ssl://", "mqtts://").exists(endpoint.startsWith)
     case "websocket" => endpoint.startsWith("ws://") || endpoint.startsWith("wss://")
     case "redis" => endpoint.startsWith("redis://") || endpoint.startsWith("rediss://")
+    case "edgex" => // the EdgeX bus is mqtt or redis under a JSON envelope
+      Seq("tcp://", "mqtt://", "ssl://", "mqtts://", "redis://", "rediss://")
+        .exists(endpoint.startsWith)
     case _ => false // rest goes through the HTTP sink path, not graft.net
   }
 
@@ -128,6 +153,31 @@ object SinkTransports {
           def publish(payload: String): Unit = c.publishChannel(topic, payload)
           def close(): Unit = c.close()
         }
+      case "edgex" =>
+        // wrap each row in a dtos.Event MessageEnvelope, then publish on
+        // the underlying bus transport (reference internal/io/edgex/
+        // sink.go:470-510 over client/edgex.go)
+        val (server, topic) = split(endpoint)
+        val dev = options.getOrElse("deviceName", "graft")
+        val prof = options.getOrElse("profileName", "graftProfile")
+        val src = options.getOrElse("sourceName", "graftSource")
+        val mt = options.getOrElse("messageType", "event")
+        def wrap(payload: String): String =
+          graft.sources.Edgex.envelope(payload, dev, prof, src, mt)
+        if (server.startsWith("redis"))
+          new Client {
+            private val c = RedisClient.connect(server, password = options.get("password"), tls = tls)
+            def publish(payload: String): Unit = c.publishChannel(topic, wrap(payload))
+            def close(): Unit = c.close()
+          }
+        else
+          new Client {
+            private val c = MqttClient.connect(server,
+              s"graft-edgex-sink-${Thread.currentThread().getId}",
+              username = options.get("username"), password = options.get("password"), tls = tls)
+            def publish(payload: String): Unit = c.publish(topic, wrap(payload))
+            def close(): Unit = c.close()
+          }
       case other =>
         throw new IllegalArgumentException(s"no real sink transport for '$other'")
     }

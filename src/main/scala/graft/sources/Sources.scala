@@ -218,12 +218,14 @@ object NexmarkBidSource {
 }
 
 /** Connector sources (mqtt / http_pull / http_push / websocket / sse /
-  * redis / neuron / edgex). The container has no network egress, so the
-  * transport layer is a deterministic STUB: frames are taken from an
-  * injectable in-memory feed (tests push frames; production would swap
-  * the transport). Everything after the transport — payload decoding
-  * to the declared schema, batch/stream plumbing — is real Spark code,
-  * which is the part that matters for the engine.
+  * redis / edgex / neuron). With a SERVER option, mqtt / websocket /
+  * redis / edgex ride REAL wire-protocol clients (graft.net) — edgex
+  * unwraps the message-bus JSON envelope from its mqtt/redis bus
+  * ([[Edgex]]). Without SERVER (and for neuron) the transport layer is
+  * a deterministic STUB: frames are taken from an injectable in-memory
+  * feed (tests push frames). Everything after the transport — payload
+  * decoding to the declared schema, batch/stream plumbing — is real
+  * Spark code either way.
   *
   * Reference: internal/io/mqtt/source.go, internal/io/http,
   * internal/io/edgex, internal/io/redis, internal/io/websocket.

@@ -354,6 +354,75 @@ class NetSpec extends SparkSuite {
     assert(ConnectorSink.sent("mqtt", "plain-endpoint") == Vector("""{"id":0}"""))
   }
 
+  // ---- EdgeX message-bus envelope over the real brokers ----
+
+  test("edgex: envelope codec — base64 payload, typed readings, request wrapper, skips nameless") {
+    import graft.sources.Edgex
+    // sink-built envelope decodes back to the same flat object
+    val env = Edgex.envelope("""{"temperature":21.5,"humidity":55,"ok":true,"tag":"a"}""")
+    val flat = Edgex.decodeEnvelope(env).get
+    val parsed = org.json4s.jackson.JsonMethods.parse(flat)
+    import org.json4s._
+    assert((parsed \ "temperature") == JDouble(21.5))
+    assert((parsed \ "humidity") == JLong(55) || (parsed \ "humidity") == JInt(55), parsed \ "humidity")
+    assert((parsed \ "ok") == JBool(true))
+    assert((parsed \ "tag") == JString("a"))
+    // request messageType wraps the event one level deeper
+    val reqEnv = Edgex.envelope("""{"v":7}""", messageType = "request")
+    assert(Edgex.decodeEnvelope(reqEnv, "request").isDefined)
+    assert(Edgex.decodeEnvelope(reqEnv, "request").get.contains("\"v\":7"))
+    // hand-built envelope with an inline payload and a nameless reading
+    val inline = """{"apiVersion":"v3","payload":{"deviceName":"d","readings":[
+      {"resourceName":"x","valueType":"Int32","value":"5"},
+      {"resourceName":"","valueType":"String","value":"skipme"},
+      {"resourceName":"arr","valueType":"Float64Array","value":"[1.5,2.5]"}]}}"""
+    val flat2 = org.json4s.jackson.JsonMethods.parse(Edgex.decodeEnvelope(inline).get)
+    assert((flat2 \ "x") == JLong(5) || (flat2 \ "x") == JInt(5))
+    assert((flat2 \ "arr") == JArray(List(JDouble(1.5), JDouble(2.5))))
+    assert((flat2 \ "skipme") == JNothing && !flat2.values.asInstanceOf[Map[String, _]].contains(""))
+    // an event with no readings is ignored, like the reference
+    assert(Edgex.decodeEnvelope("""{"payload":{"deviceName":"d","readings":[]}}""").isEmpty)
+  }
+
+  test("edgex e2e: typed-reading rule from a live mqtt message bus (no stub transport)") {
+    val broker = MqttBroker.start()
+    try {
+      ConnectorFeed.clear("edgex", "edgex/events")
+      val src = ConnectorSource("edgex", "edgex/events",
+        StructType.fromDDL("temperature double, humidity bigint"),
+        Map("server" -> broker.address))
+      assert(src.batch(spark).count() == 0) // starts the envelope-decoding bridge
+      // a device publishes real envelopes on the real bus
+      val device = MqttClient.connect(broker.address, "edgex-device")
+      device.publish("edgex/events",
+        graft.sources.Edgex.envelope("""{"temperature":20.0,"humidity":60}""", deviceName = "dev1"))
+      device.publish("edgex/events",
+        graft.sources.Edgex.envelope("""{"temperature":23.5,"humidity":40}""", deviceName = "dev1"))
+      awaitCond(src.batch(spark).count() == 2, "two envelopes decoded into the feed")
+      val rows = src.batch(spark).orderBy("humidity")
+        .select("temperature", "humidity").collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((23.5, 40L), (20.0, 60L)))
+      device.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("edgex e2e: sink wraps rows in envelopes a bus consumer can decode") {
+    val broker = MqttBroker.start()
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val consumer = MqttClient.connect(broker.address, "edgex-consumer")
+      consumer.subscribe("edgex/out", (_, p) => got.add(new String(p, StandardCharsets.UTF_8)))
+      val df = spark.range(2).select(col("id"), (col("id") * 1.5).as("score"))
+      ConnectorSink("edgex", s"${broker.address}/edgex/out").writeBatch(df)
+      awaitCond(got.size == 2, "two envelopes at the bus consumer")
+      val flats = got.toArray.map(e =>
+        graft.sources.Edgex.decodeEnvelope(e.toString).get).toSet
+      assert(flats == Set("""{"id":0,"score":0.0}""", """{"id":1,"score":1.5}"""))
+      consumer.close()
+    } finally broker.close()
+  }
+
   // ---- authentication ----
 
   test("mqtt auth: credentialed broker refuses anonymous (code 5) and wrong creds (code 4)") {
