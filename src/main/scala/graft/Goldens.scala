@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Content fingerprints for the queries the DuckDB oracle can't check
+  * (SURVEY §2's declared rows-only set: hash functions DuckDB lacks,
+  * recall-/clustering-shaped dedup + ANN output, langid, fingerprint,
+  * the multimodal stub). Verify compares each against the recorded
+  * golden and emits `golden_match` per query, so silent semantic drift
+  * is caught even where no SQL oracle exists.
+  *
+  * The fingerprint is canonical: columns sorted by name, doubles
+  * rounded (floating noise from partial-agg order must not flip it),
+  * rows sorted, sha-256 over the joined text. q_knn_ivf additionally
+  * drops the neighbor-id column and rounds scores to 2 dp: its
+  * centroids come from distributed float averaging, so near-tie cell
+  * assignments may legitimately differ across partition counts while
+  * the score profile stays put.
+  *
+  * Re-record after an INTENTIONAL semantic change with:
+  *   runMain graft.Goldens /root/testdata/sf0.001
+  *   runMain graft.Goldens /root/testdata/sf0.01
+  */
+object Goldens {
+
+  /** query → (columns to exclude, decimal places for doubles). */
+  val rowsOnly: Map[String, (Set[String], Int)] = Map(
+    "q_dedup_cluster" -> (Set.empty[String], 6),
+    "q_dedup_jaccard" -> (Set.empty[String], 6),
+    "q_dedup_minhash" -> (Set.empty[String], 6),
+    "q_dedup_simhash" -> (Set.empty[String], 6),
+    "q_fn_hash2" -> (Set.empty[String], 6),
+    "q_knn_ivf" -> (Set("n_id"), 2),
+    "q_knn_lsh" -> (Set.empty[String], 6),
+    "q_multimodal" -> (Set.empty[String], 6),
+    "q_text_fingerprint" -> (Set.empty[String], 6),
+    "q_text_langid" -> (Set.empty[String], 6))
+
+  /** Expected fingerprints per scale factor (testdata dir basename). */
+  val expected: Map[String, Map[String, String]] = Map(
+    "sf0.001" -> Map(
+      "q_dedup_cluster" -> "bdd4017b76dc73cb5f57e39cc06503efc2e37cbc7721785afd4dadea4bd53528",
+      "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
+      "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
+      "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
+      "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
+      "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
+      "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
+      "q_multimodal" -> "2d13f0b16099ef332a5715e6339d3c673e26cf9bf3e638dba44357b7c1239e4b",
+      "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
+      "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
+    "sf0.01" -> Map(
+      "q_dedup_cluster" -> "ec9fd05fc076b06768f72c64040294c9f308418dcc58a55ac842d6c2edd94cc6",
+      "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
+      "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
+      "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",
+      "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
+      "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
+      "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",
+      "q_multimodal" -> "22a7c0fb355277441510607582f4270e72aac40f3a0160896bb779a3a622b25d",
+      "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371",
+      "q_text_langid" -> "c065812a8a5c81b67285f9fe1bf5d146110d566fc2f7470c5670e386ec8a3cb9"))
+
+  def fingerprint(df: DataFrame, exclude: Set[String] = Set.empty,
+                  doubleDp: Int = 6): String = {
+    val cols = df.schema.fieldNames.filterNot(exclude).sorted
+    val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    def fmt(v: Any): String = v match {
+      case null => "∅"
+      case d: Double => BigDecimal(d).setScale(doubleDp, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      case f: Float => fmt(f.toDouble)
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => s"${fmt(k)}:${fmt(x)}" }.toSeq.sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row => r.toSeq.map(fmt).mkString("(", ",", ")")
+      case other => other.toString
+    }
+    val lines = proj.collect().map(_.toSeq.map(fmt).mkString("")).sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    lines.foreach(l => md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Compute every rows-only fingerprint at `sfDir`. */
+  def compute(spark: SparkSession, sfDir: String): Map[String, String] =
+    rowsOnly.toSeq.sortBy(_._1).map { case (name, (exclude, dp)) =>
+      name -> fingerprint(SparkEntry.queries(name)(spark, sfDir), exclude, dp)
+    }.toMap
+
+  /** Re-record tool: prints the `expected` map entries for an SF. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val name = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(s""""$name" -> Map(""")
+    compute(spark, sfDir).toSeq.sortBy(_._1).foreach { case (q, h) =>
+      println(s"""  "$q" -> "$h",""")
+    }
+    println(")")
+    spark.stop()
+  }
+}

@@ -37,6 +37,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only queries have no DuckDB oracle; compare their content
+    // fingerprint against the recorded golden (Goldens) so semantic
+    // drift is caught there too → golden_match.json per query
+    val sfName = Paths.get(sfDir).getFileName.toString
+    Goldens.expected.get(sfName).filter(_.nonEmpty).foreach { golden =>
+      val entries = Goldens.rowsOnly.toSeq.sortBy(_._1).map { case (name, (exclude, dp)) =>
+        val entry =
+          try {
+            val fp = Goldens.fingerprint(SparkEntry.queries(name)(spark, sfDir), exclude, dp)
+            val ok = golden.get(name).contains(fp)
+            s"""${q(name)}: {"golden_match": $ok, "fingerprint": ${q(fp)}, "golden": ${q(golden.getOrElse(name, ""))}}"""
+          } catch { case e: Throwable =>
+            s"""${q(name)}: {"golden_match": false, "error": ${q(String.valueOf(e.getMessage))}}"""
+          }
+        entry
+      }
+      Files.writeString(Paths.get(s"$outDir/golden_match.json"),
+        entries.mkString("{", ",", "}"))
+      val bad = entries.filter(_.contains("\"golden_match\": false"))
+      if (bad.nonEmpty) System.err.println(s"[verify] golden mismatches: ${bad.size}")
+    }
     spark.stop()
   }
 }
