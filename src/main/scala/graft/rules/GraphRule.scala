@@ -22,12 +22,15 @@ import org.json4s.jackson.JsonMethods
   *  "edges": {"src":["hot"], "hot":["stat"], "stat":["out"]}}
   * }}}
   *
-  * Operators: filter, project (select-exprs), aggregate (groupBy/aggs,
-  * optional tumbling window on a ts column), having, orderby, limit,
-  * join (two inputs; on/how), dedup (keep-first by keys), switch
-  * (condition routing: output edge i carries rows matching cases[i];
-  * stopAtFirstMatch=true — the default, like the reference — makes
-  * branches disjoint by excluding earlier cases), window, watermark.
+  * Operators: filter, project (select-exprs), expr (script-node
+  * alternative: `name AS ...` expressions add/overwrite columns
+  * sequentially, keeping the rest of the message), aggregate
+  * (groupBy/aggs, optional tumbling window on a ts column), having,
+  * orderby, limit, join (two inputs; on/how), dedup (keep-first by
+  * keys), switch (condition routing: output edge i carries rows
+  * matching cases[i]; stopAtFirstMatch=true — the default, like the
+  * reference — makes branches disjoint by excluding earlier cases),
+  * window, watermark.
   *
   * `window` is a first-class node like the reference's
   * (internal/topo/graph/io.go OpIO "window"; props per
@@ -214,6 +217,27 @@ object GraphRule {
           str(node, "op") match {
             case "filter" => in.where(expr(str(node, "expr")))
             case "project" => in.selectExpr(strSeq(node, "exprs"): _*)
+            case "expr" =>
+              // script-node alternative (reference internal/topo/graph/
+              // io.go:165 "script" runs JS that mutates the message):
+              // each `name AS ...` expression adds or overwrites that
+              // column, sequentially, keeping everything else — the
+              // message-mutation shape — but as Catalyst expressions
+              // that stay inside whole-stage codegen instead of an
+              // interpreted per-row script engine. CollapseProject
+              // fuses the fold into one projection.
+              val es = strSeq(node, "exprs")
+              require(es.nonEmpty, s"expr $name needs a non-empty exprs array")
+              es.foldLeft(in) { (df, e) =>
+                val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                  .parseExpression(e)
+                val alias = parsed match {
+                  case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+                  case _ => throw new IllegalArgumentException(
+                    s"expr $name: every expression needs an AS name, got '$e'")
+                }
+                df.withColumn(alias, expr(e))
+              }
             case "aggregate" =>
               val aggs = strSeq(node, "aggs").map(expr)
               val keys = strSeq(node, "groupBy").map(expr)

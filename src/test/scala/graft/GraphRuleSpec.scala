@@ -37,6 +37,44 @@ class GraphRuleSpec extends SparkSuite {
     assert(eng.status("g1").state == RuleState.Stopped)
   }
 
+  test("expr node: add/overwrite columns sequentially, parity with the equivalent SQL") {
+    val eng = new RuleEngine(spark)
+    MemoryHub.publish("g_expr_in",
+      spark.createDataFrame(Seq(("d1", 20L), ("d2", 35L))).toDF("device", "temp"))
+    eng.createStream("""CREATE TABLE gexpr (device STRING, temp BIGINT) WITH (TYPE="memory", DATASOURCE="g_expr_in")""")
+    MemoryHub.drop("expr_out")
+    // temp_f derives from temp; the second expression overwrites device
+    // using temp_f — sequential script semantics, all other columns kept
+    eng.create(Rule.graph("gexpr1",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"gexpr"},
+        |  "mut": {"type":"operator", "op":"expr",
+        |          "exprs":["temp * 9 / 5 + 32 AS temp_f",
+        |                   "concat(device, '-', cast(temp_f as int)) AS device"]},
+        |  "out": {"type":"sink", "kind":"memory", "endpoint":"expr_out"}},
+        | "edges": {"src":["mut"], "mut":["out"]}}""".stripMargin))
+    eng.start("gexpr1")
+    val out = MemoryHub.frame(spark, "expr_out")
+    assert(out.columns.toSeq == Seq("device", "temp", "temp_f"))
+    // parity with the equivalent project SQL on the same input
+    val expect = MemoryHub.frame(spark, "g_expr_in").selectExpr(
+      "concat(device, '-', cast(temp * 9 / 5 + 32 as int)) AS device",
+      "temp", "temp * 9 / 5 + 32 AS temp_f")
+    assert(out.select("device", "temp", "temp_f").orderBy("temp").collect().toSeq ==
+      expect.select("device", "temp", "temp_f").orderBy("temp").collect().toSeq)
+    // an expression without AS is rejected eagerly
+    val err = intercept[IllegalArgumentException] {
+      eng.create(Rule.graph("gexpr2",
+        """{"nodes": {
+          |  "src": {"type":"source", "stream":"gexpr"},
+          |  "bad": {"type":"operator", "op":"expr", "exprs":["temp * 2"]},
+          |  "out": {"type":"sink", "kind":"memory", "endpoint":"expr_bad"}},
+          | "edges": {"src":["bad"], "bad":["out"]}}""".stripMargin))
+      eng.start("gexpr2")
+    }
+    assert(err.getMessage.contains("AS name"), err.getMessage)
+  }
+
   test("two-source join node with projection") {
     val eng = new RuleEngine(spark)
     MemoryHub.publish("g_orders", spark.range(4).toDF("oid")
