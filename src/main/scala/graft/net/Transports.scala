@@ -32,7 +32,8 @@ object FeedBridges {
   // participate in bridge identity, so unrelated options (format,
   // delimiter) don't spawn duplicate connections
   private val connProps =
-    Set("username", "password", "rootCaPath", "skipCertVerify", "tls", "messageType")
+    Set("username", "password", "rootCaPath", "skipCertVerify", "tls", "messageType",
+      "saslUserName", "saslPassword", "partition", "offset")
 
   /** Ensure a subscriber bridge is running for (kind, topic, server).
     * Idempotent; called from ConnectorSource when the DDL carries a
@@ -89,9 +90,41 @@ object FeedBridges {
             pushEnvelope(new String(payload, StandardCharsets.UTF_8)))
           () => client.close()
         }
+      case "kafka" =>
+        // fetch-loop subscriber (reference extensions/impl/kafka/
+        // source.go: explicit partition, offset tracked client-side)
+        val partition = options.getOrElse("partition", "0").toInt
+        val sasl = for {
+          u <- options.get("saslUserName")
+          p <- options.get("saslPassword").orElse(options.get("password"))
+        } yield (u, p)
+        val client = KafkaClient.connect(server, s"graft-src-${topic.hashCode.toHexString}",
+          sasl = sasl, tls = tls)
+        @volatile var running = true
+        val startOffset =
+          if (options.get("offset").contains("earliest")) client.earliestOffset(topic, partition)
+          else client.latestOffset(topic, partition)
+        val loop = new Thread(() => {
+          var off = startOffset
+          while (running)
+            try {
+              val (_, records) = client.fetch(topic, partition, off, maxWaitMs = 500)
+              records.foreach { rec =>
+                ConnectorFeed.push(kind, topic,
+                  new String(rec.value, StandardCharsets.UTF_8), rec.timestamp)
+                off = rec.offset + 1
+              }
+            } catch {
+              case _: Exception if !running => () // closed under us
+              case _: Exception => Thread.sleep(200) // transient; retry
+            }
+        }, s"kafka-bridge-$topic")
+        loop.setDaemon(true)
+        loop.start()
+        () => { running = false; client.close() }
       case other =>
         throw new IllegalArgumentException(
-          s"no real transport for connector kind '$other' (mqtt, websocket, redis, edgex)")
+          s"no real transport for connector kind '$other' (mqtt, websocket, redis, edgex, kafka)")
     }
   }
 
@@ -116,6 +149,7 @@ object SinkTransports {
     case "edgex" => // the EdgeX bus is mqtt or redis under a JSON envelope
       Seq("tcp://", "mqtt://", "ssl://", "mqtts://", "redis://", "rediss://")
         .exists(endpoint.startsWith)
+    case "kafka" => endpoint.startsWith("kafka://") || endpoint.startsWith("kafkas://")
     case _ => false // rest goes through the HTTP sink path, not graft.net
   }
 
@@ -178,6 +212,24 @@ object SinkTransports {
             def publish(payload: String): Unit = c.publish(topic, wrap(payload))
             def close(): Unit = c.close()
           }
+      case "kafka" =>
+        // per-partition producer (reference extensions/impl/kafka/
+        // sink.go: fixed topic + optional fixed key, acks=-1)
+        val (server, topic) = split(endpoint)
+        val partition = options.getOrElse("partition", "0").toInt
+        val key = options.get("key").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).orNull
+        val sasl = for {
+          u <- options.get("saslUserName")
+          p <- options.get("saslPassword").orElse(options.get("password"))
+        } yield (u, p)
+        new Client {
+          private val c = KafkaClient.connect(server,
+            s"graft-sink-${Thread.currentThread().getId}", sasl = sasl, tls = tls)
+          def publish(payload: String): Unit =
+            c.produce(topic, partition,
+              Seq(key -> payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          def close(): Unit = c.close()
+        }
       case other =>
         throw new IllegalArgumentException(s"no real sink transport for '$other'")
     }

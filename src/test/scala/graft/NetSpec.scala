@@ -423,6 +423,110 @@ class NetSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  // ---- Kafka (wire protocol, pinned Produce v3 / Fetch v4 / ListOffsets v1) ----
+
+  test("kafka: record batch v2 codec — zigzag varints, crc32c, round-trip") {
+    import Kafka._
+    // zigzag spot checks (protocol spec examples)
+    val zz = new java.io.ByteArrayOutputStream()
+    writeVarlong(zz, 0L); writeVarlong(zz, -1L); writeVarlong(zz, 1L); writeVarlong(zz, 150L)
+    assert(zz.toByteArray.toSeq == Seq[Byte](0x00, 0x01, 0x02, 0xac.toByte, 0x02))
+    val rb = java.nio.ByteBuffer.wrap(zz.toByteArray)
+    assert(Seq.fill(4)(readVarlong(rb)) == Seq(0L, -1L, 1L, 150L))
+    // batch layout: header fields at their spec positions
+    val batch = encodeBatch(7L, 1700000000000L,
+      Seq("k1".getBytes -> "v1".getBytes, (null: Array[Byte]) -> "v2".getBytes))
+    val bb = java.nio.ByteBuffer.wrap(batch)
+    assert(bb.getLong == 7L) // baseOffset
+    assert(bb.getInt == batch.length - 12) // batchLength covers the rest
+    assert(bb.getInt == -1) // partitionLeaderEpoch
+    assert(bb.get() == 2) // magic: message format v2
+    // decode round-trips content, offsets, timestamps — and validates crc
+    val recs = decodeBatches(batch)
+    assert(recs.map(_.offset) == Seq(7L, 8L))
+    assert(recs.map(r => new String(r.value, StandardCharsets.UTF_8)) == Seq("v1", "v2"))
+    assert(new String(recs.head.key, StandardCharsets.UTF_8) == "k1" && recs(1).key == null)
+    assert(recs.forall(_.timestamp == 1700000000000L))
+    // a flipped payload bit must fail the crc check
+    val corrupt = batch.clone(); corrupt(batch.length - 1) = (corrupt(batch.length - 1) ^ 1).toByte
+    intercept[IllegalArgumentException](decodeBatches(corrupt))
+  }
+
+  test("kafka: produce/fetch/listOffsets round-trip through the stub broker") {
+    val broker = KafkaStubBroker.start()
+    try {
+      val c = KafkaClient.connect(broker.address)
+      assert(c.earliestOffset("t1", 0) == 0L && c.latestOffset("t1", 0) == 0L)
+      assert(c.produceStrings("t1", 0, Seq("a", "b", "c")) == 0L)
+      assert(c.produceStrings("t1", 0, Seq("d")) == 3L) // offsets continue
+      assert(c.latestOffset("t1", 0) == 4L)
+      val (hw, recs) = c.fetch("t1", 0, 0L)
+      assert(hw == 4L)
+      assert(recs.map(_.offset) == Seq(0L, 1L, 2L, 3L))
+      assert(recs.map(r => new String(r.value, StandardCharsets.UTF_8)) == Seq("a", "b", "c", "d"))
+      // fetch from a mid-log offset skips the records below it
+      val (_, tail) = c.fetch("t1", 0, 2L)
+      assert(tail.map(r => new String(r.value, StandardCharsets.UTF_8)) == Seq("c", "d"))
+      c.close()
+    } finally broker.close()
+  }
+
+  test("kafka: SASL PLAIN gate — reject wrong creds, accept right ones") {
+    val broker = KafkaStubBroker.start(sasl = Some("kuser" -> "kpass"))
+    try {
+      val bad = intercept[java.io.IOException](
+        KafkaClient.connect(broker.address, sasl = Some("kuser" -> "wrong")))
+      assert(bad.getMessage.contains("SASL"), bad.getMessage)
+      // unauthenticated traffic is dropped (connection closed)
+      intercept[Exception] {
+        val anon = KafkaClient.connect(broker.address)
+        anon.produceStrings("t", 0, Seq("x"))
+      }
+      val c = KafkaClient.connect(broker.address, sasl = Some("kuser" -> "kpass"))
+      assert(c.produceStrings("t", 0, Seq("hello")) == 0L)
+      val (_, recs) = c.fetch("t", 0, 0L)
+      assert(recs.map(r => new String(r.value, StandardCharsets.UTF_8)) == Seq("hello"))
+      c.close()
+    } finally broker.close()
+  }
+
+  test("kafka e2e: connector source tails the topic; connector sink produces to it") {
+    val broker = KafkaStubBroker.start()
+    try {
+      ConnectorFeed.clear("kafka", "net/k")
+      val src = ConnectorSource("kafka", "net/k",
+        StructType.fromDDL("v bigint"), Map("server" -> broker.address))
+      assert(src.batch(spark).count() == 0) // starts the fetch-loop bridge at latest
+      val producer = KafkaClient.connect(broker.address)
+      producer.produceStrings("net/k", 0, Seq("""{"v":1}""", """{"v":2}"""))
+      awaitCond(src.batch(spark).count() == 2, "fetched records landing in the feed")
+      assert(src.batch(spark).agg(sum("v")).first().getLong(0) == 3L)
+      producer.close()
+      // sink side: rows become records on the topic
+      val df = spark.range(3).select(col("id"))
+      ConnectorSink("kafka", s"${broker.address}/net/kout").writeBatch(df)
+      awaitCond(broker.highWatermark("net/kout", 0) == 3L, "three produced rows")
+      val consumer = KafkaClient.connect(broker.address)
+      val (_, recs) = consumer.fetch("net/kout", 0, 0L)
+      assert(recs.map(r => new String(r.value, StandardCharsets.UTF_8)).toSet ==
+        Set("""{"id":0}""", """{"id":1}""", """{"id":2}"""))
+      consumer.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("kafka: kafkas TLS round-trip with CA validation") {
+    val broker = KafkaStubBroker.start(tls = Some(TlsTestCerts.serverConfig))
+    try {
+      val cfg = Some(Tls.ClientConfig(rootCaPath = Some(TlsTestCerts.certPath)))
+      val url = "kafkas://" + broker.address.stripPrefix("kafka://")
+      val c = KafkaClient.connect(url, tls = cfg)
+      assert(c.produceStrings("sec", 0, Seq("enc")) == 0L)
+      assert(c.fetch("sec", 0, 0L)._2.map(r =>
+        new String(r.value, StandardCharsets.UTF_8)) == Seq("enc"))
+      c.close()
+    } finally broker.close()
+  }
+
   // ---- authentication ----
 
   test("mqtt auth: credentialed broker refuses anonymous (code 5) and wrong creds (code 4)") {
