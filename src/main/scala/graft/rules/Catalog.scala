@@ -35,8 +35,9 @@ final class Catalog {
     *    TIMESTAMP="ts", WATERMARK="10 seconds")
     * CREATE TABLE dim (...) WITH (TYPE="file", FORMAT="parquet", DATASOURCE="...")
     * }}}
-    * TYPE ∈ file | memory | simulator | nexmark | mqtt | http_pull |
-    * http_push | websocket | sse | redis | neuron | edgex.
+    * TYPE ∈ file | memory | simulator | nexmark | sql | mqtt |
+    * http_pull | http_push | websocket | sse | redis | neuron | edgex |
+    * kafka | zmq.
     */
   def executeDdl(ddl: String): StreamDef = {
     val d = Catalog.parseDdl(ddl)
@@ -94,6 +95,18 @@ object Catalog {
             props.getOrElse("interval", "1000").toLong, schema)
         case "nexmark" => // DATASOURCE selects the event stream
           NexmarkSource(if (Seq("bid", "auction", "person").contains(ds)) ds else "bid")
+        case "sql" => // DATASOURCE = table; DBURL + optional INDEXFIELD/LIMIT/INTERVAL
+          val dburl = props.getOrElse("dburl",
+            throw new IllegalArgumentException("sql streams need a DBURL property"))
+          if (kind.equalsIgnoreCase("TABLE") && !props.contains("indexfield"))
+            SqlLookupSource(dburl, ds, props)
+          else
+            SqlSource(dburl, ds,
+              indexFields = props.get("indexfield").toSeq
+                .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+              limit = props.getOrElse("limit", "0").toInt,
+              intervalMs = props.getOrElse("interval", "1000").toLong,
+              options = props)
         case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
         case other => throw new IllegalArgumentException(s"unknown source type $other")
       }

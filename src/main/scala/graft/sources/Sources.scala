@@ -306,7 +306,8 @@ final case class ConnectorSource(kind: String, topic: String,
 
 object ConnectorSource {
   val kinds: Set[String] =
-    Set("mqtt", "http_pull", "http_push", "websocket", "sse", "redis", "neuron", "edgex", "kafka")
+    Set("mqtt", "http_pull", "http_push", "websocket", "sse", "redis", "neuron", "edgex", "kafka",
+      "sql", "zmq")
 }
 
 /** STUB transport feed for ConnectorSource — deterministic, in-memory,
