@@ -122,9 +122,25 @@ object FeedBridges {
         loop.setDaemon(true)
         loop.start()
         () => { running = false; client.close() }
+      case "zmq" =>
+        // SUB socket with a prefix subscription (reference
+        // extensions/impl/zmq/source.go: SetSubscribe + recv loop)
+        val client = ZmqSub.connect(server, topic)
+        client.onMessage((_, payload) =>
+          ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
+            System.currentTimeMillis()))
+        () => client.close()
+      case "neuron" =>
+        // dialed SP PAIR socket — the reference's nng connection to the
+        // neuron daemon (internal/io/neuron/source.go, pkg/nng)
+        val client = NngPair.dial(server)
+        client.onMessage(body =>
+          ConnectorFeed.push(kind, topic, new String(body, StandardCharsets.UTF_8),
+            System.currentTimeMillis()))
+        () => client.close()
       case other =>
         throw new IllegalArgumentException(
-          s"no real transport for connector kind '$other' (mqtt, websocket, redis, edgex, kafka)")
+          s"no real transport for connector kind '$other' (mqtt, websocket, redis, edgex, kafka, zmq)")
     }
   }
 
@@ -150,6 +166,8 @@ object SinkTransports {
       Seq("tcp://", "mqtt://", "ssl://", "mqtts://", "redis://", "rediss://")
         .exists(endpoint.startsWith)
     case "kafka" => endpoint.startsWith("kafka://") || endpoint.startsWith("kafkas://")
+    case "zmq" => endpoint.startsWith("tcp://") || endpoint.startsWith("zmq://")
+    case "neuron" => endpoint.startsWith("tcp://") || endpoint.startsWith("nng+tcp://")
     case _ => false // rest goes through the HTTP sink path, not graft.net
   }
 
@@ -229,6 +247,27 @@ object SinkTransports {
             c.produce(topic, partition,
               Seq(key -> payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           def close(): Unit = c.close()
+        }
+      case "neuron" =>
+        // dialed PAIR socket shared JVM-wide (pair allows exactly one
+        // peer; reference internal/io/neuron/sink.go sends raw tuples)
+        val pair = NngEndpoints.pair(endpoint)
+        new Client {
+          def publish(payload: String): Unit =
+            pair.send(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def close(): Unit = () // shared connection outlives the partition
+        }
+      case "zmq" =>
+        // a zmq PUB sink BINDS its endpoint (reference extensions/impl/
+        // zmq/sink.go); partitions share the JVM-wide bound socket, and
+        // the optional topic path becomes the first message frame
+        val u = java.net.URI.create(endpoint)
+        val topic = Option(u.getPath).map(_.stripPrefix("/")).getOrElse("")
+        val pub = ZmqEndpoints.pub(s"tcp://${u.getHost}:${u.getPort}")
+        new Client {
+          def publish(payload: String): Unit =
+            pub.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def close(): Unit = () // shared endpoint stays bound for the rule's lifetime
         }
       case other =>
         throw new IllegalArgumentException(s"no real sink transport for '$other'")

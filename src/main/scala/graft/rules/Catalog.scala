@@ -95,6 +95,13 @@ object Catalog {
             props.getOrElse("interval", "1000").toLong, schema)
         case "nexmark" => // DATASOURCE selects the event stream
           NexmarkSource(if (Seq("bid", "auction", "person").contains(ds)) ds else "bid")
+        case "random" => // PATTERN='{"field": base, ...}', SEED, COUNT
+          val pattern = """"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*(-?\d+)""".r
+            .findAllMatchIn(props.getOrElse("pattern", """{"v": 0}"""))
+            .map(m => m.group(1) -> m.group(2).toInt).toMap
+          RandomSource(pattern, props.getOrElse("seed", "100").toInt,
+            count = props.getOrElse("count", "1000").toLong,
+            deduplicate = props.getOrElse("deduplicate", "0").toInt)
         case "sql" => // DATASOURCE = table; DBURL + optional INDEXFIELD/LIMIT/INTERVAL
           val dburl = props.getOrElse("dburl",
             throw new IllegalArgumentException("sql streams need a DBURL property"))

@@ -241,7 +241,7 @@ final case class ConnectorSink(kind: String, endpoint: String,
 }
 
 object ConnectorSink {
-  val kinds: Set[String] = Set("mqtt", "rest", "redis", "edgex", "neuron", "websocket", "kafka")
+  val kinds: Set[String] = Set("mqtt", "rest", "redis", "edgex", "neuron", "websocket", "kafka", "zmq")
 
   /** Per-partition publishing client (stub: records into the in-process
     * "broker"). A real transport implements this same two-method shape.

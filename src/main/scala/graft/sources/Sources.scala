@@ -217,11 +217,45 @@ object NexmarkBidSource {
     NexmarkSource("bid", count, rowsPerSecond)
 }
 
+/** Random source (reference: extensions/impl/random — a `pattern` map
+  * of integer bases, each tick emitting base + rand(seed), optional
+  * dedup of the last N emissions). Spark-first: the "random" draw is a
+  * per-row hash (xxhash64 of row id and field name, mod seed), so
+  * generation is pure, DISTRIBUTED, and replayable from offsets —
+  * unlike the reference's process-local math/rand, identical across
+  * executors and retries.
+  */
+final case class RandomSource(pattern: Map[String, Int], seed: Int,
+                              count: Long = 1000, rowsPerSecond: Long = 10,
+                              deduplicate: Int = 0) extends Source {
+  require(seed > 0, s"source `random` property `seed` must be a positive integer but got $seed")
+  require(pattern.nonEmpty, "random source needs a non-empty pattern")
+
+  private def shape(base: DataFrame): DataFrame = {
+    val fields = pattern.toSeq.sortBy(_._1).map { case (name, v) =>
+      (lit(v) + pmod(xxhash64(col("id"), lit(name)), lit(seed.toLong))).cast("long").as(name)
+    }
+    base.select((col("ts") +: fields): _*)
+  }
+
+  def batch(spark: SparkSession): DataFrame = {
+    val df = shape(spark.range(count).toDF("id")
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("id") * 1000)))
+    // reference Deduplicate: drop rows repeating an earlier emission
+    if (deduplicate != 0) df.dropDuplicates(pattern.keys.toSeq) else df
+  }
+
+  def stream(spark: SparkSession): DataFrame =
+    shape(spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond)
+      .load().select(col("value").as("id"), col("timestamp").as("ts")))
+}
+
 /** Connector sources (mqtt / http_pull / http_push / websocket / sse /
-  * redis / edgex / neuron). With a SERVER option, mqtt / websocket /
-  * redis / edgex ride REAL wire-protocol clients (graft.net) — edgex
-  * unwraps the message-bus JSON envelope from its mqtt/redis bus
-  * ([[Edgex]]). Without SERVER (and for neuron) the transport layer is
+  * redis / edgex / neuron / kafka / zmq / sql). With a SERVER option,
+  * mqtt / websocket / redis / edgex / kafka / zmq / neuron ride REAL
+  * wire-protocol clients (graft.net) — edgex unwraps the message-bus
+  * JSON envelope from its mqtt/redis bus ([[Edgex]]), neuron speaks SP
+  * PAIR ([[graft.net.NngPair]]). Without SERVER the transport layer is
   * a deterministic STUB: frames are taken from an injectable in-memory
   * feed (tests push frames). Everything after the transport — payload
   * decoding to the declared schema, batch/stream plumbing — is real

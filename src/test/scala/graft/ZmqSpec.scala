@@ -1,0 +1,124 @@
+package graft
+
+import graft.net.{ZmqEndpoints, ZmqPub, ZmqSub}
+import graft.sinks.ConnectorSink
+import graft.sources.{ConnectorFeed, ConnectorSource}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** ZMTP 3.0 wire-protocol tests: PUB/SUB handshake, subscription
+  * prefix filtering, multipart topic framing, and the connector
+  * integration (zmq stream DDL via FeedBridges, zmq sink endpoint).
+  */
+class ZmqSpec extends SparkSuite {
+
+  private def awaitCond(cond: => Boolean, what: String): Unit = {
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(cond, s"timed out waiting for $what")
+  }
+
+  test("zmq: pub/sub round-trip with topic frame") {
+    val pub = ZmqPub.bind()
+    try {
+      val got = new ConcurrentLinkedQueue[(String, String)]()
+      val sub = ZmqSub.connect(pub.address, "sensors")
+      try {
+        sub.onMessage((t, p) => got.add(t -> new String(p, UTF_8)))
+        awaitCond(pub.peerCount == 1, "subscriber handshake")
+        Thread.sleep(100) // let the subscription frame land
+        pub.publish("sensors", "{\"t\":21}".getBytes(UTF_8))
+        pub.publish("other", "{\"t\":99}".getBytes(UTF_8)) // filtered server-side
+        pub.publish("sensors2", "{\"t\":22}".getBytes(UTF_8)) // prefix match
+        awaitCond(got.size == 2, "two prefix-matched deliveries")
+        assert(got.toArray.toSet == Set(
+          "sensors" -> "{\"t\":21}", "sensors2" -> "{\"t\":22}"))
+      } finally sub.close()
+    } finally pub.close()
+  }
+
+  test("zmq: empty subscription receives everything as single frames") {
+    val pub = ZmqPub.bind()
+    try {
+      val got = new ConcurrentLinkedQueue[String]()
+      val sub = ZmqSub.connect(pub.address, "")
+      try {
+        sub.onMessage((_, p) => got.add(new String(p, UTF_8)))
+        awaitCond(pub.peerCount == 1, "subscriber handshake")
+        Thread.sleep(100)
+        pub.publish("", "raw-payload".getBytes(UTF_8))
+        awaitCond(got.size == 1, "single-frame delivery")
+        assert(got.peek() == "raw-payload")
+      } finally sub.close()
+    } finally pub.close()
+  }
+
+  test("zmq: large frames use the 8-octet length form") {
+    val pub = ZmqPub.bind()
+    try {
+      val got = new ConcurrentLinkedQueue[Int]()
+      val sub = ZmqSub.connect(pub.address, "big")
+      try {
+        sub.onMessage((_, p) => got.add(p.length))
+        awaitCond(pub.peerCount == 1, "subscriber handshake")
+        Thread.sleep(100)
+        val payload = Array.fill[Byte](70000)('x')
+        pub.publish("big", payload)
+        awaitCond(got.size == 1, "long-frame delivery")
+        assert(got.peek() == 70000)
+      } finally sub.close()
+    } finally pub.close()
+  }
+
+  test("zmq: stream DDL rides the SUB bridge into a typed batch") {
+    val pub = ZmqPub.bind()
+    try {
+      ConnectorFeed.clear("zmq", "zin")
+      val src = ConnectorSource("zmq", "zin",
+        StructType.fromDDL("device string, temp double"),
+        Map("server" -> pub.address))
+      src.batch(spark) // ensures the bridge (empty batch is fine)
+      awaitCond(pub.peerCount == 1, "bridge subscriber")
+      Thread.sleep(100)
+      pub.publish("zin", "{\"device\":\"a\",\"temp\":21.5}".getBytes(UTF_8))
+      pub.publish("zin", "{\"device\":\"b\",\"temp\":22.5}".getBytes(UTF_8))
+      awaitCond(
+        ConnectorFeed.frames(spark, "zmq", "zin").count() == 2, "frames spooled")
+      val rows = src.batch(spark).select("device", "temp").collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSet ==
+        Set(("a", 21.5), ("b", 22.5)))
+    } finally {
+      graft.net.FeedBridges.closeAll()
+      pub.close()
+    }
+  }
+
+  test("zmq: sink endpoint binds a shared PUB and publishes rows") {
+    import spark.implicits._
+    val port = {
+      val probe = new java.net.ServerSocket(0)
+      val p = probe.getLocalPort; probe.close(); p
+    }
+    try {
+      val sink = ConnectorSink("zmq", s"tcp://127.0.0.1:$port/out",
+        Map("format" -> "json"))
+      // bind happens at first write; pre-bind via the registry so the
+      // subscriber can connect before rows flow
+      val pub = ZmqEndpoints.pub(s"tcp://127.0.0.1:$port")
+      val got = new ConcurrentLinkedQueue[(String, String)]()
+      val sub = ZmqSub.connect(s"tcp://127.0.0.1:$port", "out")
+      try {
+        sub.onMessage((t, p) => got.add(t -> new String(p, UTF_8)))
+        awaitCond(pub.peerCount == 1, "subscriber handshake")
+        Thread.sleep(100)
+        sink.writeBatch(Seq(("a", 1)).toDF("k", "v"))
+        awaitCond(got.size == 1, "sink delivery")
+        val (topic, payload) = got.peek()
+        assert(topic == "out")
+        assert(payload.contains("\"k\":\"a\"") && payload.contains("\"v\":1"))
+      } finally sub.close()
+    } finally ZmqEndpoints.closeAll()
+  }
+}
