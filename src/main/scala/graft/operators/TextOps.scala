@@ -105,4 +105,71 @@ object TextOps {
     */
   def fingerprint(text: Column, n: Int = 5): Column =
     graft.functions.TextHashFunctions.doc_fingerprint(text, n)
+
+  // ---- PII scrubbing (training-corpus redaction pass) ----
+  // Regexes stay in the Java∩RE2 common subset so the DuckDB oracle
+  // runs the exact same patterns.
+
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Count of matches for one PII pattern. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails / IPv4s / phone numbers with typed placeholders —
+    * one codegen projection, no UDF. Phones go first so their digit
+    * groups can't be half-eaten by the IP pattern.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiPhoneRe, "<PHONE>"),
+        piiIpv4Re, "<IP>"),
+      piiEmailRe, "<EMAIL>")
+
+  // ---- repetition metrics (Gopher/RefinedWeb-style quality filters) ----
+
+  /** Non-blank lines of the document. */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of lines that duplicate an earlier line — the classic
+    * boilerplate signal (headers, nav bars, repeated footers).
+    */
+  def dupLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      (size(ls) - size(array_distinct(ls))).cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Word n-gram strings (space-joined, lower-cased tokens). */
+  def wordGrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of bigrams that repeat an earlier bigram — high values
+    * mark degenerate/templated text (the Gopher "duplicate n-gram"
+    * family).
+    */
+  def bigramDupFrac(text: Column): Column = {
+    val gs = wordGrams(text, 2)
+    when(size(gs) > 0,
+      (size(gs) - size(array_distinct(gs))).cast("double") / size(gs).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Deterministic per-mille bucket from the content's md5 — the
+    * portable sampling key (identical in any engine with md5), used
+    * for reproducible corpus sampling: `bucket < rate‰` keeps the row.
+    * Content-keyed, so resamples of a grown corpus keep prior picks.
+    */
+  def samplingBucket(text: Column): Column =
+    pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), lit(1000L))
 }

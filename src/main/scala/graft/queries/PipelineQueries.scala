@@ -127,7 +127,79 @@ object PipelineQueries {
         TextOps.fingerprint(col("text"), n = 8).as("fp8"))),
 
     // ---- multimodal plumbing (stub decoder, real batch shape) ----
-    "q_multimodal" -> ((s, d) => Multimodal.features(s, docs(s, d)))
+    "q_multimodal" -> ((s, d) => Multimodal.features(s, docs(s, d))),
+
+    // ---- corpus hygiene ----
+    // PII redaction: plant emails/IPs/phones into doc_id < 50, then
+    // count + redact — one codegen projection over the corpus.
+    "q_text_pii" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 50, concat(col("text"),
+          lit(" Contact jane.doe@example.com or 10.1.2.3 call 555-123-4567.")))
+          .otherwise(col("text")).as("text"))
+      corpus.select(
+        col("doc_id"),
+        TextOps.piiCount(col("text"), TextOps.piiEmailRe).as("n_emails"),
+        TextOps.piiCount(col("text"), TextOps.piiIpv4Re).as("n_ips"),
+        TextOps.piiCount(col("text"), TextOps.piiPhoneRe).as("n_phones"),
+        TextOps.piiRedact(col("text")).as("redacted"))
+    }),
+
+    // Repetition filters (Gopher-style): duplicate-line fraction and
+    // duplicate-bigram fraction; doc_id < 25 gets two planted copies
+    // of its opening line so the signal is non-trivially exercised.
+    "q_text_repetition" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 25, concat(col("text"), lit("\n"),
+          substring(col("text"), 1, 80), lit("\n"), substring(col("text"), 1, 80)))
+          .otherwise(col("text")).as("text"))
+      corpus.select(
+        col("doc_id"),
+        size(TextOps.lines(col("text"))).cast("long").as("n_lines"),
+        round(TextOps.dupLineFrac(col("text")), 6).as("dup_line_frac"),
+        round(TextOps.bigramDupFrac(col("text")), 6).as("bigram_dup_frac"))
+    }),
+
+    // Eval-set decontamination: docs sharing an 8-gram with the
+    // doc_id < 20 "benchmark"; five contaminated docs are planted by
+    // pasting a benchmark fragment into fresh ids.
+    "q_text_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      val evalSet = all.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val corpus = all.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+        .unionByName(evalSet.where(col("doc_id") < 5).select(
+          (col("doc_id") + 300000).as("doc_id"),
+          concat(lit("unrelated preamble then "),
+            substring(col("text"), 1, 200)).as("text")))
+      Dedup.contaminated(corpus, evalSet, "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: md5 content bucket per-mille
+    // vs a per-source rate — reproducible on any engine, no RNG state.
+    "q_sample_stratified" -> ((s, d) => {
+      val rate = lit(100) + lit(40) *
+        pmod(expr("CAST(substring(source, 4) AS INT)"), lit(10))
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.samplingBucket(col("text")).as("bucket"), rate.as("rate"))
+        .where(col("bucket") < col("rate"))
+    }),
+
+    // Sequence packing: shard the corpus, then greedily pack documents
+    // into 2048-token bins by running token count — the batch-shaping
+    // step before tokenizer/trainer handoff. Window is PER SHARD, so
+    // packing parallelizes across the cluster (no global sort).
+    "q_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("shard"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bin",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2048)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,6 +262,82 @@ object PipelineQueries {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.3""".stripMargin,
+    "q_text_pii" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 50 THEN text ||
+        |    ' Contact jane.doe@example.com or 10.1.2.3 call 555-123-4567.'
+        |  ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
+        |FROM corpus""".stripMargin,
+    "q_text_repetition" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 25 THEN text || chr(10) || substr(text, 1, 80)
+        |    || chr(10) || substr(text, 1, 80)
+        |  ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM corpus),
+        |g AS (SELECT doc_id, ls,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS gs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  round(CASE WHEN len(ls) > 0
+        |    THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_line_frac,
+        |  round(CASE WHEN len(gs) > 0
+        |    THEN (len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS bigram_dup_frac
+        |FROM g""".stripMargin,
+    "q_text_decontam" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ev AS (SELECT doc_id, text FROM base WHERE doc_id < 20),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'unrelated preamble then ' || substr(text, 1, 200)
+        |  FROM ev WHERE doc_id < 5),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM corpus),
+        |cg AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+        |  )) AS g FROM tok),
+        |etok AS (SELECT
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM ev),
+        |eg AS (SELECT DISTINCT unnest(
+        |    list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+        |  ) AS g FROM etok)
+        |SELECT cg.doc_id, count(*) AS n_shared
+        |FROM cg JOIN eg ON cg.g = eg.g
+        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS bucket,
+        |  100 + 40 * (CAST(substr(source, 4) AS INT) % 10) AS rate
+        |FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
+        |  < 100 + 40 * (CAST(substr(source, 4) AS INT) % 10)""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT) AS bin
+        |FROM t""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (

@@ -110,4 +110,28 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
     assert(pairs.where(col("a") >= col("b")).count() == 0)
   }
+
+  test("decontamination flags exactly the docs sharing an eval 8-gram") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "clean document with no overlap at all in its words here"),
+      (11L, "prefix then alpha beta gamma delta epsilon zeta eta theta trailing"),
+      (12L, "alpha beta gamma delta epsilon zeta eta short")) // only 7 shared words
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminated(corpus, evalSet, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(11L -> 1L))
+  }
+
+  test("decontamination broadcasts the eval side, never the corpus") {
+    import spark.implicits._
+    val evalSet = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = Dedup.contaminated(corpus, evalSet, "text", "doc_id")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join:\n$plan")
+  }
 }

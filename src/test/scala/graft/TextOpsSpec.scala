@@ -34,4 +34,50 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getLong(0) == 5)
     assert(r.getLong(1) > r.getLong(0))
   }
+
+  test("pii redaction replaces emails, ips, phones with typed placeholders") {
+    val df = spark.sql(
+      "SELECT 'mail a.b@x.co or b_c%d@y.org, ip 10.0.0.1, call 555-123-4567 now' AS text")
+    val r = df.select(
+      TextOps.piiRedact(col("text")).as("red"),
+      TextOps.piiCount(col("text"), TextOps.piiEmailRe).as("e"),
+      TextOps.piiCount(col("text"), TextOps.piiIpv4Re).as("i"),
+      TextOps.piiCount(col("text"), TextOps.piiPhoneRe).as("p")).first()
+    assert(r.getString(0) == "mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE> now")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L)))
+  }
+
+  test("pii: phone redacts before the ip pattern can eat its digits") {
+    val df = spark.sql("SELECT 'x 555-123-4567 y' AS text")
+    assert(df.select(TextOps.piiRedact(col("text"))).first().getString(0) ==
+      "x <PHONE> y")
+  }
+
+  test("repetition: duplicate lines and bigrams are fractioned correctly") {
+    val df = spark.sql(
+      "SELECT 'one two\none two\nthree four' AS a, 'x y x y x y' AS b")
+    val r = df.select(
+      TextOps.dupLineFrac(col("a")).as("dl"),
+      TextOps.bigramDupFrac(col("b")).as("db"),
+      TextOps.dupLineFrac(lit("")).as("empty")).first()
+    // 3 lines, one repeats -> 1/3; bigrams: [x y, y x, x y, y x, x y] -> 3 dup of 5
+    assert(math.abs(r.getDouble(0) - 1.0 / 3) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 3.0 / 5) < 1e-9)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("wordGrams: n-gram windows and the short-text guard") {
+    val df = spark.sql("SELECT 'a b c d' AS text")
+    val grams = df.select(TextOps.wordGrams(col("text"), 3)).first().getSeq[String](0)
+    assert(grams == Seq("a b c", "b c d"))
+    val short = df.select(TextOps.wordGrams(lit("a b"), 3)).first().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("sampling bucket is a stable per-mille md5 key") {
+    val df = spark.sql("SELECT 'hello' AS text")
+    // md5('hello') = 5d41402a... -> 0x5d41402a = 1564557354 -> % 1000
+    assert(df.select(TextOps.samplingBucket(col("text"))).first().getLong(0) ==
+      1564557354L % 1000)
+  }
 }
