@@ -244,19 +244,19 @@ object Dedup {
     * the pre-training hygiene pass that keeps benchmark text out of
     * training data.
     *
-    * Scale shape: each side's grams are DISTINCT'd per document before
-    * the join (a doc repeating a contaminated gram adds no rows), and
-    * the eval side — benchmarks are tiny next to a 100 TB corpus — is
-    * BROADCAST, so the corpus never shuffles: one scan, map-side join,
-    * then a partial-agg count per doc.
+    * Scale shape: grams are joined as 64-BIT HASHES from the
+    * [[shingleHashes]] codegen kernel (one generated loop per document
+    * — no gram strings, no interpreted HOFs) which already emits each
+    * document's DISTINCT gram set (a doc repeating a contaminated gram
+    * adds no rows), and the eval side — benchmarks are tiny next to a
+    * 100 TB corpus — is BROADCAST, so the corpus never shuffles: one
+    * scan, map-side join, then a partial-agg count per doc.
     */
   def contaminated(corpus: DataFrame, evalSet: DataFrame,
                    textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    val grams = TextOps.wordGrams(col(textCol), n)
-    val corpusGrams = corpus
-      .select(col(idCol).as("doc"), explode(array_distinct(grams)).as("g"))
-    val evalGrams = evalSet
-      .select(explode(array_distinct(grams)).as("g")).distinct()
+    val grams = shingleHashes(col(textCol), n)
+    val corpusGrams = corpus.select(col(idCol).as("doc"), explode(grams).as("g"))
+    val evalGrams = evalSet.select(explode(grams).as("g")).distinct()
     corpusGrams
       .join(org.apache.spark.sql.functions.broadcast(evalGrams), "g")
       .groupBy(col("doc").as(idCol))

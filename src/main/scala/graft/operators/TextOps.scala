@@ -156,7 +156,9 @@ object TextOps {
 
   /** Fraction of bigrams that repeat an earlier bigram — high values
     * mark degenerate/templated text (the Gopher "duplicate n-gram"
-    * family).
+    * family). Array formulation — fine for short texts; pipelines over
+    * long documents should aggregate [[wordGramHashes]] instead
+    * (explode + partial agg), which never materializes gram strings.
     */
   def bigramDupFrac(text: Column): Column = {
     val gs = wordGrams(text, 2)
@@ -164,6 +166,14 @@ object TextOps {
       (size(gs) - size(array_distinct(gs))).cast("double") / size(gs).cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** Total word n-gram count: max(tokens - n + 1, 0) — no gram ever
+    * materializes. Pairs with [[graft.operators.Dedup.shingleHashes]]
+    * (codegen kernel, DISTINCT gram hashes) so repetition ratios are a
+    * map-only projection: (total - distinct) / total.
+    */
+  def wordGramCount(text: Column, n: Int): Column =
+    greatest(tokenCount(text) - lit(n - 1), lit(0L))
 
   /** Deterministic per-mille bucket from the content's md5 — the
     * portable sampling key (identical in any engine with md5), used

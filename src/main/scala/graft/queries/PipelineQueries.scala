@@ -148,16 +148,23 @@ object PipelineQueries {
     // Repetition filters (Gopher-style): duplicate-line fraction and
     // duplicate-bigram fraction; doc_id < 25 gets two planted copies
     // of its opening line so the signal is non-trivially exercised.
+    // MAP-ONLY: total bigrams is arithmetic on the token count and
+    // distinct bigrams is the size of the codegen shingle-hash kernel's
+    // output — no gram strings, no shuffle, no interpreted HOF.
     "q_text_repetition" -> ((s, d) => {
       val corpus = docs(s, d).select(col("doc_id"),
         when(col("doc_id") < 25, concat(col("text"), lit("\n"),
           substring(col("text"), 1, 80), lit("\n"), substring(col("text"), 1, 80)))
           .otherwise(col("text")).as("text"))
+      val total = TextOps.wordGramCount(col("text"), 2)
+      val distinct = size(Dedup.shingleHashes(col("text"), 2)).cast("long")
       corpus.select(
         col("doc_id"),
         size(TextOps.lines(col("text"))).cast("long").as("n_lines"),
         round(TextOps.dupLineFrac(col("text")), 6).as("dup_line_frac"),
-        round(TextOps.bigramDupFrac(col("text")), 6).as("bigram_dup_frac"))
+        round(when(total > 0,
+          (total - distinct).cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)), 6).as("bigram_dup_frac"))
     }),
 
     // Eval-set decontamination: docs sharing an 8-gram with the

@@ -74,6 +74,21 @@ class TextOpsSpec extends SparkSuite {
     assert(short.isEmpty)
   }
 
+  test("kernel distinct-gram counts agree with the HOF wordGrams on real docs") {
+    val docs = Tables(spark, sf, "documents")
+    val diff = docs.select(
+      org.apache.spark.sql.functions.size(
+        graft.operators.Dedup.shingleHashes(col("text"), 2)).as("kernel"),
+      org.apache.spark.sql.functions.size(
+        array_distinct(TextOps.wordGrams(col("text"), 2))).as("hof"),
+      TextOps.wordGramCount(col("text"), 2).as("total"),
+      TextOps.tokenCount(col("text")).as("toks"))
+      .where(col("kernel") =!= col("hof") ||
+        col("total") =!= greatest(col("toks") - 1, lit(0L)))
+      .count()
+    assert(diff == 0, "codegen kernel and HOF gram counts diverge")
+  }
+
   test("sampling bucket is a stable per-mille md5 key") {
     val df = spark.sql("SELECT 'hello' AS text")
     // md5('hello') = 5d41402a... -> 0x5d41402a = 1564557354 -> % 1000
