@@ -60,10 +60,34 @@ class PlanSpec extends SparkSuite {
 
   test("map-only function queries contain no shuffle") {
     for (name <- Seq("q_fn_math", "q_fn_string", "q_fn_hash", "q_text_quality",
-        "q_text_fingerprint", "q_text_langid")) {
+        "q_text_fingerprint", "q_text_langid",
+        // corpus-hygiene additions: pii + repetition are pure
+        // projections (repetition via kernel arithmetic, no gram
+        // explode), sampling is a pushdown-friendly filter
+        "q_text_pii", "q_text_repetition", "q_sample_stratified")) {
       val s = planOf(name)
       assert(!s.contains("Exchange"), s"$name should be shuffle-free:\n$s")
     }
+  }
+
+  test("decontamination broadcasts the eval grams; corpus side never shuffles before the join") {
+    val s = planOf("q_text_decontam")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    // the only Exchange allowed is the final per-doc aggregation (and
+    // AQE wrappers); the gram-explode side must feed the join directly
+    val joinIdx = s.indexOf("BroadcastHashJoin")
+    val beforeJoin = s.substring(joinIdx)
+    assert(!s.substring(0, joinIdx).contains("SortMergeJoin"),
+      s"corpus side must not sort-merge:\n$s")
+  }
+
+  test("sequence packing windows per shard, not one global sort") {
+    val s = planOf("q_pack_sequences")
+    // a window with an empty partition spec would funnel 100 TB through
+    // one task; the shard column must appear as the partition key
+    assert(s.contains("Window"), s)
+    assert(!s.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"window must be partitioned by shard:\n$s")
   }
 
   test("aggregations are two-phase (partial before shuffle)") {
