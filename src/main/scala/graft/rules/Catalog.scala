@@ -84,43 +84,54 @@ object Catalog {
           case None => new StructType()
         }
       val tpe = props.getOrElse("type", "file").toLowerCase
-      val fmt = props.getOrElse("format", "json").toLowerCase
-      val ds = props.getOrElse("datasource", name)
-      val declared = if (schema.isEmpty) None else Some(schema)
-      val source: Source = tpe match {
-        case "file" => FileSource(ds, fmt, declared, props - "type" - "format" - "datasource")
-        case "memory" => MemorySource(ds)
-        case "simulator" =>
-          SimulatorSource(props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty),
-            props.getOrElse("interval", "1000").toLong, schema)
-        case "nexmark" => // DATASOURCE selects the event stream
-          NexmarkSource(if (Seq("bid", "auction", "person").contains(ds)) ds else "bid")
-        case "random" => // PATTERN='{"field": base, ...}', SEED, COUNT
-          val pattern = """"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*(-?\d+)""".r
-            .findAllMatchIn(props.getOrElse("pattern", """{"v": 0}"""))
-            .map(m => m.group(1) -> m.group(2).toInt).toMap
-          RandomSource(pattern, props.getOrElse("seed", "100").toInt,
-            count = props.getOrElse("count", "1000").toLong,
-            deduplicate = props.getOrElse("deduplicate", "0").toInt)
-        case "sql" => // DATASOURCE = table; DBURL + optional INDEXFIELD/LIMIT/INTERVAL
-          val dburl = props.getOrElse("dburl",
-            throw new IllegalArgumentException("sql streams need a DBURL property"))
-          if (kind.equalsIgnoreCase("TABLE") && !props.contains("indexfield"))
-            SqlLookupSource(dburl, ds, props)
-          else
-            SqlSource(dburl, ds,
-              indexFields = props.get("indexfield").toSeq
-                .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-              limit = props.getOrElse("limit", "0").toInt,
-              intervalMs = props.getOrElse("interval", "1000").toLong,
-              options = props)
-        case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
-        case other => throw new IllegalArgumentException(s"unknown source type $other")
-      }
+      val source = sourceFor(tpe, name, schema, props,
+        isTable = kind.equalsIgnoreCase("TABLE"))
       StreamDef(name, source, isTable = kind.equalsIgnoreCase("TABLE"),
         timestampCol = props.get("timestamp"),
         watermark = props.get("watermark"))
     case _ => throw new IllegalArgumentException(s"cannot parse DDL: $ddl")
+  }
+
+  /** Build a Source from TYPE + props — shared by stream DDL and
+    * graph-API inline source nodes (which carry the same property set,
+    * docs/en_US/guide/rules/graph_rule.md "all source node shared the
+    * same properties ... as defining a stream").
+    */
+  def sourceFor(tpe: String, name: String, schema: StructType,
+                props: Map[String, String], isTable: Boolean = false): Source = {
+    val fmt = props.getOrElse("format", "json").toLowerCase
+    val ds = props.getOrElse("datasource", name)
+    val declared = if (schema.isEmpty) None else Some(schema)
+    tpe match {
+      case "file" => FileSource(ds, fmt, declared, props - "type" - "format" - "datasource")
+      case "memory" => MemorySource(ds)
+      case "simulator" =>
+        SimulatorSource(props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty),
+          props.getOrElse("interval", "1000").toLong, schema)
+      case "nexmark" => // DATASOURCE selects the event stream
+        NexmarkSource(if (Seq("bid", "auction", "person").contains(ds)) ds else "bid")
+      case "random" => // PATTERN='{"field": base, ...}', SEED, COUNT
+        val pattern = """"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*(-?\d+)""".r
+          .findAllMatchIn(props.getOrElse("pattern", """{"v": 0}"""))
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+        RandomSource(pattern, props.getOrElse("seed", "100").toInt,
+          count = props.getOrElse("count", "1000").toLong,
+          deduplicate = props.getOrElse("deduplicate", "0").toInt)
+      case "sql" => // DATASOURCE = table; DBURL + optional INDEXFIELD/LIMIT/INTERVAL
+        val dburl = props.getOrElse("dburl",
+          throw new IllegalArgumentException("sql streams need a DBURL property"))
+        if (isTable && !props.contains("indexfield"))
+          SqlLookupSource(dburl, ds, props)
+        else
+          SqlSource(dburl, ds,
+            indexFields = props.get("indexfield").toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+            limit = props.getOrElse("limit", "0").toInt,
+            intervalMs = props.getOrElse("interval", "1000").toLong,
+            options = props)
+      case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
+      case other => throw new IllegalArgumentException(s"unknown source type $other")
+    }
   }
 
   /** KEY="value" pairs, comma-separated, case-insensitive keys. */

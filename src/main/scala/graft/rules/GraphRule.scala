@@ -30,7 +30,20 @@ import org.json4s.jackson.JsonMethods
   * keys), switch (condition routing: output edge i carries rows
   * matching cases[i]; stopAtFirstMatch=true — the default, like the
   * reference — makes branches disjoint by excluding earlier cases),
-  * window, watermark.
+  * window, watermark — plus the reference's own node names
+  * (graph_rule.md): pick (fields projection), function (one call
+  * expression added as a field named after the function), groupby
+  * (dimension marker) feeding aggfunc (aggregate expression over the
+  * inherited grouping — dimensions and/or an upstream window key).
+  *
+  * The reference's JSON shape is accepted VERBATIM alongside graft's
+  * flattened one: a rule wrapper with a `graph` property, `topo.edges`,
+  * per-node `nodeType` + `props` (props hoist to the top level;
+  * operator nodeType → op, source sourceName → stream, sink nodeType →
+  * kind with endpoint assembled from server/topic/path/datasource).
+  * Source nodes may also be INLINE — nodeType + stream-DDL props
+  * (datasource/format/…) with no pre-registered stream — compiled
+  * through the same [[Catalog.sourceFor]] the DDL uses.
   *
   * `window` is a first-class node like the reference's
   * (internal/topo/graph/io.go OpIO "window"; props per
@@ -56,15 +69,61 @@ object GraphRule {
 
   final case class Compiled(sinkNode: String, df: DataFrame, sink: Sink)
 
+  /** Normalize a node to graft's flattened shape, accepting the
+    * reference's JSON verbatim (graph_rule.md): `props` fields hoist
+    * to the top level; operator `nodeType` becomes `op`; source
+    * `sourceName` becomes `stream`; sink `nodeType` becomes `kind`
+    * with `endpoint` assembled from server/topic/path/datasource.
+    */
+  private def normalize(v: JValue): JValue = {
+    val fs = v match { case JObject(o) => o; case _ => return v }
+    val hoisted = (v \ "props") match {
+      case JObject(pf) => fs.filterNot(_._1 == "props") ++ pf
+      case _ => fs
+    }
+    val m = hoisted.toMap
+    def s(f: String): Option[String] = m.get(f).collect { case JString(x) => x }
+    val extra = scala.collection.mutable.ListBuffer[JField]()
+    s("type").getOrElse("") match {
+      case "operator" if s("op").isEmpty =>
+        s("nodeType").foreach(nt => extra += JField("op", JString(nt.toLowerCase)))
+      case "source" if s("stream").isEmpty =>
+        s("sourceName").foreach(sn => extra += JField("stream", JString(sn)))
+      case "sink" =>
+        if (s("kind").isEmpty)
+          s("nodeType").foreach(nt => extra += JField("kind", JString(nt.toLowerCase)))
+        if (s("endpoint").isEmpty) {
+          val ep = (s("server"), s("topic")) match {
+            case (Some(srv), Some(t)) => Some(srv.stripSuffix("/") + "/" + t)
+            case (None, Some(t)) => Some(t)
+            case _ => s("path").orElse(s("datasource"))
+          }
+          ep.foreach(e => extra += JField("endpoint", JString(e)))
+        }
+      case _ => ()
+    }
+    JObject(hoisted ++ extra.toList)
+  }
+
   def compile(spark: SparkSession, catalog: Catalog, json: String,
               streaming: Boolean = false): Seq[Compiled] = {
-    val root = JsonMethods.parse(json)
+    val parsed = JsonMethods.parse(json)
+    // accept both the bare graph object and the reference's rule wrapper
+    val root = (parsed \ "graph") match {
+      case o: JObject => o
+      case _ => parsed
+    }
     val nodes: Map[String, JValue] = (root \ "nodes") match {
-      case JObject(fs) => fs.map { case JField(k, v) => k -> v }.toMap
+      case JObject(fs) => fs.map { case JField(k, v) => k -> normalize(v) }.toMap
       case _ => throw new IllegalArgumentException("graph rule needs a nodes object")
     }
-    // edges in declaration order — join input order follows it
-    val edgeList: Seq[(String, String)] = (root \ "edges") match {
+    // edges in declaration order — join input order follows it; the
+    // reference nests them under "topo"
+    val edgesJson = (root \ "edges") match {
+      case o: JObject => o
+      case _ => root \ "topo" \ "edges"
+    }
+    val edgeList: Seq[(String, String)] = edgesJson match {
       case JObject(fs) => fs.flatMap { case JField(from, JArray(tos)) =>
         tos.collect { case JString(to) => from -> to } }
       case _ => Seq.empty
@@ -95,6 +154,7 @@ object GraphRule {
       (v \ "type") == JString("operator") && (v \ "op") == JString(op))
     def isSwitch(n: String): Boolean = opIs(n, "switch")
     def isWindow(n: String): Boolean = opIs(n, "window")
+    def isGroupby(n: String): Boolean = opIs(n, "groupby")
 
     // time units per the reference's pkg/ast/window.go token set
     def unitName(u: String): String = u.toLowerCase match {
@@ -180,11 +240,32 @@ object GraphRule {
       */
     def resolveInput(inputName: String, consumer: String): DataFrame =
       if (isSwitch(inputName)) branchOf(inputName, consumer)
-      else if (isWindow(inputName) && !opIs(consumer, "aggregate"))
+      else if (isWindow(inputName) &&
+          !Seq("aggregate", "aggfunc", "groupby").exists(opIs(consumer, _)))
         throw new IllegalArgumentException(
-          s"window $inputName must feed an aggregate node, not $consumer — " +
-            "windows group rows; only an aggregate can consume the grouping")
+          s"window $inputName must feed an aggregate/aggfunc/groupby node, not $consumer — " +
+            "windows group rows; only an aggregation can consume the grouping")
+      else if (isGroupby(inputName) &&
+          !Seq("aggregate", "aggfunc").exists(opIs(consumer, _)))
+        throw new IllegalArgumentException(
+          s"groupby $inputName must feed an aggfunc node, not $consumer — " +
+            "its dimensions only mean something to an aggregation")
       else dfOf(inputName)
+
+    /** Grouping context an aggregation inherits from its input chain:
+      * groupby contributes its dimensions (and forwards a window key
+      * from ITS input), a bare window contributes the window key.
+      */
+    def groupingFor(inputName: String): Seq[Column] =
+      if (isGroupby(inputName)) {
+        val g = nodes(inputName)
+        val dims = strSeq(g, "dimensions") ++ strSeq(g, "groupBy")
+        require(dims.nonEmpty, s"groupby $inputName needs a dimensions array")
+        val up = inputsOf.getOrElse(inputName, Seq.empty).headOption
+        val winKey = up.filter(isWindow).map(w => windowColOf(w).as("w"))
+        winKey.toSeq ++ dims.map(expr)
+      } else if (isWindow(inputName)) Seq(windowColOf(inputName).as("w"))
+      else Seq.empty
 
     def inputDf(name: String): DataFrame = {
       val ins = inputsOf.getOrElse(name, Seq.empty)
@@ -199,8 +280,25 @@ object GraphRule {
       val ins = inputsOf.getOrElse(name, Seq.empty)
       str(node, "type") match {
         case "source" =>
-          val sd = catalog.get(str(node, "stream")).getOrElse(
-            throw new NoSuchElementException(s"stream ${str(node, "stream")} not in catalog"))
+          val sd = optStr(node, "stream") match {
+            case Some(streamName) => catalog.get(streamName).getOrElse(
+              throw new NoSuchElementException(s"stream $streamName not in catalog"))
+            case None =>
+              // inline source: nodeType + the stream-DDL property set
+              // (reference graph_rule.md source nodes without sourceName)
+              val tpe = optStr(node, "nodeType").getOrElse(throw new IllegalArgumentException(
+                s"source $name needs a 'stream' reference or an inline 'nodeType'"))
+              val props = node match {
+                case JObject(fs) => fs.collect { case JField(k, JString(s0)) => k -> s0 }.toMap
+                case _ => Map.empty[String, String]
+              }
+              StreamDef(name,
+                Catalog.sourceFor(tpe.toLowerCase, name, new org.apache.spark.sql.types.StructType(),
+                  props, isTable = optStr(node, "sourceType").contains("table")),
+                isTable = optStr(node, "sourceType").contains("table"),
+                timestampCol = optStr(node, "timestamp"),
+                watermark = optStr(node, "watermark"))
+          }
           if (streaming && !sd.isTable) {
             val base = sd.source.stream(spark)
             (sd.timestampCol, sd.watermark) match {
@@ -217,6 +315,40 @@ object GraphRule {
           str(node, "op") match {
             case "filter" => in.where(expr(str(node, "expr")))
             case "project" => in.selectExpr(strSeq(node, "exprs"): _*)
+            // reference "pick" (graph_rule.md): select fields to present
+            case "pick" =>
+              val fields = strSeq(node, "fields") ++ strSeq(node, "exprs")
+              require(fields.nonEmpty, s"pick $name needs a fields array")
+              in.selectExpr(fields: _*)
+            // reference "function": one function-call expression added as
+            // a new field named after the function (or its AS alias)
+            case "function" =>
+              val e = optStr(node, "expr").getOrElse(
+                throw new IllegalArgumentException(s"function $name needs an expr"))
+              val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseExpression(e)
+              val alias = parsed match {
+                case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+                case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+                  f.nameParts.last
+                case _ => throw new IllegalArgumentException(
+                  s"function $name: expr must be a function call or carry an AS name, got '$e'")
+              }
+              in.withColumn(alias, expr(e))
+            // reference "groupby": dimension marker consumed by the
+            // downstream aggfunc (validated + pass-through, like window)
+            case "groupby" =>
+              groupingFor(name) // eager validation of dimensions
+              in
+            // reference "aggfunc": aggregate expression(s) over the
+            // grouping inherited from the input chain (groupby and/or
+            // window), or the whole input when ungrouped
+            case "aggfunc" =>
+              val aggs = (optStr(node, "expr").toSeq ++ strSeq(node, "exprs")).map(expr)
+              require(aggs.nonEmpty, s"aggfunc $name needs an expr")
+              val keys = ins.headOption.map(groupingFor).getOrElse(Seq.empty)
+              if (keys.isEmpty) in.agg(aggs.head, aggs.tail: _*)
+              else in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
             case "expr" =>
               // script-node alternative (reference internal/topo/graph/
               // io.go:165 "script" runs JS that mutates the message):

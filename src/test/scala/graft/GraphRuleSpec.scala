@@ -345,4 +345,123 @@ class GraphRuleSpec extends SparkSuite {
     eng.create(Rule.graph("bad2", """{"nodes": {"s": {"type":"sink", "kind":"nop"}}, "edges": {}}"""))
     intercept[IllegalArgumentException](eng.start("bad2"))
   }
+
+  test("reference JSON shape runs verbatim: nodeType/props, topo.edges, rule wrapper") {
+    val dir = Files.createTempDirectory("graft_graph_ref")
+    Files.write(dir.resolve("in.json"),
+      Seq("""{"device":"a","humidity":40}""", """{"device":"b","humidity":20}""",
+          """{"device":"c","humidity":55}""").mkString("\n").getBytes)
+    val eng = new RuleEngine(spark)
+    eng.createStream(
+      s"""CREATE STREAM refstream (device STRING, humidity BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="$dir")""".stripMargin)
+    MemoryHub.drop("ref_out")
+    // the reference's documented rule shape (graph_rule.md), verbatim:
+    // rule wrapper + graph + topo.edges + nodeType/props nodes
+    eng.create(Rule.graph("gref1",
+      """{
+        |  "id": "rule1",
+        |  "graph": {
+        |    "nodes": {
+        |      "demo": {"type":"source", "nodeType":"mqtt",
+        |               "props": {"sourceType":"stream", "sourceName":"refstream"}},
+        |      "humidityFilter": {"type":"operator", "nodeType":"filter",
+        |               "props": {"expr":"humidity > 30"}},
+        |      "pick": {"type":"operator", "nodeType":"pick",
+        |               "props": {"fields":["device"]}},
+        |      "out": {"type":"sink", "nodeType":"memory",
+        |              "props": {"topic":"ref_out"}}},
+        |    "topo": {
+        |      "sources": ["demo"],
+        |      "edges": {"demo":["humidityFilter"], "humidityFilter":["pick"], "pick":["out"]}}
+        |  }
+        |}""".stripMargin))
+    eng.start("gref1")
+    val rows = MemoryHub.frame(spark, "ref_out")
+    assert(rows.columns.toSeq == Seq("device"))
+    assert(rows.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+  }
+
+  test("function node adds a field named after the function") {
+    val eng = new RuleEngine(spark)
+    MemoryHub.publish("g_fn_in",
+      spark.createDataFrame(Seq(("d1", 16L))).toDF("device", "temp"))
+    eng.createStream("""CREATE TABLE gfn (device STRING, temp BIGINT) WITH (TYPE="memory", DATASOURCE="g_fn_in")""")
+    MemoryHub.drop("fn_out")
+    eng.create(Rule.graph("gfn1",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"gfn"},
+        |  "f":   {"type":"operator", "nodeType":"function", "props": {"expr":"sqrt(temp)"}},
+        |  "out": {"type":"sink", "kind":"memory", "endpoint":"fn_out"}},
+        | "edges": {"src":["f"], "f":["out"]}}""".stripMargin))
+    eng.start("gfn1")
+    val row = MemoryHub.frame(spark, "fn_out").select("device", "temp", "sqrt").first()
+    assert(row.getDouble(2) == 4.0)
+  }
+
+  test("groupby + aggfunc compose the reference's split aggregation, window key included") {
+    val eng = new RuleEngine(spark)
+    MemoryHub.publish("g_ga_in", spark.createDataFrame(Seq(
+      ("d1", 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
+      ("d1", 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:07")),
+      ("d2", 30L, java.sql.Timestamp.valueOf("2024-01-01 00:01:05")),
+      ("d1", 40L, java.sql.Timestamp.valueOf("2024-01-01 00:01:07"))))
+      .toDF("device", "temp", "ts"))
+    eng.createStream("""CREATE TABLE gga (device STRING, temp BIGINT, ts TIMESTAMP) WITH (TYPE="memory", DATASOURCE="g_ga_in")""")
+    MemoryHub.drop("ga_out")
+    eng.create(Rule.graph("gga1",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"gga"},
+        |  "win": {"type":"operator", "nodeType":"window",
+        |          "props": {"windowType":"tumblingwindow", "unit":"mi", "size":1, "ts":"ts"}},
+        |  "grp": {"type":"operator", "nodeType":"groupby", "props": {"dimensions":["device"]}},
+        |  "agg": {"type":"operator", "nodeType":"aggfunc", "props": {"expr":"sum(temp) as total"}},
+        |  "out": {"type":"sink", "kind":"memory", "endpoint":"ga_out"}},
+        | "edges": {"src":["win"], "win":["grp"], "grp":["agg"], "agg":["out"]}}""".stripMargin))
+    eng.start("gga1")
+    val out = MemoryHub.frame(spark, "ga_out")
+      .selectExpr("w.start as ws", "device", "total").orderBy("ws", "device").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("d1", 30L), ("d1", 40L), ("d2", 30L)))
+    // ungrouped aggfunc aggregates the whole input
+    MemoryHub.drop("ga_out2")
+    eng.create(Rule.graph("gga2",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"gga"},
+        |  "agg": {"type":"operator", "nodeType":"aggfunc", "props": {"expr":"count(*) as n"}},
+        |  "out": {"type":"sink", "kind":"memory", "endpoint":"ga_out2"}},
+        | "edges": {"src":["agg"], "agg":["out"]}}""".stripMargin))
+    eng.start("gga2")
+    assert(MemoryHub.frame(spark, "ga_out2").first().getLong(0) == 4L)
+  }
+
+  test("inline source node: nodeType + stream props, no pre-registered stream") {
+    val dir = Files.createTempDirectory("graft_graph_inline")
+    Files.write(dir.resolve("in.json"),
+      Seq("""{"k":"x","v":1}""", """{"k":"y","v":2}""").mkString("\n").getBytes)
+    val eng = new RuleEngine(spark)
+    MemoryHub.drop("inline_out")
+    eng.create(Rule.graph("ginline1",
+      s"""{"nodes": {
+         |  "src": {"type":"source", "nodeType":"file",
+         |          "props": {"datasource":"$dir", "format":"json"}},
+         |  "out": {"type":"sink", "kind":"memory", "endpoint":"inline_out"}},
+         | "edges": {"src":["out"]}}""".stripMargin))
+    eng.start("ginline1")
+    assert(MemoryHub.frame(spark, "inline_out").count() == 2)
+  }
+
+  test("groupby feeding a non-aggregation is rejected") {
+    val eng = new RuleEngine(spark)
+    MemoryHub.publish("g_bad_in",
+      spark.createDataFrame(Seq(("a", 1L))).toDF("k", "v"))
+    eng.createStream("""CREATE TABLE gbad (k STRING, v BIGINT) WITH (TYPE="memory", DATASOURCE="g_bad_in")""")
+    eng.create(Rule.graph("gbad1",
+      """{"nodes": {
+        |  "src": {"type":"source", "stream":"gbad"},
+        |  "grp": {"type":"operator", "nodeType":"groupby", "props": {"dimensions":["k"]}},
+        |  "out": {"type":"sink", "kind":"nop"}},
+        | "edges": {"src":["grp"], "grp":["out"]}}""".stripMargin))
+    intercept[IllegalArgumentException](eng.start("gbad1"))
+  }
 }
