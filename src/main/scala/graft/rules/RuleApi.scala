@@ -183,6 +183,52 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("schemas", name)) =>
         SchemaRegistry.drop(name); ok("{}")
 
+      // external function services (reference internal/service REST
+      // executor + its /services management endpoints)
+      case ("POST", List("services")) =>
+        val j = JsonMethods.parse(body)
+        (j \ "name", j \ "addr") match {
+          case (JString(n), JString(addr)) =>
+            val fns = (j \ "functions") match {
+              case JArray(xs) => xs.collect {
+                case JString(fn) => Services.FunctionDef(fn)
+                case o: JObject =>
+                  val fn = (o \ "name") match {
+                    case JString(x) => x
+                    case _ => throw new IllegalArgumentException("function needs a name")
+                  }
+                  Services.FunctionDef(fn,
+                    returnType = (o \ "returnType") match { case JString(t) => t; case _ => "string" },
+                    uri = (o \ "uri") match { case JString(u) => Some(u); case _ => None },
+                    method = (o \ "method") match { case JString(m) => m; case _ => "POST" })
+              }
+              case _ => Nil
+            }
+            if (fns.isEmpty) err(400, "service needs a non-empty functions array")
+            else {
+              val headers = (j \ "headers") match {
+                case JObject(hs) => hs.collect { case JField(k, JString(v)) => k -> v }.toMap
+                case _ => Map.empty[String, String]
+              }
+              Services.register(engine.session,
+                Services.ServiceDef(n, addr, fns, headers))
+              ok(s"""{"name":${JsonMethods.compact(JString(n))}}""")
+            }
+          case _ => err(400, "body needs {\"name\": ..., \"addr\": ..., \"functions\": [...]}")
+        }
+      case ("GET", List("services")) =>
+        ok(Services.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      case ("GET", List("services", name)) =>
+        Services.get(name) match {
+          case Some(s) => ok(
+            s"""{"name":${JsonMethods.compact(JString(s.name))},""" +
+              s""""addr":${JsonMethods.compact(JString(s.addr))},""" +
+              s""""functions":${s.functions.map(f => JsonMethods.compact(JString(f.name))).mkString("[", ",", "]")}}""")
+          case None => err(404, s"service $name not found")
+        }
+      case ("DELETE", List("services", name)) =>
+        Services.drop(name); ok("{}")
+
       case ("GET", List("metrics")) =>
         // ids and Failed messages are user-supplied strings — escape
         // them, don't interpolate raw

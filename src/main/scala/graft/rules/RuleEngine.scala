@@ -74,6 +74,11 @@ final case class RuleStatus(id: String, state: RuleState,
   */
 final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) {
 
+  /** Session rules compile against — external service functions
+    * register into its function registry (RuleApi /services).
+    */
+  private[rules] def session: SparkSession = spark
+
   // rule SQL gets the full eKuiper-named function surface
   graft.functions.GraftFunctions.registerAll(spark)
 
