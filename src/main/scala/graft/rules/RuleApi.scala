@@ -183,6 +183,26 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("schemas", name)) =>
         SchemaRegistry.drop(name); ok("{}")
 
+      // rule trial run (reference internal/trial + /ruletest): compile
+      // the posted rule against the live catalog and return a bounded
+      // sample of its output — the reference streams results over a
+      // websocket session; the bounded-batch form returns them inline
+      case ("POST", List("ruletest")) =>
+        val j = JsonMethods.parse(body)
+        ((j \ "sql"), (j \ "graph")) match {
+          case (JString(sql), _) =>
+            val df = engine.compileSql(sql)
+            val n = (j \ "sampleSize") match { case JInt(x) => x.toInt; case _ => 10 }
+            val rows = df.toJSON.take(n.max(1).min(100))
+            ok(rows.mkString("[", ",", "]"))
+          case (_, g: JObject) =>
+            val compiled = GraphRule.compile(engine.session, engine.catalog,
+              JsonMethods.compact(g))
+            val rows = compiled.head.df.toJSON.take(10)
+            ok(rows.mkString("[", ",", "]"))
+          case _ => err(400, "body needs a \"sql\" string or a \"graph\" object")
+        }
+
       // external function services (reference internal/service REST
       // executor + its /services management endpoints)
       case ("POST", List("services")) =>

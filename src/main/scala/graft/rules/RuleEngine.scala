@@ -139,6 +139,13 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
   /** Resolve every catalog stream referenced by the rule's SQL as a
     * temp view (stream mode per the rule), then parse the SQL.
     */
+  /** Batch-compile a bare SQL string against the catalog — the rule
+    * trial-run path (RuleApi /ruletest); same planning as a batch rule,
+    * nothing registered or started.
+    */
+  private[rules] def compileSql(sql: String): DataFrame =
+    plan(Rule("__trial__", sql, Seq.empty))
+
   private def plan(rule: Rule): DataFrame = {
     val referenced = referencedNames(rule.sql)
     referenced.foreach { name =>

@@ -192,4 +192,21 @@ class RuleApiSpec extends SparkSuite {
       """{"id":"r_nodur","sql":"SELECT x FROM cron_in",
         | "options":{"cron":"* * * * *"}}""".stripMargin)._1 == 400)
   }
+
+  test("ruletest compiles and samples a rule without registering it") {
+    val a = api
+    MemoryHub.publish("trial_in",
+      spark.createDataFrame(Seq(("a", 2L), ("b", 30L))).toDF("k", "v"))
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE TABLE trial_s (k STRING, v BIGINT) WITH (TYPE=\"memory\", DATASOURCE=\"trial_in\")"}""")
+    val (c1, out) = a.handle("POST", "/ruletest",
+      """{"id":"t1","sql":"SELECT k, v * 2 AS w FROM trial_s WHERE v > 10"}""")
+    assert(c1 == 200, out)
+    assert(out.contains("\"k\":\"b\"") && out.contains("\"w\":60"))
+    assert(!out.contains("\"a\"")) // filtered row absent
+    // nothing was registered: the rules list stays empty of t1
+    assert(!a.handle("GET", "/rules")._2.contains("t1"))
+    // bad SQL surfaces as a 400, not a crash
+    assert(a.handle("POST", "/ruletest", """{"sql":"SELECT FROM nowhere"}""")._1 == 400)
+  }
 }
