@@ -227,5 +227,6 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, f) => RegistryBridge.register(spark, name, lift(f)) }
     RegistryBridge.register(spark, "meta", metaBuilder)
+    RegistryBridge.register(spark, "get_keyed_state", args => GetKeyedStateExpr(args))
   }
 }

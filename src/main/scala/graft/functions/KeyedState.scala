@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Process-wide keyed state (reference: internal/keyedstate/kv.go —
+  * a shared KV the `get_keyed_state` SQL function reads; writers are
+  * SDK/plugin-side, here the programmatic [[KeyedState.set]]).
+  */
+object KeyedState {
+  private val store = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+
+  def set(key: String, value: Any): Unit = store.put(key, value)
+  def get(key: String): Option[Any] = Option(store.get(key))
+  def clear(): Unit = store.clear()
+}
+
+/** `get_keyed_state(key, 'type', default)` (reference funcs_misc.go:616):
+  * reads the shared store, casting to the requested type name
+  * (bigint | float | string | boolean — the reference's cast.ToType
+  * names); a missing key returns the default. Non-deterministic: the
+  * lookup must re-evaluate per row and never constant-fold.
+  */
+final case class GetKeyedStateExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 3, "the args must be three") // reference ValidateLen(3)
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = false
+
+  private def typeName: String = children(1) match {
+    case e if e.foldable => String.valueOf(e.eval(null)).toLowerCase
+    case _ => "string"
+  }
+
+  override def dataType: DataType = typeName match {
+    case "bigint" | "long" | "int" => LongType
+    case "float" | "double" => DoubleType
+    case "boolean" | "bool" => BooleanType
+    case _ => StringType
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val key = String.valueOf(children(0).eval(input))
+    KeyedState.get(key) match {
+      case None => children(2).eval(input) match {
+        // align the default with the declared type
+        case null => null
+        case d => coerce(d)
+      }
+      case Some(v) => coerce(v)
+    }
+  }
+
+  private def coerce(v: Any): Any = dataType match {
+    case LongType => v match {
+      case n: Number => n.longValue()
+      case other => String.valueOf(other).toLong
+    }
+    case DoubleType => v match {
+      case n: Number => n.doubleValue()
+      case other => String.valueOf(other).toDouble
+    }
+    case BooleanType => v match {
+      case b: Boolean => b
+      case other => String.valueOf(other).toBoolean
+    }
+    case _ => UTF8String.fromString(String.valueOf(v))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GetKeyedStateExpr =
+    copy(children = newChildren)
+}

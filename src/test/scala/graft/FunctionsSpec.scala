@@ -499,4 +499,20 @@ class FunctionsSpec extends SparkSuite {
     assert(r.getLong(0) == graft.functions.TextHashing.simhash64("the quick brown fox"))
     assert(r.getLong(1) == graft.functions.TextHashing.fingerprintMin("one two three four five six", 5))
   }
+
+  test("get_keyed_state reads the shared store with typed defaults") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.functions.KeyedState.clear()
+    graft.functions.KeyedState.set("gateway_limit", 42L)
+    val r = spark.sql(
+      """SELECT get_keyed_state('gateway_limit', 'bigint', 0L) AS hit,
+        |       get_keyed_state('absent_key', 'bigint', 7L) AS dflt,
+        |       get_keyed_state('absent_key', 'string', 'none') AS s
+        |""".stripMargin).first()
+    assert(r.getLong(0) == 42L && r.getLong(1) == 7L && r.getString(2) == "none")
+    // state change is visible to the NEXT query (non-deterministic, no folding)
+    graft.functions.KeyedState.set("gateway_limit", 43L)
+    assert(spark.sql("SELECT get_keyed_state('gateway_limit', 'bigint', 0L)")
+      .first().getLong(0) == 43L)
+  }
 }
