@@ -72,7 +72,9 @@ object Catalog {
 
   def parseDdl(ddl: String): StreamDef = ddl match {
     case ddlRe(kind, name, fields, withClause) =>
-      val props = parseWith(withClause)
+      // CONNECTION="id" layers a named connection's props under the
+      // stream's own (stream props win) — reference confKey layering
+      val props = Connections.resolve(parseWith(withClause))
       // `CREATE STREAM x () WITH (...)` = schemaless (eKuiper default):
       // file sources infer from existing data at stream start; with
       // SCHEMAID="name" the registered schema fills the empty list

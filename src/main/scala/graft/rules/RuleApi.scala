@@ -183,6 +183,40 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("schemas", name)) =>
         SchemaRegistry.drop(name); ok("{}")
 
+      // named connections (reference /connections + pkg/connection):
+      // CRUD over the registry; GET per-id runs a LIVE transport ping
+      case ("POST", List("connections")) =>
+        val j = JsonMethods.parse(body)
+        ((j \ "id"), (j \ "typ")) match {
+          case (JString(id), JString(typ)) =>
+            val props = (j \ "props") match {
+              case JObject(ps) => ps.collect { case JField(k, JString(v)) => k -> v }.toMap
+              case _ => Map.empty[String, String]
+            }
+            Connections.register(Connections.Conn(id, typ, props))
+            (201, s"""{"id":${JsonMethods.compact(JString(id))}}""")
+          case _ => err(400, "body needs {\"id\": ..., \"typ\": ..., \"props\": {...}}")
+        }
+      case ("GET", List("connections")) =>
+        ok(Connections.list.map(c =>
+          s"""{"id":${JsonMethods.compact(JString(c.id))},""" +
+            s""""typ":${JsonMethods.compact(JString(c.typ))}}""").mkString("[", ",", "]"))
+      case ("GET", List("connections", id)) =>
+        Connections.get(id) match {
+          case Some(c) =>
+            val (status, errMsg) = Connections.ping(id) match {
+              case Right(s) => (s, "")
+              case Left(e) => ("disconnected", e)
+            }
+            ok(s"""{"id":${JsonMethods.compact(JString(c.id))},""" +
+              s""""typ":${JsonMethods.compact(JString(c.typ))},""" +
+              s""""status":${JsonMethods.compact(JString(status))},""" +
+              s""""err":${JsonMethods.compact(JString(errMsg))}}""")
+          case None => err(404, s"connection $id not found")
+        }
+      case ("DELETE", List("connections", id)) =>
+        Connections.drop(id); ok("{}")
+
       // rule trial run (reference internal/trial + /ruletest): compile
       // the posted rule against the live catalog and return a bounded
       // sample of its output — the reference streams results over a

@@ -258,7 +258,9 @@ object SqlBridges {
     withConnection(src.dburl, src.options) { conn =>
       val rs = conn.createStatement().executeQuery(src.queryStatement)
       val md = rs.getMetaData
-      val cols = (1 to md.getColumnCount).map(md.getColumnLabel(_).toLowerCase)
+      // labels keep the driver's case — they must match the JDBC-read
+      // schema the stream decode uses
+      val cols = (1 to md.getColumnCount).map(md.getColumnLabel(_))
       var n = 0
       while (rs.next()) {
         ConnectorFeed.push("sql", src.feedTopic, rowJson(rs, cols), System.currentTimeMillis())

@@ -193,6 +193,39 @@ class RuleApiSpec extends SparkSuite {
         | "options":{"cron":"* * * * *"}}""".stripMargin)._1 == 400)
   }
 
+  test("named connections: CRUD, live ping, and DDL prop layering") {
+    val a = api
+    val broker = graft.net.MqttBroker.start()
+    try {
+      val (c1, _) = a.handle("POST", "/connections",
+        s"""{"id":"edge_mqtt","typ":"mqtt","props":{"server":"${broker.address}","format":"json"}}""")
+      assert(c1 == 201)
+      assert(a.handle("GET", "/connections")._2.contains("edge_mqtt"))
+      // live ping against the real broker
+      val (c2, st) = a.handle("GET", "/connections/edge_mqtt")
+      assert(c2 == 200 && st.contains("\"status\":\"connected\""), st)
+      // a stream referencing the connection inherits its server prop
+      val sd = Catalog.parseDdl(
+        """CREATE STREAM conn_s (x BIGINT) WITH (TYPE="mqtt", DATASOURCE="t/1",
+          | CONNECTION="edge_mqtt")""".stripMargin)
+      val cs = sd.source.asInstanceOf[graft.sources.ConnectorSource]
+      assert(cs.options.get("server").contains(broker.address))
+      // stream props win over connection props
+      val sd2 = Catalog.parseDdl(
+        s"""CREATE STREAM conn_s2 (x BIGINT) WITH (TYPE="mqtt", DATASOURCE="t/2",
+           | CONNECTION="edge_mqtt", SERVER="tcp://example.invalid:1883")""".stripMargin)
+      assert(sd2.source.asInstanceOf[graft.sources.ConnectorSource]
+        .options.get("server").contains("tcp://example.invalid:1883"))
+    } finally broker.close()
+    // dead endpoint pings disconnected with the failure carried
+    a.handle("POST", "/connections",
+      """{"id":"dead_conn","typ":"mqtt","props":{"server":"tcp://127.0.0.1:1"}}""")
+    val (c3, st3) = a.handle("GET", "/connections/dead_conn")
+    assert(c3 == 200 && st3.contains("\"status\":\"disconnected\""), st3)
+    assert(a.handle("DELETE", "/connections/dead_conn")._1 == 200)
+    assert(a.handle("GET", "/connections/dead_conn")._1 == 404)
+  }
+
   test("ruletest compiles and samples a rule without registering it") {
     val a = api
     MemoryHub.publish("trial_in",

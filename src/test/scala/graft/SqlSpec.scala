@@ -130,8 +130,31 @@ class SqlSpec extends SparkSuite {
       // frames decode as typed rows through the connector stream path
       val decoded = spark.read.json(
         frames.select(col("frame").as("value")).as(org.apache.spark.sql.Encoders.STRING))
-      assert(decoded.select(sum("id")).head.getLong(0) == 6)
+      assert(decoded.select(sum("ID")).head.getLong(0) == 6)
     } finally ConnectorFeed.clear("sql", src.feedTopic)
+  }
+
+  test("sql stream: a streaming rule tails the table end-to-end") {
+    freshTable("live_ev", "(id INT, v INT)", "INSERT INTO live_ev VALUES (1, 10)")
+    val src = SqlSource(dburl, "live_ev", indexFields = Seq("id"), intervalMs = 150)
+    ConnectorFeed.clear("sql", src.feedTopic)
+    val stream = src.stream(spark) // starts the interval-pull bridge
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("sql_live").start()
+    try {
+      // rows inserted AFTER the stream starts must arrive as new batches
+      exec("INSERT INTO live_ev VALUES (2, 20), (3, 30)")
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def seen: Long = spark.sql("SELECT count(*) FROM sql_live").head.getLong(0)
+      while (seen < 3 && System.nanoTime() < deadline) { q.processAllAvailable(); Thread.sleep(100) }
+      assert(seen == 3, s"expected 3 streamed rows, saw $seen")
+      val sum = spark.sql("SELECT sum(V) FROM sql_live").head.getLong(0)
+      assert(sum == 60)
+    } finally {
+      q.stop()
+      graft.sources.SqlBridges.closeAll()
+      ConnectorFeed.clear("sql", src.feedTopic)
+    }
   }
 
   test("sql DDL: stream and lookup table register through the catalog") {
