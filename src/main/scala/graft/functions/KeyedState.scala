@@ -9,6 +9,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Process-wide keyed state (reference: internal/keyedstate/kv.go —
   * a shared KV the `get_keyed_state` SQL function reads; writers are
   * SDK/plugin-side, here the programmatic [[KeyedState.set]]).
+  *
+  * SCOPE: JVM-local, matching the reference's single-process store.
+  * `GetKeyedStateExpr` evaluates on executors, so on a multi-JVM
+  * cluster driver-side `set` calls are NOT visible there — back this
+  * trait of the deployment with an external KV (e.g. the redis
+  * connection, as the reference's redis store option does) or
+  * broadcast the state into the plan instead.
   */
 object KeyedState {
   private val store = new java.util.concurrent.ConcurrentHashMap[String, Any]()

@@ -26,10 +26,17 @@ object Connections {
     registry.values().asScala.toSeq.sortBy(_.id)
   }
 
-  /** Merge a referenced connection's props under `own` (own wins). */
+  /** Merge a referenced connection's props under `own` (own wins). A
+    * CONNECTION id that isn't registered FAILS the DDL — a silent
+    * fall-through would run the stream against the stub feed and
+    * "work" while receiving nothing.
+    */
   def resolve(own: Map[String, String]): Map[String, String] =
-    own.get("connection").flatMap(get) match {
-      case Some(c) => c.props ++ own
+    own.get("connection") match {
+      case Some(id) =>
+        val c = get(id).getOrElse(throw new IllegalArgumentException(
+          s"connection '$id' is not registered"))
+        c.props ++ own
       case None => own
     }
 

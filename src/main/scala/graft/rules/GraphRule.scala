@@ -105,6 +105,19 @@ object GraphRule {
     JObject(hoisted ++ extra.toList)
   }
 
+  /** Node fields rendered to strings — reference props carry numbers
+    * and booleans (interval/seed/count/…) that must not drop silently.
+    */
+  private def stringProps(v: JValue): Map[String, String] = v match {
+    case JObject(fs) => fs.collect {
+      case JField(k, JString(s)) => k -> s
+      case JField(k, JInt(n)) => k -> n.toString
+      case JField(k, JDouble(d)) => k -> d.toString
+      case JField(k, JBool(b)) => k -> b.toString
+    }.toMap
+    case _ => Map.empty
+  }
+
   def compile(spark: SparkSession, catalog: Catalog, json: String,
               streaming: Boolean = false): Seq[Compiled] = {
     val parsed = JsonMethods.parse(json)
@@ -288,10 +301,7 @@ object GraphRule {
               // (reference graph_rule.md source nodes without sourceName)
               val tpe = optStr(node, "nodeType").getOrElse(throw new IllegalArgumentException(
                 s"source $name needs a 'stream' reference or an inline 'nodeType'"))
-              val props = node match {
-                case JObject(fs) => fs.collect { case JField(k, JString(s0)) => k -> s0 }.toMap
-                case _ => Map.empty[String, String]
-              }
+              val props = stringProps(node)
               StreamDef(name,
                 Catalog.sourceFor(tpe.toLowerCase, name, new org.apache.spark.sql.types.StructType(),
                   props, isTable = optStr(node, "sourceType").contains("table")),
@@ -425,14 +435,10 @@ object GraphRule {
       case _ => Map.empty
     }
     val compiled = nodes.collect { case (name, node) if (node \ "type") == JString("sink") =>
-      val sink: Sink = str(node, "kind") match {
-        case "memory" => MemorySink(str(node, "endpoint"), opts(node))
-        case "file" => FileSink(str(node, "endpoint"),
-          optStr(node, "format").getOrElse("json"), opts(node))
-        case "log" => LogSink(options = opts(node))
-        case "nop" => NopSink(opts(node))
-        case k => ConnectorSink(k, str(node, "endpoint"), opts(node))
-      }
+      // every sink kind routes through the shared factory, so graph
+      // sink nodes reach sql/influx/image exactly like REST actions
+      val sink: Sink = SinkFactory.forKind(str(node, "kind"),
+        stringProps(node) ++ opts(node))
       Compiled(name, dfOf(name), sink)
     }.toSeq
     if (compiled.isEmpty)

@@ -309,22 +309,18 @@ object RuleApi {
     */
   private def parseAction(j: JValue): Sink = j match {
     case JObject(List(JField(kind, props))) =>
-      def p(f: String): Option[String] = (props \ f) match {
-        case JString(s) => Some(s); case _ => None
-      }
       val opts = props match {
-        case JObject(fs) => fs.collect { case JField(k, JString(v)) => k -> v }.toMap
+        // numeric/boolean props render to strings — SinkFactory and the
+        // sinks parse them back (maxCount, batchSize, …)
+        case JObject(fs) => fs.collect {
+          case JField(k, JString(v)) => k -> v
+          case JField(k, JInt(v)) => k -> v.toString
+          case JField(k, JDouble(v)) => k -> v.toString
+          case JField(k, JBool(v)) => k -> v.toString
+        }.toMap
         case _ => Map.empty[String, String]
       }
-      kind match {
-        case "memory" => MemorySink(p("topic").getOrElse("out"), opts)
-        case "file" => FileSink(p("path").getOrElse("/tmp/graft-out"),
-          p("format").getOrElse("json"), opts)
-        case "log" => LogSink(options = opts)
-        case "nop" => NopSink(opts)
-        case k => ConnectorSink(k,
-          p("topic").orElse(p("url")).orElse(p("endpoint")).getOrElse("out"), opts)
-      }
+      SinkFactory.forKind(kind, opts)
     case _ => throw new IllegalArgumentException(s"bad action: $j")
   }
 }

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.BinaryType
   *
   * Retention (reference delFile, run on a 3-minute ticker): files
   * beyond `maxCount` or older than `maxAge` hours are pruned after
-  * each batch, newest kept first.
+  * each batch, newest kept first. prune() lists the DRIVER-visible
+  * `path` — with executor-local disks it governs nothing; pair the
+  * sink with a shared mount (the same condition under which the
+  * single-directory layout exists at all).
   */
 final case class ImageSink(path: String, imageFormat: String = "png",
                            maxAge: Int = 72, maxCount: Int = 1000,

@@ -104,8 +104,11 @@ final case class InfluxSink(addr: String, measurement: String,
     if (v2)
       s"$addr/api/v2/write?org=${enc(options.getOrElse("org", ""))}" +
         s"&bucket=${enc(options.getOrElse("bucket", ""))}&precision=$precision"
-    else
-      s"$addr/write?db=${enc(options.getOrElse("database", ""))}&precision=$precision"
+    else {
+      // InfluxDB 1.x spells microseconds "u", not the v2 API's "us"
+      val p1 = if (precision == "us") "u" else precision
+      s"$addr/write?db=${enc(options.getOrElse("database", ""))}&precision=$p1"
+    }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
@@ -122,8 +125,12 @@ final case class InfluxSink(addr: String, measurement: String,
     val batchSize = options.getOrElse("batchSize", "5000").toInt
     // note: Sink.shaped is NOT applied — `fields` selects influx field
     // columns here (reference WriteOptions.Fields), and tag/ts columns
-    // must stay visible to lineColumn
+    // must stay visible to lineColumn. A null in any projected column
+    // nullifies its line (concat semantics) and the point is DROPPED
+    // rather than corrupting the batch — coalesce upstream to keep
+    // partially-null rows.
     df.select(lineColumn(df).as("line"))
+      .where(col("line").isNotNull)
       .foreachPartition { (rows: Iterator[Row]) =>
         rows.map(_.getString(0)).grouped(batchSize).foreach { lines =>
           InfluxSink.post(url, auth, lines.mkString("\n"))

@@ -240,6 +240,44 @@ final case class ConnectorSink(kind: String, endpoint: String,
   }
 }
 
+/** Shared sink construction from (kind, string props) — the REST
+  * action-object surface (RuleApi) and graph sink nodes both resolve
+  * here, so every sink kind (incl. sql / influx / image) is reachable
+  * from rule JSON, not only programmatically.
+  */
+object SinkFactory {
+  def forKind(kind: String, opts: Map[String, String]): Sink = {
+    def opt(f: String): Option[String] = opts.get(f)
+    def required(f: String): String = opt(f).getOrElse(
+      throw new IllegalArgumentException(s"$kind sink needs a '$f' property"))
+    kind match {
+      case "memory" => MemorySink(
+        opt("topic").orElse(opt("endpoint")).getOrElse("out"), opts)
+      case "file" => FileSink(
+        opt("path").orElse(opt("endpoint")).getOrElse("/tmp/graft-out"),
+        opts.getOrElse("format", "json"), opts)
+      case "log" => LogSink(options = opts)
+      case "nop" => NopSink(opts)
+      case "sql" => SqlSink(required("dburl"),
+        opt("table").orElse(opt("datasource")).getOrElse(required("table")), opts)
+      case "influx" => InfluxSink(
+        opt("addr").orElse(opt("endpoint")).getOrElse(required("addr")),
+        required("measurement"), opts)
+      case "influx2" => InfluxSink(
+        opt("addr").orElse(opt("endpoint")).getOrElse(required("addr")),
+        required("measurement"), opts + ("version" -> "2"))
+      case "image" => ImageSink(
+        opt("path").orElse(opt("endpoint")).getOrElse(required("path")),
+        opts.getOrElse("imageFormat", "png"),
+        opts.getOrElse("maxAge", "72").toInt,
+        opts.getOrElse("maxCount", "1000").toInt, opts)
+      case k => ConnectorSink(k,
+        opt("topic").orElse(opt("url")).orElse(opt("endpoint")).getOrElse("out"),
+        opts)
+    }
+  }
+}
+
 object ConnectorSink {
   val kinds: Set[String] = Set("mqtt", "rest", "redis", "edgex", "neuron", "websocket", "kafka", "zmq")
 

@@ -45,17 +45,31 @@ final case class SqlSink(dburl: String, table: String,
       checkIdentifier(kindCol)
       require(dataCols.contains(key), s"keyField $key missing from sink columns")
       val (url, tbl, driver) = (dburl, table, options.get("driver"))
+      val creds = (options.get("user"), options.get("password"))
+      // optional total order within a key's partition (an upstream
+      // sequence column); without it, changes to one key arriving from
+      // DIFFERENT upstream partitions have no defined order after the
+      // hash shuffle — single-partition (streaming micro-batch) inputs
+      // keep arrival order either way
+      val ordered = options.get("orderField") match {
+        case Some(seq0) => data.repartition(col(key))
+          .sortWithinPartitions(col(key), col(seq0))
+        case None => data.repartition(col(key))
+      }
       val insertSql = dataCols.mkString(
         s"INSERT INTO $tbl (", ", ", ") VALUES " + dataCols.map(_ => "?").mkString("(", ", ", ")"))
       val updateSql = dataCols.filterNot(_ == key)
         .map(c => s"$c = ?").mkString(s"UPDATE $tbl SET ", ", ", s" WHERE $key = ?")
       val deleteSql = s"DELETE FROM $tbl WHERE $key = ?"
       // all changes for a key in one partition; one connection each
-      data.repartition(col(key))
+      ordered
         .select((kindCol +: dataCols).map(col).toIndexedSeq: _*)
         .foreachPartition { (rows: Iterator[Row]) =>
           driver.foreach(Class.forName)
-          val conn = java.sql.DriverManager.getConnection(url)
+          val info = new java.util.Properties()
+          creds._1.foreach(info.setProperty("user", _))
+          creds._2.foreach(info.setProperty("password", _))
+          val conn = java.sql.DriverManager.getConnection(url, info)
           try {
             conn.setAutoCommit(false)
             val ins = conn.prepareStatement(insertSql)
@@ -69,7 +83,9 @@ final case class SqlSink(dburl: String, table: String,
             rows.foreach { r =>
               val kind = Option(r.getString(0)).getOrElse("insert")
               kind match {
-                case "insert" | "upsert" =>
+                // the reference accepts exactly insert|update|delete
+                // (sink.go save(), ast.Rowkind*) — anything else errors
+                case "insert" =>
                   flush(ins)
                   dataCols.indices.foreach(i => ins.setObject(i + 1, r.get(i + 1)))
                   ins.addBatch()

@@ -198,7 +198,10 @@ object SqlBridges {
 
   def withConnection[A](dburl: String, options: Map[String, String])(f: java.sql.Connection => A): A = {
     options.get("driver").foreach(Class.forName) // ensure registration
-    val conn = java.sql.DriverManager.getConnection(dburl)
+    val info = new java.util.Properties()
+    options.get("user").foreach(info.setProperty("user", _))
+    options.get("password").foreach(info.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(dburl, info)
     try f(conn) finally conn.close()
   }
 

@@ -226,6 +226,39 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("GET", "/connections/dead_conn")._1 == 404)
   }
 
+  test("sink factory: REST rule actions reach the sql sink end-to-end") {
+    val dburl = "jdbc:derby:memory:graftapi;create=true"
+    graft.sources.SqlBridges.withConnection(dburl, Map.empty) { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE api_out") catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE api_out (K VARCHAR(8), V INT)")
+    }
+    val a = api
+    MemoryHub.publish("sqlsink_in",
+      spark.createDataFrame(Seq(("a", 1), ("b", 2))).toDF("K", "V"))
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE TABLE sqlsink_s (K STRING, V INT) WITH (TYPE=\"memory\", DATASOURCE=\"sqlsink_in\")"}""")
+    val (cc, body) = a.handle("POST", "/rules",
+      s"""{"id":"r_sqlsink","sql":"SELECT K, V FROM sqlsink_s",
+         | "actions":[{"sql":{"dburl":"$dburl","table":"api_out"}}]}""".stripMargin)
+    assert(cc == 200, body)
+    a.handle("POST", "/rules/r_sqlsink/start")
+    val rows = graft.sources.SqlBridges.withConnection(dburl, Map.empty) { c =>
+      val rs = c.createStatement().executeQuery("SELECT K, V FROM api_out ORDER BY K")
+      Iterator.continually(rs).takeWhile(_.next()).map(r => r.getString(1) -> r.getInt(2)).toList
+    }
+    assert(rows == List("a" -> 1, "b" -> 2))
+  }
+
+  test("unknown CONNECTION id fails the DDL instead of running against the stub") {
+    val e = intercept[IllegalArgumentException] {
+      Catalog.parseDdl(
+        """CREATE STREAM bad_conn (x BIGINT) WITH (TYPE="mqtt", DATASOURCE="t",
+          | CONNECTION="no_such_conn")""".stripMargin)
+    }
+    assert(e.getMessage.contains("no_such_conn"))
+  }
+
   test("ruletest compiles and samples a rule without registering it") {
     val a = api
     MemoryHub.publish("trial_in",
