@@ -47,6 +47,34 @@ object FeedBridges {
     bridges.computeIfAbsent(key, _ => start(kind, topic, server, options))
   }
 
+  /** Supervise a dialed client: when its liveness probe drops (peer
+    * restart, network cut), close it and redial with a short backoff —
+    * the reconnect behavior the reference gets from its client
+    * libraries' auto-reconnect options.
+    */
+  private def supervised(name: String)(
+      connect: () => (AutoCloseable, () => Boolean)): AutoCloseable = {
+    @volatile var running = true
+    @volatile var current: AutoCloseable = null
+    val loop = new Thread(() => {
+      while (running) {
+        try {
+          val (client, alive) = connect()
+          current = client
+          while (running && alive()) Thread.sleep(200)
+          if (running) try client.close() catch { case _: Exception => () }
+        } catch { case _: Exception => () } // dial failed; back off and retry
+        if (running) Thread.sleep(500)
+      }
+    }, name)
+    loop.setDaemon(true)
+    loop.start()
+    () => {
+      running = false
+      Option(current).foreach(c => try c.close() catch { case _: Exception => () })
+    }
+  }
+
   private def start(kind: String, topic: String, server: String,
                     options: Map[String, String]): AutoCloseable = {
     val tls = Tls.clientFromOptions(options)
@@ -124,20 +152,26 @@ object FeedBridges {
         () => { running = false; client.close() }
       case "zmq" =>
         // SUB socket with a prefix subscription (reference
-        // extensions/impl/zmq/source.go: SetSubscribe + recv loop)
-        val client = ZmqSub.connect(server, topic)
-        client.onMessage((_, payload) =>
-          ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
-            System.currentTimeMillis()))
-        () => client.close()
+        // extensions/impl/zmq/source.go: SetSubscribe + recv loop);
+        // supervised — a publisher restart redials and resubscribes
+        supervised(s"zmq-bridge-$topic") { () =>
+          val client = ZmqSub.connect(server, topic)
+          client.onMessage((_, payload) =>
+            ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
+              System.currentTimeMillis()))
+          (client, () => client.isOpen)
+        }
       case "neuron" =>
         // dialed SP PAIR socket — the reference's nng connection to the
-        // neuron daemon (internal/io/neuron/source.go, pkg/nng)
-        val client = NngPair.dial(server)
-        client.onMessage(body =>
-          ConnectorFeed.push(kind, topic, new String(body, StandardCharsets.UTF_8),
-            System.currentTimeMillis()))
-        () => client.close()
+        // neuron daemon (internal/io/neuron/source.go, pkg/nng);
+        // supervised — a daemon restart redials the pair
+        supervised(s"neuron-bridge-$topic") { () =>
+          val client = NngPair.dial(server)
+          client.onMessage(body =>
+            ConnectorFeed.push(kind, topic, new String(body, StandardCharsets.UTF_8),
+              System.currentTimeMillis()))
+          (client, () => client.isOpen)
+        }
       case other =>
         throw new IllegalArgumentException(
           s"no real transport for connector kind '$other' (mqtt, websocket, redis, edgex, kafka, zmq)")

@@ -259,6 +259,9 @@ final class ZmqSub private (socket: Socket, in: DataInputStream, out: DataOutput
 
   def onMessage(h: (String, Array[Byte]) => Unit): Unit = handlers.add(h)
 
+  /** False once the peer closed / the reader died — reconnect signal. */
+  def isOpen: Boolean = running && !socket.isClosed
+
   private val reader = new Thread(() => {
     while (running) Zmtp.readMessage(in) match {
       case Some(parts) if parts.nonEmpty =>

@@ -95,6 +95,36 @@ class ZmqSpec extends SparkSuite {
     }
   }
 
+  test("zmq: bridge redials after the publisher restarts") {
+    val port = {
+      val probe = new java.net.ServerSocket(0)
+      val p = probe.getLocalPort; probe.close(); p
+    }
+    val pub1 = ZmqPub.bind(port)
+    try {
+      ConnectorFeed.clear("zmq", "zre")
+      val src = ConnectorSource("zmq", "zre",
+        StructType.fromDDL("v bigint"), Map("server" -> s"tcp://127.0.0.1:$port"))
+      src.batch(spark)
+      awaitCond(pub1.peerCount == 1, "first connection")
+      Thread.sleep(100)
+      pub1.publish("zre", "{\"v\":1}".getBytes(UTF_8))
+      awaitCond(ConnectorFeed.frames(spark, "zmq", "zre").count() == 1, "first frame")
+      pub1.close() // publisher dies
+      val pub2 = ZmqPub.bind(port) // ...and comes back on the same port
+      try {
+        awaitCond(pub2.peerCount == 1, "supervised redial") // bridge reconnects
+        Thread.sleep(150) // resubscription lands
+        pub2.publish("zre", "{\"v\":2}".getBytes(UTF_8))
+        awaitCond(ConnectorFeed.frames(spark, "zmq", "zre").count() == 2,
+          "frame after reconnect")
+      } finally pub2.close()
+    } finally {
+      graft.net.FeedBridges.closeAll()
+      pub1.close()
+    }
+  }
+
   test("zmq: sink endpoint binds a shared PUB and publishes rows") {
     import spark.implicits._
     val port = {
