@@ -29,6 +29,7 @@ object Goldens {
     "q_dedup_jaccard" -> (Set.empty[String], 6),
     "q_dedup_minhash" -> (Set.empty[String], 6),
     "q_dedup_simhash" -> (Set.empty[String], 6),
+    "q_fn_geohash" -> (Set.empty[String], 6),
     "q_fn_hash2" -> (Set.empty[String], 6),
     "q_knn_ivf" -> (Set("n_id"), 2),
     "q_knn_lsh" -> (Set.empty[String], 6),
@@ -43,6 +44,7 @@ object Goldens {
       "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
       "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
       "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
+      "q_fn_geohash" -> "5b80d94a313b4e710e253ff99f46d39726f9b7cdeef482bf5dcac8f6cce3e131",
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
       "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
@@ -54,6 +56,7 @@ object Goldens {
       "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
       "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
       "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",
+      "q_fn_geohash" -> "5b80d94a313b4e710e253ff99f46d39726f9b7cdeef482bf5dcac8f6cce3e131",
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
       "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",

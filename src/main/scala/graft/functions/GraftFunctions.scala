@@ -161,6 +161,23 @@ object GraftFunctions {
     "tstamp" -> { _ => unix_millis(current_timestamp()) },
     "cardinality" -> { a => size(a(0)).cast("long") },
 
+    // ---- geohash plugin pack (extensions/functions/geohash/geohash.go;
+    // names exactly as its plugin json registers them) ----
+    "geohashEncode" -> { a => GeoFunctions.geohash_encode(a(0), a(1)) },
+    "geohashEncodeInt" -> { a => GeoFunctions.geohash_encode_int(a(0), a(1)) },
+    "geohashDecode" -> { a => GeoFunctions.geohash_decode(a(0)) },
+    "geohashDecodeInt" -> { a => GeoFunctions.geohash_decode_int(a(0)) },
+    "geohashBoundingBox" -> { a => GeoFunctions.geohash_bbox(a(0)) },
+    "geohashBoundingBoxInt" -> { a => GeoFunctions.geohash_bbox_int(a(0)) },
+    "geohashNeighbor" -> { a => GeoFunctions.geohash_neighbor(a(0), a(1)) },
+    "geohashNeighborInt" -> { a => GeoFunctions.geohash_neighbor_int(a(0), a(1)) },
+    "geohashNeighbors" -> { a => GeoFunctions.geohash_neighbors(a(0)) },
+    "geohashNeighborsInt" -> { a => GeoFunctions.geohash_neighbors_int(a(0)) },
+
+    // ---- sample plugin functions (extensions/functions/{echo,countPlusOne}) ----
+    "echo" -> { a => a(0) },
+    "countPlusOne" -> { a => count(a(0)) + lit(1L) },
+
     // ---- graft custom codegen expressions, SQL-reachable ----
     "minhash_sig" -> { a => TextHashFunctions.minhash_sig(a(0),
       fmtLiteral(a(1)).toInt, fmtLiteral(a(2)).toInt) },
@@ -228,5 +245,6 @@ object GraftFunctions {
     builders.foreach { case (name, f) => RegistryBridge.register(spark, name, lift(f)) }
     RegistryBridge.register(spark, "meta", metaBuilder)
     RegistryBridge.register(spark, "get_keyed_state", args => GetKeyedStateExpr(args))
+    RegistryBridge.register(spark, "accumulateWordCount", args => AccumulateWordCountExpr(args))
   }
 }

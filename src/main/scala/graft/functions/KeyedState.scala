@@ -82,3 +82,50 @@ final case class GetKeyedStateExpr(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): GetKeyedStateExpr =
     copy(children = newChildren)
 }
+
+/** Process-wide named counters (reference FunctionContext
+  * IncrCounter/GetCounter — the rule-context state the sample
+  * accumulateWordCount plugin uses). Same JVM-local scope caveat as
+  * [[KeyedState]].
+  */
+object RuleCounters {
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def incrAndGet(key: String, by: Long): Long =
+    counters.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong()).addAndGet(by)
+  def get(key: String): Long =
+    Option(counters.get(key)).map(_.get()).getOrElse(0L)
+  def clear(): Unit = counters.clear()
+}
+
+/** `accumulateWordCount(col, sep)` (reference
+  * extensions/functions/accumulateWordCount/accumulateWordCount.go:48-74):
+  * per event, add the word count of `col` split by `sep` to the shared
+  * "allwordcount" counter and return the running total. Side-effecting
+  * and execution-order dependent by design (the reference's counter is
+  * process state); never constant-folds.
+  */
+final case class AccumulateWordCountExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 2,
+    s"wordCount function only supports 2 parameter but got ${children.length}")
+
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def eval(input: InternalRow): Any = {
+    val col = String.valueOf(children(0).eval(input))
+    val sep = String.valueOf(children(1).eval(input))
+    // Go strings.Split: empty separator splits into runes
+    val n =
+      if (sep.isEmpty) col.codePointCount(0, col.length)
+      else col.split(java.util.regex.Pattern.quote(sep), -1).length
+    RuleCounters.incrAndGet("allwordcount", n.toLong)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AccumulateWordCountExpr =
+    copy(children = newChildren)
+}

@@ -151,6 +151,30 @@ object FunctionQueries {
         sha2(col("text").cast("binary"), 512).as("sha512_v"),
         crc32(col("text").cast("binary")).as("crc32_v"))),
 
+    // geohash plugin pack (extensions/functions/geohash) — DuckDB has
+    // no geohash; rows-only + golden, with public Niemeyer test
+    // vectors pinned in GeoSpec. Deterministic lat/lng grid derived
+    // from nation keys spans both hemispheres.
+    "q_fn_geohash" -> ((s, d) => {
+      import graft.functions.GeoFunctions._
+      val n = t(s, d, "nation").select(
+        col("n_nationkey"),
+        (col("n_nationkey") * lit(6.7) - lit(83.0)).as("lat"),
+        (col("n_nationkey") * lit(13.3) - lit(165.0)).as("lng"))
+      n.select(
+        col("n_nationkey"),
+        geohash_encode(col("lat"), col("lng")).as("gh_v"),
+        geohash_encode_int(col("lat"), col("lng")).as("ghi_v"),
+        geohash_decode(geohash_encode(col("lat"), col("lng"))).as("dec_v"),
+        geohash_decode_int(geohash_encode_int(col("lat"), col("lng"))).as("deci_v"),
+        geohash_bbox(geohash_encode(col("lat"), col("lng"))).as("bbox_v"),
+        geohash_bbox_int(geohash_encode_int(col("lat"), col("lng"))).as("bboxi_v"),
+        geohash_neighbor(geohash_encode(col("lat"), col("lng")), lit("North")).as("nb_v"),
+        geohash_neighbor_int(geohash_encode_int(col("lat"), col("lng")), lit("South")).as("nbi_v"),
+        geohash_neighbors(geohash_encode(col("lat"), col("lng"))).as("nbs_v"),
+        geohash_neighbors_int(geohash_encode_int(col("lat"), col("lng"))).as("nbsi_v"))
+    }),
+
     // to_json / parse_json (Spark 4 VARIANT) / json_path_query_first /
     // json_path_exists — real key-presence semantics via json_object_keys
     // (distinguishes a missing key from a null-valued one), probing a key

@@ -27,6 +27,7 @@ final class RuleApi(engine: RuleEngine) {
   // configuration, not the compiled objects)
   private val streamDdl = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ruleJson = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val startMs = System.currentTimeMillis
 
   private def ok(json: String): (Int, String) = (200, json)
   private def err(code: Int, msg: String): (Int, String) =
@@ -99,7 +100,8 @@ final class RuleApi(engine: RuleEngine) {
         streamDdl.put(d.name, sql)
         ok(s"""{"name":"${d.name}"}""")
       case ("GET", List("streams")) =>
-        ok(engine.catalog.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
+        ok(engine.catalog.list.filterNot(n => engine.catalog.get(n).exists(_.isTable))
+          .map("\"" + _ + "\"").mkString("[", ",", "]"))
       case ("GET", List("streams", name)) =>
         engine.catalog.get(name) match {
           case Some(d) => ok(
@@ -109,6 +111,37 @@ final class RuleApi(engine: RuleEngine) {
         }
       case ("DELETE", List("streams", name)) =>
         engine.catalog.drop(name); streamDdl.remove(name); ok("{}")
+
+      // tables share the stream catalog but carry isTable (reference
+      // rest.go /tables — same DDL handler, TABLE keyword required)
+      case ("POST", List("tables")) =>
+        val sql = (JsonMethods.parse(body) \ "sql") match {
+          case JString(s) => s
+          case _ => return err(400, "body needs {\"sql\": \"CREATE TABLE ...\"}")
+        }
+        val d = engine.createStream(sql)
+        if (!d.isTable) {
+          engine.catalog.drop(d.name)
+          return err(400, s"${d.name} is a stream; POST it to /streams")
+        }
+        streamDdl.put(d.name, sql)
+        ok(s"""{"name":"${d.name}"}""")
+      case ("GET", List("tables")) =>
+        ok(engine.catalog.list.filter(n => engine.catalog.get(n).exists(_.isTable))
+          .map("\"" + _ + "\"").mkString("[", "," , "]"))
+      case ("GET", List("tables", name)) =>
+        engine.catalog.get(name).filter(_.isTable) match {
+          case Some(d) => ok(s"""{"name":"${d.name}","isTable":true}""")
+          case None => err(404, s"table $name not found")
+        }
+      case ("DELETE", List("tables", name)) =>
+        engine.catalog.drop(name); streamDdl.remove(name); ok("{}")
+
+      // server info + health (reference rest.go "/" and "/ping")
+      case ("GET", List("")) =>
+        ok(s"""{"version":"graft","os":${JsonMethods.compact(JString(System.getProperty("os.name")))},""" +
+          s""""upTimeSeconds":${(System.currentTimeMillis - startMs) / 1000}}""")
+      case ("GET", List("ping")) => ok("{}")
 
       case ("POST", List("rules")) =>
         val id = createRule(body)
@@ -126,6 +159,39 @@ final class RuleApi(engine: RuleEngine) {
           s""""batches":${st.batchesProcessed},"rows":${st.rowsProcessed}}""")
       case ("GET", List("rules", id, "explain")) =>
         ok(JsonMethods.compact(JString(engine.explain(id))))
+      case ("POST", List("rules", id, "restart")) =>
+        // reference restartRule: stop if running, then start
+        try engine.stop(id) catch { case _: IllegalStateException => () }
+        engine.start(id); ok(s"""{"id":"$id","status":"restarted"}""")
+      case ("GET", List("rules", "status", "all")) =>
+        val per = engine.list.map { id =>
+          val st = engine.status(id)
+          s"""${JsonMethods.compact(JString(id))}:{""" +
+            s""""state":${JsonMethods.compact(JString(st.state.toString))},""" +
+            s""""batches":${st.batchesProcessed},"rows":${st.rowsProcessed}}"""
+        }
+        ok(per.mkString("{", ",", "}"))
+      case ("POST", List("rules", "validate")) =>
+        // parse + plan without registering (reference validateRule)
+        val j = JsonMethods.parse(body)
+        (j \ "sql") match {
+          case JString(sql) =>
+            engine.compileSql(sql) // throws on unknown stream / bad SQL
+            ok("""{"valid":true}""")
+          case _ => err(400, "rule needs sql")
+        }
+      case ("GET", List("rules", id, "topo")) =>
+        // reference GET /rules/{name}/topo: node names + edge map. The
+        // Spark plan is one fused operator per sink, so the topology is
+        // source_<stream>* → op_1_sql → sink_<i>.
+        val rule = engine.ruleDef(id)
+        val sources = engine.referencedStreams(rule.sql).map("source_" + _)
+        val sinks = rule.sinks.indices.map(i => s"sink_$i")
+        val edges =
+          sources.map(s => s"${JsonMethods.compact(JString(s))}:[\"op_1_sql\"]") :+
+            s""""op_1_sql":${sinks.map(s => JsonMethods.compact(JString(s))).mkString("[", ",", "]")}"""
+        ok(s"""{"sources":${sources.map(s => JsonMethods.compact(JString(s))).mkString("[", ",", "]")},""" +
+          s""""edges":{${edges.mkString(",")}}}""")
       case ("DELETE", List("rules", id)) =>
         engine.delete(id); ruleJson.remove(id); ok("{}")
 

@@ -109,6 +109,10 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     catalog.list.filter(n =>
       java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(sql).find())
 
+  /** Rule definition + referenced stream names (REST /rules/{id}/topo). */
+  private[rules] def ruleDef(id: String): Rule = lookup(id).rule
+  private[rules] def referencedStreams(sql: String): Seq[String] = referencedNames(sql)
+
   /** The rule's SQL in Spark dialect (eKuiper window/arrow syntax
     * translated when detected), with the reference's rule-context
     * functions substituted at plan time (funcs_misc.go): rule_id() →

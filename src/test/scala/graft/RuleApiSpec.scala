@@ -275,4 +275,68 @@ class RuleApiSpec extends SparkSuite {
     // bad SQL surfaces as a 400, not a crash
     assert(a.handle("POST", "/ruletest", """{"sql":"SELECT FROM nowhere"}""")._1 == 400)
   }
+
+  test("table endpoints are separate from stream endpoints") {
+    val a = api
+    MemoryHub.publish("tbl_in",
+      spark.createDataFrame(Seq((1L, "x"))).toDF("id", "v"))
+    assert(a.handle("POST", "/tables",
+      """{"sql": "CREATE TABLE api_t (id BIGINT, v STRING) WITH (TYPE=\"memory\", DATASOURCE=\"tbl_in\")"}""")._1 == 200)
+    // a CREATE STREAM posted to /tables is rejected and not registered
+    val (cBad, _) = a.handle("POST", "/tables",
+      """{"sql": "CREATE STREAM api_t2 (x BIGINT) WITH (TYPE=\"file\", FORMAT=\"json\", DATASOURCE=\"/tmp/none\")"}""")
+    assert(cBad == 400)
+    assert(!a.handle("GET", "/streams")._2.contains("api_t2"))
+    // tables list has the table; streams list does NOT (and vice versa)
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE STREAM api_s2 (x BIGINT) WITH (TYPE=\"file\", FORMAT=\"json\", DATASOURCE=\"/tmp/none\")"}""")
+    assert(a.handle("GET", "/tables")._2.contains("api_t"))
+    assert(!a.handle("GET", "/tables")._2.contains("api_s2"))
+    assert(a.handle("GET", "/streams")._2.contains("api_s2"))
+    assert(!a.handle("GET", "/streams")._2.contains("api_t"))
+    val (cg, bg) = a.handle("GET", "/tables/api_t")
+    assert(cg == 200 && bg.contains("\"isTable\":true"))
+    assert(a.handle("GET", "/tables/api_s2")._1 == 404) // a stream is not a table
+    assert(a.handle("DELETE", "/tables/api_t")._1 == 200)
+    assert(!a.handle("GET", "/tables")._2.contains("api_t"))
+  }
+
+  test("ping, server info, validate, restart, status/all, topo") {
+    val a = api
+    assert(a.handle("GET", "/ping")._1 == 200)
+    val (ci, info) = a.handle("GET", "/")
+    assert(ci == 200 && info.contains("\"version\"") && info.contains("\"upTimeSeconds\""))
+
+    MemoryHub.publish("val_in",
+      spark.createDataFrame(Seq((5L, "x"))).toDF("v", "k"))
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE TABLE val_s (v BIGINT, k STRING) WITH (TYPE=\"memory\", DATASOURCE=\"val_in\")"}""")
+    // validate: good SQL 200 without registering; bad SQL 400
+    assert(a.handle("POST", "/rules/validate",
+      """{"id":"rv","sql":"SELECT v FROM val_s"}""")._2.contains("\"valid\":true"))
+    assert(a.handle("GET", "/rules")._2 == "[]")
+    assert(a.handle("POST", "/rules/validate",
+      """{"id":"rv","sql":"SELECT v FROM ghost_stream"}""")._1 == 400)
+    assert(a.handle("POST", "/rules/validate", """{"id":"rv"}""")._1 == 400)
+
+    MemoryHub.drop("val_out")
+    a.handle("POST", "/rules",
+      """{"id":"r_all","sql":"SELECT v * 3 AS w FROM val_s","actions":[{"memory":{"topic":"val_out"}}]}""")
+    a.handle("POST", "/rules/r_all/start")
+    assert(MemoryHub.frame(spark, "val_out").first().getLong(0) == 15)
+    // restart runs the batch again (stopped state is tolerated)
+    MemoryHub.drop("val_out")
+    assert(a.handle("POST", "/rules/r_all/restart")._1 == 200)
+    assert(MemoryHub.frame(spark, "val_out").first().getLong(0) == 15)
+    // status/all carries every rule keyed by id
+    val (cs, sAll) = a.handle("GET", "/rules/status/all")
+    assert(cs == 200 && sAll.contains("\"r_all\"") && sAll.contains("\"state\""))
+    // topo names the referenced source, the fused op, and the sink
+    val (ct, topo) = a.handle("GET", "/rules/r_all/topo")
+    assert(ct == 200, topo)
+    assert(topo.contains("\"source_val_s\"") && topo.contains("\"op_1_sql\"")
+      && topo.contains("\"sink_0\""))
+    assert(a.handle("GET", "/rules/ghost/topo")._1 == 404)
+    a.handle("DELETE", "/rules/r_all")
+  }
 }
