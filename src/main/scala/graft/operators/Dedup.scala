@@ -262,4 +262,58 @@ object Dedup {
       .groupBy(col("doc").as(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Incremental dedup of a new `batch` against an already-ingested
+    * `corpus`: returns the batch rows whose content does NOT appear in
+    * the corpus. Exact semantics (equivalent to an anti-join on
+    * content), reached without ever shuffling the corpus:
+    *
+    *  1. one corpus scan folds xxhash64(content) into a Bloom filter
+    *     (Spark's own BloomFilterAggregate — partial-agg, driver gets
+    *     only the compact bitset, the same sketch Spark injects for
+    *     runtime row filtering);
+    *  2. the batch is pruned map-side with BloomFilterMightContain
+    *     (codegen): rows the filter rejects are definitely new;
+    *  3. the (small) bloom-positive candidate hash set is BROADCAST
+    *     against a second corpus scan — a map-only semi-join — to
+    *     strip false positives; confirmed-duplicate hashes come back
+    *     broadcast-small and anti-join the candidates map-side.
+    *
+    * Total cost at 100 TB: two corpus scans, zero corpus shuffles,
+    * batch map-only. `expectedItems`/`fpp` size the filter: 1e9 docs
+    * at 1% fpp ≈ 1.2 GiB of driver/broadcast memory — beyond that,
+    * shard the corpus (e.g. by hash prefix) and run one filter per
+    * shard. Collision caveat: "same 64-bit xxhash" stands in for
+    * "same content"; at 2^64 that is the standard trade the exact
+    * pipeline ([[exact]]) also makes.
+    */
+  def bloomNewDocs(corpus: DataFrame, batch: DataFrame,
+                   textCol: String, expectedItems: Long,
+                   fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val h = xxhash64(col(textCol))
+    // optimal bits for n items at fpp p: -n·ln p / (ln 2)²
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(h),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = corpus.select(ColumnBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
+    val batchH = batch.withColumn("__h", h)
+    val candidates = batchH.filter(might)
+    val confirmed = corpus.select(h.as("__h"))
+      .join(broadcast(candidates.select(col("__h")).distinct()), "__h", "left_semi")
+      .distinct()
+    candidates
+      .join(broadcast(confirmed), Seq("__h"), "left_anti")
+      .unionByName(batchH.filter(!might))
+      .drop("__h")
+  }
 }

@@ -49,6 +49,19 @@ object PipelineQueries {
       Dedup.simhashPairs(withPlanted(docs(s, d)), "text", "doc_id", maxHamming = 3)
         .orderBy(col("a"), col("b"))),
 
+    // incremental dedup: new-batch rows not already in the corpus,
+    // via a corpus Bloom filter + broadcast verify (exact result —
+    // full oracle below is a plain anti-join on content)
+    "q_dedup_bloom" -> ((s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = all.where(col("doc_id") % 10 =!= 0)
+      val batch = all.where(col("doc_id") % 10 === 0)
+        .unionByName(all.where(col("doc_id") % 10 === 1 && col("doc_id") < 50)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.bloomNewDocs(corpus, batch, "text", expectedItems = 100000)
+        .select(col("doc_id"))
+    }),
+
     "q_dedup_jaccard" -> ((s, d) => {
       val planted = withPlanted(docs(s, d))
       Dedup.jaccardVerify(
@@ -221,6 +234,15 @@ object PipelineQueries {
         |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin,
+    "q_dedup_bloom" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents
+        |  WHERE doc_id % 10 = 1 AND doc_id < 50)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)""".stripMargin,
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks

@@ -134,4 +134,41 @@ class DedupSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast join:\n$plan")
   }
+
+  test("bloom incremental dedup equals the exact anti-join") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .unionByName(corpus.where(col("doc_id") < 50)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val got = Dedup.bloomNewDocs(corpus, batch, "text", expectedItems = 10000)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    // every planted cross-split copy was recognized as a duplicate
+    assert(!got.exists(_ >= 300000))
+  }
+
+  test("bloom dedup stays exact when the filter is saturated (all-positive)") {
+    // expectedItems=1 on a 450+ doc corpus → bloom answers 'maybe' for
+    // nearly everything; the broadcast verify pass must strip every
+    // false positive and the result stays the exact anti-join
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val got = Dedup.bloomNewDocs(corpus, batch, "text", expectedItems = 1, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("bloom dedup never shuffles the corpus: verify joins are broadcast") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val plan = Dedup.bloomNewDocs(corpus, batch, "text", expectedItems = 10000)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not hash-shuffle:\n$plan")
+    assert(plan.contains("might_contain"), s"expected the bloom probe in the plan:\n$plan")
+  }
 }
