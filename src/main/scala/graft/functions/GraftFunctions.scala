@@ -174,6 +174,12 @@ object GraftFunctions {
     "geohashNeighbors" -> { a => GeoFunctions.geohash_neighbors(a(0)) },
     "geohashNeighborsInt" -> { a => GeoFunctions.geohash_neighbors_int(a(0)) },
 
+    // ---- image plugin pack (extensions/functions/image) ----
+    "resize" -> { a =>
+      val raw = a.length > 3 && fmtLiteral(a(3)).toBoolean
+      ImageFunctions.resize(a(0), a(1), a(2), raw) },
+    "thumbnail" -> { a => ImageFunctions.thumbnail(a(0), a(1), a(2)) },
+
     // ---- sample plugin functions (extensions/functions/{echo,countPlusOne}) ----
     "echo" -> { a => a(0) },
     "countPlusOne" -> { a => count(a(0)) + lit(1L) },
