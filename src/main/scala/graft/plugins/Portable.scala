@@ -1,0 +1,383 @@
+package graft.plugins
+
+import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import graft.net.{NngListener, NngPair}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.RegistryBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Portable (out-of-process) function plugins — the reference's
+  * portable plugin runtime (internal/plugin/portable/runtime:
+  * shared.go message surface, plugin_ins_manager.go process model,
+  * function.go call protocol; SDKs under sdk/go, sdk/python).
+  *
+  * Message surface is the reference's verbatim: the plugin opens the
+  * conversation with `handshake` on the control channel; the engine
+  * sends `Command{"cmd":"start"|"stop","arg":json(Control)}` and
+  * expects `"ok"`; function calls are
+  * `FuncData{"func":"Exec"|"Validate"|"IsAggregate","arg":[...]}` →
+  * `FuncReply{"state":bool,"result":any}`, with the rule context
+  * appended as the last Exec argument.
+  *
+  * Two substitutions, both forced by the environment and documented:
+  *  - transport: nanomsg ipc:// sockets become the SP-over-TCP mapping
+  *    graft already speaks (graft.net.Nng, loopback). The reference
+  *    derives ipc paths from plugin/symbol names; TCP ports can't be
+  *    derived, so the engine BINDS all channels and hands the urls to
+  *    the plugin process in its config-JSON argv (the reference passes
+  *    PortableConfig the same way).
+  *  - socket type: the reference drives mangos REQ/REP backwards
+  *    (engine sends on a REP socket, retrying around ErrProtoState) to
+  *    get a bidirectional conversation; PAIR is that conversation
+  *    encoded honestly, with one in-flight request per channel
+  *    enforced by a lock like the reference's channel mutex.
+  *
+  * Scale note: function channels live per JVM. On a cluster each
+  * executor would start its own plugin process (the reference's model
+  * is likewise one process per engine instance); local[32] shares one.
+  */
+object PortablePlugins {
+
+  case class PortableFunction(name: String, returnType: String = "string")
+  /** executable == Nil → attach mode: an already-running worker (or a
+    * test thread) dials the urls itself.
+    */
+  case class PluginMeta(name: String, executable: Seq[String] = Nil,
+                        functions: Seq[PortableFunction] = Nil)
+
+  /** One bound channel endpoint: request/response with single
+    * outstanding request (the reference's per-channel mutex).
+    */
+  private[plugins] final class Rpc {
+    private val listener = NngListener.bind()
+    private val inbox = new LinkedBlockingQueue[Array[Byte]]()
+    listener.onMessage(b => inbox.put(b))
+
+    def address: String = listener.address
+
+    def awaitMessage(timeoutMs: Long): Option[Array[Byte]] =
+      Option(inbox.poll(timeoutMs, TimeUnit.MILLISECONDS))
+
+    def request(body: Array[Byte], timeoutMs: Long): Array[Byte] = synchronized {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!listener.hasPeer) {
+        if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException("portable plugin channel has no connected peer")
+        Thread.sleep(10)
+      }
+      inbox.clear()
+      listener.send(body)
+      awaitMessage(deadline - System.currentTimeMillis).getOrElse(
+        throw new IllegalStateException("portable plugin call timed out"))
+    }
+
+    def close(): Unit = listener.close()
+  }
+
+  private final case class Instance(meta: PluginMeta, control: Rpc,
+                                    funcChans: Map[String, Rpc],
+                                    process: Option[Process])
+
+  private val instances = new ConcurrentHashMap[String, Instance]()
+
+  /** Engine-side config JSON handed to the plugin process as argv[1]
+    * (reference: PortableConfig json).
+    */
+  private def confJson(meta: PluginMeta, control: Rpc,
+                       funcChans: Map[String, Rpc]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "name" -> JString(meta.name),
+      "sendTimeout" -> JInt(1000),
+      "controlUrl" -> JString(control.address),
+      "functionUrls" -> JObject(funcChans.toList.map {
+        case (s, r) => s -> (JString(r.address): JValue)
+      }))))
+
+  /** Start (or attach) a plugin and register its functions as SQL
+    * functions on the session. Returns the config JSON. `onConf` fires
+    * once the channels are bound and before the handshake wait — the
+    * hook attach-mode workers (no executable) use to dial in.
+    */
+  def register(spark: SparkSession, meta: PluginMeta,
+               initTimeoutMs: Long = 15000,
+               onConf: String => Unit = _ => ()): String = {
+    require(!instances.containsKey(meta.name), s"plugin ${meta.name} already registered")
+    val control = new Rpc
+    val funcChans = meta.functions.map(f => f.name -> new Rpc).toMap
+    val conf = confJson(meta, control, funcChans)
+    val process = meta.executable match {
+      case Nil => None
+      case exe =>
+        val pb = new ProcessBuilder((exe :+ conf).asJava)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        Some(pb.start())
+    }
+    try {
+      onConf(conf)
+      // the plugin opens with "handshake" (reference Handshake())
+      val hs = control.awaitMessage(initTimeoutMs).map(new String(_))
+      require(hs.contains("handshake"),
+        s"plugin ${meta.name} control handshake error: got $hs")
+      val inst = Instance(meta, control, funcChans, process)
+      instances.put(meta.name, inst)
+      meta.functions.foreach { f =>
+        startSymbol(inst, f.name)
+        val ret = sqlType(f.returnType)
+        RegistryBridge.register(spark, f.name,
+          args => PortableFuncExpr(meta.name, f.name, f.returnType, args, ret))
+      }
+      conf
+    } catch {
+      case e: Exception =>
+        process.foreach(_.destroyForcibly())
+        control.close(); funcChans.values.foreach(_.close())
+        throw e
+    }
+  }
+
+  private def startSymbol(inst: Instance, symbol: String): Unit = {
+    val ctrl = JsonMethods.compact(JsonMethods.render(JObject(
+      "symbolName" -> JString(symbol),
+      "meta" -> JObject("ruleId" -> JString(""), "opId" -> JString(""),
+        "instanceId" -> JInt(0)),
+      "pluginType" -> JString("func"))))
+    val cmd = JsonMethods.compact(JsonMethods.render(JObject(
+      "cmd" -> JString("start"), "arg" -> JString(ctrl))))
+    val resp = new String(inst.control.request(cmd.getBytes("UTF-8"), 10000))
+    require(resp == "ok", s"start symbol $symbol: expected ok, got $resp")
+  }
+
+  private[plugins] def call(plugin: String, symbol: String,
+                            payload: String): JValue = {
+    val inst = Option(instances.get(plugin)).getOrElse(
+      throw new IllegalStateException(s"plugin $plugin is not registered"))
+    val chan = inst.funcChans.getOrElse(symbol,
+      throw new IllegalStateException(s"plugin $plugin has no symbol $symbol"))
+    JsonMethods.parse(new String(chan.request(payload.getBytes("UTF-8"), 10000), "UTF-8"))
+  }
+
+  def status(name: String): String = Option(instances.get(name)) match {
+    case None => "stopped"
+    case Some(i) => i.process match {
+      case Some(p) if !p.isAlive => "crashed"
+      case _ => "running"
+    }
+  }
+
+  def stop(name: String): Unit = Option(instances.remove(name)).foreach { inst =>
+    // best-effort stop commands per symbol (reference CMD_STOP), then teardown
+    try {
+      inst.meta.functions.foreach { f =>
+        val ctrl = JsonMethods.compact(JsonMethods.render(JObject(
+          "symbolName" -> JString(f.name), "pluginType" -> JString("func"))))
+        val cmd = JsonMethods.compact(JsonMethods.render(JObject(
+          "cmd" -> JString("stop"), "arg" -> JString(ctrl))))
+        try inst.control.request(cmd.getBytes("UTF-8"), 1000)
+        catch { case _: Exception => () }
+      }
+    } finally {
+      inst.process.foreach(_.destroyForcibly())
+      inst.control.close()
+      inst.funcChans.values.foreach(_.close())
+    }
+  }
+
+  def list: Seq[String] = instances.keys.asScala.toSeq.sorted
+
+  private[plugins] def sqlType(name: String): DataType = name.toLowerCase match {
+    case "bigint" | "int" | "long" => LongType
+    case "float" | "double" => DoubleType
+    case "boolean" | "bool" => BooleanType
+    case "array" => ArrayType(StringType)
+    case _ => StringType
+  }
+}
+
+/** A registered portable function: every evaluation is one FuncData
+  * round trip on the symbol's channel (reference function.go Exec).
+  * CodegenFallback + non-deterministic: the call leaves the JVM, must
+  * re-run per row, and must never constant-fold at plan time.
+  */
+final case class PortableFuncExpr(plugin: String, symbol: String,
+                                  returnTypeName: String,
+                                  children: Seq[Expression],
+                                  dataType: DataType)
+    extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = false
+
+  private def toJson(v: Any): JValue = v match {
+    case null => JNull
+    case s: UTF8String => JString(s.toString)
+    case b: Array[Byte] => JString(java.util.Base64.getEncoder.encodeToString(b))
+    case l: Long => JInt(BigInt(l))
+    case i: Int => JInt(BigInt(i))
+    case sh: Short => JInt(BigInt(sh.toInt))
+    case by: Byte => JInt(BigInt(by.toInt))
+    case d: Double => JDouble(d)
+    case f: Float => JDouble(f.toDouble)
+    case dec: org.apache.spark.sql.types.Decimal => JDouble(dec.toDouble)
+    case b: Boolean => JBool(b)
+    case a: ArrayData => JArray(a.toObjectArray(StringType).map(toJson).toList)
+    case other => JString(String.valueOf(other))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val args = children.map(c => toJson(c.eval(input)))
+    // the reference appends the encoded rule context as the last arg
+    val ctx = JObject("ruleId" -> JString(""), "opId" -> JString(""),
+      "instanceId" -> JInt(0))
+    val payload = JsonMethods.compact(JsonMethods.render(JObject(
+      "func" -> JString("Exec"),
+      "arg" -> JArray(args.toList :+ (ctx: JValue)))))
+    val reply = PortablePlugins.call(plugin, symbol, payload)
+    val state = (reply \ "state") == JBool(true)
+    val result = reply \ "result"
+    if (!state)
+      throw new IllegalStateException(
+        s"portable function $symbol error: ${JsonMethods.compact(JsonMethods.render(result))}")
+    coerce(result)
+  }
+
+  private def coerce(v: JValue): Any = dataType match {
+    case LongType => v match {
+      case JInt(n) => n.toLong; case JLong(n) => n
+      case JDouble(d) => d.toLong; case JString(s) => s.toLong
+      case _ => null }
+    case DoubleType => v match {
+      case JDouble(d) => d; case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble; case JString(s) => s.toDouble
+      case _ => null }
+    case BooleanType => v match {
+      case JBool(b) => b; case _ => null }
+    case ArrayType(StringType, _) => v match {
+      case JArray(xs) => new GenericArrayData(
+        xs.map(x => UTF8String.fromString(raw(x))).toArray[Any])
+      case _ => null }
+    case _ => v match {
+      case JNull | JNothing => null
+      case other => UTF8String.fromString(raw(other))
+    }
+  }
+
+  private def raw(v: JValue): String = v match {
+    case JString(s) => s
+    case other => JsonMethods.compact(JsonMethods.render(other))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PortableFuncExpr =
+    copy(children = newChildren)
+}
+
+/** Plugin-side SDK (the reference's sdk/go mirror): dial the urls from
+  * the config JSON, answer the control conversation, serve function
+  * calls from plain Scala handlers. Used by external worker processes
+  * ([[PortableWorkerMain]]) and by in-process test workers alike.
+  */
+object PortableWorker {
+
+  final class Running private[PortableWorker] (
+      conns: java.util.concurrent.CopyOnWriteArrayList[NngPair]) extends AutoCloseable {
+    def close(): Unit = conns.forEach(_.close())
+  }
+
+  /** `handlers`: symbol → function over decoded JSON args (minus the
+    * trailing ctx). Throwing produces `{"state":false,"result":msg}`.
+    */
+  def connect(confJson: String, handlers: Map[String, Seq[JValue] => JValue]): Running = {
+    val conf = JsonMethods.parse(confJson)
+    val controlUrl = (conf \ "controlUrl") match {
+      case JString(u) => u
+      case _ => throw new IllegalArgumentException("conf needs controlUrl")
+    }
+    val funcUrls = (conf \ "functionUrls") match {
+      case JObject(fs) => fs.collect { case JField(k, JString(u)) => k -> u }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val control = NngPair.dial(controlUrl)
+    val open = new java.util.concurrent.CopyOnWriteArrayList[NngPair]()
+    open.add(control)
+    control.onMessage { body =>
+      val cmd = JsonMethods.parse(new String(body, "UTF-8"))
+      (cmd \ "cmd") match {
+        case JString("start") =>
+          val symbol = (JsonMethods.parse((cmd \ "arg") match {
+            case JString(a) => a; case _ => "{}"
+          }) \ "symbolName") match { case JString(s) => s; case _ => "" }
+          handlers.get(symbol).zip(funcUrls.get(symbol)).foreach {
+            case (handler, url) =>
+              val chan = NngPair.dial(url)
+              open.add(chan)
+              chan.onMessage { req =>
+                val reply =
+                  try {
+                    val data = JsonMethods.parse(new String(req, "UTF-8"))
+                    (data \ "func") match {
+                      case JString("Exec") =>
+                        val args = (data \ "arg") match {
+                          case JArray(xs) => xs.dropRight(1) // trailing ctx
+                          case _ => Nil
+                        }
+                        JObject("state" -> JBool(true), "result" -> handler(args))
+                      case JString("Validate") =>
+                        JObject("state" -> JBool(true), "result" -> JNull)
+                      case JString("IsAggregate") =>
+                        JObject("state" -> JBool(true), "result" -> JBool(false))
+                      case other =>
+                        JObject("state" -> JBool(false),
+                          "result" -> JString(s"unknown func $other"))
+                    }
+                  } catch {
+                    case e: Exception =>
+                      JObject("state" -> JBool(false),
+                        "result" -> JString(String.valueOf(e.getMessage)))
+                  }
+                chan.send(JsonMethods.compact(JsonMethods.render(reply)).getBytes("UTF-8"))
+              }
+          }
+          control.send("ok".getBytes("UTF-8"))
+        case JString("stop") => control.send("ok".getBytes("UTF-8"))
+        case _ => control.send("error".getBytes("UTF-8"))
+      }
+    }
+    // the plugin opens the conversation (reference sdk handshake)
+    control.send("handshake".getBytes("UTF-8"))
+    new Running(open)
+  }
+}
+
+/** SDK example worker (the reference's sdk sample plugins): serves
+  * `plugin_rev` (string reverse) and `plugin_addone` (bigint + 1).
+  * Spawned as `java -cp <cp> graft.plugins.PortableWorkerMain <conf>`
+  * by the process-mode spec — a REAL separate process end-to-end.
+  */
+object PortableWorkerMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PortableWorkerMain <confJson>")
+    PortableWorker.connect(args(0), Map(
+      "plugin_rev" -> { as =>
+        JString(as.headOption.collect { case JString(s) => s.reverse }.getOrElse(""))
+      },
+      "plugin_addone" -> { as =>
+        JInt(as.headOption.collect {
+          case JInt(n) => n + 1
+          case JLong(n) => BigInt(n) + 1
+        }.getOrElse(BigInt(0)))
+      }))
+    // stay alive until the engine kills the process (reference model)
+    while (true) Thread.sleep(1000)
+  }
+}

@@ -83,7 +83,11 @@ final class RuleApi(engine: RuleEngine) {
       checkpointDir = (opts \ "checkpoint") match {
         case JString(c) => Some(c); case _ => None },
       restart = restart, schedule = schedule, cron = cron,
-      liveLookup = (opts \ "liveLookup") == JBool(true)))
+      liveLookup = (opts \ "liveLookup") == JBool(true),
+      tags = (j \ "tags") match {
+        case JArray(ts) => ts.collect { case JString(t) => t }
+        case _ => Nil
+      }))
     ruleJson.put(id, JsonMethods.compact(JsonMethods.render(j)))
     id
   }
@@ -180,6 +184,55 @@ final class RuleApi(engine: RuleEngine) {
             ok("""{"valid":true}""")
           case _ => err(400, "rule needs sql")
         }
+      // rule tags (reference internal/server/rule_tag.go): PUT
+      // replaces, PATCH merges, DELETE removes; match + bulk ops
+      // select rules carrying EVERY requested tag (IsTagsMatch)
+      case (m @ ("PUT" | "PATCH" | "DELETE"), List("rules", id, "tags")) =>
+        val req = (JsonMethods.parse(if (body.isEmpty) "{}" else body) \ "tags") match {
+          case JArray(ts) => ts.collect { case JString(t) => t }
+          case _ => Nil
+        }
+        val cur = engine.ruleDef(id).tags
+        val next = m match {
+          case "PUT" => req
+          case "PATCH" => cur ++ req.filterNot(cur.contains)
+          case _ => cur.filterNot(req.contains)
+        }
+        engine.setTags(id, next)
+        // keep the stored rule JSON (export source) in sync
+        Option(ruleJson.get(id)).foreach { js =>
+          val updated = JsonMethods.parse(js) match {
+            case JObject(fs) => JObject(fs.filterNot(_._1 == "tags") :+
+              JField("tags", JArray(next.toList.map(JString(_)))))
+            case other => other
+          }
+          ruleJson.put(id, JsonMethods.compact(JsonMethods.render(updated)))
+        }
+        ok(s"""{"id":"$id","tags":${next.map(t => JsonMethods.compact(JString(t))).mkString("[", ",", "]")}}""")
+      case ("GET", List("rules", "tags", "match")) =>
+        val req = (JsonMethods.parse(if (body.isEmpty) "{}" else body) \ "tags") match {
+          case JArray(ts) => ts.collect { case JString(t) => t }
+          case _ => Nil
+        }
+        val ids = engine.list.filter(id => engine.ruleDef(id).isTagsMatch(req))
+        ok(s"""{"rules":${ids.map(i => JsonMethods.compact(JString(i))).mkString("[", ",", "]")}}""")
+      case ("POST", List("rules", op @ ("bulkstart" | "bulkstop"))) =>
+        val req = (JsonMethods.parse(if (body.isEmpty) "{}" else body) \ "tags") match {
+          case JArray(ts) => ts.collect { case JString(t) => t }
+          case _ => Nil
+        }
+        val results = engine.list.filter(id => engine.ruleDef(id).isTagsMatch(req))
+          .map { id =>
+            try {
+              if (op == "bulkstart") engine.start(id) else engine.stop(id)
+              s"""{"ruleId":${JsonMethods.compact(JString(id))},"success":true}"""
+            } catch {
+              case e: Exception =>
+                s"""{"ruleId":${JsonMethods.compact(JString(id))},"success":false,""" +
+                  s""""error":${JsonMethods.compact(JString(String.valueOf(e.getMessage)))}}"""
+            }
+          }
+        ok(results.mkString("[", ",", "]"))
       case ("GET", List("rules", id, "topo")) =>
         // reference GET /rules/{name}/topo: node names + edge map. The
         // Spark plan is one fused operator per sink, so the topology is
@@ -348,6 +401,39 @@ final class RuleApi(engine: RuleEngine) {
         }
       case ("DELETE", List("services", name)) =>
         Services.drop(name); ok("{}")
+
+      // portable plugins (reference internal/server plugin endpoints
+      // over internal/plugin/portable): register a worker process whose
+      // functions become SQL functions
+      case ("POST", List("plugins", "portables")) =>
+        import graft.plugins.PortablePlugins
+        val j = JsonMethods.parse(body)
+        (j \ "name") match {
+          case JString(n) =>
+            val exe = (j \ "executable") match {
+              case JArray(xs) => xs.collect { case JString(s) => s }
+              case _ => Nil
+            }
+            val fns = (j \ "functions") match {
+              case JArray(xs) => xs.collect {
+                case o: JObject => PortablePlugins.PortableFunction(
+                  (o \ "name") match { case JString(s) => s; case _ => "" },
+                  (o \ "returnType") match { case JString(s) => s; case _ => "string" })
+              }
+              case _ => Nil
+            }
+            PortablePlugins.register(engine.session,
+              PortablePlugins.PluginMeta(n, exe, fns))
+            ok(s"""{"name":"$n","status":"running"}""")
+          case _ => err(400, "plugin needs a name")
+        }
+      case ("GET", List("plugins", "portables")) =>
+        import graft.plugins.PortablePlugins
+        ok(PortablePlugins.list.map(n =>
+          s"""{"name":${JsonMethods.compact(JString(n))},"status":"${PortablePlugins.status(n)}"}""")
+          .mkString("[", ",", "]"))
+      case ("DELETE", List("plugins", "portables", name)) =>
+        graft.plugins.PortablePlugins.stop(name); ok("{}")
 
       case ("GET", List("metrics")) =>
         // ids and Failed messages are user-supplied strings — escape

@@ -38,7 +38,13 @@ final case class Rule(id: String, sql: String, sinks: Seq[Sink],
                       restart: RestartPolicy = RestartPolicy(),
                       schedule: Seq[ScheduleRange] = Nil,
                       cron: Option[CronSchedule] = None,
-                      liveLookup: Boolean = false)
+                      liveLookup: Boolean = false,
+                      tags: Seq[String] = Nil) {
+  /** Reference IsTagsMatch (internal/pkg/def/rule.go:162): the rule
+    * carries every requested tag; an empty request matches all rules.
+    */
+  def isTagsMatch(req: Seq[String]): Boolean = req.forall(tags.contains)
+}
 
 object Rule {
   /** Graph-API rule (JSON DAG; sinks come from the graph's sink nodes). */
@@ -112,6 +118,10 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
   /** Rule definition + referenced stream names (REST /rules/{id}/topo). */
   private[rules] def ruleDef(id: String): Rule = lookup(id).rule
   private[rules] def referencedStreams(sql: String): Seq[String] = referencedNames(sql)
+  private[rules] def setTags(id: String, tags: Seq[String]): Unit = {
+    val slot = lookup(id)
+    slot.rule = slot.rule.copy(tags = tags)
+  }
 
   /** The rule's SQL in Spark dialect (eKuiper window/arrow syntax
     * translated when detected), with the reference's rule-context

@@ -276,6 +276,45 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("POST", "/ruletest", """{"sql":"SELECT FROM nowhere"}""")._1 == 400)
   }
 
+  test("rule tags: PUT/PATCH/DELETE, match, and tag-scoped bulk ops") {
+    val a = api
+    MemoryHub.publish("tag_in",
+      spark.createDataFrame(Seq((7L, "x"))).toDF("v", "k"))
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE TABLE tag_s (v BIGINT, k STRING) WITH (TYPE=\"memory\", DATASOURCE=\"tag_in\")"}""")
+    a.handle("POST", "/rules",
+      """{"id":"r_t1","sql":"SELECT v FROM tag_s","tags":["prod","etl"],
+        | "actions":[{"memory":{"topic":"tag_o1"}}]}""".stripMargin)
+    a.handle("POST", "/rules",
+      """{"id":"r_t2","sql":"SELECT v FROM tag_s","tags":["dev"],
+        | "actions":[{"memory":{"topic":"tag_o2"}}]}""".stripMargin)
+    // subset match: rules carrying EVERY requested tag
+    val (cm, bm) = a.handle("GET", "/rules/tags/match", """{"tags":["prod"]}""")
+    assert(cm == 200 && bm.contains("r_t1") && !bm.contains("r_t2"))
+    // empty request matches all
+    val (_, bAll) = a.handle("GET", "/rules/tags/match", """{"tags":[]}""")
+    assert(bAll.contains("r_t1") && bAll.contains("r_t2"))
+    // PATCH merges, DELETE removes, PUT replaces
+    a.handle("PATCH", "/rules/r_t2/tags", """{"tags":["prod","dev"]}""")
+    assert(a.handle("GET", "/rules/tags/match", """{"tags":["prod","dev"]}""")._2.contains("r_t2"))
+    a.handle("DELETE", "/rules/r_t2/tags", """{"tags":["dev"]}""")
+    assert(!a.handle("GET", "/rules/tags/match", """{"tags":["dev"]}""")._2.contains("r_t2"))
+    val (_, bPut) = a.handle("PUT", "/rules/r_t1/tags", """{"tags":["archived"]}""")
+    assert(bPut.contains("archived"))
+    assert(!a.handle("GET", "/rules/tags/match", """{"tags":["prod"]}""")._2.contains("r_t1"))
+    // tags survive into the export document
+    assert(a.handle("GET", "/data/export")._2.contains("archived"))
+    // bulk start by tag runs only the matching rule
+    MemoryHub.drop("tag_o1"); MemoryHub.drop("tag_o2")
+    val (cb, bb) = a.handle("POST", "/rules/bulkstart", """{"tags":["archived"]}""")
+    assert(cb == 200 && bb.contains("\"r_t1\"") && bb.contains("\"success\":true")
+      && !bb.contains("r_t2"))
+    assert(MemoryHub.frame(spark, "tag_o1").first().getLong(0) == 7)
+    val (cs, bs) = a.handle("POST", "/rules/bulkstop", """{"tags":[]}""")
+    assert(cs == 200 && bs.contains("r_t1") && bs.contains("r_t2"))
+    a.handle("DELETE", "/rules/r_t1"); a.handle("DELETE", "/rules/r_t2")
+  }
+
   test("table endpoints are separate from stream endpoints") {
     val a = api
     MemoryHub.publish("tbl_in",
