@@ -111,6 +111,43 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * byte_i = round(x_i/scale). Cosine is invariant under positive
+    * per-vector scaling, so int8 cosine needs no dequantization and no
+    * stored scale — a 4× smaller embedding column for the ANN scan
+    * path (the memory/bandwidth trade every production vector store
+    * makes).
+    */
+  def quantizeInt8(a: ArrayData, elem: Int): Array[Byte] = {
+    val v = toDoubles(a, elem)
+    var m = 0.0
+    var i = 0
+    while (i < v.length) { val x = math.abs(v(i)); if (x > m) m = x; i += 1 }
+    val scale = if (m == 0.0) 1.0 else m / 127.0
+    val out = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) { out(i) = math.round(v(i) / scale).toByte; i += 1 }
+    out
+  }
+
+  /** Cosine over two int8-quantized vectors — integer dot/norm
+    * accumulation in one loop (auto-vectorizable byte math).
+    */
+  def int8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"int8_cosine: vectors must have equal length (${a.length} vs ${b.length})")
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toInt; val y = b(i).toInt
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Positions where two equal-length long signatures agree — the
     * MinHash similarity estimate's numerator, one tight loop per
     * candidate pair.
@@ -237,6 +274,34 @@ case class LshBucketExpr(child: Expression, planes: Array[Array[Double]])
   * accepted — int/long/short/byte vectors widen to double exactly like
   * the HOF formulation these kernels replaced.
   */
+/** Codegen int8 quantizer: array<numeric> → binary (one byte per
+  * element; scale dropped because the downstream metric is cosine).
+  */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "quantize_int8"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData], VectorElem.code(child, prettyName))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.quantizeInt8($c, ${VectorElem.code(child, prettyName)})")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
+/** Codegen cosine over two int8-quantized (binary) vectors. */
+case class Int8CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_cosine"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.int8Cosine(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.int8Cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Int8CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorElem {
   def code(e: Expression, fn: String): Int = e.dataType match {
     case ArrayType(FloatType, _) => VectorKernels.ElemFloat
@@ -261,4 +326,8 @@ object VectorFunctions {
     ColumnBridge.column(SigAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def lsh_bucket(vec: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes))
+  def quantize_int8(vec: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(vec)))
+  def int8_cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8CosineExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

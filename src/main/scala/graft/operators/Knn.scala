@@ -27,6 +27,32 @@ object Knn {
     */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine_sim(a, b)
 
+  /** Exact-shape top-k over int8-QUANTIZED vectors: both sides are
+    * symmetric-quantized to one byte per element (cosine is invariant
+    * under the per-vector scale, so no dequantization) and scored with
+    * an integer dot/norm kernel. Same plan shape as [[bruteForceTopK]]
+    * — probes broadcast, corpus never shuffled — but the broadcast and
+    * the scan-side scoring payload shrink 4× and the inner loop is
+    * byte math: the standard memory/bandwidth trade of a production
+    * vector store, with recall pinned by KnnSpec instead of assumed.
+    */
+  def bruteQuantTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val quant = VectorFunctions.quantize_int8 _
+    val q = queries.select(col(idCol).as("q_id"), quant(col(vecCol)).as("q_q"))
+    val c = corpus.select(col(idCol).as("n_id"), quant(col(vecCol)).as("n_q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos",
+        round(VectorFunctions.int8_cosine(col("q_q"), col("n_q")), 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** Exact top-k by cosine for every query row. `queries` must be small
     * enough to broadcast (it is by construction: the probe set).
     * Returns (q_id, n_id, cos, rank).

@@ -109,6 +109,13 @@ object PipelineQueries {
         k = 10, bits = 6, tables = 4, probes = 1)
     }),
 
+    // int8-quantized brute top-k (4× smaller scan payload; recall vs
+    // the float baseline pinned in KnnSpec) — rows-only + golden
+    "q_knn_quant" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.bruteQuantTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+    }),
+
     // ---- text analysis ----
     "q_text_quality" -> ((s, d) =>
       docs(s, d).select(

@@ -116,4 +116,33 @@ class KnnSpec extends SparkSuite {
       bits = 6, tables = 4, probes = 2).count()
     assert(r3 >= r0)
   }
+
+  test("int8 quantized top-k: recall >= 0.9 vs the float baseline") {
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val quant = Knn.bruteQuantTopK(q, emb, "vec_id", "embedding", k = 10)
+    // shape contract matches bruteForceTopK
+    val perQuery = quant.groupBy("q_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 10))
+    val recall = quant.select("q_id", "n_id").intersect(exact).count().toDouble /
+      exact.count()
+    assert(recall >= 0.9, s"int8 recall $recall below floor")
+  }
+
+  test("int8 quantization: cosine error is small, payload is 1 byte/dim") {
+    import graft.functions.VectorFunctions._
+    val pairs = emb.where(col("vec_id") < 30).alias("a")
+      .crossJoin(emb.where(col("vec_id") >= 30 && col("vec_id") < 60).alias("b"))
+      .select(
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("f"),
+        int8_cosine(quantize_int8(col("a.embedding")),
+          quantize_int8(col("b.embedding"))).as("q"),
+        org.apache.spark.sql.functions.octet_length(
+          quantize_int8(col("a.embedding"))).as("bytes"))
+    val rows = pairs.collect()
+    assert(rows.forall(_.getInt(2) == 64)) // 64-dim → 64 bytes, was 256
+    val maxErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    assert(maxErr < 0.02, s"int8 cosine drifts $maxErr from float cosine")
+  }
 }

@@ -103,6 +103,14 @@ class PlanSpec extends SparkSuite {
     assert(s.contains("embeddings"), s)
   }
 
+  test("quantized knn keeps the brute-force shape: probes broadcast, int8 kernel inline") {
+    val s = planOf("q_knn_quant")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("embeddings"), s)
+    assert(s.contains("int8_cosine") && s.contains("quantize_int8"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("dedup minhash pipeline keeps codegen on the signature stage") {
     val s = formatted(Tables(spark, sf, "documents").select(
       graft.functions.TextHashFunctions.minhash_sig(col("text"), 3, 64).as("sig")))
