@@ -435,6 +435,23 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("plugins", "portables", name)) =>
         graft.plugins.PortablePlugins.stop(name); ok("{}")
 
+      // batched API calls (reference rest.go batchRequestHandler):
+      // [{method,path,body}] → [{code,response}] routed through this
+      // same handler
+      case ("POST", List("batch", "req")) =>
+        val reqs = JsonMethods.parse(body) match {
+          case JArray(xs) => xs
+          case _ => return err(400, "body must be an array of {method,path,body}")
+        }
+        val results = reqs.map { r =>
+          val m = (r \ "method") match { case JString(s) => s; case _ => "GET" }
+          val p = (r \ "path") match { case JString(s) => s; case _ => "/" }
+          val b = (r \ "body") match { case JString(s) => s; case _ => "" }
+          val (code, resp) = handle(m, p, b)
+          s"""{"code":$code,"response":${JsonMethods.compact(JString(resp))}}"""
+        }
+        ok(results.mkString("[", ",", "]"))
+
       case ("GET", List("metrics")) =>
         // ids and Failed messages are user-supplied strings — escape
         // them, don't interpolate raw

@@ -3,6 +3,7 @@ package graft
 import graft.rules._
 import graft.sources.MemoryHub
 import java.nio.file.Files
+import org.json4s._
 
 /** REST-shaped management surface (SURVEY §2.8): the reference's
   * stream/rule endpoints as a transport-free handler.
@@ -313,6 +314,25 @@ class RuleApiSpec extends SparkSuite {
     val (cs, bs) = a.handle("POST", "/rules/bulkstop", """{"tags":[]}""")
     assert(cs == 200 && bs.contains("r_t1") && bs.contains("r_t2"))
     a.handle("DELETE", "/rules/r_t1"); a.handle("DELETE", "/rules/r_t2")
+  }
+
+  test("batch/req routes multiple API calls through one request") {
+    val a = api
+    val body =
+      """[{"method":"GET","path":"/ping"},
+        |{"method":"POST","path":"/streams","body":"{\"sql\": \"CREATE STREAM b_s (x BIGINT) WITH (TYPE=\\\"file\\\", FORMAT=\\\"json\\\", DATASOURCE=\\\"/tmp/none\\\")\"}"},
+        |{"method":"GET","path":"/streams"},
+        |{"method":"GET","path":"/rules/ghost/status"}]""".stripMargin
+    val (c, b) = a.handle("POST", "/batch/req", body)
+    assert(c == 200, b)
+    val arr = org.json4s.jackson.JsonMethods.parse(b).asInstanceOf[JArray].arr
+    assert(arr.length == 4)
+    assert((arr(0) \ "code") == JInt(200))
+    assert((arr(1) \ "code") == JInt(200))
+    assert((arr(2) \ "code") == JInt(200) &&
+      (arr(2) \ "response").asInstanceOf[JString].s.contains("b_s"))
+    assert((arr(3) \ "code") == JInt(404)) // per-item failure, batch still 200
+    a.handle("DELETE", "/streams/b_s")
   }
 
   test("table endpoints are separate from stream endpoints") {
