@@ -316,4 +316,44 @@ object Dedup {
       .unionByName(batchH.filter(!might))
       .drop("__h")
   }
+
+  /** Streaming twin of [[bloomNewDocs]]: `batch` is a STREAMING frame
+    * and each micro-batch emits only its corpus-new rows. The Bloom
+    * filter is built once at plan time from the static corpus and
+    * rides the plan as a literal; the false-positive strip is a
+    * stream-static LEFT ANTI join against the corpus hash set, which
+    * only the (tiny) bloom-positive slice of each micro-batch enters.
+    * At scale, persist `corpus`'s distinct-hash projection (or point
+    * it at a pre-materialized hash table) so the static side isn't
+    * re-derived per micro-batch.
+    *
+    * Semantics note: within-stream duplicates (two copies arriving in
+    * the stream, neither in the corpus) both pass — same as the batch
+    * operator, which dedups against the corpus, not within the batch.
+    */
+  def bloomNewDocsStream(corpus: DataFrame, batch: DataFrame,
+                         textCol: String, expectedItems: Long,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val h = xxhash64(col(textCol))
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(h),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = corpus.select(ColumnBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
+    val corpusH = corpus.select(h.as("__h")).distinct()
+    val batchH = batch.withColumn("__h", h)
+    batchH.filter(might)
+      .join(corpusH, Seq("__h"), "left_anti") // stream-static anti join
+      .unionByName(batchH.filter(!might))
+      .drop("__h")
+  }
 }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.StructType
 final case class StreamDef(name: String, source: Source,
                            isTable: Boolean = false,
                            timestampCol: Option[String] = None,
-                           watermark: Option[String] = None)
+                           watermark: Option[String] = None,
+                           typ: String = "memory",
+                           schema: StructType = new StructType())
 
 /** Catalog of streams and tables (SURVEY §2.8). Holds definitions
   * only — plans are built per rule at start, so a definition change
@@ -90,7 +92,8 @@ object Catalog {
         isTable = kind.equalsIgnoreCase("TABLE"))
       StreamDef(name, source, isTable = kind.equalsIgnoreCase("TABLE"),
         timestampCol = props.get("timestamp"),
-        watermark = props.get("watermark"))
+        watermark = props.get("watermark"),
+        typ = tpe, schema = schema)
     case _ => throw new IllegalArgumentException(s"cannot parse DDL: $ddl")
   }
 

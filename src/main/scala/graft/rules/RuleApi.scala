@@ -141,6 +141,36 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("tables", name)) =>
         engine.catalog.drop(name); streamDdl.remove(name); ok("{}")
 
+      // stream/table details + schemas + in-place DDL update
+      // (reference rest.go streamdetails/tabledetails, {name}/schema,
+      // PUT /streams/{name})
+      case ("GET", List(d @ ("streamdetails" | "tabledetails"))) =>
+        val wantTable = d == "tabledetails"
+        val items = engine.catalog.list.flatMap(n => engine.catalog.get(n))
+          .filter(_.isTable == wantTable)
+          .map(s => s"""{"name":${JsonMethods.compact(JString(s.name))},""" +
+            s""""type":${JsonMethods.compact(JString(s.typ))}}""")
+        ok(items.mkString("[", ",", "]"))
+      case ("GET", List(k @ ("streams" | "tables"), name, "schema")) =>
+        engine.catalog.get(name).filter(_.isTable == (k == "tables")) match {
+          case Some(s) => ok(JsonMethods.compact(JObject(
+            s.schema.fields.toList.map(f => f.name -> (JString(f.dataType.sql): JValue)))))
+          case None => err(404, s"$name not found")
+        }
+      case ("PUT", List(k @ ("streams" | "tables"), name)) =>
+        val sql = (JsonMethods.parse(body) \ "sql") match {
+          case JString(s) => s
+          case _ => return err(400, "body needs {\"sql\": \"CREATE ...\"}")
+        }
+        val d = Catalog.parseDdl(sql)
+        if (d.name.toLowerCase != name.toLowerCase)
+          return err(400, s"DDL defines ${d.name}, not $name")
+        if (d.isTable != (k == "tables"))
+          return err(400, s"${d.name} kind does not match /$k")
+        engine.catalog.register(d)
+        streamDdl.put(d.name, sql)
+        ok(s"""{"name":"${d.name}","status":"updated"}""")
+
       // server info + health (reference rest.go "/" and "/ping")
       case ("GET", List("")) =>
         ok(s"""{"version":"graft","os":${JsonMethods.compact(JString(System.getProperty("os.name")))},""" +

@@ -316,6 +316,35 @@ class RuleApiSpec extends SparkSuite {
     a.handle("DELETE", "/rules/r_t1"); a.handle("DELETE", "/rules/r_t2")
   }
 
+  test("stream details, schema endpoints, and in-place DDL update") {
+    val a = api
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE STREAM det_s (x BIGINT, s STRING) WITH (TYPE=\"file\", FORMAT=\"json\", DATASOURCE=\"/tmp/none\")"}""")
+    MemoryHub.publish("det_in", spark.createDataFrame(Seq((1L, "a"))).toDF("v", "k"))
+    a.handle("POST", "/tables",
+      """{"sql": "CREATE TABLE det_t (v BIGINT, k STRING) WITH (TYPE=\"memory\", DATASOURCE=\"det_in\")"}""")
+    // details list name + source type, split by kind
+    val (cd, bd) = a.handle("GET", "/streamdetails")
+    assert(cd == 200 && bd.contains("det_s") && bd.contains("\"type\":\"file\"")
+      && !bd.contains("det_t"))
+    val (ct, bt) = a.handle("GET", "/tabledetails")
+    assert(ct == 200 && bt.contains("det_t") && bt.contains("\"type\":\"memory\"")
+      && !bt.contains("det_s"))
+    // schema endpoint returns field → SQL type
+    val (cs, bs) = a.handle("GET", "/streams/det_s/schema")
+    assert(cs == 200 && bs.contains("\"x\":\"BIGINT\"") && bs.contains("\"s\":\"STRING\""))
+    assert(a.handle("GET", "/tables/det_s/schema")._1 == 404) // wrong kind
+    // PUT replaces the definition in place
+    val (cu, bu) = a.handle("PUT", "/streams/det_s",
+      """{"sql": "CREATE STREAM det_s (x BIGINT, s STRING, extra DOUBLE) WITH (TYPE=\"file\", FORMAT=\"json\", DATASOURCE=\"/tmp/none\")"}""")
+    assert(cu == 200, bu)
+    assert(a.handle("GET", "/streams/det_s/schema")._2.contains("\"extra\":\"DOUBLE\""))
+    // name mismatch between path and DDL is rejected
+    assert(a.handle("PUT", "/streams/det_s",
+      """{"sql": "CREATE STREAM other_s (x BIGINT) WITH (TYPE=\"file\", FORMAT=\"json\", DATASOURCE=\"/tmp/none\")"}""")._1 == 400)
+    a.handle("DELETE", "/streams/det_s"); a.handle("DELETE", "/tables/det_t")
+  }
+
   test("batch/req routes multiple API calls through one request") {
     val a = api
     val body =

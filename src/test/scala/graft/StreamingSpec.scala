@@ -52,6 +52,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bloom incremental dedup streaming == batch across micro-batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    val batchDf = all.where(col("doc_id") % 10 === 0)
+      .unionByName(corpus.where(col("doc_id") < 30)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val rows = batchDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val streamIn = ms.toDS().toDF("doc_id", "text")
+    val out = Dedup.bloomNewDocsStream(corpus, streamIn, "text", expectedItems = 10000)
+    val q = out.writeStream.format("memory").queryName("bloom_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      val afterOne = spark.table("bloom_out").count()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("bloom_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      val want = Dedup.bloomNewDocs(corpus, batchDf, "text", expectedItems = 10000)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want), s"streaming ${got.length} != batch ${want.length}")
+      assert(afterOne > 0 && afterOne < got.length) // genuinely incremental
+      assert(!got.exists(_ >= 300000)) // planted cross-split copies dropped
+    } finally q.stop()
+  }
+
   test("condition window: batch operator matches hand-computed windows") {
     val df = evts.toDF()
       .select(col("key").as("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
