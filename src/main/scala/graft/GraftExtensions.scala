@@ -16,11 +16,24 @@ import org.apache.spark.sql.graft.ColumnBridge
   * are Expression builders (codegen), not UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, f) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         args => ColumnBridge.expression(f(args.map(ColumnBridge.column)))))
     }
+    // the three non-builder registrations registerAll also makes
+    Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)](
+      ("meta", GraftFunctions.metaBuilder _),
+      ("get_keyed_state", args => graft.functions.GetKeyedStateExpr(args)),
+      ("accumulateWordCount", args => graft.functions.AccumulateWordCountExpr(args))
+    ).foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        b))
+    }
+  }
 }

@@ -228,7 +228,7 @@ object GraftFunctions {
     * key name, exactly the reference's parse rule. meta() with no args
     * returns the whole map.
     */
-  private def metaBuilder(args: Seq[Expression]): Expression = {
+  private[graft] def metaBuilder(args: Seq[Expression]): Expression = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Literal
     val metaCol = ColumnBridge.column(UnresolvedAttribute("__meta"))

@@ -182,6 +182,37 @@ final class RuleApi(engine: RuleEngine) {
         ok(s"""{"id":"$id","status":"created"}""")
       case ("GET", List("rules")) =>
         ok(engine.list.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      // describe / update one rule (reference ruleHandler GET + PUT):
+      // GET returns the posted definition; PUT replaces it under the
+      // same id (stops a running instance first, like the reference's
+      // update-and-restart path)
+      case ("GET", List("rules", id)) =>
+        Option(ruleJson.get(id)) match {
+          case Some(js) => ok(js)
+          case None => err(404, s"rule $id not found")
+        }
+      case ("PUT", List("rules", id)) =>
+        if (!engine.list.contains(id)) return err(404, s"rule $id not found")
+        val j = JsonMethods.parse(body)
+        (j \ "id") match {
+          case JString(bid) if bid != id =>
+            return err(400, s"body id $bid does not match path id $id")
+          case _ => ()
+        }
+        val withId =
+          if ((j \ "id") == JNothing)
+            JsonMethods.compact(JsonMethods.render(
+              JObject(j.asInstanceOf[JObject].obj :+ JField("id", JString(id)))))
+          else body
+        val oldJs = ruleJson.get(id)
+        try engine.stop(id) catch { case _: IllegalStateException => () }
+        engine.delete(id); ruleJson.remove(id)
+        try { createRule(withId); ok(s"""{"id":"$id","status":"updated"}""") }
+        catch {
+          case e: Exception => // restore the previous definition
+            if (oldJs != null) try createRule(oldJs) catch { case _: Exception => () }
+            throw e
+        }
       case ("POST", List("rules", id, "start")) =>
         engine.start(id); ok(s"""{"id":"$id","status":"started"}""")
       case ("POST", List("rules", id, "stop")) =>

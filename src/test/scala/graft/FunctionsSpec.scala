@@ -435,6 +435,11 @@ class FunctionsSpec extends SparkSuite {
     org.apache.spark.sql.graft.RegistryBridge.applyExtensions(ext, fresh)
     val r = fresh.sql("SELECT dec2hex(255), split_value('x/y', '/', 0)").first()
     assert(r.getString(0) == "FF" && r.getString(1) == "x")
+    // the non-builder trio rides the extension too
+    val r2 = fresh.sql(
+      "SELECT get_keyed_state('no_such_key', 'bigint', 7), geohashEncode(0D, 0D)").first()
+    assert(r2.getLong(0) == 7L && r2.getString(1) == "s00000000000")
+    assert(fresh.sql("SELECT accumulateWordCount('a b', ' ')").first().getLong(0) > 0)
   }
 
   test("nondeterministic functions: shape and bounds") {

@@ -316,6 +316,36 @@ class RuleApiSpec extends SparkSuite {
     a.handle("DELETE", "/rules/r_t1"); a.handle("DELETE", "/rules/r_t2")
   }
 
+  test("GET and PUT /rules/{id}: describe and update a rule in place") {
+    val a = api
+    MemoryHub.publish("upd_in",
+      spark.createDataFrame(Seq((5L, "x"))).toDF("v", "k"))
+    a.handle("POST", "/streams",
+      """{"sql": "CREATE TABLE upd_s (v BIGINT, k STRING) WITH (TYPE=\"memory\", DATASOURCE=\"upd_in\")"}""")
+    a.handle("POST", "/rules",
+      """{"id":"r_upd","sql":"SELECT v FROM upd_s","actions":[{"memory":{"topic":"upd_o"}}]}""")
+    // GET returns the posted definition verbatim
+    val (cg, bg) = a.handle("GET", "/rules/r_upd")
+    assert(cg == 200 && bg.contains("SELECT v FROM upd_s"))
+    assert(a.handle("GET", "/rules/ghost")._1 == 404)
+    // PUT replaces the SQL under the same id
+    MemoryHub.drop("upd_o")
+    val (cu, bu) = a.handle("PUT", "/rules/r_upd",
+      """{"id":"r_upd","sql":"SELECT v * 10 AS w FROM upd_s","actions":[{"memory":{"topic":"upd_o"}}]}""")
+    assert(cu == 200, bu)
+    a.handle("POST", "/rules/r_upd/start")
+    assert(MemoryHub.frame(spark, "upd_o").first().getLong(0) == 50)
+    assert(a.handle("GET", "/rules/r_upd")._2.contains("v * 10"))
+    // a broken PUT restores the previous definition
+    assert(a.handle("PUT", "/rules/r_upd", """{"id":"r_upd"}""")._1 == 400)
+    assert(a.handle("GET", "/rules/r_upd")._2.contains("v * 10"))
+    // id mismatch between path and body is rejected
+    assert(a.handle("PUT", "/rules/r_upd",
+      """{"id":"other","sql":"SELECT v FROM upd_s"}""")._1 == 400)
+    assert(a.handle("PUT", "/rules/ghost", """{"sql":"SELECT 1"}""")._1 == 404)
+    a.handle("DELETE", "/rules/r_upd")
+  }
+
   test("stream details, schema endpoints, and in-place DDL update") {
     val a = api
     a.handle("POST", "/streams",
