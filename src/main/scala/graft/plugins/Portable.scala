@@ -84,9 +84,10 @@ object PortablePlugins {
     def close(): Unit = listener.close()
   }
 
-  private final case class Instance(meta: PluginMeta, control: Rpc,
-                                    funcChans: Map[String, Rpc],
-                                    process: Option[Process])
+  private final class Instance(val meta: PluginMeta, val control: Rpc,
+                               val funcChans: Map[String, Rpc],
+                               val conf: String,
+                               @volatile var process: Option[Process])
 
   private val instances = new ConcurrentHashMap[String, Instance]()
 
@@ -129,7 +130,7 @@ object PortablePlugins {
       val hs = control.awaitMessage(initTimeoutMs).map(new String(_))
       require(hs.contains("handshake"),
         s"plugin ${meta.name} control handshake error: got $hs")
-      val inst = Instance(meta, control, funcChans, process)
+      val inst = new Instance(meta, control, funcChans, conf, process)
       instances.put(meta.name, inst)
       meta.functions.foreach { f =>
         startSymbol(inst, f.name)
@@ -164,7 +165,27 @@ object PortablePlugins {
       throw new IllegalStateException(s"plugin $plugin is not registered"))
     val chan = inst.funcChans.getOrElse(symbol,
       throw new IllegalStateException(s"plugin $plugin has no symbol $symbol"))
+    // the reference's manager restarts a dead plugin process before
+    // dispatching (GetOrStartProcess); the bound channels survive, the
+    // new process dials back in and symbols are restarted
+    if (inst.process.exists(!_.isAlive)) restartProcess(inst)
     JsonMethods.parse(new String(chan.request(payload.getBytes("UTF-8"), 10000), "UTF-8"))
+  }
+
+  private def restartProcess(inst: Instance): Unit = inst.synchronized {
+    if (inst.process.exists(_.isAlive)) return // another caller won the race
+    val pb = new ProcessBuilder((inst.meta.executable :+ inst.conf).asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    inst.process = Some(pb.start())
+    // drain any stale control traffic until the fresh handshake shows
+    val deadline = System.currentTimeMillis + 15000
+    var ok = false
+    while (!ok && System.currentTimeMillis < deadline)
+      ok = inst.control.awaitMessage(deadline - System.currentTimeMillis)
+        .exists(b => new String(b) == "handshake")
+    require(ok, s"plugin ${inst.meta.name} restart handshake timed out")
+    inst.meta.functions.foreach(f => startSymbol(inst, f.name))
   }
 
   def status(name: String): String = Option(instances.get(name)) match {
@@ -194,6 +215,12 @@ object PortablePlugins {
   }
 
   def list: Seq[String] = instances.keys.asScala.toSeq.sorted
+
+  /** Test hook: kill the worker process and wait for it to die. */
+  private[graft] def killProcessForTest(name: String): Unit =
+    Option(instances.get(name)).flatMap(_.process).foreach { p =>
+      p.destroyForcibly(); p.waitFor()
+    }
 
   private[plugins] def sqlType(name: String): DataType = name.toLowerCase match {
     case "bigint" | "int" | "long" => LongType

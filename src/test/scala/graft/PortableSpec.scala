@@ -91,6 +91,25 @@ class PortableSpec extends SparkSuite {
     assert(PortablePlugins.status("t_rest") === "stopped")
   }
 
+  test("a killed plugin process is restarted on the next call") {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    try {
+      PortablePlugins.register(spark,
+        PluginMeta("t_crash", executable = Seq(javaBin, "-cp", cp,
+          "graft.plugins.PortableWorkerMain"),
+          functions = Seq(PortableFunction("plugin_rev", "string"))),
+        initTimeoutMs = 60000)
+      assert(spark.sql("SELECT plugin_rev('abc')").head().getString(0) === "cba")
+      // kill the worker out from under the engine
+      PortablePlugins.killProcessForTest("t_crash")
+      assert(PortablePlugins.status("t_crash") === "crashed")
+      // next call restarts the process, redoes handshake + symbols
+      assert(spark.sql("SELECT plugin_rev('def')").head().getString(0) === "fed")
+      assert(PortablePlugins.status("t_crash") === "running")
+    } finally PortablePlugins.stop("t_crash")
+  }
+
   test("registering a duplicate plugin name is rejected") {
     var worker: PortableWorker.Running = null
     try {
