@@ -28,6 +28,8 @@ final class RuleApi(engine: RuleEngine) {
   private val streamDdl = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ruleJson = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val startMs = System.currentTimeMillis
+  /** Named trial rules; RuleServer streams their feeds at /test/{id}. */
+  private[rules] val trials = new TrialManager(engine)
 
   private def ok(json: String): (Int, String) = (200, json)
   private def err(code: Int, msg: String): (Int, String) =
@@ -405,10 +407,20 @@ final class RuleApi(engine: RuleEngine) {
         val j = JsonMethods.parse(body)
         ((j \ "sql"), (j \ "graph")) match {
           case (JString(sql), _) =>
-            val df = engine.compileSql(sql)
-            val n = (j \ "sampleSize") match { case JInt(x) => x.toInt; case _ => 10 }
-            val rows = df.toJSON.take(n.max(1).min(100))
-            ok(rows.mkString("[", ",", "]"))
+            (j \ "id") match {
+              case JString(id) =>
+                // named trial (reference internal/trial): register (and
+                // stop any previous run), sample proves the compile;
+                // start/feed via POST /ruletest/{id}/start + GET /test/{id}
+                val sample = trials.create(id, sql, j \ "mockSource")
+                ok(s"""{"id":${JsonMethods.compact(JString(id))},""" +
+                  s""""sample":${sample.mkString("[", ",", "]")}}""")
+              case _ =>
+                val df = engine.compileSql(sql)
+                val n = (j \ "sampleSize") match { case JInt(x) => x.toInt; case _ => 10 }
+                val rows = df.toJSON.take(n.max(1).min(100))
+                ok(rows.mkString("[", ",", "]"))
+            }
           case (_, g: JObject) =>
             val compiled = GraphRule.compile(engine.session, engine.catalog,
               JsonMethods.compact(g))
@@ -416,6 +428,11 @@ final class RuleApi(engine: RuleEngine) {
             ok(rows.mkString("[", ",", "]"))
           case _ => err(400, "body needs a \"sql\" string or a \"graph\" object")
         }
+
+      case ("POST", List("ruletest", id, "start")) =>
+        trials.start(id); ok(s"""{"id":"$id","status":"started"}""")
+      case ("DELETE", List("ruletest", id)) =>
+        trials.stop(id); ok("{}")
 
       // external function services (reference internal/service REST
       // executor + its /services management endpoints)

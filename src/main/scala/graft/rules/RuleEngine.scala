@@ -157,21 +157,29 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     * trial-run path (RuleApi /ruletest); same planning as a batch rule,
     * nothing registered or started.
     */
-  private[rules] def compileSql(sql: String): DataFrame =
-    plan(Rule("__trial__", sql, Seq.empty))
+  private[rules] def compileSql(sql: String,
+                                overrides: Map[String, DataFrame] = Map.empty): DataFrame =
+    plan(Rule("__trial__", sql, Seq.empty), overrides)
 
-  private def plan(rule: Rule): DataFrame = {
+  private def plan(rule: Rule,
+                   overrides: Map[String, DataFrame] = Map.empty): DataFrame = {
     val referenced = referencedNames(rule.sql)
     referenced.foreach { name =>
-      val d = catalog.get(name).get
-      val base =
-        if (rule.streaming && !d.isTable) d.source.stream(spark)
-        else d.source.batch(spark)
-      val withWm = (d.timestampCol, d.watermark) match {
-        case (Some(ts), Some(wm)) if rule.streaming => base.withWatermark(ts, wm)
-        case _ => base
+      overrides.get(name) match {
+        // trial mockSource: the stream must exist in the catalog (it
+        // names the schema); its DATA is replaced for this plan only
+        case Some(mock) => mock.createOrReplaceTempView(name)
+        case None =>
+          val d = catalog.get(name).get
+          val base =
+            if (rule.streaming && !d.isTable) d.source.stream(spark)
+            else d.source.batch(spark)
+          val withWm = (d.timestampCol, d.watermark) match {
+            case (Some(ts), Some(wm)) if rule.streaming => base.withWatermark(ts, wm)
+            case _ => base
+          }
+          withWm.createOrReplaceTempView(name)
       }
-      withWm.createOrReplaceTempView(name)
     }
     // accept the reference's own SQL dialect (TUMBLINGWINDOW(ss,10) …)
     spark.sql(sparkSql(rule, referenced))

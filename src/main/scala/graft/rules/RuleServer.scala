@@ -28,9 +28,37 @@ object RuleServer {
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        // trial-rule output feed (reference trial sink endpoint
+        // /test/{id}): server-sent events until the run completes
+        if (ex.getRequestMethod == "GET" && path.startsWith("/test/")) {
+          api.trials.get(path.stripPrefix("/test/")) match {
+            case Some(t) =>
+              ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+              ex.sendResponseHeaders(200, 0)
+              val os = ex.getResponseBody
+              try {
+                var open = true
+                while (open) {
+                  val item = t.feed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+                  if (item != null) {
+                    os.write(s"data: $item\n\n".getBytes(StandardCharsets.UTF_8))
+                    os.flush()
+                  } else if (t.done) open = false
+                }
+              } catch { case _: java.io.IOException => () } // client went away
+              finally ex.close()
+            case None =>
+              val msg = s"""{"error":"trial rule not found"}""".getBytes(StandardCharsets.UTF_8)
+              ex.sendResponseHeaders(404, msg.length)
+              ex.getResponseBody.write(msg)
+              ex.close()
+          }
+          return
+        }
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val (status, json) =
-          try api.handle(ex.getRequestMethod, ex.getRequestURI.getPath, body)
+          try api.handle(ex.getRequestMethod, path, body)
           catch { case e: Exception => (500, s"""{"error":"${e.getMessage}"}""") }
         val bytes = json.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")

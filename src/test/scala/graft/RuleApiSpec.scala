@@ -277,6 +277,43 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("POST", "/ruletest", """{"sql":"SELECT FROM nowhere"}""")._1 == 400)
   }
 
+  test("named trial rule: mockSource data, start, SSE feed at /test/{id}") {
+    val eng = new RuleEngine(spark)
+    val srv = RuleServer.start(eng, port = 0)
+    try {
+      val a = new RuleApi(eng) // transport-free registration path
+      MemoryHub.publish("trial2_in",
+        spark.createDataFrame(Seq(("real", 1L))).toDF("k", "v"))
+      eng.createStream(
+        """CREATE TABLE trial2_s (k STRING, v BIGINT) WITH (TYPE="memory", DATASOURCE="trial2_in")""")
+      def http(method: String, path: String, body: String = ""): (Int, String) = {
+        val url = java.net.URI.create(s"http://127.0.0.1:${srv.port}$path").toURL
+        val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        if (body.nonEmpty) { c.setDoOutput(true); c.getOutputStream.write(body.getBytes) }
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(is.readAllBytes()))
+      }
+      // register over HTTP with mocked stream data (mock wins over real)
+      val (cc, bc) = http("POST", "/ruletest",
+        """{"id":"tr1","sql":"SELECT k, v * 2 AS w FROM trial2_s WHERE v > 5",
+          | "mockSource":{"trial2_s":{"data":[{"k":"m1","v":10},{"k":"m2","v":3}]}}}""".stripMargin)
+      assert(cc == 200, bc)
+      assert(bc.contains("\"id\":\"tr1\"") && bc.contains("\"w\":20") && !bc.contains("real"))
+      // start, then read the SSE feed to completion
+      assert(http("POST", "/ruletest/tr1/start")._1 == 200)
+      val (cs, feed) = http("GET", "/test/tr1")
+      assert(cs == 200, feed)
+      assert(feed.contains("data: ") && feed.contains("\"w\":20") && !feed.contains("m2"))
+      // delete removes the trial; its feed 404s
+      assert(http("DELETE", "/ruletest/tr1")._1 == 200)
+      assert(http("GET", "/test/tr1")._1 == 404)
+      assert(http("POST", "/ruletest/ghost/start")._1 == 404)
+      assert(a.handle("GET", "/rules")._2 == "[]") // trials never become rules
+    } finally srv.stop()
+  }
+
   test("rule tags: PUT/PATCH/DELETE, match, and tag-scoped bulk ops") {
     val a = api
     MemoryHub.publish("tag_in",
