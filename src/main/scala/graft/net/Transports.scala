@@ -33,7 +33,7 @@ object FeedBridges {
   // delimiter) don't spawn duplicate connections
   private val connProps =
     Set("username", "password", "rootCaPath", "skipCertVerify", "tls", "messageType",
-      "saslUserName", "saslPassword", "partition", "offset")
+      "saslUserName", "saslPassword", "partition", "offset", "interval", "mergefield")
 
   /** Ensure a subscriber bridge is running for (kind, topic, server).
     * Idempotent; called from ConnectorSource when the DDL carries a
@@ -77,25 +77,45 @@ object FeedBridges {
 
   private def start(kind: String, topic: String, server: String,
                     options: Map[String, String]): AutoCloseable = {
+    // source-side down sampling (reference docs/guide/sources/
+    // down_sample.md + internal/topo/node/rate_limit.go): with an
+    // INTERVAL prop the bridge accumulates pushed frames and emits per
+    // tick — latest-wins, or last-per-MERGEFIELD batched as
+    // {"frames":[{"data":…},…]} exactly like the reference's strategy 1
+    val sampler = DownSampler.fromOptions(kind, topic, options)
+    val emit: (String, Long) => Unit = sampler match {
+      case Some(s) => (f, _) => s.offer(f)
+      case None => (f, ts) => ConnectorFeed.push(kind, topic, f, ts)
+    }
+    val transport = startTransport(kind, topic, server, options, emit)
+    sampler match {
+      case Some(s) => () => { transport.close(); s.close() }
+      case None => transport
+    }
+  }
+
+  private def startTransport(kind: String, topic: String, server: String,
+                             options: Map[String, String],
+                             emit: (String, Long) => Unit): AutoCloseable = {
     val tls = Tls.clientFromOptions(options)
     kind match {
       case "mqtt" =>
         val client = MqttClient.connect(server, s"graft-src-${topic.hashCode.toHexString}",
           username = options.get("username"), password = options.get("password"), tls = tls)
         client.subscribe(topic, (_, payload) =>
-          ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
+          emit(new String(payload, StandardCharsets.UTF_8),
             System.currentTimeMillis()))
         () => client.close()
       case "websocket" =>
         val client = WebSocketClient.connect(server, tls = tls)
         client.onText { msg =>
-          ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis())
+          emit(msg, System.currentTimeMillis())
         }
         () => client.close()
       case "redis" =>
         val client = RedisClient.connect(server, password = options.get("password"), tls = tls)
         client.subscribe(topic, msg =>
-          ConnectorFeed.push(kind, topic, msg, System.currentTimeMillis()))
+          emit(msg, System.currentTimeMillis()))
         () => client.close()
       case "edgex" =>
         // the EdgeX message bus IS mqtt or redis (reference
@@ -106,7 +126,7 @@ object FeedBridges {
         val messageType = options.getOrElse("messageType", "event")
         def pushEnvelope(frame: String): Unit =
           graft.sources.Edgex.decodeEnvelope(frame, messageType)
-            .foreach(flat => ConnectorFeed.push(kind, topic, flat, System.currentTimeMillis()))
+            .foreach(flat => emit(flat, System.currentTimeMillis()))
         if (server.startsWith("redis")) {
           val client = RedisClient.connect(server, password = options.get("password"), tls = tls)
           client.subscribe(topic, pushEnvelope)
@@ -138,8 +158,7 @@ object FeedBridges {
             try {
               val (_, records) = client.fetch(topic, partition, off, maxWaitMs = 500)
               records.foreach { rec =>
-                ConnectorFeed.push(kind, topic,
-                  new String(rec.value, StandardCharsets.UTF_8), rec.timestamp)
+                emit(new String(rec.value, StandardCharsets.UTF_8), rec.timestamp)
                 off = rec.offset + 1
               }
             } catch {
@@ -157,7 +176,7 @@ object FeedBridges {
         supervised(s"zmq-bridge-$topic") { () =>
           val client = ZmqSub.connect(server, topic)
           client.onMessage((_, payload) =>
-            ConnectorFeed.push(kind, topic, new String(payload, StandardCharsets.UTF_8),
+            emit(new String(payload, StandardCharsets.UTF_8),
               System.currentTimeMillis()))
           (client, () => client.isOpen)
         }
@@ -168,7 +187,7 @@ object FeedBridges {
         supervised(s"neuron-bridge-$topic") { () =>
           val client = NngPair.dial(server)
           client.onMessage(body =>
-            ConnectorFeed.push(kind, topic, new String(body, StandardCharsets.UTF_8),
+            emit(new String(body, StandardCharsets.UTF_8),
               System.currentTimeMillis()))
           (client, () => client.isOpen)
         }
@@ -307,4 +326,83 @@ object SinkTransports {
         throw new IllegalArgumentException(s"no real sink transport for '$other'")
     }
   }
+}
+
+/** Source-side down sampling (reference docs/en_US/guide/sources/
+  * down_sample.md; runtime internal/topo/node/rate_limit.go): frames
+  * accumulate for `intervalMs`, then one emission per tick —
+  *  - default strategy: the LATEST frame of the period (strategy 0);
+  *  - with `mergeField` (JSON frames only, like the reference's
+  *    columnar-decode restriction): the last frame per field value,
+  *    batched as `{"frames":[{"data":<frame>},…]}` in field order —
+  *    the reference's strategy-1 output shape with the raw payload
+  *    carried as the parsed JSON object instead of opaque bytes.
+  * A tick with no frames emits nothing; close() flushes the remainder.
+  */
+final class DownSampler(kind: String, topic: String, intervalMs: Long,
+                        mergeField: Option[String]) extends AutoCloseable {
+  require(intervalMs >= 1, "interval should be larger than 1ms") // rate_limit.go:73
+
+  private val latest = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val frameSet =
+    new java.util.concurrent.ConcurrentSkipListMap[String, String]()
+  private val timer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, s"downsample-$kind-$topic"); t.setDaemon(true); t
+  })
+  timer.scheduleAtFixedRate(() => flush(), intervalMs, intervalMs,
+    java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  def offer(frame: String): Unit = mergeField match {
+    case None => latest.set(frame)
+    case Some(f) =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      try {
+        JsonMethods.parse(frame) \ f match {
+          case JNothing | JNull => () // field absent: drop (reference errors the tuple)
+          case v => frameSet.put(JsonMethods.compact(JsonMethods.render(v)), frame)
+        }
+      } catch { case _: Exception => () } // undecodable frame: drop
+  }
+
+  private def flush(): Unit = mergeField match {
+    case None =>
+      Option(latest.getAndSet(null)).foreach(f =>
+        ConnectorFeed.push(kind, topic, f, System.currentTimeMillis()))
+    case Some(_) =>
+      if (!frameSet.isEmpty) {
+        val frames = new scala.collection.mutable.ListBuffer[String]()
+        val it = frameSet.entrySet().iterator()
+        while (it.hasNext) { frames += it.next().getValue; it.remove() }
+        val doc = frames.map(f => s"""{"data":$f}""").mkString("""{"frames":[""", ",", "]}")
+        ConnectorFeed.push(kind, topic, doc, System.currentTimeMillis())
+      }
+  }
+
+  def close(): Unit = { timer.shutdownNow(); flush() }
+}
+
+object DownSampler {
+  /** Go-style duration ("500ms", "10s", "1m") or a bare millis count. */
+  private[net] def parseMs(s: String): Long = {
+    val re = """(\d+)(ms|s|m|h)?""".r
+    s.trim match {
+      case re(n, unit) =>
+        val mult = Option(unit) match {
+          case Some("s") => 1000L
+          case Some("m") => 60000L
+          case Some("h") => 3600000L
+          case _ => 1L
+        }
+        n.toLong * mult
+      case other => throw new IllegalArgumentException(s"invalid interval '$other'")
+    }
+  }
+
+  def fromOptions(kind: String, topic: String,
+                  options: Map[String, String]): Option[DownSampler] =
+    options.get("interval").map { iv =>
+      new DownSampler(kind, topic, parseMs(iv),
+        options.get("mergefield").orElse(options.get("mergeField")))
+    }
 }

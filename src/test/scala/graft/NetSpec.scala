@@ -684,6 +684,53 @@ class NetSpec extends SparkSuite {
     assert(Tls.clientFromOptions(Map("rootCaPath" -> "/ca.pem"))
       .contains(Tls.ClientConfig(Some("/ca.pem"), false)))
   }
+
+  test("down sampling: latest-wins per interval, close flushes") {
+    ConnectorFeed.clear("mqtt", "ds_latest")
+    // interval far in the future → only close() flushes (deterministic)
+    val s = new DownSampler("mqtt", "ds_latest", 60000, None)
+    s.offer("""{"v":1}"""); s.offer("""{"v":2}"""); s.offer("""{"v":3}""")
+    s.close()
+    val rows = ConnectorFeed.frames(spark, "mqtt", "ds_latest")
+      .select("frame").collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("""{"v":3}"""))
+  }
+
+  test("down sampling: mergeField batches last-per-key as frames[]") {
+    ConnectorFeed.clear("mqtt", "ds_merge")
+    val s = new DownSampler("mqtt", "ds_merge", 60000, Some("id"))
+    s.offer("""{"id":2,"v":"b"}""")
+    s.offer("""{"id":1,"v":"a"}""")
+    s.offer("""{"id":1,"v":"a2"}""") // last per id=1 wins
+    s.offer("""not json""") // dropped
+    s.offer("""{"v":"no id"}""") // dropped: merge field absent
+    s.close()
+    val rows = ConnectorFeed.frames(spark, "mqtt", "ds_merge")
+      .select("frame").collect().map(_.getString(0))
+    assert(rows.length === 1)
+    assert(rows(0) ===
+      """{"frames":[{"data":{"id":1,"v":"a2"}},{"data":{"id":2,"v":"b"}}]}""")
+  }
+
+  test("down sampling: INTERVAL prop on an mqtt stream thins the live feed") {
+    val broker = MqttBroker.start()
+    try {
+      ConnectorFeed.clear("mqtt", "ds_live")
+      FeedBridges.ensure("mqtt", "ds_live", broker.address,
+        Map("interval" -> "300ms"))
+      val pub = MqttClient.connect(broker.address, "ds-pub")
+      try {
+        (1 to 5).foreach(i => pub.publish("ds_live", s"""{"n":$i}""".getBytes))
+        awaitCond(!ConnectorFeed.frames(spark, "mqtt", "ds_live").isEmpty,
+          "a sampled frame lands after the tick")
+        Thread.sleep(700) // a few more empty ticks — nothing new arrives
+        val rows = ConnectorFeed.frames(spark, "mqtt", "ds_live")
+          .select("frame").collect().map(_.getString(0))
+        assert(rows.length < 5, s"expected thinning, got all ${rows.length}")
+        assert(rows.last === """{"n":5}""") // latest survives
+      } finally pub.close()
+    } finally broker.close()
+  }
 }
 
 /** Self-signed test certificate, generated once per JVM with the JDK's
