@@ -30,6 +30,15 @@ final class RuleApi(engine: RuleEngine) {
   private val startMs = System.currentTimeMillis
   /** Named trial rules; RuleServer streams their feeds at /test/{id}. */
   private[rules] val trials = new TrialManager(engine)
+  private val basicConfig = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def configJson: String = {
+    val tz = Option(basicConfig.get("timezone"))
+      .getOrElse(engine.session.conf.get("spark.sql.session.timeZone"))
+    val ll = Option(basicConfig.get("logLevel")).getOrElse("warn")
+    s"""{"basic":{"logLevel":${JsonMethods.compact(JString(ll))},""" +
+      s""""timezone":${JsonMethods.compact(JString(tz))}}}"""
+  }
 
   private def ok(json: String): (Int, String) = (200, json)
   private def err(code: Int, msg: String): (Int, String) =
@@ -172,6 +181,32 @@ final class RuleApi(engine: RuleEngine) {
         engine.catalog.register(d)
         streamDdl.put(d.name, sql)
         ok(s"""{"name":"${d.name}","status":"updated"}""")
+
+      // basic config patch (reference import_export.go
+      // configurationUpdateHandler): logLevel maps to the Spark
+      // context's level, timezone to spark.sql.session.timeZone
+      case ("PATCH", List("configs")) =>
+        val j = JsonMethods.parse(body)
+        (j \ "logLevel") match {
+          case JString(l) =>
+            val level = l.toUpperCase match {
+              case "DEBUG" | "INFO" | "WARN" | "ERROR" | "FATAL" | "TRACE" => l.toUpperCase
+              case other => return err(400, s"unknown logLevel $other")
+            }
+            engine.session.sparkContext.setLogLevel(level)
+            basicConfig.put("logLevel", level.toLowerCase)
+          case _ => ()
+        }
+        (j \ "timezone") match {
+          case JString(tz) =>
+            try java.time.ZoneId.of(tz)
+            catch { case _: Exception => return err(400, s"unknown timezone $tz") }
+            engine.session.conf.set("spark.sql.session.timeZone", tz)
+            basicConfig.put("timezone", tz)
+          case _ => ()
+        }
+        ok(configJson)
+      case ("GET", List("configs")) => ok(configJson)
 
       // server info + health (reference rest.go "/" and "/ping")
       case ("GET", List("")) =>

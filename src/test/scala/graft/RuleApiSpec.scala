@@ -412,6 +412,25 @@ class RuleApiSpec extends SparkSuite {
     a.handle("DELETE", "/streams/det_s"); a.handle("DELETE", "/tables/det_t")
   }
 
+  test("configs: GET reflects PATCHed logLevel and timezone; bad values 400") {
+    val a = api
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val (c0, b0) = a.handle("GET", "/configs")
+      assert(c0 == 200 && b0.contains("\"basic\""))
+      val (c1, b1) = a.handle("PATCH", "/configs",
+        """{"logLevel":"error","timezone":"Asia/Shanghai"}""")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"logLevel\":\"error\"") && b1.contains("Asia/Shanghai"))
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Shanghai")
+      assert(a.handle("PATCH", "/configs", """{"logLevel":"nope"}""")._1 == 400)
+      assert(a.handle("PATCH", "/configs", """{"timezone":"Mars/Olympus"}""")._1 == 400)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", tz0)
+      spark.sparkContext.setLogLevel("ERROR")
+    }
+  }
+
   test("batch/req routes multiple API calls through one request") {
     val a = api
     val body =
