@@ -31,6 +31,7 @@ final class RuleApi(engine: RuleEngine) {
   /** Named trial rules; RuleServer streams their feeds at /test/{id}. */
   private[rules] val trials = new TrialManager(engine)
   private val basicConfig = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var lastImport = """{"streams":0,"rules":0,"errors":[]}"""
 
   private def configJson: String = {
     val tz = Option(basicConfig.get("timezone"))
@@ -381,7 +382,10 @@ final class RuleApi(engine: RuleEngine) {
           s"""{"item":${JsonMethods.compact(JString(what))},""" +
             s""""error":${JsonMethods.compact(JString(msg))}}"""
         }.mkString("[", ",", "]")
-        ok(s"""{"streams":${ns.size},"rules":${nr.size},"errors":$errJson}""")
+        val result = s"""{"streams":${ns.size},"rules":${nr.size},"errors":$errJson}"""
+        lastImport = result // GET /data/import/status (import_export.go)
+        ok(result)
+      case ("GET", List("data", "import", "status")) => ok(lastImport)
       case ("POST", List("schemas")) =>
         val j = JsonMethods.parse(body)
         (j \ "name", j \ "fields") match {

@@ -96,6 +96,8 @@ class RuleApiSpec extends SparkSuite {
     assert(MemoryHub.frame(spark, "exp_out").first().getLong(0) == 4)
     // the round trip is idempotent: re-export equals the import source
     assert(b.handle("GET", "/data/export")._2 == doc)
+    // import status replays the last import result
+    assert(b.handle("GET", "/data/import/status")._2 == bi)
   }
 
   test("import applies per item and reports failures instead of aborting") {
