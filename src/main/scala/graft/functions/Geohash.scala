@@ -51,10 +51,14 @@ object Geohash {
     v
   }
 
-  /** x in [-r, r] → 32-bit fixed-point fraction of the range. */
+  /** x in [-r, r] → 32-bit fixed-point fraction of the range, clamped
+    * at the boundaries: lat = 90 must stay the northernmost bucket
+    * (a plain truncate-and-mask would wrap it to -90's encoding).
+    */
   private def encodeRange(x: Double, r: Double): Long = {
     val p = (x + r) / (2 * r)
-    (p * 4294967296.0).toLong & 0xffffffffL
+    val v = (p * 4294967296.0).toLong
+    if (v >= 4294967296L) 4294967295L else if (v < 0) 0L else v
   }
 
   private def decodeRange(x: Long, r: Double): Double =

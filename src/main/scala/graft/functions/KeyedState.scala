@@ -116,7 +116,12 @@ final case class AccumulateWordCountExpr(children: Seq[Expression])
   override def dataType: DataType = LongType
 
   override def eval(input: InternalRow): Any = {
-    val col = String.valueOf(children(0).eval(input))
+    val colV = children(0).eval(input)
+    // a NULL column is not a string (the reference errors the tuple);
+    // Spark has no per-row error channel, so contribute zero words and
+    // return the unchanged running total instead of counting "null"
+    if (colV == null) return RuleCounters.get("allwordcount")
+    val col = String.valueOf(colV)
     val sep = String.valueOf(children(1).eval(input))
     // Go strings.Split: empty separator splits into runes
     val n =

@@ -296,14 +296,10 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
 
     val h = xxhash64(col(textCol))
-    // optimal bits for n items at fpp p: -n·ln p / (ln 2)²
-    val numBits = math.max(64L,
-      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(h),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val bloomBytes = corpus.select(ColumnBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = bloomBytesFor(corpus, h, expectedItems, fpp)
+    // an EMPTY corpus builds no filter (Spark's aggregate returns
+    // null at cardinality 0) — every batch row is new by definition
+    if (bloomBytes == null) return batch
     val might = ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
     val batchH = batch.withColumn("__h", h)
@@ -340,13 +336,8 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
 
     val h = xxhash64(col(textCol))
-    val numBits = math.max(64L,
-      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(h),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val bloomBytes = corpus.select(ColumnBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = bloomBytesFor(corpus, h, expectedItems, fpp)
+    if (bloomBytes == null) return batch // empty corpus: all rows are new
     val might = ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
     val corpusH = corpus.select(h.as("__h")).distinct()
@@ -355,5 +346,38 @@ object Dedup {
       .join(corpusH, Seq("__h"), "left_anti") // stream-static anti join
       .unionByName(batchH.filter(!might))
       .drop("__h")
+  }
+
+  /** Build the corpus Bloom filter (serialized), or null for an empty
+    * corpus. Sized as -n·ln p/(ln 2)² bits; Spark silently clamps the
+    * aggregate to `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * / `.maxNumItems` (defaults 2^26 bits / 4M items — far below a
+    * corpus-scale filter), so both caps are raised for the build and
+    * restored after.
+    */
+  private def bloomBytesFor(corpus: DataFrame, h: Column,
+                            expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val conf = corpus.sparkSession.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val oldBits = conf.getOption(bitsKey)
+    val oldItems = conf.getOption(itemsKey)
+    try {
+      if (oldBits.forall(_.toLong < numBits)) conf.set(bitsKey, numBits.toString)
+      if (oldItems.forall(_.toLong < expectedItems)) conf.set(itemsKey, expectedItems.toString)
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(h),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      corpus.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    } finally {
+      oldBits match { case Some(v) => conf.set(bitsKey, v); case None => conf.unset(bitsKey) }
+      oldItems match { case Some(v) => conf.set(itemsKey, v); case None => conf.unset(itemsKey) }
+    }
   }
 }

@@ -61,7 +61,15 @@ object PortablePlugins {
   private[plugins] final class Rpc {
     private val listener = NngListener.bind()
     private val inbox = new LinkedBlockingQueue[Array[Byte]]()
-    listener.onMessage(b => inbox.put(b))
+    // replies owed to calls that already timed out: the channel is
+    // FIFO per connection, so the next `stale` arrivals are answers to
+    // abandoned requests and must be discarded, or a late reply would
+    // be consumed as the answer to the NEXT call (silent wrong data)
+    private val stale = new java.util.concurrent.atomic.AtomicInteger(0)
+    listener.onMessage { b =>
+      if (stale.getAndUpdate(n => math.max(0, n - 1)) > 0) () // drop late reply
+      else inbox.put(b)
+    }
 
     def address: String = listener.address
 
@@ -77,9 +85,16 @@ object PortablePlugins {
       }
       inbox.clear()
       listener.send(body)
-      awaitMessage(deadline - System.currentTimeMillis).getOrElse(
-        throw new IllegalStateException("portable plugin call timed out"))
+      awaitMessage(deadline - System.currentTimeMillis).getOrElse {
+        stale.incrementAndGet()
+        throw new IllegalStateException("portable plugin call timed out")
+      }
     }
+
+    /** A dead peer can never deliver its owed replies — forget them
+      * (restart path), or the fresh handshake would be discarded.
+      */
+    def resetStale(): Unit = stale.set(0)
 
     def close(): Unit = listener.close()
   }
@@ -141,6 +156,7 @@ object PortablePlugins {
       conf
     } catch {
       case e: Exception =>
+        instances.remove(meta.name) // a failed registration must be retryable
         process.foreach(_.destroyForcibly())
         control.close(); funcChans.values.foreach(_.close())
         throw e
@@ -174,6 +190,8 @@ object PortablePlugins {
 
   private def restartProcess(inst: Instance): Unit = inst.synchronized {
     if (inst.process.exists(_.isAlive)) return // another caller won the race
+    inst.control.resetStale()
+    inst.funcChans.values.foreach(_.resetStale())
     val pb = new ProcessBuilder((inst.meta.executable :+ inst.conf).asJava)
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -245,7 +263,7 @@ final case class PortableFuncExpr(plugin: String, symbol: String,
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = false
 
-  private def toJson(v: Any): JValue = v match {
+  private def toJson(v: Any, dt: DataType): JValue = v match {
     case null => JNull
     case s: UTF8String => JString(s.toString)
     case b: Array[Byte] => JString(java.util.Base64.getEncoder.encodeToString(b))
@@ -257,12 +275,17 @@ final case class PortableFuncExpr(plugin: String, symbol: String,
     case f: Float => JDouble(f.toDouble)
     case dec: org.apache.spark.sql.types.Decimal => JDouble(dec.toDouble)
     case b: Boolean => JBool(b)
-    case a: ArrayData => JArray(a.toObjectArray(StringType).map(toJson).toList)
+    case a: ArrayData => dt match {
+      // element extraction is type-directed: reading an UnsafeArrayData
+      // of longs as strings would decode garbage
+      case ArrayType(et, _) => JArray(a.toObjectArray(et).map(toJson(_, et)).toList)
+      case _ => JArray(a.toObjectArray(StringType).map(toJson(_, StringType)).toList)
+    }
     case other => JString(String.valueOf(other))
   }
 
   override def eval(input: InternalRow): Any = {
-    val args = children.map(c => toJson(c.eval(input)))
+    val args = children.map(c => toJson(c.eval(input), c.dataType))
     // the reference appends the encoded rule context as the last arg
     val ctx = JObject("ruleId" -> JString(""), "opId" -> JString(""),
       "instanceId" -> JInt(0))

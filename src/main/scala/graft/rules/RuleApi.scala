@@ -243,12 +243,21 @@ final class RuleApi(engine: RuleEngine) {
               JObject(j.asInstanceOf[JObject].obj :+ JField("id", JString(id)))))
           else body
         val oldJs = ruleJson.get(id)
+        // the reference's update path restarts a running rule under the
+        // new definition — remember whether it was running
+        val wasRunning = engine.status(id).state.toString.toLowerCase.contains("running")
         try engine.stop(id) catch { case _: IllegalStateException => () }
         engine.delete(id); ruleJson.remove(id)
-        try { createRule(withId); ok(s"""{"id":"$id","status":"updated"}""") }
-        catch {
-          case e: Exception => // restore the previous definition
-            if (oldJs != null) try createRule(oldJs) catch { case _: Exception => () }
+        try {
+          createRule(withId)
+          if (wasRunning) engine.start(id)
+          ok(s"""{"id":"$id","status":"updated"}""")
+        } catch {
+          case e: Exception => // restore the previous definition (and run state)
+            if (oldJs != null) try {
+              createRule(oldJs)
+              if (wasRunning) engine.start(id)
+            } catch { case _: Exception => () }
             throw e
         }
       case ("POST", List("rules", id, "start")) =>

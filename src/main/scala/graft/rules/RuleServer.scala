@@ -26,6 +26,11 @@ object RuleServer {
     val api = new RuleApi(engine)
     val server = HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
+    // without an executor every request shares the single dispatch
+    // thread — one open SSE feed would wedge the whole management API
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "rule-server"); t.setDaemon(true); t
+    }))
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val path = ex.getRequestURI.getPath
@@ -38,13 +43,21 @@ object RuleServer {
               ex.sendResponseHeaders(200, 0)
               val os = ex.getResponseBody
               try {
+                def send(item: String): Unit = {
+                  os.write(s"data: $item\n\n".getBytes(StandardCharsets.UTF_8))
+                  os.flush()
+                }
                 var open = true
                 while (open) {
                   val item = t.feed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
-                  if (item != null) {
-                    os.write(s"data: $item\n\n".getBytes(StandardCharsets.UTF_8))
-                    os.flush()
-                  } else if (t.done) open = false
+                  if (item != null) send(item)
+                  else if (t.done) {
+                    // rows enqueued between the poll timing out and the
+                    // done flag flipping must still go out: drain fully
+                    var tail = t.feed.poll()
+                    while (tail != null) { send(tail); tail = t.feed.poll() }
+                    open = false
+                  }
                 }
               } catch { case _: java.io.IOException => () } // client went away
               finally ex.close()

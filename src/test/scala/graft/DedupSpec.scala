@@ -162,6 +162,13 @@ class DedupSpec extends SparkSuite {
     assert(got.sameElements(want))
   }
 
+  test("bloom dedup with an EMPTY corpus returns the whole batch (first ingest)") {
+    val corpus = docs.where(col("doc_id") < 0) // empty
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val got = Dedup.bloomNewDocs(corpus, batch, "text", expectedItems = 1000).count()
+    assert(got === batch.count(), "an empty corpus must mark every batch row as new")
+  }
+
   test("bloom dedup never shuffles the corpus: verify joins are broadcast") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val batch = docs.where(col("doc_id") % 10 === 0)

@@ -74,6 +74,19 @@ class GeoSpec extends SparkSuite {
     intercept[IllegalArgumentException](Geohash.neighbor(h, "Up"))
   }
 
+  test("boundary latitudes clamp instead of wrapping to the antipode") {
+    // lat=90 must encode to the northernmost cell, not wrap to -90
+    val north = Geohash.encode(90.0, 0.0)
+    val b = Geohash.boundingBox(north)
+    assert(b(1) === 90.0, s"maxLat of $north is ${b(1)}, expected the pole")
+    assert(Geohash.decode(north)(0) > 89.9)
+    // antimeridian east edge likewise stays east
+    val east = Geohash.encode(0.0, 180.0)
+    assert(Geohash.boundingBox(east)(3) === 180.0)
+    // out-of-range inputs clamp to the nearest valid cell
+    assert(Geohash.encode(95.0, 0.0) === north)
+  }
+
   test("invalid hashes are rejected like the reference Validate") {
     intercept[IllegalArgumentException](Geohash.boundingBox(""))
     intercept[IllegalArgumentException](Geohash.boundingBox("abcdefghijklm")) // 13 chars

@@ -21,7 +21,12 @@ class PortableSpec extends SparkSuite {
         case JLong(n) => BigInt(n) + 1
       }.getOrElse(BigInt(-1)))
     },
-    "t_fail" -> { _ => throw new RuntimeException("boom from plugin") })
+    "t_fail" -> { _ => throw new RuntimeException("boom from plugin") },
+    "t_sum" -> { as =>
+      JInt(as.headOption.collect {
+        case JArray(xs) => xs.collect { case JInt(n) => n; case JLong(n) => BigInt(n) }.sum
+      }.getOrElse(BigInt(-1)))
+    })
 
   test("attach-mode plugin: handshake, start symbols, SQL calls round-trip") {
     var worker: PortableWorker.Running = null
@@ -30,6 +35,7 @@ class PortableSpec extends SparkSuite {
         PluginMeta("t_plug", functions = Seq(
           PortableFunction("t_rev", "string"),
           PortableFunction("t_addone", "bigint"),
+          PortableFunction("t_sum", "bigint"),
           PortableFunction("t_fail", "string"))),
         onConf = conf => worker = PortableWorker.connect(conf, handlers))
       val r = spark.sql("SELECT t_rev('graft') AS r, t_addone(41) AS n").head()
@@ -40,6 +46,10 @@ class PortableSpec extends SparkSuite {
       val vals = Seq("ab", "cde").toDF("s")
         .selectExpr("t_rev(s) AS r").collect().map(_.getString(0)).sorted
       assert(vals.toSeq === Seq("ba", "edc"))
+      // non-string array args decode type-directed (array<bigint> here),
+      // not as garbage string reads of the unsafe array words
+      val arr = spark.sql("SELECT t_sum(array(1L, 2L, 39L)) AS s").head().getLong(0)
+      assert(arr === 42L)
       // a plugin-side error fails the row with the plugin's message
       val e = intercept[Exception](spark.sql("SELECT t_fail('x')").head())
       assert(String.valueOf(e.getMessage).contains("boom") ||
