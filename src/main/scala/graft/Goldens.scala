@@ -45,12 +45,12 @@ object Goldens {
       "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
       "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
       "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
-      "q_fn_geohash" -> "5b80d94a313b4e710e253ff99f46d39726f9b7cdeef482bf5dcac8f6cce3e131",
+      "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
       "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
       "q_knn_quant" -> "a24ad23ab36c619a4cfdea6f512bac32251a2dbfcf60ca339e833279007a9b6f",
-      "q_multimodal" -> "2d13f0b16099ef332a5715e6339d3c673e26cf9bf3e638dba44357b7c1239e4b",
+      "q_multimodal" -> "63332ab8c9e9724222ed5513067985ccde77c89dec3fde9ea84bb9a94e2d14b4",
       "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
       "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
     "sf0.01" -> Map(
@@ -58,12 +58,12 @@ object Goldens {
       "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
       "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
       "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",
-      "q_fn_geohash" -> "5b80d94a313b4e710e253ff99f46d39726f9b7cdeef482bf5dcac8f6cce3e131",
+      "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
       "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",
       "q_knn_quant" -> "10a065f42868de4b12f65e66a0517fbab6eeadb9b3d4f01a6a2bbe08890c1177",
-      "q_multimodal" -> "22a7c0fb355277441510607582f4270e72aac40f3a0160896bb779a3a622b25d",
+      "q_multimodal" -> "7873c4c8bb430d5847a03ee36c78c9a5299cee2649cf36525a1fd93c30bddb3d",
       "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371",
       "q_text_langid" -> "c065812a8a5c81b67285f9fe1bf5d146110d566fc2f7470c5670e386ec8a3cb9"))
 

@@ -60,9 +60,22 @@ final class NngPair private[net] (socket: Socket, in: DataInputStream,
 
   private[net] def startReader(name: String): Unit = {
     val t = new Thread(() => {
-      while (running) Nng.readMsg(in) match {
-        case Some(body) => handlers.forEach(h => h(body))
-        case None => running = false
+      try {
+        while (running) Nng.readMsg(in) match {
+          case Some(body) => handlers.forEach { h =>
+            // a faulty handler must not kill the transport reader
+            try h(body) catch { case _: Throwable => () }
+          }
+          case None => running = false
+        }
+      } catch {
+        // malformed frame (readMsg require) or any other fault: the
+        // connection is unusable — mark dead so isOpen flips false and
+        // the source supervision loop redials
+        case _: Throwable => ()
+      } finally {
+        running = false
+        try socket.close() catch { case _: Exception => () }
       }
     }, name)
     t.setDaemon(true)
@@ -132,15 +145,27 @@ final class NngListener private (server: ServerSocket) extends AutoCloseable {
       try {
         val s = server.accept()
         s.setTcpNoDelay(true)
-        val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
-        val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
-        Nng.handshake(in, out, Nng.PairProtocol)
-        val p = new NngPair(s, in, out)
-        p.onMessage(body => handlers.forEach(h => h(body)))
-        p.startReader(s"nng-pair-accept-$port")
-        val old = peer
-        peer = p
-        if (old != null) old.close() // pair semantics: one active peer
+        // handshake runs on the per-peer thread under a read timeout:
+        // a peer that connects and never greets can't block accept()
+        val ht = new Thread(() => {
+          try {
+            s.setSoTimeout(5000)
+            val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+            Nng.handshake(in, out, Nng.PairProtocol)
+            s.setSoTimeout(0) // reads block indefinitely once greeted
+            val p = new NngPair(s, in, out)
+            p.onMessage(body => handlers.forEach(h => h(body)))
+            p.startReader(s"nng-pair-accept-$port")
+            val old = peer
+            peer = p
+            if (old != null) old.close() // pair semantics: one active peer
+          } catch {
+            case _: Throwable => try s.close() catch { case _: Exception => () }
+          }
+        }, s"nng-handshake-$port")
+        ht.setDaemon(true)
+        ht.start()
       } catch { case _: Exception if !running => () case _: Exception => () }
   }, "nng-listen")
   acceptor.setDaemon(true)

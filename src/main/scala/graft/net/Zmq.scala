@@ -173,29 +173,43 @@ final class ZmqPub private (server: ServerSocket) extends AutoCloseable {
       try {
         val s = server.accept()
         s.setTcpNoDelay(true)
-        val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
-        val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
-        Zmtp.handshake(in, out, asServer = true, socketType = "PUB", accept = Set("SUB", "XSUB"))
-        val peer = new Peer(s, out)
-        peers.add(peer)
-        // per-peer reader: consume subscribe/unsubscribe messages
+        // ZMTP handshake runs on the per-peer thread under a read
+        // timeout: one peer that connects and never greets must not
+        // block accept() for every later subscriber
         val reader = new Thread(() => {
-          var open = true
-          while (open) Zmtp.readMessage(in) match {
-            case Some(parts) if parts.nonEmpty && parts.head.nonEmpty =>
-              val m = parts.head
-              if (m(0) == 1) peer.prefixes.add(m.drop(1))
-              else if (m(0) == 0) {
-                val p = m.drop(1)
-                val it = peer.prefixes.iterator()
-                var found: Array[Byte] = null
-                while (found == null && it.hasNext) {
-                  val x = it.next(); if (x.sameElements(p)) found = x
+          var peer: Peer = null
+          try {
+            s.setSoTimeout(5000)
+            val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+            Zmtp.handshake(in, out, asServer = true, socketType = "PUB", accept = Set("SUB", "XSUB"))
+            s.setSoTimeout(0) // an idle subscriber is fine after the greeting
+            peer = new Peer(s, out)
+            peers.add(peer)
+            // consume subscribe/unsubscribe messages
+            var open = true
+            while (open) Zmtp.readMessage(in) match {
+              case Some(parts) if parts.nonEmpty && parts.head.nonEmpty =>
+                val m = parts.head
+                if (m(0) == 1) peer.prefixes.add(m.drop(1))
+                else if (m(0) == 0) {
+                  val p = m.drop(1)
+                  val it = peer.prefixes.iterator()
+                  var found: Array[Byte] = null
+                  while (found == null && it.hasNext) {
+                    val x = it.next(); if (x.sameElements(p)) found = x
+                  }
+                  if (found != null) peer.prefixes.remove(found)
                 }
-                if (found != null) peer.prefixes.remove(found)
-              }
-            case Some(_) => ()
-            case None => open = false; peers.remove(peer)
+              case Some(_) => ()
+              case None => open = false
+            }
+          } catch {
+            // malformed frame / handshake timeout / anything: drop peer
+            case _: Throwable => ()
+          } finally {
+            if (peer != null) peers.remove(peer)
+            try s.close() catch { case _: Exception => () }
           }
         }, s"zmq-pub-peer-$port")
         reader.setDaemon(true)
@@ -263,17 +277,29 @@ final class ZmqSub private (socket: Socket, in: DataInputStream, out: DataOutput
   def isOpen: Boolean = running && !socket.isClosed
 
   private val reader = new Thread(() => {
-    while (running) Zmtp.readMessage(in) match {
-      case Some(parts) if parts.nonEmpty =>
-        // reference source: with a topic filter, frame 0 is the topic
-        // and the payload is the remaining frames concatenated
-        val (t, payload) =
-          if (topic.nonEmpty)
-            (new String(parts.head, UTF_8), parts.tail.flatten.toArray)
-          else ("", parts.flatten.toArray)
-        handlers.forEach(h => h(t, payload))
-      case Some(_) => ()
-      case None => running = false
+    try {
+      while (running) Zmtp.readMessage(in) match {
+        case Some(parts) if parts.nonEmpty =>
+          // reference source: with a topic filter, frame 0 is the topic
+          // and the payload is the remaining frames concatenated
+          val (t, payload) =
+            if (topic.nonEmpty)
+              (new String(parts.head, UTF_8), parts.tail.flatten.toArray)
+            else ("", parts.flatten.toArray)
+          handlers.forEach { h =>
+            // a faulty handler must not kill the transport reader
+            try h(t, payload) catch { case _: Throwable => () }
+          }
+        case Some(_) => ()
+        case None => running = false
+      }
+    } catch {
+      // malformed frame (readFrame require) or any other fault: flip
+      // isOpen so the source supervision loop reconnects
+      case _: Throwable => ()
+    } finally {
+      running = false
+      try socket.close() catch { case _: Exception => () }
     }
   }, "zmq-sub-reader")
 

@@ -179,9 +179,16 @@ object Knn {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               bits: Int = 8, tables: Int = 4, probes: Int = 1,
-              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
-    val dim = 64 // embeddings table vector width
-    val planeSets = Array.tabulate(tables)(t => hyperplanes(bits, dim, seed + 7919L * t))
+              seed: Long = 42L, excludeSelf: Boolean = true,
+              dim: Int = 0): DataFrame = {
+    // hyperplanes must span the full embedding width: dim ≤ vector
+    // width silently buckets on a prefix (lshBucket truncates) and
+    // recall collapses. 0 = derive from the first corpus vector (one
+    // single-row driver lookup, corpus-size-independent).
+    val width =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
+    val planeSets = Array.tabulate(tables)(t => hyperplanes(bits, width, seed + 7919L * t))
 
     def tableBuckets(vec: Column): Column =
       array(planeSets.indices.map(t =>

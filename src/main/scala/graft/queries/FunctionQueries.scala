@@ -161,18 +161,21 @@ object FunctionQueries {
         col("n_nationkey"),
         (col("n_nationkey") * lit(6.7) - lit(83.0)).as("lat"),
         (col("n_nationkey") * lit(13.3) - lit(165.0)).as("lng"))
+      // Struct/array outputs go through to_json: the driver's pandas
+      // comparator can't hash nested dicts/lists (same convention as
+      // q_fn_array below).
       n.select(
         col("n_nationkey"),
         geohash_encode(col("lat"), col("lng")).as("gh_v"),
         geohash_encode_int(col("lat"), col("lng")).as("ghi_v"),
-        geohash_decode(geohash_encode(col("lat"), col("lng"))).as("dec_v"),
-        geohash_decode_int(geohash_encode_int(col("lat"), col("lng"))).as("deci_v"),
-        geohash_bbox(geohash_encode(col("lat"), col("lng"))).as("bbox_v"),
-        geohash_bbox_int(geohash_encode_int(col("lat"), col("lng"))).as("bboxi_v"),
+        to_json(geohash_decode(geohash_encode(col("lat"), col("lng")))).as("dec_v"),
+        to_json(geohash_decode_int(geohash_encode_int(col("lat"), col("lng")))).as("deci_v"),
+        to_json(geohash_bbox(geohash_encode(col("lat"), col("lng")))).as("bbox_v"),
+        to_json(geohash_bbox_int(geohash_encode_int(col("lat"), col("lng")))).as("bboxi_v"),
         geohash_neighbor(geohash_encode(col("lat"), col("lng")), lit("North")).as("nb_v"),
         geohash_neighbor_int(geohash_encode_int(col("lat"), col("lng")), lit("South")).as("nbi_v"),
-        geohash_neighbors(geohash_encode(col("lat"), col("lng"))).as("nbs_v"),
-        geohash_neighbors_int(geohash_encode_int(col("lat"), col("lng"))).as("nbsi_v"))
+        to_json(geohash_neighbors(geohash_encode(col("lat"), col("lng")))).as("nbs_v"),
+        to_json(geohash_neighbors_int(geohash_encode_int(col("lat"), col("lng")))).as("nbsi_v"))
     }),
 
     // to_json / parse_json (Spark 4 VARIANT) / json_path_query_first /

@@ -131,11 +131,15 @@ final case class ServiceCallExpr(fnName: String, url: String, method: String,
       case "double" | "float" => resp.toDouble
       case "boolean" => resp.toBoolean
       case _ =>
-        // a JSON string response unquotes; anything else passes through
+        // a JSON string response unquotes via the real JSON parser
+        // (hand-rolled replace chains mis-order \\n vs \\\\ and miss
+        // \t / \uXXXX); anything non-string passes through verbatim
         val s =
           if (resp.length >= 2 && resp.head == '"' && resp.last == '"')
-            resp.substring(1, resp.length - 1)
-              .replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+            try org.json4s.jackson.JsonMethods.parse(resp) match {
+              case org.json4s.JString(v) => v
+              case _ => resp
+            } catch { case _: Exception => resp }
           else resp
         UTF8String.fromString(s)
     }

@@ -73,14 +73,22 @@ final case class InfluxSink(addr: String, measurement: String,
       }
     }
 
-  /** The whole line as one Column. */
+  /** The whole line as one Column. Null handling mirrors the
+    * reference's tspoint transform: a null FIELD (or tag) is elided
+    * while the point survives with its remaining fields — concat_ws
+    * skips null fragments — and only a point with no non-null fields
+    * at all (or a null timestamp) is dropped.
+    */
   private[sinks] def lineColumn(df: DataFrame): Column = {
     val tags = options.collect { case (k, tpl) if k.startsWith("tag:") =>
       val rendered = Sink.templateParts(tpl).map {
         case Left(litPart) => lit(escTagLit(litPart))
         case Right(field) => escTagCol(df(field))
       }
-      concat((lit("," + escTagLit(k.stripPrefix("tag:")) + "=") +: rendered): _*)
+      // a null tag value elides that tag, not the whole point
+      coalesce(
+        concat((lit("," + escTagLit(k.stripPrefix("tag:")) + "=") +: rendered): _*),
+        lit(""))
     }.toSeq
     val tagCols = options.collect { case (k, tpl) if k.startsWith("tag:") =>
       Sink.templateParts(tpl).collect { case Right(f) => f }
@@ -91,13 +99,17 @@ final case class InfluxSink(addr: String, measurement: String,
         .filterNot(tagCols).filterNot(options.get("tsFieldName").toSet)
     }
     require(fieldNames.nonEmpty, "influx sink needs at least one field column")
-    val fieldSet = fieldNames.zipWithIndex.map { case (f, i) =>
+    // `name=value` per field, null when the column is null — concat_ws
+    // then drops exactly the null fields from the comma-joined set
+    val fieldSet = fieldNames.map { f =>
       val dt = df.schema(f).dataType
-      concat(lit((if (i == 0) "" else ",") + escTagLit(f) + "="), fieldValue(dt, df(f)))
+      when(df(f).isNotNull, concat(lit(escTagLit(f) + "="), fieldValue(dt, df(f))))
     }
-    concat(
-      (lit(escMeasurement(measurement)) +: tags) ++
-        (lit(" ") +: fieldSet) :+ lit(" ") :+ tsCol(df).cast("string"): _*)
+    val fieldsPart = concat_ws(",", fieldSet: _*)
+    when(length(fieldsPart) > 0,
+      concat(
+        (lit(escMeasurement(measurement)) +: tags) :+
+          lit(" ") :+ fieldsPart :+ lit(" ") :+ tsCol(df).cast("string"): _*))
   }
 
   private def writeUrl: String =
@@ -125,10 +137,9 @@ final case class InfluxSink(addr: String, measurement: String,
     val batchSize = options.getOrElse("batchSize", "5000").toInt
     // note: Sink.shaped is NOT applied — `fields` selects influx field
     // columns here (reference WriteOptions.Fields), and tag/ts columns
-    // must stay visible to lineColumn. A null in any projected column
-    // nullifies its line (concat semantics) and the point is DROPPED
-    // rather than corrupting the batch — coalesce upstream to keep
-    // partially-null rows.
+    // must stay visible to lineColumn. Null fields/tags are elided
+    // per-point inside lineColumn; only all-fields-null or null-ts
+    // points come back null and are dropped here.
     df.select(lineColumn(df).as("line"))
       .where(col("line").isNotNull)
       .foreachPartition { (rows: Iterator[Row]) =>

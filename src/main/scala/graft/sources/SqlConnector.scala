@@ -117,25 +117,46 @@ final case class SqlSource(dburl: String, table: String,
   private def reader(spark: SparkSession) =
     spark.read.format("jdbc").option("url", dburl).options(jdbcOpts)
 
-  /** One progressive pull as a distributed JDBC read; advances the
-    * index to the max value among the rows THIS pull returns (the
-    * reference updates per scanned row — limit-bounded either way).
+  /** One progressive pull as a distributed JDBC read, pinned to a
+    * CLOSED interval: the upper bound is probed first (one tiny driver
+    * JDBC round-trip over the same `> last` row set, limit included),
+    * then the distributed scan reads `f > last AND f <= max` — rows
+    * inserted between the probe and the scan belong to the NEXT pull
+    * instead of being returned now and re-returned later (the eager
+    * MAX() of the previous design double-pulled them). The pinned
+    * interval also makes the returned frame reproducible: a pull that
+    * fails downstream is recovered by `rewind(offset-before)` — the
+    * reference's Rewind contract — and re-reads the identical row set.
     */
   def batch(spark: SparkSession): DataFrame = {
-    val q = queryStatement
-    val df = reader(spark).option("query", q).load()
-    if (indexFields.nonEmpty) {
-      // DB-side aggregate over exactly the pulled row set — one tiny
-      // driver JDBC round-trip, no data moved
-      val maxQ = indexFields.map(f => s"MAX($f)").mkString(
-        "SELECT ", ", ", s" FROM ($q) graft_pull")
-      SqlBridges.withConnection(dburl, options) { conn =>
-        val rs = conn.createStatement().executeQuery(maxQ)
-        if (rs.next()) indexFields.zipWithIndex.foreach { case (f, i) =>
-          Option(rs.getObject(i + 1)).foreach(index.put(f, _))
-        }
-      }
+    if (indexFields.isEmpty)
+      return reader(spark).option("query", queryStatement).load()
+    val q0 = queryStatement
+    val maxQ = indexFields.map(f => s"MAX($f)").mkString(
+      "SELECT ", ", ", s" FROM ($q0) graft_pull")
+    val upper = SqlBridges.withConnection(dburl, options) { conn =>
+      val rs = conn.createStatement().executeQuery(maxQ)
+      if (rs.next())
+        indexFields.zipWithIndex.flatMap { case (f, i) =>
+          Option(rs.getObject(i + 1)).map(f -> _)
+        }.toMap
+      else Map.empty[String, Any]
     }
+    if (upper.size < indexFields.length) {
+      // no new rows at probe time: an empty pull, index unchanged
+      val empty = limited(
+        s"SELECT * FROM $table WHERE 1 = 0", limit, dialect)
+      return reader(spark).option("query", empty).load()
+    }
+    val conds =
+      indexFields.flatMap(f => Option(index.get(f)).map(v => s"$f > ${literal(v)}")) ++
+        indexFields.map(f => s"$f <= ${literal(upper(f))}")
+    val order = indexFields.mkString(" ORDER BY ", " ASC, ", " ASC")
+    val q = limited(
+      s"SELECT * FROM $table${conds.mkString(" WHERE ", " AND ", "")}$order",
+      limit, dialect)
+    val df = reader(spark).option("query", q).load()
+    upper.foreach { case (f, v) => index.put(f, v) }
     df
   }
 

@@ -89,6 +89,26 @@ class InfluxSpec extends SparkSuite {
     }
   }
 
+  test("influx: null fields are elided per-point, not whole-point drops") {
+    withServer { (addr, captured) =>
+      val df = Seq(
+        (1L, Some(21.5), Some(42L), Some("dev1")),   // full point
+        (2L, None, Some(7L), Some("dev2")),          // temp null → elided
+        (3L, Some(9.5), Some(3L), None),             // tag null → tag elided
+        (4L, None, None, Some("dev4"))               // all fields null → dropped
+      ).toDF("ts", "temp", "hum", "device")
+      InfluxSink(addr, "m", Map(
+        "database" -> "d", "tsFieldName" -> "ts",
+        "tag:device" -> "{{device}}", "fields" -> "temp,hum")).writeBatch(df)
+      val lines = captured.toArray(Array.empty[Captured])
+        .flatMap(_.body.split("\n")).sorted.toSeq
+      assert(lines == Seq(
+        "m,device=dev1 temp=21.5,hum=42i 1",
+        "m,device=dev2 hum=7i 2",
+        "m temp=9.5,hum=3i 3").sorted)
+    }
+  }
+
   test("influx: non-2xx write raises (ReliableSink contract)") {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {

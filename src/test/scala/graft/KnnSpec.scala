@@ -108,6 +108,30 @@ class KnnSpec extends SparkSuite {
     }
   }
 
+  test("LSH derives hyperplane width from the data (non-64-dim vectors)") {
+    import spark.implicits._
+    // 128-dim vectors where ALL the signal lives in dims 64..127: a
+    // 64-dim-prefix bucketing (the old hard-coded width) sees pure
+    // noise and recall collapses; data-derived width must find the
+    // planted identical pairs
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(4)(Array.fill(128)(rng.nextFloat() - 0.5f)
+      .zipWithIndex.map { case (v, i) => if (i < 64) 0.001f * v else v })
+    val rows = (0 until 40).map { i =>
+      val v = base(i % 4).clone()
+      v(64 + i % 8) = v(64 + i % 8) + 0.01f * (i / 4)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val exact = Knn.bruteForceTopK(q, df, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id")
+    val approx = Knn.lshTopK(q, df, "vec_id", "embedding", k = 5,
+      bits = 5, tables = 6, probes = 1).select("q_id", "n_id")
+    val recall = approx.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.5, s"derived-width LSH recall $recall below floor")
+  }
+
   test("more tables/probes never reduce candidate coverage") {
     val q = emb.where(col("vec_id") < 5)
     val r0 = Knn.lshTopK(q, emb, "vec_id", "embedding", k = 10,

@@ -3,10 +3,42 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing contracts (SURVEY §2.9): deterministic stub
-  * decode, correct batch shape, shuffle-free plan.
+/** Multimodal plumbing contracts (SURVEY §2.9): real javax.imageio
+  * decode for image payloads, deterministic stub for un-decodable
+  * media, correct batch shape, shuffle-free plan.
   */
 class MultimodalSpec extends SparkSuite {
+
+  test("image payloads take the REAL codec path (javax.imageio)") {
+    val png = Multimodal.syntheticPng("decode me for real".getBytes("UTF-8"))
+    val a = Multimodal.MediaAsset(7L, "image", png, 8, 8, 1)
+    val f = Multimodal.decodeAsset(a, 4)
+    // one container frame, luminance histogram normalized over pixels
+    assert(f.sampled_frames == 1)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-5)
+    assert(f.n_bytes == png.length.toLong)
+    // deterministic: same payload, same features
+    assert(f.feature.toSeq == Multimodal.decodeAsset(a, 4).feature.toSeq)
+    // and it is NOT the stub's byte histogram
+    assert(f.feature.toSeq != Multimodal.stubDecode(a, 4).feature.toSeq)
+  }
+
+  test("image resize is a true bilinear rescale, re-decodable") {
+    val png = Multimodal.syntheticPng(Array.tabulate[Byte](100)(_.toByte))
+    val a = Multimodal.MediaAsset(8L, "image", png, 8, 8, 1)
+    val r = Multimodal.resizeAsset(a, 4, 4)
+    assert(r.width == 4 && r.height == 4)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+  }
+
+  test("features query exercises both codec paths in one pass") {
+    val docs = Tables(spark, sf, "documents").limit(40)
+    val out = Multimodal.features(spark, docs)
+    val kinds = out.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio"))
+    assert(out.where(col("n_bytes") <= 0).count() == 0)
+  }
 
   test("stub decoder is deterministic and histogram is normalized") {
     val a = Multimodal.MediaAsset(1L, "image", "hello multimodal world".getBytes, 64, 64, 1)

@@ -54,6 +54,45 @@ class NngSpec extends SparkSuite {
     } finally daemon.close()
   }
 
+  test("nng pair: malformed frame flips isOpen false (redial signal)") {
+    // a daemon that handshakes correctly then sends a negative length
+    // prefix: readMsg's require throws IllegalArgumentException — the
+    // reader must mark the pair dead, not die with isOpen stuck true
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new java.io.DataInputStream(s.getInputStream)
+        val out = new java.io.DataOutputStream(s.getOutputStream)
+        out.write(Array[Byte](0, 'S', 'P', 0, 0, 16, 0, 0)); out.flush()
+        val peer = new Array[Byte](8); in.readFully(peer)
+        out.write(Array.fill[Byte](8)(0xFF.toByte)); out.flush() // length = -1
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    val cli = NngPair.dial(s"tcp://127.0.0.1:${server.getLocalPort}")
+    try awaitCond(!cli.isOpen, "isOpen to flip false on malformed frame")
+    finally { cli.close(); server.close() }
+  }
+
+  test("nng listener: a silent peer cannot wedge the accept loop") {
+    val daemon = NngListener.bind()
+    try {
+      val silent = new java.net.Socket("127.0.0.1", daemon.port)
+      try {
+        // never sends its SP header; a real peer must still connect
+        val cli = NngPair.dial(daemon.address)
+        try {
+          awaitCond(daemon.hasPeer, "real peer handshake behind silent socket")
+          val got = new ConcurrentLinkedQueue[String]()
+          daemon.onMessage(b => got.add(new String(b, UTF_8)))
+          cli.send("alive".getBytes(UTF_8))
+          awaitCond(got.size == 1, "delivery with silent peer connected")
+        } finally cli.close()
+      } finally silent.close()
+    } finally daemon.close()
+  }
+
   test("neuron source: daemon-pushed readings arrive as typed rows") {
     val daemon = NngListener.bind()
     try {

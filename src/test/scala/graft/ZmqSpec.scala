@@ -55,6 +55,49 @@ class ZmqSpec extends SparkSuite {
     } finally pub.close()
   }
 
+  test("zmq: a silent peer cannot wedge the PUB accept loop") {
+    val pub = ZmqPub.bind()
+    try {
+      // connects and never sends the ZMTP greeting — must not block
+      // later subscribers (handshake runs per-peer, not in accept())
+      val silent = new java.net.Socket("127.0.0.1", pub.port)
+      try {
+        val got = new ConcurrentLinkedQueue[String]()
+        val sub = ZmqSub.connect(pub.address, "")
+        try {
+          sub.onMessage((_, p) => got.add(new String(p, UTF_8)))
+          awaitCond(pub.peerCount == 1, "real subscriber handshake behind silent peer")
+          Thread.sleep(100)
+          pub.publish("", "still-works".getBytes(UTF_8))
+          awaitCond(got.size == 1, "delivery with silent peer connected")
+        } finally sub.close()
+      } finally silent.close()
+    } finally pub.close()
+  }
+
+  test("zmq: malformed frame kills the reader and flips isOpen (redial signal)") {
+    // a raw ZMTP server that greets correctly then sends garbage: the
+    // SUB reader must not die silently with isOpen stuck true
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+        val out = new java.io.DataOutputStream(s.getOutputStream)
+        graft.net.Zmtp.handshake(in, out, asServer = true, socketType = "PUB",
+          accept = Set("SUB", "XSUB"))
+        // long-form frame with a negative length: readFrame's require
+        // throws IllegalArgumentException (not EOF/SocketException)
+        out.write(Array.fill[Byte](9)(0xFF.toByte))
+        out.flush()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    val sub = ZmqSub.connect(s"tcp://127.0.0.1:${server.getLocalPort}", "")
+    try awaitCond(!sub.isOpen, "isOpen to flip false on malformed frame")
+    finally { sub.close(); server.close() }
+  }
+
   test("zmq: large frames use the 8-octet length form") {
     val pub = ZmqPub.bind()
     try {
