@@ -94,17 +94,42 @@ object FeedBridges {
     }
   }
 
+  /** Inbound payload decode: decrypt → decompress → UTF-8, the inverse
+    * of the sink's encode → compress → encrypt (reference source-side
+    * `decompression` prop, planner_source.go:170; decryption mirrors
+    * the file source's `decryption`). Applied on the byte-oriented
+    * transports (mqtt/kafka/zmq/neuron) where compressed frames
+    * actually arrive as raw bytes.
+    */
+  private[net] def inboundDecode(options: Map[String, String]): Array[Byte] => String = {
+    val decompression = options.getOrElse("decompression", "")
+    val decryption = options.getOrElse("decryption", "")
+    if (decryption.nonEmpty) require(decryption == "aes",
+      s"unsupported decryption '$decryption' (only aes, like the reference)")
+    payload => {
+      var bytes = payload
+      if (decryption.nonEmpty)
+        bytes = graft.functions.Crypto.decrypt(bytes,
+          options.getOrElse("aesKey", throw new IllegalArgumentException(
+            "aes decryption needs an 'aesKey' (base64) prop")),
+          options.getOrElse("encMode", "cfb"), options.getOrElse("encIv", ""))
+      if (decompression.nonEmpty)
+        bytes = graft.functions.Compression.decompress(bytes, decompression)
+      new String(bytes, StandardCharsets.UTF_8)
+    }
+  }
+
   private def startTransport(kind: String, topic: String, server: String,
                              options: Map[String, String],
                              emit: (String, Long) => Unit): AutoCloseable = {
     val tls = Tls.clientFromOptions(options)
+    val decode = inboundDecode(options)
     kind match {
       case "mqtt" =>
         val client = MqttClient.connect(server, s"graft-src-${topic.hashCode.toHexString}",
           username = options.get("username"), password = options.get("password"), tls = tls)
         client.subscribe(topic, (_, payload) =>
-          emit(new String(payload, StandardCharsets.UTF_8),
-            System.currentTimeMillis()))
+          emit(decode(payload), System.currentTimeMillis()))
         () => client.close()
       case "websocket" =>
         val client = WebSocketClient.connect(server, tls = tls)
@@ -158,7 +183,7 @@ object FeedBridges {
             try {
               val (_, records) = client.fetch(topic, partition, off, maxWaitMs = 500)
               records.foreach { rec =>
-                emit(new String(rec.value, StandardCharsets.UTF_8), rec.timestamp)
+                emit(decode(rec.value), rec.timestamp)
                 off = rec.offset + 1
               }
             } catch {
@@ -176,8 +201,7 @@ object FeedBridges {
         supervised(s"zmq-bridge-$topic") { () =>
           val client = ZmqSub.connect(server, topic)
           client.onMessage((_, payload) =>
-            emit(new String(payload, StandardCharsets.UTF_8),
-              System.currentTimeMillis()))
+            emit(decode(payload), System.currentTimeMillis()))
           (client, () => client.isOpen)
         }
       case "neuron" =>
@@ -187,8 +211,7 @@ object FeedBridges {
         supervised(s"neuron-bridge-$topic") { () =>
           val client = NngPair.dial(server)
           client.onMessage(body =>
-            emit(new String(body, StandardCharsets.UTF_8),
-              System.currentTimeMillis()))
+            emit(decode(body), System.currentTimeMillis()))
           (client, () => client.isOpen)
         }
       case other =>
@@ -243,6 +266,7 @@ object SinkTransports {
             s"graft-sink-${Thread.currentThread().getId}",
             username = options.get("username"), password = options.get("password"), tls = tls)
           def publish(payload: String): Unit = c.publish(topic, payload)
+          override def publishBytes(payload: Array[Byte]): Unit = c.publish(topic, payload)
           def close(): Unit = c.close()
         }
       case "websocket" =>
@@ -297,8 +321,9 @@ object SinkTransports {
           private val c = KafkaClient.connect(server,
             s"graft-sink-${Thread.currentThread().getId}", sasl = sasl, tls = tls)
           def publish(payload: String): Unit =
-            c.produce(topic, partition,
-              Seq(key -> payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            publishBytes(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          override def publishBytes(payload: Array[Byte]): Unit =
+            c.produce(topic, partition, Seq(key -> payload))
           def close(): Unit = c.close()
         }
       case "neuron" =>
@@ -307,7 +332,8 @@ object SinkTransports {
         val pair = NngEndpoints.pair(endpoint)
         new Client {
           def publish(payload: String): Unit =
-            pair.send(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            publishBytes(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          override def publishBytes(payload: Array[Byte]): Unit = pair.send(payload)
           def close(): Unit = () // shared connection outlives the partition
         }
       case "zmq" =>
@@ -319,7 +345,8 @@ object SinkTransports {
         val pub = ZmqEndpoints.pub(s"tcp://${u.getHost}:${u.getPort}")
         new Client {
           def publish(payload: String): Unit =
-            pub.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            publishBytes(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          override def publishBytes(payload: Array[Byte]): Unit = pub.publish(topic, payload)
           def close(): Unit = () // shared endpoint stays bound for the rule's lifetime
         }
       case other =>

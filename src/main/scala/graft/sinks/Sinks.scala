@@ -77,22 +77,70 @@ object Sink {
 }
 
 /** File sink: json / csv / parquet, append mode, optional partition
-  * columns. Reference: internal/io/file/sink.go (rolling files —
-  * Spark's per-micro-batch part files are the cluster-native
-  * equivalent of the reference's single-writer rolling policy).
+  * columns, with the reference's rolling policy re-expressed for
+  * distributed writers (internal/io/file/sink.go:38-44):
+  *
+  *  - `rollingInterval` (ms): each batch lands in a time-bucketed
+  *    ROLL DIRECTORY — floor(now/interval) stamps the directory name
+  *    per `rollingNamePattern` (prefix | suffix | none). A single
+  *    renamable open file is a single-writer concept; the directory is
+  *    the unit a distributed writer can roll atomically.
+  *  - `rollingCount`: max rows per part file — Spark's native
+  *    maxRecordsPerFile, enforced per-writer on executors.
+  *  - `rollingSize` (bytes): approximated as a per-file row cap
+  *    derived from the average row width of a bounded driver sample
+  *    (size-capped part files aren't expressible natively).
+  *  - `compression`: writer codec (gzip/zstd/…; zlib/flate map to
+  *    Hadoop's deflate).
   */
 final case class FileSink(path: String, format: String = "json",
                           options: Map[String, String] = Map.empty) extends Sink {
   require(Seq("json", "csv", "parquet").contains(format), s"unsupported format $format")
+
+  private val rollingInterval = options.get("rollingInterval").map(_.toLong).getOrElse(0L)
+  private val namePattern = options.getOrElse("rollingNamePattern", "suffix")
+  require(Seq("prefix", "suffix", "none").contains(namePattern),
+    "rollingNamePattern must be one of prefix, suffix or none") // sink.go:91
+
+  /** Roll directory for this batch (stable within one interval). */
+  private[graft] def rollTarget(nowMs: Long): String =
+    if (rollingInterval <= 0) path
+    else {
+      val ts = nowMs / rollingInterval * rollingInterval
+      val f = new java.io.File(path)
+      val dir = Option(f.getParent).getOrElse(".")
+      namePattern match {
+        case "prefix" => s"$dir/$ts-${f.getName}"
+        case "suffix" => s"$dir/${f.getName}-$ts"
+        case "none" => path
+      }
+    }
+
   def writeBatch(df: DataFrame): Unit = {
     val shapedDf = shaped(df)
-    val w = shapedDf.write.mode(options.getOrElse("mode", "append"))
+    var w = shapedDf.write.mode(options.getOrElse("mode", "append"))
+    options.get("rollingCount").foreach(n => w = w.option("maxRecordsPerFile", n))
+    options.get("rollingSize").foreach { bytes =>
+      // bounded sample (<=100 rows on the driver) → avg row width →
+      // per-file row cap approximating the byte cap
+      val sample = shapedDf.limit(100).toJSON.collect()
+      val avg = if (sample.isEmpty) 1 else math.max(1, sample.map(_.length).sum / sample.length)
+      w = w.option("maxRecordsPerFile", math.max(1L, bytes.toLong / avg))
+    }
+    options.get("compression").foreach { c =>
+      val codec = c match {
+        case "zlib" | "flate" => "deflate" // Hadoop's DEFLATE codec family
+        case other => other
+      }
+      w = w.option("compression", codec)
+    }
     val w2 = options.get("partitionBy")
       .fold(w)(p => w.partitionBy(p.split(",").map(_.trim).toIndexedSeq: _*))
+    val target = rollTarget(System.currentTimeMillis())
     format match {
-      case "json" => w2.json(path)
-      case "csv" => w2.option("header", "true").csv(path)
-      case "parquet" => w2.parquet(path)
+      case "json" => w2.json(target)
+      case "csv" => w2.option("header", "true").csv(target)
+      case "parquet" => w2.parquet(target)
     }
   }
 }
@@ -218,25 +266,55 @@ final case class ConnectorSink(kind: String, endpoint: String,
         options.getOrElse("delimiter", ","))
     }
     val batchSize = options.getOrElse("batchSize", "0").toInt
+    val compression = options.getOrElse("compression", "")
+    val encryption = options.getOrElse("encryption", "")
     val (k, ep, opts) = (kind, endpoint, options) // don't capture `this` in the closure
-    out.select(payloadCol.cast("string").as("payload"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        // broker-URL endpoints (tcp:// mqtt, ws://, redis://) get a REAL
-        // per-partition publisher built ON THE EXECUTOR (the reference's
-        // per-worker publisher shape, internal/io/mqtt/sink.go); anything
-        // else records into the in-process stub for tests. Credential and
-        // TLS DDL props ride along to the executor-side client.
-        val client =
-          if (graft.net.SinkTransports.supports(k, ep)) graft.net.SinkTransports.client(k, ep, opts)
-          else ConnectorSink.client(k, ep)
-        try {
-          val payloads = rows.map(_.getString(0))
-          val framed =
-            if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
-            else payloads
-          framed.foreach(client.publish)
-        } finally client.close() // a mid-partition publish failure must not leak the client
-      }
+
+    if (encryption.nonEmpty) {
+      // fail fast on the driver: bad algo/key must not wait for a task
+      require(encryption == "aes",
+        s"unsupported encryption '$encryption' (only aes, like the reference)")
+      graft.functions.Crypto.encrypt(Array.emptyByteArray,
+        options.getOrElse("aesKey",
+          throw new IllegalArgumentException("aes encryption needs an 'aesKey' (base64) prop")),
+        options.getOrElse("encMode", "cfb"), options.getOrElse("encIv", ""))
+    }
+    if (compression.nonEmpty)
+      require(graft.functions.Compression.codecs.contains(compression),
+        s"unsupported compression '$compression'")
+    val binary = compression.nonEmpty || encryption.nonEmpty
+
+    out.select(payloadCol.cast("string").as("payload")).foreachPartition { (rows: Iterator[Row]) =>
+      // broker-URL endpoints (tcp:// mqtt, ws://, redis://) get a REAL
+      // per-partition publisher built ON THE EXECUTOR (the reference's
+      // per-worker publisher shape, internal/io/mqtt/sink.go); anything
+      // else records into the in-process stub for tests. Credential and
+      // TLS DDL props ride along to the executor-side client.
+      // encode → [batch] → compress → encrypt runs HERE, per executor
+      // partition (the reference's sink pipeline order,
+      // internal/topo/planner/planner_sink.go:255-271) — byte work
+      // never touches the driver.
+      val client =
+        if (graft.net.SinkTransports.supports(k, ep)) graft.net.SinkTransports.client(k, ep, opts)
+        else ConnectorSink.client(k, ep)
+      try {
+        val payloads = rows.map(_.getString(0))
+        val grouped =
+          if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
+          else payloads
+        if (binary)
+          grouped.foreach { p =>
+            var bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (compression.nonEmpty)
+              bytes = graft.functions.Compression.compress(bytes, compression)
+            if (encryption.nonEmpty)
+              bytes = graft.functions.Crypto.encrypt(bytes,
+                opts("aesKey"), opts.getOrElse("encMode", "cfb"), opts.getOrElse("encIv", ""))
+            client.publishBytes(bytes)
+          }
+        else grouped.foreach(client.publish)
+      } finally client.close() // a mid-partition publish failure must not leak the client
+    }
   }
 }
 
@@ -283,9 +361,15 @@ object ConnectorSink {
 
   /** Per-partition publishing client (stub: records into the in-process
     * "broker"). A real transport implements this same two-method shape.
+    * Binary payloads (compressed / encrypted pipelines) go through
+    * publishBytes; the default bridges via ISO-8859-1, which is
+    * byte-preserving both directions, so string-shaped transports and
+    * the stub recorder keep the exact bytes.
     */
   trait Client extends Serializable {
     def publish(payload: String): Unit
+    def publishBytes(payload: Array[Byte]): Unit =
+      publish(new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1))
     def close(): Unit
   }
 
