@@ -362,8 +362,13 @@ final class RuleApi(engine: RuleEngine) {
           .map { case (n, ddl) => JField(n, JString(ddl)) })
         val rules = JObject(ruleJson.asScala.toList.sortBy(_._1)
           .map { case (id, js) => JField(id, JsonMethods.parse(js)) })
+        // scripts ride along like the reference's ruleset export
+        // (internal/plugin/js/exporter.go)
+        val scripts = JObject(graft.plugins.JsFunctions.list().toList
+          .flatMap(id => graft.plugins.JsFunctions.get(id))
+          .map(s => JField(s.id, JsonMethods.parse(RuleApi.jsScriptJson(s)))))
         ok(JsonMethods.compact(JsonMethods.render(
-          JObject("streams" -> streams, "rules" -> rules))))
+          JObject("streams" -> streams, "rules" -> rules, "scripts" -> scripts))))
       case ("POST", List("data", "import")) =>
         // Per-item apply with a collected error list (the reference's
         // import result shape): one bad stream/rule doesn't abort the
@@ -387,11 +392,32 @@ final class RuleApi(engine: RuleEngine) {
           }
           case _ => Nil
         }
+        val nj = (j \ "scripts") match {
+          case JObject(fs) => fs.flatMap { case JField(n, sj) =>
+            try {
+              // the map key IS the id (reference UpsertByJson)
+              val withId = sj match {
+                case o: JObject if (o \ "id") == JNothing =>
+                  JObject(o.obj :+ JField("id", JString(n)))
+                case o => o
+              }
+              val s = RuleApi.parseJsScript(JsonMethods.compact(JsonMethods.render(withId)))
+              if (s.id != n)
+                throw new IllegalArgumentException(
+                  s"the script id ${s.id} does not match the key $n")
+              graft.plugins.JsFunctions.upsert(engine.session, s)
+              Some(n)
+            } catch { case e: Exception =>
+              errors += (s"script $n" -> String.valueOf(e.getMessage)); None }
+          }
+          case _ => Nil
+        }
         val errJson = errors.toList.map { case (what, msg) =>
           s"""{"item":${JsonMethods.compact(JString(what))},""" +
             s""""error":${JsonMethods.compact(JString(msg))}}"""
         }.mkString("[", ",", "]")
-        val result = s"""{"streams":${ns.size},"rules":${nr.size},"errors":$errJson}"""
+        val result =
+          s"""{"streams":${ns.size},"rules":${nr.size},"scripts":${nj.size},"errors":$errJson}"""
         lastImport = result // GET /data/import/status (import_export.go)
         ok(result)
       case ("GET", List("data", "import", "status")) => ok(lastImport)
@@ -561,6 +587,30 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("plugins", "portables", name)) =>
         graft.plugins.PortablePlugins.stop(name); ok("{}")
 
+      // JavaScript script functions (reference script_init.go:46-47,
+      // internal/plugin/js): paste a JS function, call it from SQL
+      case ("GET", List("udf", "javascript")) =>
+        ok(graft.plugins.JsFunctions.list()
+          .map(n => JsonMethods.compact(JString(n))).mkString("[", ",", "]"))
+      case ("POST", List("udf", "javascript")) =>
+        val s = RuleApi.parseJsScript(body)
+        graft.plugins.JsFunctions.create(engine.session, s)
+        (201, s"""{"message":"javascript function ${s.id} is created"}""")
+      case ("GET", List("udf", "javascript", id)) =>
+        graft.plugins.JsFunctions.get(id) match {
+          case Some(s) => ok(RuleApi.jsScriptJson(s))
+          case None => err(404, "not found")
+        }
+      case ("PUT", List("udf", "javascript", id)) =>
+        val s = RuleApi.parseJsScript(body)
+        if (s.id != id) return err(400, s"the script id ${s.id} does not match the key $id")
+        graft.plugins.JsFunctions.upsert(engine.session, s)
+        ok(s"""{"message":"javascript function $id is updated"}""")
+      case ("DELETE", List("udf", "javascript", id)) =>
+        if (graft.plugins.JsFunctions.delete(engine.session, id))
+          ok(s"""{"message":"javascript function $id is deleted"}""")
+        else err(404, "not found")
+
       // batched API calls (reference rest.go batchRequestHandler):
       // [{method,path,body}] → [{code,response}] routed through this
       // same handler
@@ -599,6 +649,32 @@ final class RuleApi(engine: RuleEngine) {
 }
 
 object RuleApi {
+  /** {"id","description","script","isAgg"[,"resultType"]} — the
+    * reference's js.Script shape (manager.go:36-41) plus the typed
+    * engine's resultType extension.
+    */
+  private[rules] def parseJsScript(body: String): graft.plugins.JsScript = {
+    val j = JsonMethods.parse(body)
+    val id = (j \ "id") match {
+      case JString(s) if s.nonEmpty => s
+      case _ => throw new IllegalArgumentException("script needs an id")
+    }
+    graft.plugins.JsScript(
+      id = id,
+      description = (j \ "description") match { case JString(s) => s; case _ => "" },
+      script = (j \ "script") match { case JString(s) => s; case _ => "" },
+      isAgg = (j \ "isAgg") match { case JBool(b) => b; case _ => false },
+      resultType = (j \ "resultType") match { case JString(s) => s; case _ => "string" })
+  }
+
+  private[rules] def jsScriptJson(s: graft.plugins.JsScript): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "id" -> JString(s.id),
+      "description" -> JString(s.description),
+      "script" -> JString(s.script),
+      "isAgg" -> JBool(s.isAgg),
+      "resultType" -> JString(s.resultType))))
+
   /** {"memory": {"topic": "t"}} / {"file": {...}} / {"mqtt": {...}} … —
     * the reference's action objects.
     */

@@ -79,6 +79,7 @@ class RuleApiSpec extends SparkSuite {
   test("export captures definitions; import restores them on a fresh engine") {
     val dir = Files.createTempDirectory("graft_exp_in")
     Files.write(dir.resolve("a.json"), """{"x":4}""".getBytes)
+    graft.plugins.JsFunctions.clear() // scripts from other suites would skew the export doc
     val a = api
     a.handle("POST", "/streams",
       s"""{"sql": "CREATE STREAM exp_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
@@ -89,7 +90,7 @@ class RuleApiSpec extends SparkSuite {
     // a fresh engine, seeded only from the exported document
     val b = new RuleApi(new RuleEngine(spark))
     val (ci, bi) = b.handle("POST", "/data/import", doc)
-    assert(ci == 200 && bi == """{"streams":1,"rules":1,"errors":[]}""")
+    assert(ci == 200 && bi == """{"streams":1,"rules":1,"scripts":0,"errors":[]}""")
     assert(b.handle("GET", "/streams")._2.contains("exp_in"))
     MemoryHub.drop("exp_out")
     assert(b.handle("POST", "/rules/r_exp/start")._1 == 200)
