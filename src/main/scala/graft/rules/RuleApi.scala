@@ -535,8 +535,12 @@ final class RuleApi(engine: RuleEngine) {
                 case JObject(hs) => hs.collect { case JField(k, JString(v)) => k -> v }.toMap
                 case _ => Map.empty[String, String]
               }
+              val protocol = (j \ "protocol") match {
+                case JString(p) => p
+                case _ => "rest"
+              }
               Services.register(engine.session,
-                Services.ServiceDef(n, addr, fns, headers))
+                Services.ServiceDef(n, addr, fns, headers, protocol))
               ok(s"""{"name":${JsonMethods.compact(JString(n))}}""")
             }
           case _ => err(400, "body needs {\"name\": ..., \"addr\": ..., \"functions\": [...]}")

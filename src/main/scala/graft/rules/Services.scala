@@ -29,9 +29,18 @@ object Services {
 
   final case class FunctionDef(name: String, returnType: String = "string",
                                uri: Option[String] = None, method: String = "POST")
+  /** protocol: rest (default) | msgpack (msgpack-RPC over tcp://, the
+    * reference's executors_msgpack.go) | grpc (unary over h2c,
+    * executors.go grpcExecutor — `uri` carries the full method path
+    * `/pkg.Service/Method`, defaulting to `/<name>`).
+    */
   final case class ServiceDef(name: String, addr: String,
                               functions: Seq[FunctionDef],
-                              headers: Map[String, String] = Map.empty)
+                              headers: Map[String, String] = Map.empty,
+                              protocol: String = "rest") {
+    require(Seq("rest", "msgpack", "grpc").contains(protocol),
+      s"unsupported service protocol '$protocol'")
+  }
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, ServiceDef]()
@@ -50,9 +59,21 @@ object Services {
   def register(spark: SparkSession, svc: ServiceDef): Unit = {
     registry.put(svc.name, svc)
     svc.functions.foreach { f =>
-      val url = svc.addr.stripSuffix("/") + f.uri.getOrElse("/" + f.name)
-      RegistryBridge.register(spark, f.name,
-        args => ServiceCallExpr(f.name, url, f.method, svc.headers, f.returnType, args))
+      svc.protocol match {
+        case "msgpack" =>
+          val u = java.net.URI.create(svc.addr)
+          RegistryBridge.register(spark, f.name,
+            args => MsgpackCallExpr(f.name, u.getHost, u.getPort, f.returnType, args))
+        case "grpc" =>
+          val u = java.net.URI.create(svc.addr)
+          val path = f.uri.getOrElse("/" + f.name)
+          RegistryBridge.register(spark, f.name,
+            args => GrpcCallExpr(f.name, u.getHost, u.getPort, path, f.returnType, args))
+        case _ =>
+          val url = svc.addr.stripSuffix("/") + f.uri.getOrElse("/" + f.name)
+          RegistryBridge.register(spark, f.name,
+            args => ServiceCallExpr(f.name, url, f.method, svc.headers, f.returnType, args))
+      }
     }
   }
 
@@ -147,5 +168,162 @@ final case class ServiceCallExpr(fnName: String, url: String, method: String,
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): ServiceCallExpr =
+    copy(children = newChildren)
+}
+
+/** Shared arg/result plumbing for the binary service transports. */
+private[rules] object ServiceValues {
+  /** Catalyst value → plain Scala value (msgpack/JSON-friendly). */
+  def scalaValue(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => v.asInstanceOf[UTF8String].toString
+      case ByteType | ShortType | IntegerType => v.asInstanceOf[Number].longValue()
+      case LongType => v
+      case FloatType => v.asInstanceOf[Float].toDouble
+      case DoubleType => v
+      case BooleanType => v
+      case d: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(i => scalaValue(et, a.get(i, et)))
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        st.fields.zipWithIndex.map { case (f, i) =>
+          f.name -> scalaValue(f.dataType, row.get(i, f.dataType))
+        }.toMap
+      case _ => String.valueOf(v)
+    }
+
+  /** Service result → the declared SQL return type. Structured
+    * results JSON-render under `string` for the caller's json
+    * functions to pick apart.
+    */
+  def toResult(returnType: String, v: Any): Any = returnType match {
+    case "bigint" | "long" => v match {
+      case null => null
+      case l: Long => l
+      case d: Double => d.toLong
+      case s: String => s.toLong
+      case b: Boolean => if (b) 1L else 0L
+      case other => String.valueOf(other).toLong
+    }
+    case "double" | "float" => v match {
+      case null => null
+      case l: Long => l.toDouble
+      case d: Double => d
+      case s: String => s.toDouble
+      case other => String.valueOf(other).toDouble
+    }
+    case "boolean" => v match {
+      case null => null
+      case b: Boolean => b
+      case l: Long => l != 0
+      case s: String => s.toBoolean
+      case other => String.valueOf(other).toBoolean
+    }
+    case _ => v match {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+      case m: scala.collection.Map[_, _] => UTF8String.fromString(json(m))
+      case xs: Seq[_] => UTF8String.fromString(json(xs))
+      case other => UTF8String.fromString(String.valueOf(other))
+    }
+  }
+
+  private def json(v: Any): String = v match {
+    case null => "null"
+    case s: String => org.json4s.jackson.JsonMethods.compact(org.json4s.JString(s))
+    case d: Double => if (d == math.rint(d)) d.toLong.toString else d.toString
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => json(String.valueOf(k)) + ":" + json(mv) }.mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(json).mkString("[", ",", "]")
+    case other => String.valueOf(other)
+  }
+}
+
+/** msgpack-RPC service call (reference executors_msgpack.go): args go
+  * as the request's params array over a shared per-endpoint TCP
+  * connection ON THE EXECUTOR; the spec's error member raises.
+  */
+final case class MsgpackCallExpr(fnName: String, host: String, port: Int,
+                                 returnType: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = fnName
+  override def dataType: DataType = returnType match {
+    case "bigint" | "long" => LongType
+    case "double" | "float" => DoubleType
+    case "boolean" => BooleanType
+    case _ => StringType
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val params = children.map(c => ServiceValues.scalaValue(c.dataType, c.eval(input)))
+    val result = graft.net.MsgpackRpcClient.sharedFor(host, port).call(fnName, params)
+    ServiceValues.toResult(returnType, result)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MsgpackCallExpr =
+    copy(children = newChildren)
+}
+
+/** Unary gRPC service call over graft's own h2c transport (reference
+  * executors.go grpcExecutor via protoreflect): the schemaless
+  * mapping encodes positional args as protobuf fields 1..n of the
+  * request message and reads field 1 of the response per returnType —
+  * `{"string" → LEN, integrals → varint, double → fixed64, boolean →
+  * varint}` — the same wire bytes a proto with those field numbers
+  * produces, without needing a descriptor file.
+  */
+final case class GrpcCallExpr(fnName: String, host: String, port: Int,
+                              methodPath: String, returnType: String,
+                              children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = fnName
+  override def dataType: DataType = returnType match {
+    case "bigint" | "long" => LongType
+    case "double" | "float" => DoubleType
+    case "boolean" => BooleanType
+    case _ => StringType
+  }
+
+  private val reqSchema = StructType(children.zipWithIndex.map { case (c, i) =>
+    StructField(s"p${i + 1}", c.dataType match {
+      case ByteType | ShortType | IntegerType => LongType
+      case FloatType => DoubleType
+      case other => other
+    })
+  })
+  private val respSchema = StructType(Seq(StructField("r", dataType match {
+    case LongType => LongType
+    case DoubleType => DoubleType
+    case BooleanType => BooleanType
+    case _ => StringType
+  })))
+
+  override def eval(input: InternalRow): Any = {
+    val vals: Array[Any] = children.map { c =>
+      val v = c.eval(input)
+      if (v == null) null
+      else c.dataType match {
+        case ByteType | ShortType | IntegerType => v.asInstanceOf[Number].longValue()
+        case FloatType => v.asInstanceOf[Float].toDouble
+        case _ => v
+      }
+    }.toArray
+    val reqBytes = graft.functions.ProtobufLite.encode(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals), reqSchema)
+    val respBytes = graft.net.GrpcClient.unary(host, port, methodPath, reqBytes)
+    val row = graft.functions.ProtobufLite.decode(respBytes, respSchema)
+    if (row.isNullAt(0)) null else row.get(0, respSchema.fields(0).dataType)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GrpcCallExpr =
     copy(children = newChildren)
 }
