@@ -269,6 +269,46 @@ final class RuleApi(engine: RuleEngine) {
         ok(s"""{"id":${JsonMethods.compact(JString(id))},""" +
           s""""state":${JsonMethods.compact(JString(st.state.toString))},""" +
           s""""batches":${st.batchesProcessed},"rows":${st.rowsProcessed}}""")
+      // PUT /rules/{id}/reset_state (reference rule_state.go): type 0
+      // = UpdateRuleOffset — rewind a stream's progressive offset on a
+      // RUNNING rule. Only offset-owning sources (sql progressive
+      // pull) support this; checkpoint-owned streaming offsets are the
+      // engine's (the reference's ResetStreamOffset is likewise
+      // source-specific).
+      case ("PUT", List("rules", id, "reset_state")) =>
+        val j = JsonMethods.parse(body)
+        val stateType = (j \ "type") match {
+          case JInt(v) => v.toInt
+          case _ => 0
+        }
+        if (stateType != 0) return err(400, s"unknown stateType:$stateType")
+        if (engine.status(id).state != RuleState.Running)
+          return err(400, s"rule $id should be running when modify state")
+        val streamName = (j \ "params" \ "streamName") match {
+          case JString(s) => s
+          case _ => return err(400, "params.streamName is required")
+        }
+        val input = (j \ "params" \ "input") match {
+          case JObject(fs) => fs.collect {
+            case JField(k, JInt(v)) => k -> (v.toLong: Any)
+            case JField(k, JLong(v)) => k -> (v: Any)
+            case JField(k, JDouble(v)) => k -> (v: Any)
+            case JField(k, JString(v)) => k -> (v: Any)
+          }.toMap
+          case _ => Map.empty[String, Any]
+        }
+        engine.catalog.get(streamName) match {
+          case Some(sd) => sd.source match {
+            case s: graft.sources.SqlSource =>
+              s.rewind(input)
+              ok("\"success\"")
+            case other => err(400,
+              s"stream $streamName (${other.getClass.getSimpleName}) does not own a " +
+                "rewindable offset — streaming offsets live in the rule's checkpoint")
+          }
+          case None => err(404, s"stream $streamName is not found")
+        }
+
       case ("GET", List("rules", id, "explain")) =>
         ok(JsonMethods.compact(JString(engine.explain(id))))
       case ("POST", List("rules", id, "restart")) =>
