@@ -244,7 +244,14 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
       ":authority" -> authority, "content-type" -> "application/grpc",
       "te" -> "trailers"))
     writeFrame(out, Frame(HEADERS, 0x4, sid, headers)) // END_HEADERS
-    writeFrame(out, Frame(DATA, 0x1, sid, grpcFrame(message))) // END_STREAM
+    // split DATA at the peer's default SETTINGS_MAX_FRAME_SIZE (16384)
+    // — one oversized frame is a FRAME_SIZE_ERROR on a compliant peer
+    val body = grpcFrame(message)
+    val chunks = body.grouped(16384).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val endStream = if (i == chunks.length - 1) 0x1 else 0x0
+      writeFrame(out, Frame(DATA, endStream, sid, chunk))
+    }
     var data = Array.emptyByteArray
     var status = -1
     var statusMsg = ""
@@ -269,11 +276,13 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
           if ((f.flags & 0x1) != 0) done = true // END_STREAM: trailers seen
         case DATA if f.streamId == sid =>
           data ++= f.payload
-          // replenish the connection flow-control window so a
-          // long-lived connection never stalls at the 64 KiB default
+          // replenish BOTH flow-control windows: a compliant sender
+          // stops at the 65535-byte default — stream-level too, or a
+          // >64 KiB unary response deadlocks the read loop
           if (f.payload.nonEmpty) {
             val win = java.nio.ByteBuffer.allocate(4).putInt(f.payload.length).array()
             writeFrame(out, Frame(WINDOW_UPDATE, 0, 0, win))
+            if ((f.flags & 0x1) == 0) writeFrame(out, Frame(WINDOW_UPDATE, 0, sid, win))
           }
           if ((f.flags & 0x1) != 0) done = true
         case RST_STREAM if f.streamId == sid =>
@@ -386,6 +395,7 @@ final class GrpcServer private (server: ServerSocket,
             if (f.payload.nonEmpty) {
               val win = java.nio.ByteBuffer.allocate(4).putInt(f.payload.length).array()
               writeFrame(out, Frame(WINDOW_UPDATE, 0, 0, win))
+              if ((f.flags & 0x1) == 0) writeFrame(out, Frame(WINDOW_UPDATE, 0, f.streamId, win))
             }
             if ((f.flags & 0x1) != 0) respond(out, f.streamId, streams.remove(f.streamId).get)
           case RST_STREAM => streams.remove(f.streamId)
@@ -408,7 +418,8 @@ final class GrpcServer private (server: ServerSocket,
     writeFrame(out, Frame(HEADERS, 0x4, sid, Hpack.encode(Seq(
       ":status" -> "200", "content-type" -> "application/grpc"))))
     if (status == 0 && body.nonEmpty)
-      writeFrame(out, Frame(DATA, 0, sid, grpcFrame(body)))
+      grpcFrame(body).grouped(16384).foreach(chunk =>
+        writeFrame(out, Frame(DATA, 0, sid, chunk)))
     writeFrame(out, Frame(HEADERS, 0x4 | 0x1, sid, Hpack.encode(
       Seq("grpc-status" -> status.toString) ++
         (if (msg.nonEmpty) Seq("grpc-message" -> msg) else Nil))))

@@ -185,6 +185,20 @@ object MsgpackRpcClient {
   def sharedFor(host: String, port: Int): MsgpackRpcClient =
     shared.compute(s"$host:$port", (_, existing) =>
       if (existing != null && existing.isOpen) existing else connect(host, port))
+
+  /** Shared-connection call with dead-peer eviction: a transport
+    * failure (service restart severed the socket — isOpen can't see
+    * it) drops the cached client so the NEXT call redials, mirroring
+    * the reference's rpc.ErrShutdown → reconnect path.
+    */
+  def callShared(host: String, port: Int, method: String, params: Seq[Any]): Any =
+    try sharedFor(host, port).call(method, params)
+    catch {
+      case e @ (_: java.io.IOException | _: IllegalStateException) =>
+        Option(shared.remove(s"$host:$port")).foreach(_.close())
+        throw e
+    }
+
   def closeShared(): Unit = {
     shared.forEach((_, c) => c.close())
     shared.clear()

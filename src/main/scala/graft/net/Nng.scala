@@ -157,9 +157,13 @@ final class NngListener private (server: ServerSocket) extends AutoCloseable {
             val p = new NngPair(s, in, out)
             p.onMessage(body => handlers.forEach(h => h(body)))
             p.startReader(s"nng-pair-accept-$port")
-            val old = peer
-            peer = p
-            if (old != null) old.close() // pair semantics: one active peer
+            // the swap must be atomic across concurrent handshake
+            // threads, or two racing peers can both stay live
+            NngListener.this.synchronized {
+              val old = peer
+              peer = p
+              if (old != null) old.close() // pair semantics: one active peer
+            }
           } catch {
             case _: Throwable => try s.close() catch { case _: Exception => () }
           }

@@ -213,10 +213,25 @@ final class RedisClient private (socket: Socket, password: Option[String]) {
   /** PUBLISH payload to channel; returns the receiver count the server
     * reports. Request/reply mode only.
     */
-  def publishChannel(channel: String, payload: String): Long = {
+  def publishChannel(channel: String, payload: String): Long =
+    publishChannelBytes(channel, payload.getBytes(StandardCharsets.UTF_8))
+
+  /** RESP bulk strings are binary-safe: compressed/encrypted sink
+    * payloads publish as raw bytes, no string round trip.
+    */
+  def publishChannelBytes(channel: String, payload: Array[Byte]): Long = {
     require(!subscriberMode, "redis: cannot PUBLISH on a subscriber connection")
     out.synchronized {
-      writeCommand(out, Seq("PUBLISH", channel, payload))
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("*3\r\n".getBytes(StandardCharsets.US_ASCII))
+      for (part <- Seq("PUBLISH".getBytes(StandardCharsets.US_ASCII),
+        channel.getBytes(StandardCharsets.UTF_8), payload)) {
+        b.write(s"$$${part.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+        b.write(part)
+        b.write('\r'); b.write('\n')
+      }
+      out.write(b.toByteArray)
+      out.flush()
       readReply(in) match {
         case n: Long => n
         case Error(msg) => throw new java.io.IOException(s"redis: $msg")

@@ -100,23 +100,38 @@ object FeedBridges {
     * the file source's `decryption`). Applied on the byte-oriented
     * transports (mqtt/kafka/zmq/neuron) where compressed frames
     * actually arrive as raw bytes.
+    *
+    * Returns None for a frame that fails to decode: one poison
+    * message (corrupt, plaintext on an encrypted topic, …) must be
+    * SKIPPED, not wedge the bridge — decode runs inside transport
+    * reader callbacks and kafka's fetch loop, where a throw would
+    * kill the reader or hot-loop the same offset forever. Config
+    * errors (bad algo name, missing key) still throw at bridge build
+    * time via the eager requires.
     */
-  private[net] def inboundDecode(options: Map[String, String]): Array[Byte] => String = {
+  private[net] def inboundDecode(options: Map[String, String]): Array[Byte] => Option[String] = {
     val decompression = options.getOrElse("decompression", "")
     val decryption = options.getOrElse("decryption", "")
-    if (decryption.nonEmpty) require(decryption == "aes",
-      s"unsupported decryption '$decryption' (only aes, like the reference)")
-    payload => {
-      var bytes = payload
-      if (decryption.nonEmpty)
-        bytes = graft.functions.Crypto.decrypt(bytes,
-          options.getOrElse("aesKey", throw new IllegalArgumentException(
-            "aes decryption needs an 'aesKey' (base64) prop")),
-          options.getOrElse("encMode", "cfb"), options.getOrElse("encIv", ""))
-      if (decompression.nonEmpty)
-        bytes = graft.functions.Compression.decompress(bytes, decompression)
-      new String(bytes, StandardCharsets.UTF_8)
+    if (decryption.nonEmpty) {
+      require(decryption == "aes",
+        s"unsupported decryption '$decryption' (only aes, like the reference)")
+      require(options.contains("aesKey"), "aes decryption needs an 'aesKey' (base64) prop")
     }
+    if (decompression.nonEmpty)
+      require(graft.functions.Compression.codecs.contains(decompression),
+        s"unsupported decompression '$decompression'")
+    if (decryption.isEmpty && decompression.isEmpty)
+      payload => Some(new String(payload, StandardCharsets.UTF_8))
+    else payload =>
+      try {
+        var bytes = payload
+        if (decryption.nonEmpty)
+          bytes = graft.functions.Crypto.decrypt(bytes, options("aesKey"),
+            options.getOrElse("encMode", "cfb"), options.getOrElse("encIv", ""))
+        if (decompression.nonEmpty)
+          bytes = graft.functions.Compression.decompress(bytes, decompression)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } catch { case _: Exception => None } // poison frame: drop, keep consuming
   }
 
   private def startTransport(kind: String, topic: String, server: String,
@@ -129,7 +144,7 @@ object FeedBridges {
         val client = MqttClient.connect(server, s"graft-src-${topic.hashCode.toHexString}",
           username = options.get("username"), password = options.get("password"), tls = tls)
         client.subscribe(topic, (_, payload) =>
-          emit(decode(payload), System.currentTimeMillis()))
+          decode(payload).foreach(emit(_, System.currentTimeMillis())))
         () => client.close()
       case "websocket" =>
         val client = WebSocketClient.connect(server, tls = tls)
@@ -183,7 +198,9 @@ object FeedBridges {
             try {
               val (_, records) = client.fetch(topic, partition, off, maxWaitMs = 500)
               records.foreach { rec =>
-                emit(decode(rec.value), rec.timestamp)
+                // advance PAST the record whether or not it decodes —
+                // a poison message must not hot-loop the fetch forever
+                decode(rec.value).foreach(emit(_, rec.timestamp))
                 off = rec.offset + 1
               }
             } catch {
@@ -201,7 +218,7 @@ object FeedBridges {
         supervised(s"zmq-bridge-$topic") { () =>
           val client = ZmqSub.connect(server, topic)
           client.onMessage((_, payload) =>
-            emit(decode(payload), System.currentTimeMillis()))
+            decode(payload).foreach(emit(_, System.currentTimeMillis())))
           (client, () => client.isOpen)
         }
       case "neuron" =>
@@ -211,7 +228,7 @@ object FeedBridges {
         supervised(s"neuron-bridge-$topic") { () =>
           val client = NngPair.dial(server)
           client.onMessage(body =>
-            emit(decode(body), System.currentTimeMillis()))
+            decode(body).foreach(emit(_, System.currentTimeMillis())))
           (client, () => client.isOpen)
         }
       case other =>
@@ -273,6 +290,7 @@ object SinkTransports {
         new Client {
           private val c = WebSocketClient.connect(endpoint, tls = tls)
           def publish(payload: String): Unit = c.sendText(payload)
+          override def publishBytes(payload: Array[Byte]): Unit = c.sendBinary(payload)
           def close(): Unit = c.close()
         }
       case "redis" =>
@@ -280,6 +298,8 @@ object SinkTransports {
         new Client {
           private val c = RedisClient.connect(server, password = options.get("password"), tls = tls)
           def publish(payload: String): Unit = c.publishChannel(topic, payload)
+          override def publishBytes(payload: Array[Byte]): Unit =
+            c.publishChannelBytes(topic, payload)
           def close(): Unit = c.close()
         }
       case "edgex" =>
@@ -293,10 +313,17 @@ object SinkTransports {
         val mt = options.getOrElse("messageType", "event")
         def wrap(payload: String): String =
           graft.sources.Edgex.envelope(payload, dev, prof, src, mt)
+        // binary pipelines: the envelope is applied via encodeForWire
+        // BEFORE compression/encryption, and the ciphertext publishes
+        // raw on the underlying bus — the consumer decrypts, then
+        // parses the envelope
         if (server.startsWith("redis"))
           new Client {
             private val c = RedisClient.connect(server, password = options.get("password"), tls = tls)
             def publish(payload: String): Unit = c.publishChannel(topic, wrap(payload))
+            override def publishBytes(payload: Array[Byte]): Unit =
+              c.publishChannelBytes(topic, payload)
+            override def encodeForWire(payload: String): String = wrap(payload)
             def close(): Unit = c.close()
           }
         else
@@ -305,6 +332,8 @@ object SinkTransports {
               s"graft-edgex-sink-${Thread.currentThread().getId}",
               username = options.get("username"), password = options.get("password"), tls = tls)
             def publish(payload: String): Unit = c.publish(topic, wrap(payload))
+            override def publishBytes(payload: Array[Byte]): Unit = c.publish(topic, payload)
+            override def encodeForWire(payload: String): String = wrap(payload)
             def close(): Unit = c.close()
           }
       case "kafka" =>

@@ -266,6 +266,13 @@ final class WebSocketClient private (socket: Socket, path: String, hostHeader: S
     writeFrame(out, OpText, msg.getBytes(StandardCharsets.UTF_8), mask = true)
   }
 
+  /** Binary frame (opcode 0x2) — compressed/encrypted sink payloads
+    * must not round-trip through a UTF-8 re-encode.
+    */
+  def sendBinary(payload: Array[Byte]): Unit = out.synchronized {
+    writeFrame(out, OpBinary, payload, mask = true)
+  }
+
   def close(): Unit = {
     try out.synchronized { writeFrame(out, OpClose, Array.emptyByteArray, mask = true) }
     catch { case _: Exception => () }

@@ -184,10 +184,12 @@ object Knn {
     // hyperplanes must span the full embedding width: dim ≤ vector
     // width silently buckets on a prefix (lshBucket truncates) and
     // recall collapses. 0 = derive from the first corpus vector (one
-    // single-row driver lookup, corpus-size-independent).
+    // single-row driver lookup, corpus-size-independent); an empty or
+    // all-null corpus keeps the old 64 default and returns no rows.
     val width =
       if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).limit(1).head().getInt(0)
+      else corpus.select(size(col(vecCol)).as("d")).where(col("d") > 0)
+        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(64)
     val planeSets = Array.tabulate(tables)(t => hyperplanes(bits, width, seed + 7919L * t))
 
     def tableBuckets(vec: Column): Column =

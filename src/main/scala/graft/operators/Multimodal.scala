@@ -138,10 +138,10 @@ object Multimodal {
     */
   def syntheticPng(seed: Array[Byte]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val len = math.max(1, seed.length)
+    val src = if (seed.isEmpty) Array[Byte](0) else seed // empty doc → black image
     var i = 0
     while (i < 64) {
-      val v = seed(i % len) & 0xff
+      val v = src(i % src.length) & 0xff
       img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
       i += 1
     }

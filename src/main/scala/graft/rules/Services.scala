@@ -261,7 +261,7 @@ final case class MsgpackCallExpr(fnName: String, host: String, port: Int,
 
   override def eval(input: InternalRow): Any = {
     val params = children.map(c => ServiceValues.scalaValue(c.dataType, c.eval(input)))
-    val result = graft.net.MsgpackRpcClient.sharedFor(host, port).call(fnName, params)
+    val result = graft.net.MsgpackRpcClient.callShared(host, port, fnName, params)
     ServiceValues.toResult(returnType, result)
   }
 

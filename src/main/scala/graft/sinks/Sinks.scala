@@ -99,6 +99,7 @@ final case class FileSink(path: String, format: String = "json",
 
   private val rollingInterval = options.get("rollingInterval").map(_.toLong).getOrElse(0L)
   private val namePattern = options.getOrElse("rollingNamePattern", "suffix")
+  @volatile private var sizeCap: Long = -1L // rollingSize row cap, sampled once
   require(Seq("prefix", "suffix", "none").contains(namePattern),
     "rollingNamePattern must be one of prefix, suffix or none") // sink.go:91
 
@@ -122,10 +123,15 @@ final case class FileSink(path: String, format: String = "json",
     options.get("rollingCount").foreach(n => w = w.option("maxRecordsPerFile", n))
     options.get("rollingSize").foreach { bytes =>
       // bounded sample (<=100 rows on the driver) → avg row width →
-      // per-file row cap approximating the byte cap
-      val sample = shapedDf.limit(100).toJSON.collect()
-      val avg = if (sample.isEmpty) 1 else math.max(1, sample.map(_.length).sum / sample.length)
-      w = w.option("maxRecordsPerFile", math.max(1L, bytes.toLong / avg))
+      // per-file row cap approximating the byte cap. Estimated ONCE
+      // per sink instance — re-sampling every micro-batch would run
+      // an extra Spark job per write.
+      if (sizeCap < 0) sizeCap = {
+        val sample = shapedDf.limit(100).toJSON.collect()
+        val avg = if (sample.isEmpty) 1 else math.max(1, sample.map(_.length).sum / sample.length)
+        math.max(1L, bytes.toLong / avg)
+      }
+      w = w.option("maxRecordsPerFile", sizeCap)
     }
     options.get("compression").foreach { c =>
       val codec = c match {
@@ -304,7 +310,8 @@ final case class ConnectorSink(kind: String, endpoint: String,
           else payloads
         if (binary)
           grouped.foreach { p =>
-            var bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var bytes = client.encodeForWire(p)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             if (compression.nonEmpty)
               bytes = graft.functions.Compression.compress(bytes, compression)
             if (encryption.nonEmpty)
@@ -370,6 +377,12 @@ object ConnectorSink {
     def publish(payload: String): Unit
     def publishBytes(payload: Array[Byte]): Unit =
       publish(new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1))
+    /** Transport-level framing a binary pipeline must apply BEFORE
+      * compression/encryption (e.g. the edgex envelope — on the plain
+      * path `publish` applies it internally; on the byte path the
+      * cipher must wrap the ENVELOPED payload).
+      */
+    def encodeForWire(payload: String): String = payload
     def close(): Unit
   }
 

@@ -126,6 +126,28 @@ class WireCodecSpec extends SparkSuite {
     } finally { FeedBridges.closeAll(); broker.close() }
   }
 
+  test("a poison frame is skipped — the bridge keeps consuming") {
+    val broker = MqttBroker.start()
+    try {
+      import spark.implicits._
+      ConnectorFeed.clear("mqtt", "wire/poison")
+      val src = ConnectorSource("mqtt", "wire/poison",
+        StructType.fromDDL("id bigint"),
+        Map("server" -> broker.address,
+          "decompression" -> "gzip", "decryption" -> "aes", "aesKey" -> keyB64))
+      assert(src.batch(spark).count() == 0) // starts the bridge
+      // plaintext junk on the encrypted topic must not kill the reader
+      val pub = MqttClient.connect(broker.address, "poison-pub")
+      pub.publish("wire/poison", "not encrypted at all")
+      ConnectorSink("mqtt", s"${broker.address}/wire/poison",
+        Map("compression" -> "gzip", "encryption" -> "aes", "aesKey" -> keyB64))
+        .writeBatch(Seq(99L).toDF("id"))
+      awaitCond(src.batch(spark).count() == 1, "valid frame decoded after the poison one")
+      assert(src.batch(spark).select("id").first().getLong(0) == 99L)
+      pub.close()
+    } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
   // ---- file sink rolling ----
 
   test("file sink rollingCount caps rows per part file") {
