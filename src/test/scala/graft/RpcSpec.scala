@@ -106,10 +106,23 @@ class RpcSpec extends SparkSuite {
       Array[Byte](value.length.toByte) ++ value
     assert(dec.decode(block) == Seq("x-custom" -> "yes"))
     assert(dec.decode(Array((0x80 | 62).toByte)) == Seq("x-custom" -> "yes"))
-    // huffman-coded literal raises the documented clear error
-    val huff = Array[Byte](0x00, (0x80 | 3).toByte, 1, 2, 3, 0x03, 'a', 'b', 'c')
-    val e = intercept[IllegalArgumentException](new Hpack.Decoder().decode(huff))
-    assert(e.getMessage.contains("huffman"))
+  }
+
+  test("hpack: huffman-coded literals decode (RFC 7541 C.4.1/C.6.1 vectors)") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // "www.example.com" huffman-encodes to f1e3c2e5f23a6ba0ab90f4ff
+    assert(Hpack.huffmanDecode(bytes("f1e3c2e5f23a6ba0ab90f4ff"), 0, 12) == "www.example.com")
+    // "302" → 6402, "private" → aec3771a4b (C.6.1)
+    assert(Hpack.huffmanDecode(bytes("6402"), 0, 2) == "302")
+    assert(Hpack.huffmanDecode(bytes("aec3771a4b"), 0, 5) == "private")
+    // full header block: literal w/o indexing, name "host" plain,
+    // value huffman-coded — the H bit drives the decoder
+    val block = Array[Byte](0x00, 0x04, 'h', 'o', 's', 't',
+      (0x80 | 12).toByte) ++ bytes("f1e3c2e5f23a6ba0ab90f4ff")
+    assert(new Hpack.Decoder().decode(block) == Seq("host" -> "www.example.com"))
+    // a dangling non-EOS-prefix padding is rejected
+    intercept[IllegalArgumentException](Hpack.huffmanDecode(bytes("f1e3c2e5f23a6ba0ab90f400"), 0, 12))
   }
 
   // ---- grpc over h2c ----
