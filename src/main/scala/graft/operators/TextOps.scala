@@ -182,4 +182,44 @@ object TextOps {
     */
   def samplingBucket(text: Column): Column =
     pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), lit(1000L))
+
+  /** Corpus-level boilerplate removal (the C4/CCNet hygiene step):
+    * terms — lines for `delimiter="\n"`, words for `" "` — whose
+    * DOCUMENT frequency reaches `minDocFrac` of the corpus are
+    * stripped from every document. Returns per doc: removed/kept term
+    * counts, kept character mass, and the cleaned text with original
+    * term order preserved.
+    *
+    * Scale shape: one exact doc-frequency aggregation (shuffle keyed
+    * on the term — at 100 TB, pre-hash terms to 8-byte keys and keep
+    * a term↔hash sample for the strip set), then the boilerplate set
+    * BROADCASTS (by construction it is tiny: only terms in ≥
+    * minDocFrac of all documents) so the strip pass is map-side — the
+    * corpus never shuffles for the rebuild; the per-doc regroup
+    * partitions by doc_id.
+    */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, delimiter: String,
+                       minDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    val total = docs.count() // one scalar on the driver (corpus row count)
+    val threshold = math.ceil(minDocFrac * total).toLong
+    val terms = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delimiter))).as(Seq("pos", "term")))
+    val boilerplate = terms.groupBy("term")
+      .agg(countDistinct("doc_id").as("dcnt"))
+      .where(col("dcnt") >= threshold)
+      .select(col("term"), lit(true).as("is_bp"))
+    terms.join(broadcast(boilerplate), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(when(col("is_bp"), 1)).as("removed_terms"),
+        count(when(col("is_bp").isNull, 1)).as("kept_terms"),
+        coalesce(sum(when(col("is_bp").isNull, length(col("term")))), lit(0L))
+          .cast("long").as("kept_chars"),
+        concat_ws(delimiter, transform(
+          array_sort(collect_list(when(col("is_bp").isNull,
+            struct(col("pos"), col("term"))))),
+          s => s("term"))).as("cleaned"))
+  }
 }

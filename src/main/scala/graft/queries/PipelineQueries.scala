@@ -150,6 +150,17 @@ object PipelineQueries {
     "q_multimodal" -> ((s, d) => Multimodal.features(s, docs(s, d))),
 
     // ---- corpus hygiene ----
+    // Corpus-derived boilerplate/stopword removal (C4/CCNet hygiene):
+    // terms in ≥50 % of documents are stripped everywhere. Word
+    // delimiter here (the synthetic corpus shares words, not lines);
+    // delimiter="\n" is the production boilerplate-line form. The
+    // order-preserving `cleaned` rebuild is pinned by TextOpsSpec; the
+    // oracle checks the removed/kept/char accounting.
+    "q_text_boilerplate" -> ((s, d) =>
+      TextOps.stripBoilerplate(docs(s, d), "doc_id", "text", " ", 0.5)
+        .select(col("doc_id"), col("removed_terms"), col("kept_terms"),
+          col("kept_chars"))),
+
     // PII redaction: plant emails/IPs/phones into doc_id < 50, then
     // count + redact — one codegen projection over the corpus.
     "q_text_pii" -> ((s, d) => {
@@ -298,6 +309,21 @@ object PipelineQueries {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.3""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |bp AS (SELECT term FROM t GROUP BY term
+        |       HAVING count(DISTINCT doc_id) >=
+        |         ceil(0.5 * (SELECT count(*) FROM documents)))
+        |SELECT t.doc_id,
+        |  CAST(sum(CASE WHEN bp.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed_terms,
+        |  CAST(sum(CASE WHEN bp.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_terms,
+        |  CAST(sum(CASE WHEN bp.term IS NULL THEN length(t.term) ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM t LEFT JOIN bp ON t.term = bp.term
+        |GROUP BY t.doc_id""".stripMargin,
     "q_text_pii" ->
       """WITH corpus AS (SELECT doc_id,
         |  CASE WHEN doc_id < 50 THEN text ||

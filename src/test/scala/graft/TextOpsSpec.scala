@@ -95,4 +95,35 @@ class TextOpsSpec extends SparkSuite {
     assert(df.select(TextOps.samplingBucket(col("text"))).first().getLong(0) ==
       1564557354L % 1000)
   }
+
+  test("boilerplate removal strips corpus-frequent lines, preserves order") {
+    import spark.implicits._
+    // "SUBSCRIBE NOW" appears in 3/4 docs (75% >= 50% threshold);
+    // every other line is unique to its document
+    val docs = Seq(
+      (1L, "unique alpha\nSUBSCRIBE NOW\nunique beta"),
+      (2L, "SUBSCRIBE NOW\nanother thing"),
+      (3L, "totally different\nSUBSCRIBE NOW"),
+      (4L, "no spam here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplate(docs, "doc_id", "text", "\n", 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 0L), "removed counts")
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L, 1L), "kept counts")
+    // cleaned text keeps original line order, boilerplate excised
+    assert(out(0).getString(4) == "unique alpha\nunique beta")
+    assert(out(1).getString(4) == "another thing")
+    assert(out(2).getString(4) == "totally different")
+    assert(out(3).getString(4) == "no spam here at all")
+    // kept_chars = character mass of surviving lines
+    assert(out(0).getLong(3) == "unique alpha".length + "unique beta".length)
+  }
+
+  test("boilerplate set broadcasts; the corpus side never broadcasts") {
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val plan = TextOps.stripBoilerplate(docs, "doc_id", "text", " ", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"strip join should broadcast the boilerplate set:\n$plan")
+  }
 }
