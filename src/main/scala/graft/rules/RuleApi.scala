@@ -631,6 +631,60 @@ final class RuleApi(engine: RuleEngine) {
       case ("DELETE", List("plugins", "portables", name)) =>
         graft.plugins.PortablePlugins.stop(name); ok("{}")
 
+      // Config file uploads (reference rest.go fileUploadHandler,
+      // /config/uploads): give certs/schemas/seed files a managed home
+      // that source/sink path props can reference. JSON form only
+      // ({name, content | file-URL}); multipart is a browser-upload
+      // nicety the reference also accepts.
+      case ("POST", List("config", "uploads")) =>
+        val j = JsonMethods.parse(body)
+        val name = (j \ "name") match {
+          case JString(s) if s.nonEmpty => s
+          case _ => return err(400, "invalid body: name is required")
+        }
+        if (name.contains("..") || name.startsWith("/"))
+          return err(400, s"invalid file name $name")
+        val bytes: Array[Byte] = ((j \ "content"), (j \ "file")) match {
+          case (JString(c), _) => c.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case (_, JString(url)) =>
+            // reference getFile: fetch the source URL server-side
+            val conn = java.net.URI.create(url).toURL.openConnection()
+            conn.setConnectTimeout(5000); conn.setReadTimeout(10000)
+            try conn.getInputStream.readAllBytes()
+            finally conn match {
+              case h: java.net.HttpURLConnection => h.disconnect()
+              case _ => ()
+            }
+          case _ => return err(400, "invalid body: content or FilePath is required")
+        }
+        val target = java.nio.file.Paths.get(RuleApi.uploadDir).resolve(name).normalize()
+        if (!target.startsWith(java.nio.file.Paths.get(RuleApi.uploadDir)))
+          return err(400, s"invalid file name $name")
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.write(target, bytes)
+        (201, s"""{"file":${JsonMethods.compact(JString(target.toString))}}""")
+      case ("GET", List("config", "uploads")) =>
+        val root = java.nio.file.Paths.get(RuleApi.uploadDir)
+        val files =
+          if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
+          else {
+            val s = java.nio.file.Files.walk(root)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(_.toAbsolutePath.toString).toSeq.sorted
+            } finally s.close()
+          }
+        ok(files.map(p => JsonMethods.compact(JString(p))).mkString("[", ",", "]"))
+      case ("DELETE", "config" :: "uploads" :: rest) if rest.nonEmpty =>
+        val name = rest.mkString("/") // nested upload names keep their path
+        if (name.contains("..") || name.startsWith("/"))
+          return err(400, s"invalid file name $name")
+        val f = java.nio.file.Paths.get(RuleApi.uploadDir).resolve(name).normalize()
+        if (java.nio.file.Files.deleteIfExists(f)) ok("{}")
+        else err(404, s"file $name not found")
+
       // JavaScript script functions (reference script_init.go:46-47,
       // internal/plugin/js): paste a JS function, call it from SQL
       case ("GET", List("udf", "javascript")) =>
@@ -693,6 +747,11 @@ final class RuleApi(engine: RuleEngine) {
 }
 
 object RuleApi {
+  /** Managed upload directory (reference uploadDir etc/uploads). */
+  private[rules] val uploadDir: String =
+    sys.env.getOrElse("GRAFT_UPLOAD_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-uploads")
+
   /** {"id","description","script","isAgg"[,"resultType"]} — the
     * reference's js.Script shape (manager.go:36-41) plus the typed
     * engine's resultType extension.

@@ -27,6 +27,47 @@ class RuleApiSpec extends SparkSuite {
     assert(!b4.contains("api_s"))
   }
 
+  test("config uploads: create from content and URL, list, delete, traversal refused") {
+    val a = api
+    // content form
+    val (c1, b1) = a.handle("POST", "/config/uploads",
+      """{"name":"certs/test.pem","content":"-----BEGIN CERT-----"}""")
+    assert(c1 == 201 && b1.contains("test.pem"), b1)
+    // the returned path exists with the exact content
+    val path = org.json4s.jackson.JsonMethods.parse(b1) \ "file" match {
+      case JString(p) => p
+      case _ => fail(s"no file in $b1")
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))) == "-----BEGIN CERT-----")
+    // URL form fetches server-side (reference getFile)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", ex => {
+      val b = "fetched-bytes".getBytes
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val (c2, _) = a.handle("POST", "/config/uploads",
+        s"""{"name":"fetched.txt","file":"http://127.0.0.1:${srv.getAddress.getPort}/x"}""")
+      assert(c2 == 201)
+    } finally srv.stop(0)
+    // list shows both; delete removes; repeat delete 404s
+    val (c3, b3) = a.handle("GET", "/config/uploads")
+    assert(c3 == 200 && b3.contains("test.pem") && b3.contains("fetched.txt"))
+    assert(a.handle("DELETE", "/config/uploads/fetched.txt")._1 == 200)
+    assert(a.handle("DELETE", "/config/uploads/fetched.txt")._1 == 404)
+    assert(a.handle("DELETE", "/config/uploads/certs/test.pem")._1 == 200)
+    // traversal and missing-field refusals
+    assert(a.handle("POST", "/config/uploads",
+      """{"name":"../evil","content":"x"}""")._1 == 400)
+    assert(a.handle("POST", "/config/uploads", """{"name":"x"}""")._1 == 400)
+    assert(a.handle("POST", "/config/uploads", """{"content":"x"}""")._1 == 400)
+  }
+
   test("HTTP server serves the management API end-to-end") {
     val eng = new RuleEngine(spark)
     val srv = RuleServer.start(eng, port = 0) // ephemeral port
