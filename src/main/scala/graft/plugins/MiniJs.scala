@@ -39,6 +39,15 @@ object MiniJs {
   }
   trait Callable { def call(args: Seq[Any]): Any }
 
+  /** A callable global that also carries static members — the shape
+    * of JS's String/Number/Object/Array built-ins (callable as a
+    * conversion, dotted for statics like String.fromCharCode).
+    */
+  final class NativeObj(callFn: Seq[Any] => Any,
+                        val statics: Map[String, Any]) extends Callable {
+    def call(args: Seq[Any]): Any = callFn(args)
+  }
+
   // ---------- lexer ----------
   private sealed trait Tok
   private case class TNum(v: Double) extends Tok
@@ -628,10 +637,25 @@ object MiniJs {
       case (o: JsObj, n) => o.fields.getOrElse(n, JsUndefined)
       case (s: String, m) => stringMethod(s, m)
       case (a: JsArr, m) => arrayMethod(a, m)
+      case (d: java.lang.Double, m) => numberMethod(d, m)
+      case (no: NativeObj, n) => no.statics.getOrElse(n,
+        throw new IllegalArgumentException(s"no static '$n'"))
       case (JsNull | JsUndefined, n) =>
         throw new IllegalArgumentException(s"TypeError: cannot read '$n' of ${toJsString(obj)}")
       case (other, n) =>
         throw new IllegalArgumentException(s"no property '$n' on ${typeOf(other)}")
+    }
+
+    private def numberMethod(d: Double, m: String): Any = m match {
+      case "toFixed" => fn { a =>
+        val dp = if (a.isEmpty) 0 else toNumber(a.head).toInt
+        String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
+      }
+      case "toString" => fn { a =>
+        if (a.isEmpty) numToString(d)
+        else java.lang.Long.toString(d.toLong, toNumber(a.head).toInt)
+      }
+      case other => throw new IllegalArgumentException(s"no number method '$other'")
     }
 
     private def fn(f: Seq[Any] => Any): Callable = (args: Seq[Any]) => f(args)
@@ -953,9 +977,49 @@ object MiniJs {
     })
     g.declare("isNaN", fn(a => toNumber(a.head).isNaN))
     g.declare("isFinite", fn(a => { val d = toNumber(a.head); !d.isNaN && !d.isInfinite }))
-    g.declare("String", fn(a => if (a.isEmpty) "" else toJsString(a.head)))
-    g.declare("Number", fn(a => if (a.isEmpty) 0.0 else toNumber(a.head)))
+    g.declare("String", new NativeObj(
+      a => if (a.isEmpty) "" else toJsString(a.head),
+      Map("fromCharCode" -> fn(a => a.map(x => toNumber(x).toInt.toChar).mkString))))
+    g.declare("Number", new NativeObj(
+      a => if (a.isEmpty) 0.0 else toNumber(a.head),
+      Map(
+        "isInteger" -> fn(a => a.head match {
+          case d: java.lang.Double => !d.isNaN && !d.isInfinite && d.doubleValue == math.rint(d.doubleValue)
+          case _ => false
+        }),
+        "isFinite" -> fn(a => a.head match {
+          case d: java.lang.Double => !d.isNaN && !d.isInfinite
+          case _ => false
+        }),
+        "MAX_SAFE_INTEGER" -> 9007199254740991.0,
+        "MIN_SAFE_INTEGER" -> -9007199254740991.0)))
     g.declare("Boolean", fn(a => a.nonEmpty && truthy(a.head)))
+    g.declare("Object", new NativeObj(
+      a => a.headOption.getOrElse(new JsObj(mutable.LinkedHashMap())),
+      Map(
+        "keys" -> fn(a => a.head match {
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.fields.keys.toSeq: _*))
+          case arr: JsArr => new JsArr(mutable.ArrayBuffer(arr.items.indices.map(i => numToString(i)): _*))
+          case other => throw new IllegalArgumentException(s"Object.keys on ${toJsString(other)}")
+        }),
+        "values" -> fn(a => a.head match {
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.fields.values.toSeq: _*))
+          case arr: JsArr => new JsArr(arr.items.clone())
+          case other => throw new IllegalArgumentException(s"Object.values on ${toJsString(other)}")
+        }),
+        "entries" -> fn(a => a.head match {
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.fields.toSeq.map { case (k, v) =>
+            new JsArr(mutable.ArrayBuffer[Any](k, v)): Any
+          }: _*))
+          case other => throw new IllegalArgumentException(s"Object.entries on ${toJsString(other)}")
+        }))))
+    g.declare("Array", new NativeObj(
+      a => new JsArr(mutable.ArrayBuffer(a: _*)),
+      Map("isArray" -> fn(a => a.headOption.exists(_.isInstanceOf[JsArr])))))
+    // Date.now() only — `new Date()` stays rejected (no object model)
+    g.declare("Date", new NativeObj(
+      _ => throw new IllegalArgumentException("Date() needs 'new'; only Date.now() is supported"),
+      Map("now" -> fn(_ => System.currentTimeMillis().toDouble))))
     g.declare("NaN", Double.NaN)
     g.declare("Infinity", Double.PositiveInfinity)
     // the reference exposes log() to scripts (script/overview.md example)

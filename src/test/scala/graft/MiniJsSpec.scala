@@ -101,6 +101,20 @@ class MiniJsSpec extends SparkSuite {
     assert(run("function f(x) { return x && x.length; }", "f", "abc") == 3.0)
   }
 
+  test("built-in statics: Object.keys/values, Array.isArray, String.fromCharCode, toFixed") {
+    assert(run("function f() { return Object.keys({ a: 1, b: 2 }).join(','); }", "f") == "a,b")
+    assert(run("function f() { return Object.values({ a: 1, b: 2 }).reduce(function(s, x) { return s + x; }, 0); }", "f") == 3.0)
+    assert(run("function f() { var t = 0; for (var e of Object.entries({ x: 5, y: 6 })) t += e[1]; return t; }", "f") == 11.0)
+    assert(run("function f(x) { return Array.isArray(x); }", "f",
+      new MiniJs.JsArr(scala.collection.mutable.ArrayBuffer[Any](1.0))) == true)
+    assert(run("function f() { return Array.isArray('nope'); }", "f") == false)
+    assert(run("function f() { return String.fromCharCode(72, 105); }", "f") == "Hi")
+    assert(run("function f(x) { return x.toFixed(2); }", "f", 3.14159) == "3.14")
+    assert(run("function f() { return (255).toString(16); }", "f") == "ff")
+    assert(run("function f() { return Number.isInteger(4) && !Number.isInteger(4.5); }", "f") == true)
+    assert(run("function f() { return Date.now() > 0; }", "f") == true)
+  }
+
   test("runaway scripts hit the step budget; 'new' is rejected") {
     val e = intercept[IllegalStateException](
       run("function f() { while (true) { } }", "f"))
