@@ -638,8 +638,9 @@ object MiniJs {
       case (s: String, m) => stringMethod(s, m)
       case (a: JsArr, m) => arrayMethod(a, m)
       case (d: java.lang.Double, m) => numberMethod(d, m)
-      case (no: NativeObj, n) => no.statics.getOrElse(n,
-        throw new IllegalArgumentException(s"no static '$n'"))
+      // unknown statics yield undefined like any JS property miss —
+      // feature probes (`Number.parseFloat || parseFloat`) must work
+      case (no: NativeObj, n) => no.statics.getOrElse(n, JsUndefined)
       case (JsNull | JsUndefined, n) =>
         throw new IllegalArgumentException(s"TypeError: cannot read '$n' of ${toJsString(obj)}")
       case (other, n) =>
@@ -653,7 +654,29 @@ object MiniJs {
       }
       case "toString" => fn { a =>
         if (a.isEmpty) numToString(d)
-        else java.lang.Long.toString(d.toLong, toNumber(a.head).toInt)
+        else {
+          val radix = toNumber(a.head).toInt
+          require(radix >= 2 && radix <= 36, s"toString() radix must be between 2 and 36")
+          if (d.isNaN || d.isInfinite) numToString(d) // "NaN"/"Infinity", JS-style
+          else {
+            val neg = d < 0
+            var x = math.abs(d)
+            val intPart = java.lang.Long.toString(x.toLong, radix)
+            x -= x.toLong
+            val sb = new StringBuilder(if (neg) "-" + intPart else intPart)
+            if (x > 0) { // fractional digits in the radix, JS-style
+              sb += '.'
+              var digits = 0
+              while (x > 0 && digits < 20) {
+                x *= radix
+                sb += java.lang.Character.forDigit(x.toInt, radix)
+                x -= x.toInt
+                digits += 1
+              }
+            }
+            sb.toString
+          }
+        }
       }
       case other => throw new IllegalArgumentException(s"no number method '$other'")
     }
@@ -1014,7 +1037,14 @@ object MiniJs {
           case other => throw new IllegalArgumentException(s"Object.entries on ${toJsString(other)}")
         }))))
     g.declare("Array", new NativeObj(
-      a => new JsArr(mutable.ArrayBuffer(a: _*)),
+      {
+        // JS Array(n): single numeric arg = length-n array
+        case Seq(d: java.lang.Double) =>
+          require(d.doubleValue == math.rint(d.doubleValue) && d >= 0,
+            "invalid array length")
+          new JsArr(mutable.ArrayBuffer.fill[Any](d.toInt)(JsUndefined))
+        case a => new JsArr(mutable.ArrayBuffer(a: _*))
+      },
       Map("isArray" -> fn(a => a.headOption.exists(_.isInstanceOf[JsArr])))))
     // Date.now() only — `new Date()` stays rejected (no object model)
     g.declare("Date", new NativeObj(

@@ -647,7 +647,12 @@ final class RuleApi(engine: RuleEngine) {
         val bytes: Array[Byte] = ((j \ "content"), (j \ "file")) match {
           case (JString(c), _) => c.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           case (_, JString(url)) =>
-            // reference getFile: fetch the source URL server-side
+            // reference getFile: fetch the source URL server-side.
+            // http(s) only — file:/jar: would read arbitrary LOCAL
+            // files into the uploads dir through the management API
+            val scheme = java.net.URI.create(url).getScheme
+            if (scheme != "http" && scheme != "https")
+              return err(400, s"unsupported upload source scheme '$scheme' (http/https only)")
             val conn = java.net.URI.create(url).toURL.openConnection()
             conn.setConnectTimeout(5000); conn.setReadTimeout(10000)
             try conn.getInputStream.readAllBytes()
@@ -682,7 +687,10 @@ final class RuleApi(engine: RuleEngine) {
         if (name.contains("..") || name.startsWith("/"))
           return err(400, s"invalid file name $name")
         val f = java.nio.file.Paths.get(RuleApi.uploadDir).resolve(name).normalize()
-        if (java.nio.file.Files.deleteIfExists(f)) ok("{}")
+        // uploads are files; a directory (empty or not) is not a
+        // deletable upload — 404, never a raw DirectoryNotEmpty 400
+        if (!java.nio.file.Files.isRegularFile(f)) err(404, s"file $name not found")
+        else if (java.nio.file.Files.deleteIfExists(f)) ok("{}")
         else err(404, s"file $name not found")
 
       // JavaScript script functions (reference script_init.go:46-47,

@@ -111,8 +111,15 @@ class MiniJsSpec extends SparkSuite {
     assert(run("function f() { return String.fromCharCode(72, 105); }", "f") == "Hi")
     assert(run("function f(x) { return x.toFixed(2); }", "f", 3.14159) == "3.14")
     assert(run("function f() { return (255).toString(16); }", "f") == "ff")
+    assert(run("function f() { return (3.5).toString(2); }", "f") == "11.1")
+    assert(run("function f() { return (1 / 0).toString(16); }", "f") == "Infinity")
     assert(run("function f() { return Number.isInteger(4) && !Number.isInteger(4.5); }", "f") == true)
     assert(run("function f() { return Date.now() > 0; }", "f") == true)
+    // unknown statics are undefined (feature probes must not throw)
+    assert(run("function f() { return Number.parseFloat || 'fallback'; }", "f") == "fallback")
+    // Array(n) is a length-n array, JS-style
+    assert(run("function f() { return Array(3).length; }", "f") == 3.0)
+    assert(run("function f() { return Array(1, 2).length; }", "f") == 2.0)
   }
 
   test("runaway scripts hit the step budget; 'new' is rejected") {

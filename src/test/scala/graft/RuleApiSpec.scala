@@ -66,6 +66,12 @@ class RuleApiSpec extends SparkSuite {
       """{"name":"../evil","content":"x"}""")._1 == 400)
     assert(a.handle("POST", "/config/uploads", """{"name":"x"}""")._1 == 400)
     assert(a.handle("POST", "/config/uploads", """{"content":"x"}""")._1 == 400)
+    // non-http(s) fetch schemes refused (file:// would read local files)
+    val (cf, bf) = a.handle("POST", "/config/uploads",
+      """{"name":"loot","file":"file:///etc/hostname"}""")
+    assert(cf == 400 && bf.contains("scheme"), bf)
+    // deleting a directory (the now-empty certs/) is a 404, not a raw error
+    assert(a.handle("DELETE", "/config/uploads/certs")._1 == 404)
   }
 
   test("HTTP server serves the management API end-to-end") {
