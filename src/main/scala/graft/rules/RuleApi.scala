@@ -461,6 +461,45 @@ final class RuleApi(engine: RuleEngine) {
         lastImport = result // GET /data/import/status (import_export.go)
         ok(result)
       case ("GET", List("data", "import", "status")) => ok(lastImport)
+
+      // Async task surface (reference async_rest.go + internal/pkg/
+      // async): data import as a background task with the reference's
+      // status lifecycle register → running → finish | error | cancel.
+      case ("POST", List("async", "data", "import")) =>
+        val taskId = s"dataImport-${System.currentTimeMillis() / 1000}-" +
+          s"${RuleApi.taskSeq.incrementAndGet()}"
+        val task = new RuleApi.AsyncTask(taskId)
+        RuleApi.asyncTasks.put(taskId, task)
+        val importBody = body
+        val t = new Thread(() => {
+          task.transition("running")
+          try {
+            val (code, resp) = handle("POST", "/data/import", importBody)
+            if (task.status != "cancel") {
+              if (code == 200) task.finish(resp)
+              else task.fail(resp)
+            }
+          } catch {
+            case e: Exception =>
+              if (task.status != "cancel") task.fail(String.valueOf(e.getMessage))
+          }
+        }, taskId)
+        t.setDaemon(true)
+        t.start()
+        ok(s"""{"id":"$taskId"}""")
+      case ("GET", List("async", "task", id)) =>
+        Option(RuleApi.asyncTasks.get(id)) match {
+          case Some(t) => ok(t.json)
+          case None => err(404, s"task $id not found")
+        }
+      case ("POST", List("async", "task", id, "cancel")) =>
+        Option(RuleApi.asyncTasks.get(id)) match {
+          case Some(t) if t.status == "register" || t.status == "running" =>
+            t.transition("cancel")
+            ok(s"""{"message":"cancel success"}""")
+          case Some(t) => err(400, s"task $id is ${t.status}, cannot cancel")
+          case None => err(404, s"task $id not found")
+        }
       case ("POST", List("schemas")) =>
         val j = JsonMethods.parse(body)
         (j \ "name", j \ "fields") match {
@@ -755,6 +794,41 @@ final class RuleApi(engine: RuleEngine) {
 }
 
 object RuleApi {
+  /** Async task registry (reference internal/pkg/async AsyncManager:
+    * id → status/message with created/updated stamps).
+    */
+  private[rules] val taskSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[rules] val asyncTasks =
+    new java.util.concurrent.ConcurrentHashMap[String, AsyncTask]()
+
+  private[rules] final class AsyncTask(val id: String) {
+    private val created = System.currentTimeMillis()
+    @volatile private var updated = created
+    @volatile var status: String = "register"
+    @volatile private var message: String = ""
+    def transition(s: String): Unit = synchronized {
+      // cancel wins races against the worker's finish/fail
+      if (status != "cancel") { status = s; updated = System.currentTimeMillis() }
+    }
+    def finish(result: String): Unit = synchronized {
+      if (status != "cancel") { status = "finish"; message = result
+        updated = System.currentTimeMillis() }
+    }
+    def fail(err: String): Unit = synchronized {
+      if (status != "cancel") { status = "error"; message = err
+        updated = System.currentTimeMillis() }
+    }
+    def json: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "id" -> JString(id), "status" -> JString(status),
+        "message" -> JString(message),
+        "createdTimestamp" -> JLong(created),
+        "updatedTimestamp" -> JLong(updated))))
+    }
+  }
+
   /** Managed upload directory (reference uploadDir etc/uploads). */
   private[rules] val uploadDir: String =
     sys.env.getOrElse("GRAFT_UPLOAD_DIR",

@@ -74,6 +74,38 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("DELETE", "/config/uploads/certs")._1 == 404)
   }
 
+  test("async data import: task lifecycle register/running -> finish, cancel rules") {
+    val dir = Files.createTempDirectory("graft_async_in")
+    Files.write(dir.resolve("a.json"), """{"x":9}""".getBytes)
+    val a = api
+    val doc =
+      s"""{"streams":{"async_in":"CREATE STREAM async_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"},"rules":{}}"""
+    val (c1, b1) = a.handle("POST", "/async/data/import", doc)
+    assert(c1 == 200 && b1.contains("dataImport-"), b1)
+    val id = org.json4s.jackson.JsonMethods.parse(b1) \ "id" match {
+      case JString(s) => s
+      case _ => fail(s"no id in $b1")
+    }
+    // poll to completion (the import itself is fast)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def status(): String = {
+      val (_, sj) = a.handle("GET", s"/async/task/$id")
+      org.json4s.jackson.JsonMethods.parse(sj) \ "status" match {
+        case JString(s) => s
+        case _ => "?"
+      }
+    }
+    while (status() != "finish" && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(status() == "finish")
+    val (_, done) = a.handle("GET", s"/async/task/$id")
+    assert(done.contains("\"streams\\\":1") || done.contains("streams"), done)
+    assert(a.handle("GET", "/streams")._2.contains("async_in"))
+    // finished tasks can't cancel; unknown tasks 404
+    assert(a.handle("POST", s"/async/task/$id/cancel")._1 == 400)
+    assert(a.handle("GET", "/async/task/nope")._1 == 404)
+    assert(a.handle("POST", "/async/task/nope/cancel")._1 == 404)
+  }
+
   test("HTTP server serves the management API end-to-end") {
     val eng = new RuleEngine(spark)
     val srv = RuleServer.start(eng, port = 0) // ephemeral port
