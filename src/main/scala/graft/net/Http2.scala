@@ -413,6 +413,9 @@ object GrpcClient {
   def connect(host: String, port: Int): GrpcConnection = {
     val s = new Socket()
     s.setTcpNoDelay(true)
+    // a wedged server must raise (→ eviction + redial), not hang the
+    // executor thread mid-call forever
+    s.setSoTimeout(30000)
     s.connect(new InetSocketAddress(host, port), 5000)
     val conn = new GrpcConnection(s,
       new DataInputStream(new java.io.BufferedInputStream(s.getInputStream)),

@@ -172,6 +172,9 @@ object MsgpackRpcClient {
   def connect(host: String, port: Int): MsgpackRpcClient = {
     val s = new Socket()
     s.setTcpNoDelay(true)
+    // a wedged service must raise (→ callShared eviction + redial),
+    // not hang the executor thread mid-call forever
+    s.setSoTimeout(30000)
     s.connect(new InetSocketAddress(host, port), 5000)
     new MsgpackRpcClient(s,
       new DataInputStream(new java.io.BufferedInputStream(s.getInputStream)),
