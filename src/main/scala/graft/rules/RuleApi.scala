@@ -416,11 +416,14 @@ final class RuleApi(engine: RuleEngine) {
         // an opaque failure status.
         val j = JsonMethods.parse(body)
         val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
-        val ns = (j \ "streams") match {
-          case JObject(fs) => fs.collect { case JField(n, JString(ddl)) =>
+        // the reference's ruleset documents split "tables" out of
+        // "streams"; both are DDL maps and apply identically
+        val ddlMaps = Seq("streams" -> (j \ "streams"), "tables" -> (j \ "tables"))
+        val ns = ddlMaps.flatMap {
+          case (kind, JObject(fs)) => fs.collect { case JField(n, JString(ddl)) =>
             try { engine.createStream(ddl); streamDdl.put(n, ddl); Some(n) }
             catch { case e: Exception =>
-              errors += (s"stream $n" -> String.valueOf(e.getMessage)); None }
+              errors += (s"$kind $n" -> String.valueOf(e.getMessage)); None }
           }.flatten
           case _ => Nil
         }
@@ -461,6 +464,11 @@ final class RuleApi(engine: RuleEngine) {
         lastImport = result // GET /data/import/status (import_export.go)
         ok(result)
       case ("GET", List("data", "import", "status")) => ok(lastImport)
+
+      // reference rest.go:227-228 /ruleset routes: the streams+rules
+      // document under the reference's older route names (both POST)
+      case ("POST", List("ruleset", "export")) => handle("GET", "/data/export")
+      case ("POST", List("ruleset", "import")) => handle("POST", "/data/import", body)
 
       // Async task surface (reference async_rest.go + internal/pkg/
       // async): data import as a background task with the reference's

@@ -74,6 +74,22 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("DELETE", "/config/uploads/certs")._1 == 404)
   }
 
+  test("ruleset routes alias the data document; tables map imports as DDL") {
+    val dir = Files.createTempDirectory("graft_rs_in")
+    Files.write(dir.resolve("a.json"), """{"x":1}""".getBytes)
+    val a = api
+    val doc =
+      s"""{"streams":{"rs_s":"CREATE STREAM rs_s (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"},
+         |"tables":{"rs_t":"CREATE TABLE rs_t (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"},
+         |"rules":{}}""".stripMargin.replace("\n", "")
+    val (ci, bi) = a.handle("POST", "/ruleset/import", doc)
+    assert(ci == 200 && bi.contains("\"streams\":2"), bi) // streams + tables applied
+    assert(a.handle("GET", "/streams")._2.contains("rs_s"))
+    assert(a.handle("GET", "/tables")._2.contains("rs_t"))
+    val (ce, be) = a.handle("POST", "/ruleset/export")
+    assert(ce == 200 && be.contains("rs_s") && be.contains("rs_t"))
+  }
+
   test("async data import: task lifecycle register/running -> finish, cancel rules") {
     val dir = Files.createTempDirectory("graft_async_in")
     Files.write(dir.resolve("a.json"), """{"x":9}""".getBytes)
