@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * Wire formats mirror the reference's aes/stream.go + aes/gcm.go
   * happy paths, so a reference consumer can decrypt graft output and
   * vice versa:
-  *  - cfb: `iv(16) || ciphertext` with a fresh random IV per message;
-  *    a constant IV prop elides the prefix (stream.go:19-44). CFB128,
-  *    the same feedback size as Go's cipher.NewCFBEncrypter.
+  *  - cfb: `iv(16) || ciphertext`, ALWAYS — the reference's
+  *    message-level StreamEncrypter unconditionally prepends the IV
+  *    on Encrypt and strips 16 bytes on Decrypt even when a constant
+  *    IV is configured (stream.go:19-44; only the file-writer path,
+  *    NewStreamWriter, elides it). A constant IV prop just pins the
+  *    cipher IV instead of drawing a random one. CFB128, the same
+  *    feedback size as Go's cipher.NewCFBEncrypter.
   *  - gcm: `nonce(12) || ciphertext || tag(16)` — Go's
   *    gcm.Seal(nonce, nonce, data, nil) layout (gcm.go:55-83); a
   *    constant nonce still carries the prefix, matching Seal's
@@ -38,32 +42,32 @@ object Crypto {
     c
   }
 
-  /** cfb encrypt: random-IV messages are `iv || ct`; constant IV → `ct`. */
-  def aesCfbEncrypt(data: Array[Byte], key: Array[Byte], constantIv: Array[Byte]): Array[Byte] =
-    if (constantIv != null) {
-      cipher(Cipher.ENCRYPT_MODE, "AES/CFB/NoPadding", key,
-        new IvParameterSpec(constantIv)).doFinal(data)
-    } else {
-      val iv = new Array[Byte](16)
-      rng.nextBytes(iv)
-      val ct = cipher(Cipher.ENCRYPT_MODE, "AES/CFB/NoPadding", key,
-        new IvParameterSpec(iv)).doFinal(data)
-      val out = new Array[Byte](16 + ct.length)
-      System.arraycopy(iv, 0, out, 0, 16)
-      System.arraycopy(ct, 0, out, 16, ct.length)
-      out
-    }
+  /** cfb encrypt: always `iv || ct` (StreamEncrypter layout); a
+    * constant IV is used as the cipher IV but still emitted.
+    */
+  def aesCfbEncrypt(data: Array[Byte], key: Array[Byte], constantIv: Array[Byte]): Array[Byte] = {
+    val iv =
+      if (constantIv != null) constantIv
+      else { val v = new Array[Byte](16); rng.nextBytes(v); v }
+    require(iv.length == 16, "cfb IV must be 16 bytes")
+    val ct = cipher(Cipher.ENCRYPT_MODE, "AES/CFB/NoPadding", key,
+      new IvParameterSpec(iv)).doFinal(data)
+    val out = new Array[Byte](16 + ct.length)
+    System.arraycopy(iv, 0, out, 0, 16)
+    System.arraycopy(ct, 0, out, 16, ct.length)
+    out
+  }
 
-  def aesCfbDecrypt(secret: Array[Byte], key: Array[Byte], constantIv: Array[Byte]): Array[Byte] =
-    if (constantIv != null)
-      cipher(Cipher.DECRYPT_MODE, "AES/CFB/NoPadding", key,
-        new IvParameterSpec(constantIv)).doFinal(secret)
-    else {
-      require(secret.length >= 16, "ciphertext too short")
-      cipher(Cipher.DECRYPT_MODE, "AES/CFB/NoPadding", key,
-        new IvParameterSpec(secret, 0, 16))
-        .doFinal(secret, 16, secret.length - 16)
-    }
+  /** cfb decrypt: always strips the 16-byte IV prefix and uses it as
+    * the cipher IV — `constantIv` is ignored for layout (it only
+    * pins what the producer embedded), matching StreamDecrypter.
+    */
+  def aesCfbDecrypt(secret: Array[Byte], key: Array[Byte], constantIv: Array[Byte]): Array[Byte] = {
+    require(secret.length >= 16, "ciphertext too short")
+    cipher(Cipher.DECRYPT_MODE, "AES/CFB/NoPadding", key,
+      new IvParameterSpec(secret, 0, 16))
+      .doFinal(secret, 16, secret.length - 16)
+  }
 
   /** gcm encrypt: `nonce || ct || tag` (JCE emits ct||tag in one go). */
   def aesGcmEncrypt(data: Array[Byte], key: Array[Byte], constantNonce: Array[Byte]): Array[Byte] = {

@@ -28,6 +28,16 @@ object Resp {
     */
   final case class Error(msg: String)
 
+  /** A bulk string kept as raw bytes — RESP bulks are binary-safe, so
+    * the pub/sub payload path must not round-trip through UTF-8 (a
+    * compressed/encrypted frame would be garbled). `text` decodes on
+    * demand for the command/channel-name positions.
+    */
+  final class Bulk(val bytes: Array[Byte]) {
+    lazy val text: String = new String(bytes, StandardCharsets.UTF_8)
+    override def toString: String = text
+  }
+
   /** Encode one command as a RESP array of bulk strings (the only
     * client→server form, spec "Sending commands to a Redis server").
     */
@@ -56,11 +66,12 @@ object Resp {
     sb.toString
   }
 
-  /** Read one reply: +simple / -error / :integer / $bulk / *array.
-    * Returns String | Long | Error | Seq[Any] | null; null return on
-    * clean EOF before the first byte.
+  /** Read one reply with bulks as raw [[Bulk]] bytes: +simple /
+    * -error / :integer / $bulk / *array. Returns String | Long |
+    * Error | Bulk | Seq[Any] | null; null return on clean EOF before
+    * the first byte.
     */
-  def readReply(in: InputStream): Any = {
+  def readReplyRaw(in: InputStream): Any = {
     val t = in.read()
     if (t < 0) return null
     t.toChar match {
@@ -79,15 +90,26 @@ object Resp {
             off += r
           }
           require(in.read() == '\r' && in.read() == '\n', "resp: bad bulk terminator")
-          new String(buf, StandardCharsets.UTF_8)
+          new Bulk(buf)
         }
       case '*' =>
         val n = readLine(in).toInt
         if (n < 0) null
-        else Seq.fill(n)(readReply(in))
+        else Seq.fill(n)(readReplyRaw(in))
       case other =>
         throw new java.io.IOException(s"resp: unknown reply type '$other'")
     }
+  }
+
+  /** [[readReplyRaw]] with every bulk decoded to UTF-8 text — the
+    * request/reply command surface, where payloads are always text.
+    */
+  def readReply(in: InputStream): Any = detext(readReplyRaw(in))
+
+  private def detext(v: Any): Any = v match {
+    case b: Bulk => b.text
+    case s: Seq[_] => s.map(detext)
+    case other => other
   }
 
   /** "redis://host:port" (or bare "host:port") → (host, port).
@@ -132,7 +154,7 @@ final class RedisClient private (socket: Socket, password: Option[String]) {
       case other => throw new java.io.IOException(s"redis: unexpected AUTH reply $other")
     }
   }
-  private val handlers = new ConcurrentHashMap[String, String => Unit]()
+  private val handlers = new ConcurrentHashMap[String, Array[Byte] => Unit]()
   // per-channel waiter with its own outcome flag: the latch also
   // releases on reader death, which must read as failure — but a
   // confirmation that landed just before the drop is still a success
@@ -153,19 +175,21 @@ final class RedisClient private (socket: Socket, password: Option[String]) {
   private lazy val reader: Thread = {
     val t = new Thread(() => {
       try {
-        var r = readReply(in)
+        // raw replies: the message payload bulk must stay bytes — a
+        // compressed/encrypted frame would be garbled by UTF-8 decode
+        var r = readReplyRaw(in)
         while (r != null) {
           r match {
-            case Seq("message", ch: String, payload: String) =>
-              val h = handlers.get(ch)
-              if (h != null) h(payload)
-            case Seq("subscribe", ch: String, _) =>
-              Option(subscribeAcks.remove(ch)).foreach(_.complete())
-            case Seq("unsubscribe", ch: String, _) =>
-              Option(subscribeAcks.remove(ch)).foreach(_.complete())
+            case Seq(kind: Bulk, ch: Bulk, payload: Bulk) if kind.text == "message" =>
+              val h = handlers.get(ch.text)
+              if (h != null) h(payload.bytes)
+            case Seq(kind: Bulk, ch: Bulk, _) if kind.text == "subscribe" =>
+              Option(subscribeAcks.remove(ch.text)).foreach(_.complete())
+            case Seq(kind: Bulk, ch: Bulk, _) if kind.text == "unsubscribe" =>
+              Option(subscribeAcks.remove(ch.text)).foreach(_.complete())
             case _ => () // pong / other pushes
           }
-          r = readReply(in)
+          r = readReplyRaw(in)
         }
       } catch { case _: Exception => () }
       finally { // fail any waiter so close() during subscribe can't hang 10 s
@@ -184,7 +208,13 @@ final class RedisClient private (socket: Socket, password: Option[String]) {
     * the subscription. Multiple channels per client are fine — each
     * keeps its own handler.
     */
-  def subscribe(channel: String, handler: String => Unit): Unit = {
+  def subscribe(channel: String, handler: String => Unit): Unit =
+    subscribeBytes(channel, bytes => handler(new String(bytes, StandardCharsets.UTF_8)))
+
+  /** Binary-safe subscription: the handler sees the published bulk's
+    * raw bytes (compressed/encrypted payloads survive intact).
+    */
+  def subscribeBytes(channel: String, handler: Array[Byte] => Unit): Unit = {
     subscriberMode = true
     handlers.put(channel, handler)
     val w = new SubWaiter
@@ -296,6 +326,9 @@ final class RedisStubServer private (server: ServerSocket,
           val bytes = s.getBytes(StandardCharsets.UTF_8)
           b.write(s"$$${bytes.length}\r\n".getBytes(StandardCharsets.US_ASCII))
           b.write(bytes); b.write('\r'); b.write('\n')
+        case raw: Array[Byte] => // binary-safe payload relay
+          b.write(s"$$${raw.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+          b.write(raw); b.write('\r'); b.write('\n')
         case n: Long => b.write(s":$n\r\n".getBytes(StandardCharsets.US_ASCII))
         case other => throw new IllegalArgumentException(s"resp push: $other")
       }
@@ -329,14 +362,16 @@ final class RedisStubServer private (server: ServerSocket,
   private def serve(conn: Conn): Unit = {
     val in = new BufferedInputStream(conn.socket.getInputStream)
     try {
-      var r = readReply(in)
+      // raw replies: the PUBLISH payload position is binary-safe;
+      // command and channel names decode per-position below
+      var r = readReplyRaw(in)
       while (r != null) {
         r match {
-          case Seq(cmd: String, rest @ _*) => cmd.toUpperCase match {
+          case Seq(cmdB: Bulk, rest @ _*) => cmdB.text.toUpperCase match {
             case "AUTH" =>
               val ok = password.exists(p => rest.lastOption.exists {
-                case offered: String => java.security.MessageDigest.isEqual(
-                  offered.getBytes(StandardCharsets.UTF_8), p.getBytes(StandardCharsets.UTF_8))
+                case offered: Bulk => java.security.MessageDigest.isEqual(
+                  offered.bytes, p.getBytes(StandardCharsets.UTF_8))
                 case _ => false
               })
               conn.out.synchronized {
@@ -354,21 +389,24 @@ final class RedisStubServer private (server: ServerSocket,
                 conn.out.flush()
               }
             case "SUBSCRIBE" =>
-              rest.foreach { case ch: String =>
+              rest.foreach { case chB: Bulk =>
+                val ch = chB.text
                 conn.channels.add(ch)
                 conn.push(Seq("subscribe", ch, conn.channels.size.toLong))
               }
             case "UNSUBSCRIBE" =>
-              rest.foreach { case ch: String =>
+              rest.foreach { case chB: Bulk =>
+                val ch = chB.text
                 conn.channels.remove(ch)
                 conn.push(Seq("unsubscribe", ch, conn.channels.size.toLong))
               }
             case "PUBLISH" =>
-              val Seq(ch: String, payload: String) = rest
+              val Seq(chB: Bulk, payload: Bulk) = rest
+              val ch = chB.text
               var n = 0L
               conns.forEach { c =>
                 if ((c ne conn) && c.channels.contains(ch)) {
-                  try { c.push(Seq("message", ch, payload)); n += 1 }
+                  try { c.push(Seq("message", ch, payload.bytes)); n += 1 }
                   catch { case _: Exception => () } // dead subscriber
                 }
               }
@@ -390,7 +428,7 @@ final class RedisStubServer private (server: ServerSocket,
           }
           case _ => () // ignore non-array noise
         }
-        r = readReply(in)
+        r = readReplyRaw(in)
       }
     } catch { case _: Exception => () }
     finally {

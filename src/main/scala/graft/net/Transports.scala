@@ -97,9 +97,9 @@ object FeedBridges {
   /** Inbound payload decode: decrypt → decompress → UTF-8, the inverse
     * of the sink's encode → compress → encrypt (reference source-side
     * `decompression` prop, planner_source.go:170; decryption mirrors
-    * the file source's `decryption`). Applied on the byte-oriented
-    * transports (mqtt/kafka/zmq/neuron) where compressed frames
-    * actually arrive as raw bytes.
+    * the file source's `decryption`). Applied on every transport that
+    * can carry raw bytes (mqtt/kafka/zmq/neuron, websocket binary
+    * frames, redis bulk payloads).
     *
     * Returns None for a frame that fails to decode: one poison
     * message (corrupt, plaintext on an encrypted topic, …) must be
@@ -147,15 +147,19 @@ object FeedBridges {
           decode(payload).foreach(emit(_, System.currentTimeMillis())))
         () => client.close()
       case "websocket" =>
+        // a symmetric ws sink publishes compressed/encrypted payloads
+        // as BINARY frames; plain text rides text frames — decode both
         val client = WebSocketClient.connect(server, tls = tls)
-        client.onText { msg =>
-          emit(msg, System.currentTimeMillis())
-        }
+        client.onText(msg =>
+          decode(msg.getBytes(StandardCharsets.UTF_8))
+            .foreach(emit(_, System.currentTimeMillis())))
+        client.onBinary(payload =>
+          decode(payload).foreach(emit(_, System.currentTimeMillis())))
         () => client.close()
       case "redis" =>
         val client = RedisClient.connect(server, password = options.get("password"), tls = tls)
-        client.subscribe(topic, msg =>
-          emit(msg, System.currentTimeMillis()))
+        client.subscribeBytes(topic, payload =>
+          decode(payload).foreach(emit(_, System.currentTimeMillis())))
         () => client.close()
       case "edgex" =>
         // the EdgeX message bus IS mqtt or redis (reference

@@ -188,6 +188,13 @@ final class WebSocketHub private (server: ServerSocket) {
                 catch { case _: Exception => () }
               }
             }
+          case OpBinary => // relay binary frames with the opcode intact
+            conns.forEach { c =>
+              if (c ne conn) {
+                try c.send(OpBinary, f.payload)
+                catch { case _: Exception => () }
+              }
+            }
           case OpPing => conn.send(OpPong, f.payload)
           case _ => ()
         }
@@ -229,6 +236,7 @@ final class WebSocketClient private (socket: Socket, path: String, hostHeader: S
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val in = new BufferedInputStream(socket.getInputStream)
   @volatile private var handler: String => Unit = _ => ()
+  @volatile private var binaryHandler: Array[Byte] => Unit = _ => ()
 
   locally {
     val keyBytes = new Array[Byte](16)
@@ -250,6 +258,7 @@ final class WebSocketClient private (socket: Socket, path: String, hostHeader: S
       while (f != null && f.op != OpClose) {
         f.op match {
           case OpText => handler(new String(f.payload, StandardCharsets.UTF_8))
+          case OpBinary => binaryHandler(f.payload)
           case OpPing => out.synchronized { writeFrame(out, OpPong, f.payload, mask = true) }
           case _ => ()
         }
@@ -261,6 +270,11 @@ final class WebSocketClient private (socket: Socket, path: String, hostHeader: S
   reader.start()
 
   def onText(h: String => Unit): Unit = handler = h
+
+  /** Binary frames (opcode 0x2) — a sink publishing compressed or
+    * encrypted payloads sends these; dropping them loses messages.
+    */
+  def onBinary(h: Array[Byte] => Unit): Unit = binaryHandler = h
 
   def sendText(msg: String): Unit = out.synchronized {
     writeFrame(out, OpText, msg.getBytes(StandardCharsets.UTF_8), mask = true)

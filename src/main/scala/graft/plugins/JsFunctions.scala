@@ -119,6 +119,10 @@ case class JsCallExpr(children: Seq[Expression], scriptId: String,
     extends Expression with CodegenFallback {
   override def nullable: Boolean = true
   override def prettyName: String = scriptId
+  // Scripts can read Date.now() and mutate program-global state across
+  // calls (the reference's goja runtime keeps per-instance state), so
+  // Catalyst must not CSE, reorder, or constant-fold calls away.
+  override lazy val deterministic: Boolean = false
 
   @transient private lazy val fn: Seq[Any] => Any =
     MiniJs.load(script).function(scriptId).getOrElse(

@@ -349,11 +349,94 @@ object ConnectorSource {
   * broker client; nothing else changes.
   */
 object ConnectorFeed {
+  /** Retention knobs. A long-running bridge on a busy broker must not
+    * grow driver memory or spool listing cost without bound (the
+    * reference's runtime consumes frames and discards them,
+    * internal/io/mqtt/source.go — nothing there accumulates either):
+    *  - memCap: frames kept in the in-memory ring, which only serves
+    *    batch reads and schema inference (streams read the spool);
+    *  - spoolMaxFiles / spoolMaxAgeMs: oldest frame files beyond the
+    *    count cap or older than the age cap are pruned. A stream that
+    *    keeps up sees every frame exactly once; one lagging further
+    *    than the caps loses the overflow — QoS0, like the reference;
+    *  - burstFilesPerSec: above this push rate, frames are batched by
+    *    a background flusher into one multi-line file per
+    *    flushIntervalMs instead of one file per frame, bounding file
+    *    creation (and thus listing cost between prunes) at any
+    *    message rate. Below it every push writes synchronously, so
+    *    low-rate pushes are immediately visible to
+    *    `processAllAvailable`-style readers.
+    */
+  @volatile var memCap: Int = 4096
+  @volatile var spoolMaxFiles: Int = 8192
+  @volatile var spoolMaxAgeMs: Long = 60 * 60 * 1000L
+  @volatile var burstFilesPerSec: Int = 50
+  @volatile var flushIntervalMs: Long = 25L
+  @volatile var pruneEveryFiles: Int = 256
+
+  private final class FeedState {
+    val ring = new scala.collection.mutable.ArrayDeque[(String, Long)]()
+    val pending = new scala.collection.mutable.ArrayBuffer[String]()
+    var windowStartMs = 0L     // current 1-second rate window
+    var filesThisWindow = 0
+    var filesSincePrune = 0
+  }
+
   private val feeds =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[(String, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), FeedState]()
   private val spools =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  // Lazily-started daemon that drains `pending` buffers accumulated
+  // while a feed is over its burst threshold.
+  private lazy val flusher = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-feed-flusher"); t.setDaemon(true); t
+    }
+    ex.scheduleWithFixedDelay(() => flushAllPending(),
+      flushIntervalMs, flushIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
+  private def flushAllPending(): Unit = {
+    val it = feeds.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val st = e.getValue
+      try st.synchronized { if (st.pending.nonEmpty) writeLocked(e.getKey, st, st.pending.toSeq) }
+      catch { case _: Exception => () } // keep the flusher alive; retry next tick
+    }
+  }
+
+  /** Write `lines` as ONE spool file (callers hold st's lock) and
+    * clear the pending buffer; prune the spool periodically.
+    */
+  private def writeLocked(key: (String, String), st: FeedState, lines: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(spoolDir(key._1, key._2))
+    val name = f"frame_${seq.incrementAndGet()}%012d.json"
+    val tmp = dir.resolve(name + ".tmp")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.write(tmp, lines.asJava)
+    java.nio.file.Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    st.pending.clear()
+    st.filesSincePrune += 1
+    if (st.filesSincePrune >= pruneEveryFiles) {
+      st.filesSincePrune = 0
+      prune(dir.toFile)
+    }
+  }
+
+  private def prune(dir: java.io.File): Unit = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("frame_\\d+\\.json")).sortBy(_.getName)
+    val overCount = files.length - spoolMaxFiles
+    val cutoffMs = System.currentTimeMillis() - spoolMaxAgeMs
+    files.zipWithIndex.foreach { case (f, i) =>
+      if (i < overCount || f.lastModified() < cutoffMs) f.delete()
+    }
+  }
 
   /** Spool directory backing the streaming form of a feed: each push
     * lands as one JSON-lines file, which Structured Streaming's file
@@ -379,20 +462,29 @@ object ConnectorFeed {
     b.append('"').toString
   }
 
-  /** Tests/simulations push (jsonFrame, arrivalMillis). */
+  /** Live bridges and tests push (frame, arrivalMillis). The frame
+    * always reaches both the bounded in-memory ring and the spool;
+    * spool files are written via a non-matching temp name + atomic
+    * rename, so the tailing file-stream source (which lists by name
+    * and reads each exactly once) never sees a half-written file.
+    */
   def push(kind: String, topic: String, frameJson: String, arrivalMs: Long): Unit = {
-    feeds.merge((kind, topic), Vector((frameJson, arrivalMs)), (a, b) => a ++ b)
+    val key = (kind, topic)
+    val st = feeds.computeIfAbsent(key, _ => new FeedState)
     val line = s"""{"frame": ${jsonQuote(frameJson)}, "arrival_ms": $arrivalMs}"""
-    // Write to a non-matching temp name, then atomically rename into
-    // place: the file-stream source tailing this directory lists files
-    // by name and reads each exactly once, so a frame file must never
-    // be visible half-written.
-    val dir = java.nio.file.Paths.get(spoolDir(kind, topic))
-    val name = f"frame_${seq.incrementAndGet()}%012d.json"
-    val tmp = dir.resolve(name + ".tmp")
-    java.nio.file.Files.write(tmp, java.util.Arrays.asList(line))
-    java.nio.file.Files.move(tmp, dir.resolve(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    st.synchronized {
+      st.ring.append((frameJson, arrivalMs))
+      while (st.ring.length > memCap) st.ring.removeHead()
+      val now = System.currentTimeMillis()
+      if (now - st.windowStartMs >= 1000L) { st.windowStartMs = now; st.filesThisWindow = 0 }
+      st.pending += line
+      if (st.filesThisWindow < burstFilesPerSec) {
+        // low rate: flush synchronously (one file per push) so the
+        // frame is immediately visible to the streaming source
+        st.filesThisWindow += 1
+        writeLocked(key, st, st.pending.toSeq)
+      } else flusher // over threshold: leave buffered for the batch flusher
+    }
   }
 
   def clear(kind: String, topic: String): Unit = {
@@ -417,7 +509,10 @@ object ConnectorFeed {
       .select(col("frame"), timestamp_millis(col("arrival_ms")).as("arrival_ts"))
 
   def frames(spark: SparkSession, kind: String, topic: String): DataFrame = {
-    val rows = Option(feeds.get((kind, topic))).getOrElse(Vector.empty)
+    val rows = Option(feeds.get((kind, topic))) match {
+      case Some(st) => st.synchronized(st.ring.toVector)
+      case None => Vector.empty[(String, Long)]
+    }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(
       rows.map { case (f, ts) => org.apache.spark.sql.Row(f, ts) }.asJava,

@@ -127,34 +127,69 @@ final case class SqlSource(dburl: String, table: String,
     * interval also makes the returned frame reproducible: a pull that
     * fails downstream is recovered by `rewind(offset-before)` — the
     * reference's Rewind contract — and re-reads the identical row set.
+    *
+    * LIMIT-boundary ties (single index field): rows tied with a full
+    * page's MAX may sit just beyond the LIMIT cut — advancing to that
+    * value would skip them forever behind the next pull's `>`
+    * predicate. A full page costs one extra tiny probe comparing the
+    * table's in-range row count against the page; when ties were cut,
+    * the upper bound retreats to the last distinct value BELOW the
+    * page max, and if the whole page is one value the pull drops the
+    * LIMIT for this interval and returns every tied row instead.
+    * Unique indexes never trigger the retreat. Composite indexes
+    * can't express this with per-field predicates — there the field
+    * combination must be unique/monotonic, as the reference requires
+    * of indexFields.
     */
   def batch(spark: SparkSession): DataFrame = {
     if (indexFields.isEmpty)
       return reader(spark).option("query", queryStatement).load()
     val q0 = queryStatement
-    val maxQ = indexFields.map(f => s"MAX($f)").mkString(
-      "SELECT ", ", ", s" FROM ($q0) graft_pull")
-    val upper = SqlBridges.withConnection(dburl, options) { conn =>
-      val rs = conn.createStatement().executeQuery(maxQ)
+    val probeQ = indexFields.map(f => s"MAX($f)").mkString(
+      "SELECT COUNT(*), ", ", ", s" FROM ($q0) graft_pull")
+    val (pageRows, upper0) = SqlBridges.withConnection(dburl, options) { conn =>
+      val rs = conn.createStatement().executeQuery(probeQ)
       if (rs.next())
-        indexFields.zipWithIndex.flatMap { case (f, i) =>
-          Option(rs.getObject(i + 1)).map(f -> _)
-        }.toMap
-      else Map.empty[String, Any]
+        (rs.getLong(1), indexFields.zipWithIndex.flatMap { case (f, i) =>
+          Option(rs.getObject(i + 2)).map(f -> _)
+        }.toMap)
+      else (0L, Map.empty[String, Any])
     }
-    if (upper.size < indexFields.length) {
+    if (upper0.size < indexFields.length) {
       // no new rows at probe time: an empty pull, index unchanged
       val empty = limited(
         s"SELECT * FROM $table WHERE 1 = 0", limit, dialect)
       return reader(spark).option("query", empty).load()
     }
-    val conds =
-      indexFields.flatMap(f => Option(index.get(f)).map(v => s"$f > ${literal(v)}")) ++
-        indexFields.map(f => s"$f <= ${literal(upper(f))}")
+    val lower =
+      indexFields.flatMap(f => Option(index.get(f)).map(v => s"$f > ${literal(v)}"))
     val order = indexFields.mkString(" ORDER BY ", " ASC, ", " ASC")
-    val q = limited(
-      s"SELECT * FROM $table${conds.mkString(" WHERE ", " AND ", "")}$order",
-      limit, dialect)
+    // a full single-field page may be cut mid-tie: check whether the
+    // TABLE holds more rows in (last, pageMax] than the page returned
+    // (the ordered page contains every in-range row below pageMax, so
+    // an excess can only be pageMax ties beyond the LIMIT cut)
+    val (upper, keepLimit) =
+      if (limit <= 0 || pageRows < limit || indexFields.length != 1) (upper0, true)
+      else {
+        val f = indexFields.head
+        val rangeConds = (lower :+ s"$f <= ${literal(upper0(f))}")
+          .mkString(" WHERE ", " AND ", "")
+        val (inRange, belowMax) = SqlBridges.withConnection(dburl, options) { conn =>
+          val rs = conn.createStatement().executeQuery(
+            s"SELECT COUNT(*), MAX(CASE WHEN $f < ${literal(upper0(f))} THEN $f END)" +
+              s" FROM $table$rangeConds")
+          rs.next()
+          (rs.getLong(1), Option(rs.getObject(2)))
+        }
+        if (inRange <= pageRows) (upper0, true) // no ties were cut
+        else belowMax match {
+          case Some(v) => (Map(f -> (v: Any)), true) // retreat below the tie
+          case None => (upper0, false) // one-value page: take ALL tied rows
+        }
+      }
+    val conds = lower ++ indexFields.map(f => s"$f <= ${literal(upper(f))}")
+    val base = s"SELECT * FROM $table${conds.mkString(" WHERE ", " AND ", "")}$order"
+    val q = if (keepLimit) limited(base, limit, dialect) else base
     val df = reader(spark).option("query", q).load()
     upper.foreach { case (f, v) => index.put(f, v) }
     df

@@ -731,6 +731,90 @@ class NetSpec extends SparkSuite {
       } finally pub.close()
     } finally broker.close()
   }
+
+  // ---- bounded connector feed (long-run retention) ----
+
+  test("feed bounds: ring cap holds newest frames; burst pushes batch into few spool files") {
+    val saved = (ConnectorFeed.memCap, ConnectorFeed.burstFilesPerSec)
+    ConnectorFeed.memCap = 100
+    ConnectorFeed.burstFilesPerSec = 10
+    try {
+      ConnectorFeed.clear("mqtt", "bounded/burst")
+      val spool = new java.io.File(ConnectorFeed.spoolDir("mqtt", "bounded/burst"))
+      (1 to 2000).foreach(i =>
+        ConnectorFeed.push("mqtt", "bounded/burst", s"""{"i":$i}""", i.toLong))
+      // driver memory: only the newest memCap frames are retained
+      val mem = ConnectorFeed.frames(spark, "mqtt", "bounded/burst")
+      assert(mem.count() === 100)
+      assert(mem.agg(max(get_json_object(col("frame"), "$.i").cast("long")))
+        .first().getLong(0) === 2000)
+      // spool: the flusher drains every frame (none lost) …
+      def spoolLines: Int = spool.listFiles()
+        .filter(_.getName.matches("frame_\\d+\\.json"))
+        .map(f => java.nio.file.Files.readAllLines(f.toPath).size).sum
+      awaitCond(spoolLines == 2000, s"all frames spooled (have $spoolLines)")
+      // … but into far fewer files than frames: ≤10 sync files per
+      // second of wall time plus ~40 batch files/sec from the flusher
+      val files = spool.listFiles().count(_.getName.matches("frame_\\d+\\.json"))
+      assert(files < 500, s"burst batching should bound file count, got $files")
+      assert(files < 2000)
+    } finally {
+      ConnectorFeed.memCap = saved._1
+      ConnectorFeed.burstFilesPerSec = saved._2
+      ConnectorFeed.clear("mqtt", "bounded/burst")
+    }
+  }
+
+  test("feed bounds: spool prune caps retained files; stream under burst sees frames exactly once") {
+    val saved = (ConnectorFeed.spoolMaxFiles, ConnectorFeed.pruneEveryFiles,
+      ConnectorFeed.burstFilesPerSec)
+    // prune check on every write, cap at 30 files
+    ConnectorFeed.spoolMaxFiles = 30
+    ConnectorFeed.pruneEveryFiles = 1
+    ConnectorFeed.burstFilesPerSec = Int.MaxValue // one file per push → exercises prune
+    try {
+      ConnectorFeed.clear("mqtt", "bounded/prune")
+      val spool = new java.io.File(ConnectorFeed.spoolDir("mqtt", "bounded/prune"))
+      (1 to 200).foreach(i =>
+        ConnectorFeed.push("mqtt", "bounded/prune", s"""{"i":$i}""", i.toLong))
+      val files = spool.listFiles().filter(_.getName.matches("frame_\\d+\\.json"))
+      assert(files.length <= 31, s"prune should cap spool files, got ${files.length}")
+      // the newest frames survive the prune (oldest were deleted);
+      // spool line format escapes the frame: {"frame": "{\"i\":200}", …}
+      import scala.jdk.CollectionConverters._
+      val survivors = files.flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
+      assert(survivors.exists(_.contains("\\\"i\\\":200}")), "newest frame retained")
+      assert(!survivors.exists(_.contains("\\\"i\\\":1}")), "oldest pruned")
+    } finally {
+      ConnectorFeed.spoolMaxFiles = saved._1
+      ConnectorFeed.pruneEveryFiles = saved._2
+      ConnectorFeed.burstFilesPerSec = saved._3
+      ConnectorFeed.clear("mqtt", "bounded/prune")
+    }
+
+    // exactly-once delivery to a live stream while the flusher batches
+    val savedBurst = ConnectorFeed.burstFilesPerSec
+    ConnectorFeed.burstFilesPerSec = 5
+    try {
+      ConnectorFeed.clear("mqtt", "bounded/stream")
+      val src = ConnectorSource("mqtt", "bounded/stream",
+        StructType.fromDDL("i bigint"))
+      val q = src.stream(spark).writeStream.format("memory")
+        .queryName("bounded_stream_out").outputMode("append").start()
+      try {
+        (1 to 300).foreach(i =>
+          ConnectorFeed.push("mqtt", "bounded/stream", s"""{"i":$i}""", i.toLong))
+        awaitCond({
+          q.processAllAvailable()
+          spark.table("bounded_stream_out").count() == 300
+        }, "all 300 burst frames reach the stream")
+        assert(spark.table("bounded_stream_out").select("i").distinct().count() === 300)
+      } finally q.stop()
+    } finally {
+      ConnectorFeed.burstFilesPerSec = savedBurst
+      ConnectorFeed.clear("mqtt", "bounded/stream")
+    }
+  }
 }
 
 /** Self-signed test certificate, generated once per JVM with the JDK's

@@ -68,6 +68,36 @@ class SqlSpec extends SparkSuite {
     assert(src.batch(spark).collect().map(_.getInt(0)).toSeq == Seq(5))
   }
 
+  test("sql source: LIMIT-boundary ties on a non-unique index are never skipped") {
+    // ts is non-unique; a naive full-page advance to MAX(ts) would
+    // permanently skip the tied rows beyond the LIMIT cut
+    freshTable("ties", "(ts INT, v INT)",
+      "INSERT INTO ties VALUES (1, 100), (1, 101), (1, 102), (2, 200), (2, 201), (3, 300)")
+    val src = SqlSource(dburl, "ties", indexFields = Seq("ts"), limit = 2)
+    // page of two ts=1 rows is all one value: the pull takes every
+    // tied row instead of cutting mid-tie
+    assert(src.batch(spark).collect().map(_.getInt(1)).sorted.toSeq == Seq(100, 101, 102))
+    assert(src.offset == Map("ts" -> 1))
+    assert(src.batch(spark).collect().map(_.getInt(1)).sorted.toSeq == Seq(200, 201))
+    assert(src.batch(spark).collect().map(_.getInt(1)).toSeq == Seq(300))
+    // mixed page with a CUT tie (four ts=2 rows, page holds two):
+    // retreat below the page max rather than split the tie group
+    freshTable("ties2", "(ts INT, v INT)",
+      "INSERT INTO ties2 VALUES (1, 1), (2, 2), (2, 3), (2, 4), (3, 5)")
+    val src2 = SqlSource(dburl, "ties2", indexFields = Seq("ts"), limit = 3)
+    assert(src2.batch(spark).collect().map(_.getInt(1)).toSeq == Seq(1))
+    assert(src2.offset == Map("ts" -> 1))
+    assert(src2.batch(spark).collect().map(_.getInt(1)).sorted.toSeq == Seq(2, 3, 4))
+    assert(src2.batch(spark).collect().map(_.getInt(1)).toSeq == Seq(5))
+    // a page with ties fully inside it advances normally, no retreat
+    freshTable("ties3", "(ts INT, v INT)",
+      "INSERT INTO ties3 VALUES (1, 1), (2, 2), (2, 3), (3, 4)")
+    val src3 = SqlSource(dburl, "ties3", indexFields = Seq("ts"), limit = 3)
+    assert(src3.batch(spark).collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    assert(src3.offset == Map("ts" -> 2))
+    assert(src3.batch(spark).collect().map(_.getInt(1)).toSeq == Seq(4))
+  }
+
   test("sql lookup source: point query pushes equality filters to the database") {
     freshTable("dims", "(k VARCHAR(8), region VARCHAR(16), pop INT)",
       "INSERT INTO dims VALUES ('a', 'east', 10), ('b', 'west', 20), ('c', 'east', 30)")

@@ -46,11 +46,18 @@ class WireCodecSpec extends SparkSuite {
     assert(s1.toSeq != s2.toSeq, "fresh random IV per message")
     assert(Crypto.decrypt(s1, keyB64, "cfb", "").toSeq == pt.toSeq)
     assert(Crypto.decrypt(s2, keyB64, "cfb", "").toSeq == pt.toSeq)
-    // constant IV elides the prefix (reference stream.go constantIv)
+    // constant IV still carries the prefix — the reference's
+    // message-level StreamEncrypter prepends unconditionally
+    // (stream.go Encrypt/Decrypt; only the file writer elides)
     val iv = Base64.getEncoder.encodeToString(Array.tabulate[Byte](16)(_.toByte))
     val s3 = Crypto.encrypt(pt, keyB64, "cfb", iv)
-    assert(s3.length == pt.length, "constant iv carries no prefix")
+    val s4 = Crypto.encrypt(pt, keyB64, "cfb", iv)
+    assert(s3.length == 16 + pt.length, "constant iv: still iv || ct")
+    assert(s3.toSeq == s4.toSeq, "constant iv is deterministic")
+    assert(s3.take(16).toSeq == Base64.getDecoder.decode(iv).toSeq)
     assert(Crypto.decrypt(s3, keyB64, "cfb", iv).toSeq == pt.toSeq)
+    // a consumer with no iv prop decodes the same bytes (iv is in-band)
+    assert(Crypto.decrypt(s3, keyB64, "cfb", "").toSeq == pt.toSeq)
   }
 
   test("aes-gcm: nonce||ct||tag layout, authentication catches tampering") {
@@ -124,6 +131,45 @@ class WireCodecSpec extends SparkSuite {
         "wire payload must be ciphertext, not JSON")
       sub.close()
     } finally { FeedBridges.closeAll(); broker.close() }
+  }
+
+  test("e2e websocket: binary compressed+encrypted frames decode on the source side") {
+    val hub = graft.net.WebSocketHub.start()
+    try {
+      import spark.implicits._
+      ConnectorFeed.clear("websocket", "wire/ws")
+      val url = s"ws://127.0.0.1:${hub.port}/wire"
+      val src = ConnectorSource("websocket", "wire/ws",
+        StructType.fromDDL("id bigint, name string"),
+        Map("server" -> url,
+          "decompression" -> "gzip", "decryption" -> "aes", "aesKey" -> keyB64))
+      assert(src.batch(spark).count() == 0) // starts the bridge
+      ConnectorSink("websocket", url,
+        Map("compression" -> "gzip", "encryption" -> "aes", "aesKey" -> keyB64))
+        .writeBatch(Seq((5L, "ws-bin")).toDF("id", "name"))
+      awaitCond(src.batch(spark).count() == 1, "binary ws frame decoded into the feed")
+      val r = src.batch(spark).select("id", "name").first()
+      assert((r.getLong(0), r.getString(1)) == ((5L, "ws-bin")))
+    } finally { FeedBridges.closeAll(); hub.close() }
+  }
+
+  test("e2e redis: bulk payload stays binary-safe through publish and subscribe") {
+    val stub = graft.net.RedisStubServer.start()
+    try {
+      import spark.implicits._
+      ConnectorFeed.clear("redis", "wire/redis")
+      val src = ConnectorSource("redis", "wire/redis",
+        StructType.fromDDL("id bigint, name string"),
+        Map("server" -> stub.address,
+          "decompression" -> "zstd", "decryption" -> "aes", "aesKey" -> keyB64))
+      assert(src.batch(spark).count() == 0) // starts the bridge
+      ConnectorSink("redis", s"${stub.address}/wire/redis",
+        Map("compression" -> "zstd", "encryption" -> "aes", "aesKey" -> keyB64))
+        .writeBatch(Seq((6L, "redis-bin")).toDF("id", "name"))
+      awaitCond(src.batch(spark).count() == 1, "binary redis payload decoded into the feed")
+      val r = src.batch(spark).select("id", "name").first()
+      assert((r.getLong(0), r.getString(1)) == ((6L, "redis-bin")))
+    } finally { FeedBridges.closeAll(); stub.close() }
   }
 
   test("a poison frame is skipped — the bridge keeps consuming") {
