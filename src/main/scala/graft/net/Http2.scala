@@ -32,6 +32,7 @@ object Http2 {
   val PING = 0x6
   val GOAWAY = 0x7
   val WINDOW_UPDATE = 0x8
+  val CONTINUATION = 0x9
 
   final case class Frame(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte])
 
@@ -332,6 +333,30 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
   import Http2._
   private val decoder = new Hpack.Decoder
   private var nextStream = 1
+  // SEND-side flow control (RFC 7540 §6.9): both windows start at
+  // 65535; the server's SETTINGS_INITIAL_WINDOW_SIZE re-bases stream
+  // windows, WINDOW_UPDATE frames replenish. A sender that ignores
+  // them stalls or gets RST on any request larger than 64 KiB.
+  private var connSendWindow = 65535L
+  private var initialStreamWindow = 65535L
+  private var maxFrameSize = 16384
+
+  private def applySettings(payload: Array[Byte], adjustStream: Long => Unit): Unit = {
+    var i = 0
+    while (i + 6 <= payload.length) {
+      val id = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+      val v = ((payload(i + 2) & 0xffL) << 24) | ((payload(i + 3) & 0xffL) << 16) |
+        ((payload(i + 4) & 0xffL) << 8) | (payload(i + 5) & 0xffL)
+      id match {
+        case 0x4 => // INITIAL_WINDOW_SIZE: delta re-bases open streams (§6.9.2)
+          adjustStream(v - initialStreamWindow)
+          initialStreamWindow = v
+        case 0x5 => maxFrameSize = math.min(v, (1 << 24) - 1).toInt
+        case _ => ()
+      }
+      i += 6
+    }
+  }
 
   private[net] def handshake(): Unit = {
     out.write(Preface)
@@ -339,7 +364,25 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
     // server SETTINGS must arrive first; ack it
     val f = readFrame(in)
     require(f.tpe == SETTINGS, s"expected SETTINGS, got type ${f.tpe}")
+    applySettings(f.payload, _ => ())
     writeFrame(out, Frame(SETTINGS, 0x1, 0, Array.emptyByteArray))
+  }
+
+  /** HEADERS payload → HPACK block: strip PADDED (0x8) pad-length +
+    * trailing padding and PRIORITY (0x20) 5-byte dependency prefix
+    * (§6.2) — decoding them as HPACK would corrupt the dynamic table.
+    */
+  private def headerBlock(f: Frame): Array[Byte] = {
+    var start = 0
+    var end = f.payload.length
+    if ((f.flags & 0x8) != 0) { // PADDED
+      val padLen = f.payload(0) & 0xff
+      start += 1
+      end -= padLen
+      require(end >= start, "h2: HEADERS padding exceeds payload")
+    }
+    if ((f.flags & 0x20) != 0) start += 5 // PRIORITY: dep(4) + weight(1)
+    java.util.Arrays.copyOfRange(f.payload, start, end)
   }
 
   /** One unary call: returns the response message bytes; non-zero
@@ -353,28 +396,38 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
       ":authority" -> authority, "content-type" -> "application/grpc",
       "te" -> "trailers"))
     writeFrame(out, Frame(HEADERS, 0x4, sid, headers)) // END_HEADERS
-    // split DATA at the peer's default SETTINGS_MAX_FRAME_SIZE (16384)
-    // — one oversized frame is a FRAME_SIZE_ERROR on a compliant peer
     val body = grpcFrame(message)
-    val chunks = body.grouped(16384).toSeq
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val endStream = if (i == chunks.length - 1) 0x1 else 0x0
-      writeFrame(out, Frame(DATA, endStream, sid, chunk))
-    }
+    var streamSendWindow = initialStreamWindow
     var data = Array.emptyByteArray
     var status = -1
     var statusMsg = ""
     var done = false
-    while (!done) {
-      val f = readFrame(in)
+    def processFrame(f: Frame): Unit =
       f.tpe match {
         case SETTINGS =>
-          if ((f.flags & 0x1) == 0) writeFrame(out, Frame(SETTINGS, 0x1, 0, Array.emptyByteArray))
+          if ((f.flags & 0x1) == 0) {
+            applySettings(f.payload, delta => streamSendWindow += delta)
+            writeFrame(out, Frame(SETTINGS, 0x1, 0, Array.emptyByteArray))
+          }
         case PING =>
           if ((f.flags & 0x1) == 0) writeFrame(out, Frame(PING, 0x1, 0, f.payload))
-        case WINDOW_UPDATE => ()
+        case WINDOW_UPDATE =>
+          val incr = java.nio.ByteBuffer.wrap(f.payload).getInt & 0x7fffffff
+          if (f.streamId == 0) connSendWindow += incr
+          else if (f.streamId == sid) streamSendWindow += incr
         case HEADERS if f.streamId == sid =>
-          val hs = decoder.decode(f.payload)
+          // gather CONTINUATION frames until END_HEADERS — decoding a
+          // partial block would desynchronize HPACK on large trailers
+          var block = headerBlock(f)
+          var endHeaders = (f.flags & 0x4) != 0
+          while (!endHeaders) {
+            val c = readFrame(in)
+            require(c.tpe == CONTINUATION && c.streamId == sid,
+              s"h2: expected CONTINUATION for stream $sid, got type ${c.tpe}")
+            block ++= c.payload
+            endHeaders = (c.flags & 0x4) != 0
+          }
+          val hs = decoder.decode(block)
           hs.foreach {
             case ("grpc-status", v) => status = v.toInt
             case ("grpc-message", v) => statusMsg = v
@@ -385,8 +438,8 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
           if ((f.flags & 0x1) != 0) done = true // END_STREAM: trailers seen
         case DATA if f.streamId == sid =>
           data ++= f.payload
-          // replenish BOTH flow-control windows: a compliant sender
-          // stops at the 65535-byte default — stream-level too, or a
+          // replenish BOTH receive windows: a compliant sender stops
+          // at the 65535-byte default — stream-level too, or a
           // >64 KiB unary response deadlocks the read loop
           if (f.payload.nonEmpty) {
             val win = java.nio.ByteBuffer.allocate(4).putInt(f.payload.length).array()
@@ -400,7 +453,24 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
           throw new java.io.IOException("grpc connection going away")
         case _ => () // frames for other streams / extensions: ignore
       }
+    // send DATA under both send windows, at most maxFrameSize per
+    // frame; when the window is exhausted, drain the peer's frames
+    // until a WINDOW_UPDATE (or SETTINGS re-base) opens it
+    var off = 0
+    while (off < body.length && !done) {
+      val window = math.min(connSendWindow, streamSendWindow)
+      if (window <= 0) processFrame(readFrame(in))
+      else {
+        val n = math.min(window, math.min(maxFrameSize.toLong, (body.length - off).toLong)).toInt
+        val endStream = if (off + n == body.length) 0x1 else 0x0
+        writeFrame(out, Frame(DATA, endStream, sid,
+          java.util.Arrays.copyOfRange(body, off, off + n)))
+        connSendWindow -= n
+        streamSendWindow -= n
+        off += n
+      }
     }
+    while (!done) processFrame(readFrame(in))
     require(status == 0, s"grpc call $path failed: status $status $statusMsg")
     grpcUnframe(data)
   }

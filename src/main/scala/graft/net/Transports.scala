@@ -257,6 +257,7 @@ object SinkTransports {
   /** True if this (kind, endpoint) pair names a real transport. */
   def supports(kind: String, endpoint: String): Boolean = kind match {
     case "mqtt" => Seq("tcp://", "mqtt://", "ssl://", "mqtts://").exists(endpoint.startsWith)
+    case "rest" => endpoint.startsWith("http://") || endpoint.startsWith("https://")
     case "websocket" => endpoint.startsWith("ws://") || endpoint.startsWith("wss://")
     case "redis" => endpoint.startsWith("redis://") || endpoint.startsWith("rediss://")
     case "edgex" => // the EdgeX bus is mqtt or redis under a JSON envelope
@@ -289,6 +290,43 @@ object SinkTransports {
           def publish(payload: String): Unit = c.publish(topic, payload)
           override def publishBytes(payload: Array[Byte]): Unit = c.publish(topic, payload)
           def close(): Unit = c.close()
+        }
+      case "rest" =>
+        // per-partition HTTP poster (reference internal/io/http/rest
+        // sink: one request per payload, method/headers props, oauth
+        // access/refresh renewal after each send — client.go Send)
+        new Client {
+          private val method = options.getOrElse("method", "POST").toUpperCase
+          private val headers =
+            graft.sources.OAuthTokenManager.headerMap(options.get("headers"))
+          private val oauth = graft.sources.OAuthTokenManager.fromOptions(options)
+          def publish(payload: String): Unit =
+            publishBytes(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          override def publishBytes(payload: Array[Byte]): Unit = {
+            val hs = oauth match {
+              case Some(o) => o.headers(headers)
+              case None => headers
+            }
+            val c = java.net.URI.create(endpoint).toURL.openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            try {
+              c.setConnectTimeout(5000)
+              c.setReadTimeout(options.getOrElse("timeout", "5000").toInt)
+              c.setRequestMethod(method)
+              if (!hs.contains("Content-Type"))
+                c.setRequestProperty("Content-Type", "application/json")
+              hs.foreach { case (k, v) => c.setRequestProperty(k, v) }
+              c.setDoOutput(true)
+              c.getOutputStream.write(payload)
+              val code = c.getResponseCode
+              if (code / 100 != 2)
+                throw new java.io.IOException(s"rest sink: HTTP $code from $endpoint")
+            } finally {
+              c.disconnect()
+              oauth.foreach(_.afterSend())
+            }
+          }
+          def close(): Unit = ()
         }
       case "websocket" =>
         new Client {

@@ -134,14 +134,21 @@ object Catalog {
             limit = props.getOrElse("limit", "0").toInt,
             intervalMs = props.getOrElse("interval", "1000").toLong,
             options = props)
+      case "http_pull" if props.get("url").orElse(props.get("server")).exists(_.nonEmpty) =>
+        // a URL prop makes the puller REAL (live GET/POST per pull,
+        // with headers + oauth props); without one, the stub feed path
+        HttpPullSource(props.get("url").orElse(props.get("server")).get, schema,
+          props.getOrElse("interval", "1000").toLong, props)
       case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
       case other => throw new IllegalArgumentException(s"unknown source type $other")
     }
   }
 
-  /** KEY="value" pairs, comma-separated, case-insensitive keys. */
+  /** KEY="value" pairs, comma-separated, case-insensitive keys.
+    * Dotted keys (OAUTH.ACCESS.URL="…") address nested prop groups.
+    */
   private[rules] def parseWith(s: String): Map[String, String] =
-    """(?s)([A-Za-z_]+)\s*=\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(s)
+    """(?s)([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(s)
       .map(m => m.group(1).toLowerCase -> m.group(2).replace("\\\"", "\"").replace("\\n", "\n"))
       .toMap
 }

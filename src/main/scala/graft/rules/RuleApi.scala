@@ -873,15 +873,23 @@ object RuleApi {
     */
   private def parseAction(j: JValue): Sink = j match {
     case JObject(List(JField(kind, props))) =>
+      // numeric/boolean props render to strings — SinkFactory and the
+      // sinks parse them back (maxCount, batchSize, …). Nested objects
+      // (oauth, headers) flatten to dotted keys AND keep the compact
+      // JSON under the base key, so both access styles work.
+      def flatten(prefix: String, fs: List[JField]): Seq[(String, String)] =
+        fs.flatMap {
+          case JField(k, JString(v)) => Seq(s"$prefix$k" -> v)
+          case JField(k, JInt(v)) => Seq(s"$prefix$k" -> v.toString)
+          case JField(k, JDouble(v)) => Seq(s"$prefix$k" -> v.toString)
+          case JField(k, JBool(v)) => Seq(s"$prefix$k" -> v.toString)
+          case JField(k, o @ JObject(inner)) =>
+            (s"$prefix$k" -> JsonMethods.compact(JsonMethods.render(o))) +:
+              flatten(s"$prefix$k.", inner)
+          case _ => Nil
+        }
       val opts = props match {
-        // numeric/boolean props render to strings — SinkFactory and the
-        // sinks parse them back (maxCount, batchSize, …)
-        case JObject(fs) => fs.collect {
-          case JField(k, JString(v)) => k -> v
-          case JField(k, JInt(v)) => k -> v.toString
-          case JField(k, JDouble(v)) => k -> v.toString
-          case JField(k, JBool(v)) => k -> v.toString
-        }.toMap
+        case JObject(fs) => flatten("", fs).toMap
         case _ => Map.empty[String, String]
       }
       SinkFactory.forKind(kind, opts)

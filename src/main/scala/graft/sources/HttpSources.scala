@@ -18,13 +18,38 @@ import java.nio.charset.StandardCharsets
   * environments); swap the URL for a real service in production.
   */
 final case class HttpPullSource(url: String, schema: StructType,
-                                intervalMs: Long = 1000) extends Source {
+                                intervalMs: Long = 1000,
+                                options: Map[String, String] = Map.empty) extends Source {
+  // `headers` prop: JSON object; values may carry {{.token}} templates
+  // filled from the oauth token map (reference RawConf.Headers +
+  // updateToken's parsedHeaders)
+  private val baseHeaders = OAuthTokenManager.headerMap(options.get("headers"))
+  private val oauth = OAuthTokenManager.fromOptions(options)
+  private val method = options.getOrElse("method", "GET").toUpperCase
+  private val body = options.getOrElse("body", "")
+
   private def fetch(): String = {
+    val headers = oauth match {
+      case Some(o) => o.headers(baseHeaders) // fetches the token on first use
+      case None => baseHeaders
+    }
     val c = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    c.setRequestMethod("GET")
-    try new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    finally c.disconnect()
+    try {
+      c.setRequestMethod(method)
+      headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+      if (body.nonEmpty && method != "GET") {
+        if (!headers.contains("Content-Type"))
+          c.setRequestProperty("Content-Type", "application/json")
+        c.setDoOutput(true)
+        c.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      }
+      new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    } finally {
+      c.disconnect()
+      // the reference renews AFTER each send (client.go Send)
+      oauth.foreach(_.afterSend())
+    }
   }
 
   private def decode(spark: SparkSession, body: String): DataFrame = {

@@ -346,7 +346,8 @@ class NetSpec extends SparkSuite {
     assert(SinkTransports.supports("redis", "redis://127.0.0.1:6379/c"))
     assert(SinkTransports.supports("redis", "rediss://127.0.0.1:6380/c"))
     assert(!SinkTransports.supports("rest", "redis://127.0.0.1:6379/c"))
-    assert(!SinkTransports.supports("rest", "http://x/y"))
+    assert(SinkTransports.supports("rest", "http://x/y")) // real HTTP poster
+    assert(!SinkTransports.supports("rest", "hook/plain")) // stub endpoint
     assert(!SinkTransports.supports("mqtt", "memdb"))
     // stub path still records when the endpoint is not a broker URL
     ConnectorSink.clear("mqtt", "plain-endpoint")

@@ -153,6 +153,25 @@ class RpcSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("grpc unary: requests past the 64 KiB flow-control window still complete") {
+    // send-side flow control: 200 KB exceeds the default 65535-byte
+    // connection/stream windows three times over — the client must
+    // wait for WINDOW_UPDATE replenishment instead of blasting DATA
+    val server = GrpcServer.start((path, req) => { assert(path == "/graft.Big/Echo"); req })
+    try {
+      val conn = GrpcClient.connect("127.0.0.1", server.port)
+      try {
+        val big = Array.tabulate(200000)(i => (i * 31).toByte)
+        val resp = conn.unary("/graft.Big/Echo", big)
+        assert(resp.length == big.length)
+        assert(java.util.Arrays.equals(resp, big))
+        // connection window survives for a second call
+        val small = Array.tabulate(10)(_.toByte)
+        assert(java.util.Arrays.equals(conn.unary("/graft.Big/Echo", small), small))
+      } finally conn.close()
+    } finally server.close()
+  }
+
   test("grpc unary: handler errors surface as non-zero grpc-status") {
     val server = GrpcServer.start((_, _) => throw new IllegalStateException("no such thing"))
     try {

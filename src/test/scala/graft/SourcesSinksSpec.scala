@@ -128,6 +128,88 @@ class SourcesSinksSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("http_pull oauth: token fetch, bearer header template, mid-stream refresh") {
+    import com.sun.net.httpserver.HttpServer
+    import java.util.concurrent.CopyOnWriteArrayList
+    val issued = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dataAuths = new CopyOnWriteArrayList[String]()
+    val refreshBodies = new CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    def tokenJson(): Array[Byte] = {
+      val n = issued.incrementAndGet()
+      s"""{"token":"tk$n","refresh_token":"rk$n"}""".getBytes
+    }
+    server.createContext("/token", ex => {
+      val b = tokenJson()
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/refresh", ex => {
+      refreshBodies.add(new String(ex.getRequestBody.readAllBytes()))
+      val b = tokenJson()
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/data", ex => {
+      dataAuths.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val b = """[{"device":"a","temp":20}]""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val src = HttpPullSource(s"$base/data",
+        StructType.fromDDL("device string, temp bigint"),
+        options = Map(
+          "headers" -> """{"Authorization": "Bearer {{.token}}"}""",
+          "oauth.access.url" -> s"$base/token",
+          "oauth.access.body" -> """{"client":"graft"}""",
+          "oauth.access.expire" -> "1",
+          "oauth.refresh.url" -> s"$base/refresh",
+          "oauth.refresh.body" -> """{"refresh_token":"{{.refresh_token}}"}"""))
+      assert(src.batch(spark).count() == 1)
+      assert(dataAuths.get(0) == "Bearer tk1", "first pull authorized with the fetched token")
+      Thread.sleep(700) // 2 × 0.7 s elapsed > 1 s expire → renew after next send
+      assert(src.batch(spark).count() == 1)
+      assert(dataAuths.get(1) == "Bearer tk1", "renewal happens AFTER the send, like the reference")
+      assert(refreshBodies.size() == 1, "refresh endpoint hit once")
+      assert(refreshBodies.get(0) == """{"refresh_token":"rk1"}""",
+        "refresh body template filled from the token map")
+      assert(src.batch(spark).count() == 1)
+      assert(dataAuths.get(2) == "Bearer tk2", "next pull rides the refreshed token")
+    } finally server.stop(0)
+  }
+
+  test("rest sink posts payloads over live HTTP with oauth headers") {
+    import com.sun.net.httpserver.HttpServer
+    import java.util.concurrent.CopyOnWriteArrayList
+    val posts = new CopyOnWriteArrayList[(String, String)]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/token", ex => {
+      val b = """{"token":"sink-tok"}""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/ingest", ex => {
+      posts.add((ex.getRequestHeaders.getFirst("Authorization"),
+        new String(ex.getRequestBody.readAllBytes())))
+      ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      graft.sinks.ConnectorSink("rest", s"$base/ingest", Map(
+        "headers" -> """{"Authorization": "Bearer {{.token}}"}""",
+        "oauth.access.url" -> s"$base/token"))
+        .writeBatch(Seq((1L, "x")).toDF("id", "name").repartition(1))
+      assert(posts.size() == 1)
+      assert(posts.get(0)._1 == "Bearer sink-tok")
+      assert(posts.get(0)._2 == """{"id":1,"name":"x"}""")
+    } finally server.stop(0)
+  }
+
   test("sse source reads data frames from a live event-stream endpoint") {
     import com.sun.net.httpserver.HttpServer
     val server = HttpServer.create(
