@@ -17,8 +17,8 @@ import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
   *
   * Command scope: SUBSCRIBE/UNSUBSCRIBE push mode, PUBLISH, PING —
   * the channel pub/sub surface the reference's redis stream/sink
-  * uses. Key-value commands are out of scope (lookup tables go
-  * through the engine's liveLookup path).
+  * uses — plus the key-value commands behind the redis lookup table
+  * (GET/LRANGE/SCAN/SELECT, internal/io/redis/lookup.go).
   */
 object Resp {
 
@@ -281,6 +281,63 @@ final class RedisClient private (socket: Socket, password: Option[String]) {
     }
   }
 
+  /** One request/reply command (bulks decoded as UTF-8 text); -ERR
+    * replies throw. The key-value surface the redis lookup table
+    * needs (GET/LRANGE/SCAN/SELECT) rides this, as do test fixtures
+    * (SET/RPUSH).
+    */
+  def command(parts: String*): Any = {
+    require(!subscriberMode, "redis: request/reply command on a subscriber connection")
+    out.synchronized {
+      writeCommand(out, parts)
+      readReply(in) match {
+        case Error(msg) => throw new java.io.IOException(s"redis: ${parts.head}: $msg")
+        case v => v
+      }
+    }
+  }
+
+  /** GET key → Some(value) | None when the key is absent. */
+  def get(key: String): Option[String] = command("GET", key) match {
+    case null => None
+    case s: String => Some(s)
+    case other => throw new java.io.IOException(s"redis: unexpected GET reply $other")
+  }
+
+  /** LRANGE key 0 -1 — the whole list (lookup "list" dataType). */
+  def lrange(key: String): Seq[String] = command("LRANGE", key, "0", "-1") match {
+    case null => Nil
+    case s: Seq[_] => s.map(String.valueOf)
+    case other => throw new java.io.IOException(s"redis: unexpected LRANGE reply $other")
+  }
+
+  /** Full SCAN cursor walk (redis.io: SCAN guarantees every key
+    * present for the whole walk appears at least once) — the
+    * production-safe key enumeration; KEYS blocks a real server.
+    * Duplicates de-dup here so callers see each key once.
+    */
+  def scanKeys(pattern: String = "*", countHint: Int = 1000): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var cursor = "0"
+    var first = true
+    while (first || cursor != "0") {
+      first = false
+      command("SCAN", cursor, "MATCH", pattern, "COUNT", countHint.toString) match {
+        case Seq(c, ks: Seq[_]) =>
+          cursor = String.valueOf(c)
+          ks.foreach(k => seen += String.valueOf(k))
+        case other => throw new java.io.IOException(s"redis: unexpected SCAN reply $other")
+      }
+    }
+    seen.toSeq
+  }
+
+  /** SELECT the numbered database (the lookup conf's DATASOURCE). */
+  def select(db: Int): Unit = command("SELECT", db.toString) match {
+    case "OK" => ()
+    case other => throw new java.io.IOException(s"redis: unexpected SELECT reply $other")
+  }
+
   def close(): Unit = try socket.close() catch { case _: Exception => () }
 }
 
@@ -318,6 +375,7 @@ final class RedisStubServer private (server: ServerSocket,
     val channels = ConcurrentHashMap.newKeySet[String]()
     // authenticated iff no password is required; AUTH flips it
     @volatile var authed: Boolean = password.isEmpty
+    @volatile var db: Int = 0 // SELECTed database index
     def push(parts: Seq[Any]): Unit = out.synchronized {
       val b = new java.io.ByteArrayOutputStream()
       b.write(s"*${parts.length}\r\n".getBytes(StandardCharsets.US_ASCII))
@@ -338,6 +396,53 @@ final class RedisStubServer private (server: ServerSocket,
 
   private val conns = ConcurrentHashMap.newKeySet[Conn]()
   @volatile private var closed = false
+
+  // key-value store behind the lookup-table surface: numbered
+  // databases of string and list keys (binary-safe values)
+  private final class Db {
+    val strings = new ConcurrentHashMap[String, Array[Byte]]()
+    val lists = new ConcurrentHashMap[String, java.util.List[Array[Byte]]]()
+  }
+  private val dbs = new ConcurrentHashMap[Integer, Db]()
+  private def db(i: Int): Db = dbs.computeIfAbsent(i, _ => new Db)
+
+  private def globMatch(pattern: String, key: String): Boolean =
+    key.matches(pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
+      case c => c.toString
+    })
+
+  /** Test-fixture convenience: seed a string key directly. */
+  def put(key: String, json: String, dbIndex: Int = 0): Unit =
+    db(dbIndex).strings.put(key, json.getBytes(StandardCharsets.UTF_8))
+
+  private def allKeys(dbIndex: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = db(dbIndex)
+    (d.strings.keySet().asScala ++ d.lists.keySet().asScala).toSeq.sorted
+  }
+
+  private def bulkReply(v: Array[Byte]): Array[Byte] =
+    if (v == null) "$-1\r\n".getBytes(StandardCharsets.US_ASCII)
+    else {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(s"$$${v.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+      b.write(v); b.write('\r'); b.write('\n')
+      b.toByteArray
+    }
+
+  private def arrayReply(items: Seq[Array[Byte]]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(s"*${items.length}\r\n".getBytes(StandardCharsets.US_ASCII))
+    items.foreach(i => b.write(bulkReply(i)))
+    b.toByteArray
+  }
+
+  private def reply(conn: Conn, bytes: Array[Byte]): Unit = conn.out.synchronized {
+    conn.out.write(bytes); conn.out.flush()
+  }
 
   def port: Int = server.getLocalPort
   def address: String =
@@ -419,6 +524,57 @@ final class RedisStubServer private (server: ServerSocket,
                 conn.out.write("+PONG\r\n".getBytes(StandardCharsets.US_ASCII))
                 conn.out.flush()
               }
+            // ---- key-value surface (lookup tables + test fixtures) ----
+            case "SELECT" =>
+              conn.db = rest.head.asInstanceOf[Bulk].text.toInt
+              reply(conn, "+OK\r\n".getBytes(StandardCharsets.US_ASCII))
+            case "SET" =>
+              val Seq(k: Bulk, v: Bulk) = rest.take(2)
+              db(conn.db).strings.put(k.text, v.bytes)
+              reply(conn, "+OK\r\n".getBytes(StandardCharsets.US_ASCII))
+            case "GET" =>
+              val v = db(conn.db).strings.get(rest.head.asInstanceOf[Bulk].text)
+              reply(conn, bulkReply(v))
+            case "DEL" =>
+              var n = 0L
+              rest.foreach { case k: Bulk =>
+                val d = db(conn.db)
+                if (d.strings.remove(k.text) != null || d.lists.remove(k.text) != null) n += 1
+              }
+              reply(conn, s":$n\r\n".getBytes(StandardCharsets.US_ASCII))
+            case "RPUSH" =>
+              val k = rest.head.asInstanceOf[Bulk].text
+              val l = db(conn.db).lists.computeIfAbsent(k,
+                _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Array[Byte]]()))
+              rest.tail.foreach { case v: Bulk => l.add(v.bytes) }
+              reply(conn, s":${l.size}\r\n".getBytes(StandardCharsets.US_ASCII))
+            case "LRANGE" =>
+              val Seq(k: Bulk, startB: Bulk, stopB: Bulk) = rest
+              val l = Option(db(conn.db).lists.get(k.text))
+                .map(x => x.synchronized { new java.util.ArrayList[Array[Byte]](x) })
+                .getOrElse(new java.util.ArrayList[Array[Byte]]())
+              val n = l.size
+              def idx(s: String): Int = { val i = s.toInt; if (i < 0) n + i else i }
+              val from = math.max(0, idx(startB.text))
+              val to = math.min(n - 1, idx(stopB.text))
+              val items = (from to to).map(l.get)
+              reply(conn, arrayReply(items))
+            case "KEYS" =>
+              val pat = rest.head.asInstanceOf[Bulk].text
+              reply(conn, arrayReply(allKeys(conn.db).filter(globMatch(pat, _))
+                .map(_.getBytes(StandardCharsets.UTF_8))))
+            case "SCAN" =>
+              // one-page walk: reply cursor 0 with every matching key —
+              // a legal SCAN response for a bounded keyspace
+              val pat = rest.sliding(2).collectFirst {
+                case Seq(m: Bulk, p: Bulk) if m.text.equalsIgnoreCase("MATCH") => p.text
+              }.getOrElse("*")
+              val ks = allKeys(conn.db).filter(globMatch(pat, _))
+                .map(_.getBytes(StandardCharsets.UTF_8))
+              val b = new java.io.ByteArrayOutputStream()
+              b.write("*2\r\n$1\r\n0\r\n".getBytes(StandardCharsets.US_ASCII))
+              b.write(arrayReply(ks))
+              reply(conn, b.toByteArray)
             case other =>
               conn.out.synchronized {
                 conn.out.write(s"-ERR unknown command '$other'\r\n"

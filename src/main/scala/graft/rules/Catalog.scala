@@ -134,6 +134,14 @@ object Catalog {
             limit = props.getOrElse("limit", "0").toInt,
             intervalMs = props.getOrElse("interval", "1000").toLong,
             options = props)
+      case "redis" if isTable =>
+        // redis lookup table (reference internal/io/redis/lookup.go):
+        // ADDR = host:port, DATASOURCE = database number, DATATYPE =
+        // string | list; point-lookup freshness via the liveLookup path
+        RedisLookupSource(
+          props.getOrElse("addr", props.getOrElse("server",
+            throw new IllegalArgumentException("redis lookup tables need an ADDR property"))),
+          props.getOrElse("datatype", "string").toLowerCase, schema, props)
       case "http_pull" if props.get("url").orElse(props.get("server")).exists(_.nonEmpty) =>
         // a URL prop makes the puller REAL (live GET/POST per pull,
         // with headers + oauth props); without one, the stub feed path

@@ -218,6 +218,33 @@ class NetSpec extends SparkSuite {
     } finally { FeedBridges.closeAll(); server.close() }
   }
 
+  test("redis key-value commands: SET/GET/DEL, RPUSH/LRANGE, SCAN, SELECT") {
+    val server = RedisStubServer.start()
+    try {
+      val c = RedisClient.connect(server.address)
+      try {
+        assert(c.get("missing").isEmpty)
+        c.command("SET", "k1", """{"a":1}""")
+        c.command("SET", "k2", """{"a":2}""")
+        assert(c.get("k1").contains("""{"a":1}"""))
+        c.command("RPUSH", "l1", """{"b":1}""", """{"b":2}""")
+        assert(c.lrange("l1") == Seq("""{"b":1}""", """{"b":2}"""))
+        assert(c.lrange("nolist").isEmpty)
+        assert(c.scanKeys().toSet == Set("k1", "k2", "l1"))
+        assert(c.scanKeys("k*").toSet == Set("k1", "k2"))
+        assert(c.command("DEL", "k2") == 1L)
+        assert(c.get("k2").isEmpty)
+        // databases are isolated namespaces
+        c.select(3)
+        assert(c.scanKeys().isEmpty)
+        c.command("SET", "k1", "other")
+        assert(c.get("k1").contains("other"))
+        c.select(0)
+        assert(c.get("k1").contains("""{"a":1}"""))
+      } finally c.close()
+    } finally server.close()
+  }
+
   // ---- engine wiring: broker-URL endpoint → SinkTransports → ConnectorSink ----
 
   test("connector sink publishes partitions to a real mqtt broker") {

@@ -309,6 +309,44 @@ class RulesSpec extends SparkSuite {
     } finally eng.stop("rlk")
   }
 
+  test("redis lookup table: stream joins enrich from redis; updates land next batch") {
+    val stub = graft.net.RedisStubServer.start()
+    val evDir = Files.createTempDirectory("graft_rlk_ev")
+    val ckpt = Files.createTempDirectory("graft_rlk_ck")
+    try {
+      stub.put("d1", """{"site":"berlin","floor":2}""")
+      writeJson(evDir, Seq("""{"device":"d1"}"""))
+      val eng = newEngine
+      eng.createStream(
+        s"""CREATE STREAM rev (device STRING) WITH
+           | (TYPE="file", FORMAT="json", DATASOURCE="${evDir.toString}")""".stripMargin)
+      eng.createStream(
+        s"""CREATE TABLE rdim (key STRING, site STRING, floor BIGINT) WITH
+           | (TYPE="redis", ADDR="${stub.address}", DATATYPE="string")""".stripMargin)
+      ConnectorSink.clear("rest", "rlk/out")
+      eng.create(Rule("rrl",
+        "SELECT e.device, d.site, d.floor FROM rev e JOIN rdim d ON e.device = d.key",
+        Seq(ConnectorSink("rest", "rlk/out",
+          Map("dataTemplate" -> """{{device}}@{{site}}/{{floor}}"""))),
+        streaming = true, checkpointDir = Some(ckpt.toString), liveLookup = true))
+      eng.start("rrl")
+      try {
+        eng.processAllAvailable("rrl")
+        assert(ConnectorSink.sent("rest", "rlk/out").toSet == Set("d1@berlin/2"))
+        // a key update + a new key land in the very next micro-batch —
+        // the reference's per-event lookup freshness
+        stub.put("d1", """{"site":"munich","floor":3}""")
+        stub.put("d2", """{"site":"tokyo","floor":9}""")
+        Files.write(evDir.resolve("ev-1.json"),
+          """{"device":"d1"}
+            |{"device":"d2"}""".stripMargin.getBytes)
+        eng.processAllAvailable("rrl")
+        assert(ConnectorSink.sent("rest", "rlk/out").toSet ==
+          Set("d1@berlin/2", "d1@munich/3", "d2@tokyo/9"))
+      } finally eng.stop("rrl")
+    } finally stub.close()
+  }
+
   test("explain exposes the Catalyst plan with pushed filters") {
     val eng = newEngine
     eng.createStream(
