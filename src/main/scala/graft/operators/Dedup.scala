@@ -282,26 +282,44 @@ object Dedup {
     * Total cost at 100 TB: two corpus scans, zero corpus shuffles,
     * batch map-only. `expectedItems`/`fpp` size the filter: 1e9 docs
     * at 1% fpp ≈ 1.2 GiB of driver/broadcast memory — beyond that,
-    * shard the corpus (e.g. by hash prefix) and run one filter per
-    * shard. Collision caveat: "same 64-bit xxhash" stands in for
-    * "same content"; at 2^64 that is the standard trade the exact
-    * pipeline ([[exact]]) also makes.
+    * set `nShards` > 1: the corpus trains one filter per hash-prefix
+    * shard in a single grouped pass (`pmod(hash, nShards)` is a pure
+    * function of the content hash), so no single aggregation row ever
+    * holds the whole bitset — partial filters distribute across tasks
+    * by shard, each collected blob is 1/nShards the size, and the
+    * batch probes exactly its own shard's filter. Collision caveat:
+    * "same 64-bit xxhash" stands in for "same content"; at 2^64 that
+    * is the standard trade the exact pipeline ([[exact]]) also makes.
     */
   def bloomNewDocs(corpus: DataFrame, batch: DataFrame,
                    textCol: String, expectedItems: Long,
-                   fpp: Double = 0.01): DataFrame = {
+                   fpp: Double = 0.01, nShards: Int = 1): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val h = xxhash64(col(textCol))
-    val bloomBytes = bloomBytesFor(corpus, h, expectedItems, fpp)
-    // an EMPTY corpus builds no filter (Spark's aggregate returns
-    // null at cardinality 0) — every batch row is new by definition
-    if (bloomBytes == null) return batch
-    val might = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
+    val might: Column =
+      if (nShards == 1) {
+        val bloomBytes = bloomBytesFor(corpus, h, expectedItems, fpp)
+        // an EMPTY corpus builds no filter (Spark's aggregate returns
+        // null at cardinality 0) — every batch row is new by definition
+        if (bloomBytes == null) return batch
+        ColumnBridge.column(BloomFilterMightContain(
+          Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
+      } else {
+        val filters = bloomShardFilters(corpus, h, nShards,
+          math.max(1L, expectedItems / nShards), fpp)
+        if (filters.isEmpty) return batch
+        // rows route to their shard's filter; a shard with no corpus
+        // rows has no filter and its batch rows are definitely new
+        val shard = pmod(h, lit(nShards.toLong))
+        filters.foldLeft(lit(false)) { case (acc, (s, bytes)) =>
+          when(shard === lit(s), ColumnBridge.column(BloomFilterMightContain(
+            Literal(bytes, BinaryType), ColumnBridge.expression(h)))).otherwise(acc)
+        }
+      }
     val batchH = batch.withColumn("__h", h)
     val candidates = batchH.filter(might)
     val confirmed = corpus.select(h.as("__h"))
@@ -355,14 +373,34 @@ object Dedup {
     * corpus-scale filter), so both caps are raised for the build and
     * restored after.
     */
-  private def bloomBytesFor(corpus: DataFrame, h: Column,
-                            expectedItems: Long, fpp: Double): Array[Byte] = {
+  /** One grouped pass training a Bloom filter per hash-prefix shard:
+    * `groupBy(pmod(h, nShards))` + BloomFilterAggregate. The shuffle
+    * moves only partial FILTER blobs (≤ tasks × nShards × bits/8
+    * bytes), never corpus rows, and the driver collects nShards
+    * (shard, bytes) rows instead of one giant one. Shards absent from
+    * the corpus simply yield no row.
+    */
+  private def bloomShardFilters(corpus: DataFrame, h: Column, nShards: Int,
+                                perShardItems: Long, fpp: Double): Map[Long, Array[Byte]] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
 
     val numBits = math.max(64L,
-      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      (-perShardItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    withRaisedBloomCaps(corpus, numBits, perShardItems) {
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(h),
+        Literal(perShardItems), Literal(numBits)).toAggregateExpression()
+      corpus.groupBy(pmod(h, lit(nShards.toLong)).as("__shard"))
+        .agg(ColumnBridge.column(agg).as("bf"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    }
+  }
+
+  private def withRaisedBloomCaps[A](corpus: DataFrame, numBits: Long,
+                                     expectedItems: Long)(body: => A): A = {
     val conf = corpus.sparkSession.conf
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
@@ -371,13 +409,26 @@ object Dedup {
     try {
       if (oldBits.forall(_.toLong < numBits)) conf.set(bitsKey, numBits.toString)
       if (oldItems.forall(_.toLong < expectedItems)) conf.set(itemsKey, expectedItems.toString)
+      body
+    } finally {
+      oldBits match { case Some(v) => conf.set(bitsKey, v); case None => conf.unset(bitsKey) }
+      oldItems match { case Some(v) => conf.set(itemsKey, v); case None => conf.unset(itemsKey) }
+    }
+  }
+
+  private def bloomBytesFor(corpus: DataFrame, h: Column,
+                            expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    withRaisedBloomCaps(corpus, numBits, expectedItems) {
       val agg = new BloomFilterAggregate(
         ColumnBridge.expression(h),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression()
       corpus.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
-    } finally {
-      oldBits match { case Some(v) => conf.set(bitsKey, v); case None => conf.unset(bitsKey) }
-      oldItems match { case Some(v) => conf.set(itemsKey, v); case None => conf.unset(itemsKey) }
     }
   }
 }

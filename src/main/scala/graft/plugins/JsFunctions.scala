@@ -104,8 +104,17 @@ object JsFunctions {
       val children =
         if (s.isAgg) args.map(a => CollectList(a).toAggregateExpression())
         else args
-      JsCallExpr(children, s.id, s.script, s.dataType)
+      JsCallExpr(children, s.id, s.script, s.dataType,
+        aggGroupCap = if (s.isAgg) MaxAggGroupSize else 0)
     })
+
+  /** Aggregate scripts materialize the WHOLE group as one JS array
+    * (the reference's isAgg contract) — unbounded on a skewed key,
+    * that is an executor OOM. Groups past this cap fail with a clear
+    * error instead; raise it deliberately for genuinely huge groups,
+    * or pre-aggregate in SQL.
+    */
+  @volatile var MaxAggGroupSize: Int = 1 << 20
 }
 
 /** Calls a named function in a MiniJs script per row (CodegenFallback:
@@ -115,7 +124,8 @@ object JsFunctions {
   * expression ships cleanly to executors.
   */
 case class JsCallExpr(children: Seq[Expression], scriptId: String,
-                      script: String, dataType: DataType)
+                      script: String, dataType: DataType,
+                      aggGroupCap: Int = 0)
     extends Expression with CodegenFallback {
   override def nullable: Boolean = true
   override def prettyName: String = scriptId
@@ -166,7 +176,19 @@ case class JsCallExpr(children: Seq[Expression], scriptId: String,
     }
 
   override def eval(input: InternalRow): Any = {
-    val args = children.map(c => toJs(c.dataType, c.eval(input)))
+    val args = children.map { c =>
+      val v = c.eval(input)
+      v match {
+        // guard BEFORE materializing the group as a JS array
+        case a: ArrayData if aggGroupCap > 0 && a.numElements() > aggGroupCap =>
+          throw new RuntimeException(
+            s"script $scriptId: aggregate group of ${a.numElements()} values exceeds " +
+              s"the ${aggGroupCap}-value cap (JsFunctions.MaxAggGroupSize) — " +
+              "pre-aggregate in SQL or raise the cap deliberately")
+        case _ => ()
+      }
+      toJs(c.dataType, v)
+    }
     val res =
       try fn(args)
       catch {

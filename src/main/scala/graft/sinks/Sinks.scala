@@ -99,9 +99,16 @@ final case class FileSink(path: String, format: String = "json",
 
   private val rollingInterval = options.get("rollingInterval").map(_.toLong).getOrElse(0L)
   private val namePattern = options.getOrElse("rollingNamePattern", "suffix")
-  @volatile private var sizeCap: Long = -1L // rollingSize row cap, sampled once
+  // rollingSize row cap: re-sampled every RollResampleEvery batches so
+  // a long-lived rule whose row width drifts (payloads growing) keeps
+  // honoring the byte cap; between samples the cached cap is free
+  @volatile private var sizeCap: Long = -1L
+  private val batchCounter = new java.util.concurrent.atomic.AtomicLong(0)
   require(Seq("prefix", "suffix", "none").contains(namePattern),
     "rollingNamePattern must be one of prefix, suffix or none") // sink.go:91
+
+  /** Current rollingSize row cap (test observability). */
+  private[graft] def currentSizeCap: Long = sizeCap
 
   /** Roll directory for this batch (stable within one interval). */
   private[graft] def rollTarget(nowMs: Long): String =
@@ -123,13 +130,14 @@ final case class FileSink(path: String, format: String = "json",
     options.get("rollingCount").foreach(n => w = w.option("maxRecordsPerFile", n))
     options.get("rollingSize").foreach { bytes =>
       // bounded sample (<=100 rows on the driver) → avg row width →
-      // per-file row cap approximating the byte cap. Estimated ONCE
-      // per sink instance — re-sampling every micro-batch would run
-      // an extra Spark job per write.
-      if (sizeCap < 0) sizeCap = {
+      // per-file row cap approximating the byte cap. Sampled on the
+      // first batch and refreshed every Nth after that — re-sampling
+      // EVERY micro-batch would run an extra Spark job per write.
+      val n = batchCounter.getAndIncrement()
+      if (sizeCap < 0 || n % FileSink.RollResampleEvery == 0) {
         val sample = shapedDf.limit(100).toJSON.collect()
         val avg = if (sample.isEmpty) 1 else math.max(1, sample.map(_.length).sum / sample.length)
-        math.max(1L, bytes.toLong / avg)
+        if (!sample.isEmpty || sizeCap < 0) sizeCap = math.max(1L, bytes.toLong / avg)
       }
       w = w.option("maxRecordsPerFile", sizeCap)
     }
@@ -149,6 +157,13 @@ final case class FileSink(path: String, format: String = "json",
       case "parquet" => w2.parquet(target)
     }
   }
+}
+
+object FileSink {
+  /** Re-sample the rollingSize row-width estimate every this many
+    * batches (var so tests can tighten the cadence).
+    */
+  @volatile var RollResampleEvery: Long = 32L
 }
 
 /** Memory sink: appends each batch to a named in-process topic —

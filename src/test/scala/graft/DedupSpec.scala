@@ -169,6 +169,36 @@ class DedupSpec extends SparkSuite {
     assert(got === batch.count(), "an empty corpus must mark every batch row as new")
   }
 
+  test("sharded bloom dedup (4 shards) equals the single-filter result") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .unionByName(corpus.where(col("doc_id") < 50)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val sharded = Dedup.bloomNewDocs(corpus, batch, "text",
+        expectedItems = 10000, nShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val single = Dedup.bloomNewDocs(corpus, batch, "text", expectedItems = 10000)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(sharded.sameElements(single))
+    assert(!sharded.exists(_ >= 300000), "planted cross-split copies must be dropped")
+    // empty corpus: the grouped build yields no filters — whole batch is new
+    assert(Dedup.bloomNewDocs(docs.where(col("doc_id") < 0), batch, "text",
+      expectedItems = 1000, nShards = 4).count() == batch.count())
+  }
+
+  test("sharded bloom dedup keeps the apply path shuffle-free on the batch side") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val plan = Dedup.bloomNewDocs(corpus, batch, "text",
+      expectedItems = 10000, nShards = 4)
+      .queryExecution.executedPlan.toString()
+    // same shape as the single-filter plan: broadcast verify joins,
+    // per-shard might_contain probes inline, no corpus hash-shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not hash-shuffle:\n$plan")
+    assert(plan.contains("might_contain"), s"expected bloom probes in the plan:\n$plan")
+  }
+
   test("bloom dedup never shuffles the corpus: verify joins are broadcast") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val batch = docs.where(col("doc_id") % 10 === 0)

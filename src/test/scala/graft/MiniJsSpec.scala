@@ -193,6 +193,34 @@ class MiniJsSpec extends SparkSuite {
     JsFunctions.clear()
   }
 
+  test("aggregate JS function rejects groups past the size cap with a clear error") {
+    val old = JsFunctions.MaxAggGroupSize
+    JsFunctions.MaxAggGroupSize = 10
+    try {
+      JsFunctions.upsert(spark, JsScript("js_capsum", isAgg = true, resultType = "double",
+        script = """function js_capsum(xs) {
+          var s = 0;
+          for (var x of xs) s += x;
+          return s;
+        }"""))
+      import spark.implicits._
+      // a 5-value group passes; a 50-value group trips the guard
+      Seq.tabulate(5)(i => ("ok", i.toLong)).toDF("k", "v")
+        .createOrReplaceTempView("js_cap_small")
+      assert(spark.sql("SELECT js_capsum(v) AS s FROM js_cap_small GROUP BY k")
+        .first().getDouble(0) == 10.0)
+      Seq.tabulate(50)(i => ("big", i.toLong)).toDF("k", "v")
+        .createOrReplaceTempView("js_cap_big")
+      val e = intercept[Exception] {
+        spark.sql("SELECT js_capsum(v) AS s FROM js_cap_big GROUP BY k").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("exceeds") && m.contains("MaxAggGroupSize")),
+        s"expected the group-cap error, got: ${messages(e)}")
+    } finally JsFunctions.MaxAggGroupSize = old
+  }
+
   test("udf/javascript REST CRUD mirrors the reference surface") {
     JsFunctions.clear()
     val a = new RuleApi(new RuleEngine(spark))

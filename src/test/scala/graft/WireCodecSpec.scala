@@ -223,6 +223,29 @@ class WireCodecSpec extends SparkSuite {
       FileSink("/x", "json", Map("rollingNamePattern" -> "sideways")))
   }
 
+  test("file sink rollingSize re-estimates the row cap as rows widen") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll-size").toFile
+    val out = s"${dir.getAbsolutePath}/size"
+    val old = FileSink.RollResampleEvery
+    FileSink.RollResampleEvery = 2 // test cadence: re-sample every 2nd batch
+    try {
+      val sink = FileSink(out, "json", Map("rollingSize" -> "1000"))
+      val narrow = Seq.fill(40)("x" * 5).toDF("s").repartition(1)
+      val wide = Seq.fill(40)("y" * 200).toDF("s").repartition(1)
+      sink.writeBatch(narrow) // batch 0: initial sample on narrow rows
+      val capNarrow = sink.currentSizeCap
+      assert(capNarrow > 10, s"narrow rows give a generous cap, got $capNarrow")
+      sink.writeBatch(wide) // batch 1: cached cap, no re-sample yet
+      assert(sink.currentSizeCap == capNarrow)
+      sink.writeBatch(wide) // batch 2: cadence hit → re-sample on wide rows
+      val capWide = sink.currentSizeCap
+      assert(capWide < capNarrow && capWide <= 5,
+        s"wide rows must tighten the cap: narrow=$capNarrow wide=$capWide")
+      assert(spark.read.json(out).count() == 120)
+    } finally FileSink.RollResampleEvery = old
+  }
+
   test("file sink compression prop reaches the writer (gzip json reads back)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-roll-gz").toFile
     val out = s"${dir.getAbsolutePath}/gz"
