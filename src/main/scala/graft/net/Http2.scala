@@ -470,6 +470,14 @@ final class GrpcConnection private[net] (socket: Socket, in: DataInputStream,
         off += n
       }
     }
+    // server ended the response while part of the request body was
+    // still unsent (flow-control-blocked): close our half with
+    // RST_STREAM(CANCEL), or the stream stays half-open on a
+    // connection that the registry reuses for the next unary call
+    // (RFC 7540 §8.1: a server MAY respond before the request ends)
+    if (done && off < body.length)
+      writeFrame(out, Frame(RST_STREAM, 0, sid,
+        java.nio.ByteBuffer.allocate(4).putInt(0x8).array())) // CANCEL
     while (!done) processFrame(readFrame(in))
     require(status == 0, s"grpc call $path failed: status $status $statusMsg")
     grpcUnframe(data)

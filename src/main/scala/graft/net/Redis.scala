@@ -370,6 +370,9 @@ final class RedisStubServer private (server: ServerSocket,
                                      password: Option[String]) {
   import Resp._
 
+  /** GET calls served — lets tests count lookup-table round-trips. */
+  val gets = new java.util.concurrent.atomic.AtomicLong(0)
+
   private final class Conn(val socket: Socket) {
     val out = new BufferedOutputStream(socket.getOutputStream)
     val channels = ConcurrentHashMap.newKeySet[String]()
@@ -533,8 +536,14 @@ final class RedisStubServer private (server: ServerSocket,
               db(conn.db).strings.put(k.text, v.bytes)
               reply(conn, "+OK\r\n".getBytes(StandardCharsets.US_ASCII))
             case "GET" =>
-              val v = db(conn.db).strings.get(rest.head.asInstanceOf[Bulk].text)
-              reply(conn, bulkReply(v))
+              gets.incrementAndGet()
+              val k = rest.head.asInstanceOf[Bulk].text
+              // real redis is type-aware: GET on a list key is an error,
+              // not nil — the lookup table's skip path depends on it
+              if (db(conn.db).lists.containsKey(k))
+                reply(conn, ("-WRONGTYPE Operation against a key holding the wrong " +
+                  "kind of value\r\n").getBytes(StandardCharsets.US_ASCII))
+              else reply(conn, bulkReply(db(conn.db).strings.get(k)))
             case "DEL" =>
               var n = 0L
               rest.foreach { case k: Bulk =>
@@ -548,6 +557,9 @@ final class RedisStubServer private (server: ServerSocket,
                 _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Array[Byte]]()))
               rest.tail.foreach { case v: Bulk => l.add(v.bytes) }
               reply(conn, s":${l.size}\r\n".getBytes(StandardCharsets.US_ASCII))
+            case "LRANGE" if db(conn.db).strings.containsKey(rest.head.asInstanceOf[Bulk].text) =>
+              reply(conn, ("-WRONGTYPE Operation against a key holding the wrong " +
+                "kind of value\r\n").getBytes(StandardCharsets.US_ASCII))
             case "LRANGE" =>
               val Seq(k: Bulk, startB: Bulk, stopB: Bulk) = rest
               val l = Option(db(conn.db).lists.get(k.text))

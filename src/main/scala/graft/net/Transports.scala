@@ -254,6 +254,20 @@ object FeedBridges {
 object SinkTransports {
   import graft.sinks.ConnectorSink.Client
 
+  // One token manager per (endpoint, oauth conf) per executor JVM —
+  // the token survives across partitions and micro-batches like the
+  // other transports' connection reuse.
+  private val oauthManagers =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.OAuthTokenManager]()
+  private[net] def cachedOAuth(endpoint: String,
+      options: Map[String, String]): Option[graft.sources.OAuthTokenManager] =
+    options.get("oauth.access.url").filter(_.nonEmpty).map { _ =>
+      val key = endpoint + "|" +
+        options.view.filterKeys(_.startsWith("oauth.")).toSeq.sorted.mkString(",")
+      oauthManagers.computeIfAbsent(key,
+        _ => new graft.sources.OAuthTokenManager(options))
+    }
+
   /** True if this (kind, endpoint) pair names a real transport. */
   def supports(kind: String, endpoint: String): Boolean = kind match {
     case "mqtt" => Seq("tcp://", "mqtt://", "ssl://", "mqtts://").exists(endpoint.startsWith)
@@ -299,7 +313,11 @@ object SinkTransports {
           private val method = options.getOrElse("method", "POST").toUpperCase
           private val headers =
             graft.sources.OAuthTokenManager.headerMap(options.get("headers"))
-          private val oauth = graft.sources.OAuthTokenManager.fromOptions(options)
+          // JVM-level cache: foreachPartition builds a fresh Client per
+          // partition per micro-batch, but the token must live for the
+          // sink's lifetime (the reference holds one client) — without
+          // this every partition re-POSTs the token endpoint first.
+          private val oauth = SinkTransports.cachedOAuth(endpoint, options)
           def publish(payload: String): Unit =
             publishBytes(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           override def publishBytes(payload: Array[Byte]): Unit = {

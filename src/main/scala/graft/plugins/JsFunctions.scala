@@ -105,7 +105,8 @@ object JsFunctions {
         if (s.isAgg) args.map(a => CollectList(a).toAggregateExpression())
         else args
       JsCallExpr(children, s.id, s.script, s.dataType,
-        aggGroupCap = if (s.isAgg) MaxAggGroupSize else 0)
+        aggGroupCap = if (s.isAgg) MaxAggGroupSize else 0,
+        pure = MiniJs.isPure(s.script))
     })
 
   /** Aggregate scripts materialize the WHOLE group as one JS array
@@ -125,14 +126,17 @@ object JsFunctions {
   */
 case class JsCallExpr(children: Seq[Expression], scriptId: String,
                       script: String, dataType: DataType,
-                      aggGroupCap: Int = 0)
+                      aggGroupCap: Int = 0, pure: Boolean = false)
     extends Expression with CodegenFallback {
   override def nullable: Boolean = true
   override def prettyName: String = scriptId
   // Scripts can read Date.now() and mutate program-global state across
   // calls (the reference's goja runtime keeps per-instance state), so
-  // Catalyst must not CSE, reorder, or constant-fold calls away.
-  override lazy val deterministic: Boolean = false
+  // by default Catalyst must not CSE, reorder, or constant-fold calls
+  // away. Scripts that [[MiniJs.isPure]] proves stateless (functions
+  // only, no Date/log) keep determinism, so they remain usable in join
+  // conditions and keep CSE/pushdown.
+  override lazy val deterministic: Boolean = pure
 
   @transient private lazy val fn: Seq[Any] => Any =
     MiniJs.load(script).function(scriptId).getOrElse(

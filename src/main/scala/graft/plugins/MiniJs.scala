@@ -1069,6 +1069,32 @@ object MiniJs {
       }
   }
 
+  /** Static purity check backing [[graft.plugins.JsCallExpr]]'s
+    * determinism flag: true when the script's top level declares ONLY
+    * functions (so there is no shared mutable global for calls to
+    * communicate through) and nothing in any function reads `Date` or
+    * the shared `log` hook. Conservative by construction — any
+    * top-level var/statement or any `Date` mention marks the script
+    * stateful, never the reverse — so Catalyst may CSE / push / reuse
+    * calls exactly when that is provably safe.
+    */
+  def isPure(script: String): Boolean = {
+    val stmts = try new Parser(lex(script)).program() catch {
+      case _: Exception => return false // load() will surface the parse error
+    }
+    def impure(n: Any): Boolean = n match {
+      case Id("Date") | Id("log") => true
+      case s: Seq[_] => s.exists(impure)
+      case o: Option[_] => o.exists(impure)
+      case p: Product => p.productIterator.exists(impure)
+      case _ => false
+    }
+    stmts.forall {
+      case f: FuncLit => !impure(f)
+      case _ => false
+    }
+  }
+
   /** Interpret the script's top level (declarations run now). */
   def load(script: String, maxSteps: Long = 2_000_000L): Program = {
     val interp = new Interp(maxSteps)

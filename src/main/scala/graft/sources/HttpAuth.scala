@@ -55,16 +55,23 @@ final class OAuthTokenManager(options: Map[String, String]) extends Serializable
   def ensure(): Unit = synchronized { if (tokens == null) auth() }
 
   /** The reference's post-send check: renew when the token has lived
-    * past half its expiry.
+    * past half its expiry. A failed renewal is logged and swallowed —
+    * the send it trails already succeeded, so failing it would force a
+    * duplicate re-send; the old token is kept and renewal retries on
+    * the next send (the reference's warn-and-continue in
+    * client.go:240-247).
     */
   def afterSend(): Unit = synchronized {
     if (tokens != null && expireSeconds > 0 &&
       (System.currentTimeMillis() - lastUpdateMs) / 1000.0 * 2 > expireSeconds) {
-      refreshConf match {
+      try refreshConf match {
         case Some((url, hs, body)) =>
           update(OAuthTokenManager.postJson(url, hs.map { case (k, v) => k -> render(v) },
             render(body)))
         case None => auth() // no refresh conf: re-run the access flow
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[oauth] token refresh failed (keeping current token): ${e.getMessage}")
       }
     }
   }

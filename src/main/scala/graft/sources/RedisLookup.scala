@@ -38,6 +38,13 @@ final case class RedisLookupSource(server: String,
   private val dbIndex = options.get("datasource").flatMap(_.toIntOption).getOrElse(0)
   private val password = options.get("password").filter(_.nonEmpty)
 
+  // Schemaless tables infer the value schema from the fetched JSON once
+  // and reuse it across liveLookup re-plans — without this, every
+  // micro-batch pays a second full redis fetch just to re-infer the
+  // same schema. Row SHAPE is sticky per table lifetime; VALUES stay
+  // per-batch fresh (the fetch itself always re-runs).
+  @transient @volatile private var inferredSchema: StructType = null
+
   private def connect(): RedisClient = {
     val c = RedisClient.connect(server, password)
     if (dbIndex != 0) c.select(dbIndex)
@@ -61,15 +68,23 @@ final case class RedisLookupSource(server: String,
         if (dbi != 0) c.select(dbi)
         try {
           val rows = it.flatMap { k =>
-            if (dt == "string") c.get(k).map(k -> _).iterator
-            else c.lrange(k).iterator.map(k -> _)
+            // a scan pattern like "*" also matches keys of OTHER redis
+            // types; GET/LRANGE on those replies -WRONGTYPE. Skip them
+            // (they're not this table's rows) instead of failing the
+            // whole batch — and with it every micro-batch under
+            // liveLookup.
+            try {
+              if (dt == "string") c.get(k).map(k -> _).toList
+              else c.lrange(k).map(k -> _)
+            } catch {
+              case e: java.io.IOException
+                if String.valueOf(e.getMessage).contains("WRONGTYPE") => Nil
+            }
           }.toVector
           rows.iterator
         } finally c.close()
       }
-    val valueSchema =
-      if (schema.nonEmpty) StructType(schema.filterNot(_.name == keyColumn))
-      else spark.read.json(kv.map(_._2)).schema
+    val valueSchema = resolveValueSchema(spark, kv.map(_._2))
     kv.select(col("_1").as(keyColumn),
         from_json(col("_2"), valueSchema).as("v"))
       .select(col(keyColumn) +: valueSchema.fieldNames.toIndexedSeq.map(f => col(s"v.$f")): _*)
@@ -89,13 +104,24 @@ final case class RedisLookupSource(server: String,
       try if (dataType == "string") c.get(k).toSeq else c.lrange(k)
       finally c.close()
     val ds = spark.createDataset(jsons.map(k -> _))
-    val valueSchema =
-      if (schema.nonEmpty) StructType(schema.filterNot(_.name == keyColumn))
-      else spark.read.json(ds.map(_._2)).schema
+    val valueSchema = resolveValueSchema(spark, ds.map(_._2))
     val df = ds.select(col("_1").cast(StringType).as(keyColumn),
         from_json(col("_2"), valueSchema).as("v"))
       .select(col(keyColumn) +: valueSchema.fieldNames.toIndexedSeq.map(f => col(s"v.$f")): _*)
     if (fields.isEmpty) df else df.select(fields.map(col).toIndexedSeq: _*)
+  }
+
+  /** Declared schema wins; otherwise infer from the fetched JSON once
+    * and cache for the table's lifetime (liveLookup re-plans reuse it).
+    */
+  private def resolveValueSchema(spark: SparkSession,
+                                 jsons: org.apache.spark.sql.Dataset[String]): StructType = {
+    if (schema.nonEmpty) StructType(schema.filterNot(_.name == keyColumn))
+    else {
+      if (inferredSchema == null)
+        inferredSchema = spark.read.json(jsons).schema
+      inferredSchema
+    }
   }
 
   def stream(spark: SparkSession): DataFrame =

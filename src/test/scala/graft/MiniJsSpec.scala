@@ -148,6 +148,40 @@ class MiniJsSpec extends SparkSuite {
     assert(out == Seq(12.0, 30.0))
   }
 
+  test("pure scripts keep determinism (usable in join conditions); stateful ones don't") {
+    // static purity: functions-only + no Date/log → deterministic
+    assert(MiniJs.isPure("function f(x) { return x * 2; }"))
+    assert(MiniJs.isPure(
+      "function g(x) { var y = x + 1; return y; } function h(x) { return g(x); }"))
+    assert(!MiniJs.isPure("function f() { return Date.now(); }"))
+    assert(!MiniJs.isPure("function f(x) { log(x); return x; }"))
+    assert(!MiniJs.isPure("var n = 0; function f() { n = n + 1; return n; }"))
+    assert(!MiniJs.isPure("not valid js ("))
+
+    // a pure script works where Catalyst rejects nondeterministic
+    // expressions — e.g. a join condition
+    JsFunctions.upsert(spark, JsScript("js_double",
+      script = "function js_double(x) { return x * 2; }", resultType = "double"))
+    import spark.implicits._
+    Seq(1.0, 2.0).toDF("a").createOrReplaceTempView("js_pure_l")
+    Seq(2.0, 4.0, 5.0).toDF("b").createOrReplaceTempView("js_pure_r")
+    val joined = spark.sql(
+      "SELECT a, b FROM js_pure_l JOIN js_pure_r ON js_double(a) = b ORDER BY a")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(joined == Seq((1.0, 2.0), (2.0, 4.0)))
+
+    // a stateful script keeps the nondeterministic guard: its per-call
+    // counter state must not be CSE'd/reordered, and Catalyst refuses
+    // it in a join condition
+    JsFunctions.upsert(spark, JsScript("js_counter",
+      script = "var n = 0; function js_counter(x) { n = n + 1; return n; }",
+      resultType = "double"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT a FROM js_pure_l JOIN js_pure_r ON js_counter(a) = b").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("non_deterministic"))
+  }
+
   test("aggregate JS function receives the group's values as an array") {
     JsFunctions.upsert(spark, JsScript("js_spread2", isAgg = true, resultType = "double",
       script = """function js_spread2(xs) {

@@ -245,6 +245,32 @@ class NetSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("redis lookup batch: WRONGTYPE keys skipped, inferred schema cached across batches") {
+    val server = RedisStubServer.start()
+    try {
+      val c = RedisClient.connect(server.address)
+      try {
+        c.command("SET", "d1", """{"site":"berlin","floor":2}""")
+        c.command("SET", "d2", """{"site":"tokyo","floor":9}""")
+        // a list key under the same "*" pattern: a real redis replies
+        // -WRONGTYPE to GET on it; the batch must skip it, not fail
+        c.command("RPUSH", "queue", "x", "y")
+      } finally c.close()
+      val src = graft.sources.RedisLookupSource(server.address) // schemaless
+      val first = src.batch(spark)
+      assert(first.count() == 2)
+      assert(first.columns.sorted.toSeq == Seq("floor", "key", "site"))
+      val getsAfterFirst = server.gets.get()
+      // schemaless first batch pays one extra fetch to infer the value
+      // schema; the inference is cached, so the next liveLookup re-plan
+      // fetches each key exactly once
+      val second = src.batch(spark)
+      assert(second.count() == 2)
+      val delta = server.gets.get() - getsAfterFirst
+      assert(delta == 3, s"second batch should GET each scanned key once, saw $delta")
+    } finally server.close()
+  }
+
   // ---- engine wiring: broker-URL endpoint → SinkTransports → ConnectorSink ----
 
   test("connector sink publishes partitions to a real mqtt broker") {

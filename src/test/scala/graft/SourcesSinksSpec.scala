@@ -180,6 +180,46 @@ class SourcesSinksSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("oauth: a failing refresh endpoint is logged, not fatal; old token kept") {
+    import com.sun.net.httpserver.HttpServer
+    import java.util.concurrent.CopyOnWriteArrayList
+    val dataAuths = new CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/token", ex => {
+      val b = """{"token":"tkA"}""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/refresh", ex => { // transient outage: always 500
+      ex.sendResponseHeaders(500, 4); ex.getResponseBody.write("boom".getBytes); ex.close()
+    })
+    server.createContext("/data", ex => {
+      dataAuths.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val b = """[{"device":"a","temp":20}]""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val src = HttpPullSource(s"$base/data",
+        StructType.fromDDL("device string, temp bigint"),
+        options = Map(
+          "headers" -> """{"Authorization": "Bearer {{.token}}"}""",
+          "oauth.access.url" -> s"$base/token",
+          "oauth.access.expire" -> "1",
+          "oauth.refresh.url" -> s"$base/refresh"))
+      assert(src.batch(spark).count() == 1)
+      Thread.sleep(700) // past half-expiry → renewal due after next send
+      // the pull whose trailing renewal fails must still SUCCEED (the
+      // reference warns and keeps the send result, client.go:240-247)
+      assert(src.batch(spark).count() == 1)
+      // and the old token stays in use on the next pull
+      assert(src.batch(spark).count() == 1)
+      assert(dataAuths.toArray.toSeq == Seq.fill(3)("Bearer tkA"))
+    } finally server.stop(0)
+  }
+
   test("rest sink posts payloads over live HTTP with oauth headers") {
     import com.sun.net.httpserver.HttpServer
     import java.util.concurrent.CopyOnWriteArrayList
