@@ -111,8 +111,21 @@ object Catalog {
       case "file" => FileSource(ds, fmt, declared, props - "type" - "format" - "datasource")
       case "memory" => MemorySource(ds)
       case "simulator" =>
-        SimulatorSource(props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty),
-          props.getOrElse("interval", "1000").toLong, schema)
+        // rows come from SEED (newline-separated JSON objects) or — the
+        // lookup-table form (reference internal/io/simulator/
+        // lookupSource.go sLookupConfig) — from DATA, a JSON array of
+        // objects; TABLE semantics then ride SimulatorSource.batch
+        val seed = props.get("data").filter(_.trim.nonEmpty) match {
+          case Some(arr) => org.json4s.jackson.JsonMethods.parse(arr) match {
+            case org.json4s.JArray(xs) =>
+              xs.map(o => org.json4s.jackson.JsonMethods.compact(o))
+            case _ => throw new IllegalArgumentException(
+              "simulator DATA must be a JSON array of objects")
+          }
+          case None =>
+            props.getOrElse("seed", "").split('\n').toIndexedSeq.filter(_.nonEmpty)
+        }
+        SimulatorSource(seed, props.getOrElse("interval", "1000").toLong, schema)
       case "nexmark" => // DATASOURCE selects the event stream
         NexmarkSource(if (Seq("bid", "auction", "person").contains(ds)) ds else "bid")
       case "random" => // PATTERN='{"field": base, ...}', SEED, COUNT
@@ -142,6 +155,12 @@ object Catalog {
           props.getOrElse("addr", props.getOrElse("server",
             throw new IllegalArgumentException("redis lookup tables need an ADDR property"))),
           props.getOrElse("datatype", "string").toLowerCase, schema, props)
+      case "http_pull" if isTable &&
+          props.get("url").orElse(props.get("server")).exists(_.nonEmpty) =>
+        // HTTP lookup table (reference internal/io/http/lookup_source
+        // .go): TABLE DDL resolves through the liveLookup re-plan path,
+        // one pull per micro-batch, all pull props incl. oauth apply
+        HttpLookupSource(props.get("url").orElse(props.get("server")).get, schema, props)
       case "http_pull" if props.get("url").orElse(props.get("server")).exists(_.nonEmpty) =>
         // a URL prop makes the puller REAL (live GET/POST per pull,
         // with headers + oauth props); without one, the stub feed path

@@ -792,6 +792,18 @@ final class RuleApi(engine: RuleEngine) {
         }
         ok(per.mkString("{", ",", "}"))
 
+      case ("GET", List("metrics", "prometheus")) =>
+        // Prometheus text exposition of the same counters (reference
+        // internal/server/prome_init.go:24-35 serves promhttp on
+        // /metrics; graft's /metrics is the JSON document, so the
+        // scrape target is /metrics/prometheus — point the scraper's
+        // metrics_path here). Series names follow the reference's
+        // kuiper_* convention (internal/topo/node/metric/
+        // prometheus.go:54-63) so existing dashboards keep working;
+        // per-operator instances collapse to the rule's totals because
+        // Catalyst owns the intra-rule topology.
+        ok(RuleApi.prometheusText(engine))
+
       case _ => err(404, s"no route $method $path")
     }
   } catch {
@@ -802,6 +814,49 @@ final class RuleApi(engine: RuleEngine) {
 }
 
 object RuleApi {
+  /** Prometheus text exposition (format 0.0.4) of every rule's
+    * counters. Names/labels mirror the reference's series (internal/
+    * topo/node/metric/prometheus.go:54-63: `kuiper_<prefix>_<counter>`
+    * with labels rule/type/op/op_instance) so dashboards written for
+    * the reference scrape graft unchanged; the per-operator instances
+    * the reference exports collapse to rule totals here, plus a
+    * graft-specific batches counter and state gauge (1 running/
+    * scheduled, 0 created/stopped, -1 failed).
+    */
+  private[rules] def prometheusText(engine: RuleEngine): String = {
+    // label values: escape backslash, double-quote, newline (exposition
+    // format spec) — rule ids are user-supplied strings
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val statuses = engine.list.map(engine.status)
+    val sb = new StringBuilder
+    def series(name: String, help: String, kind: String, opType: String,
+               value: RuleStatus => Long): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name $kind\n")
+      statuses.foreach { st =>
+        sb.append(s"""$name{rule="${esc(st.id)}",type="$opType",op="$opType",op_instance="0"} ${value(st)}""")
+        sb.append('\n')
+      }
+    }
+    series("kuiper_source_records_in_total",
+      "Total number of messages received by the rule's source", "counter",
+      "source", _.rowsProcessed)
+    series("kuiper_sink_records_out_total",
+      "Total number of messages published by the rule's sinks", "counter",
+      "sink", _.rowsProcessed)
+    series("graft_rule_batches_total",
+      "Micro-batches (or batch runs) the rule has processed", "counter",
+      "rule", _.batchesProcessed)
+    series("graft_rule_state",
+      "Rule lifecycle state: 1 running/scheduled, 0 created/stopped, -1 failed",
+      "gauge", "rule", st => st.state match {
+        case RuleState.Running | RuleState.Scheduled => 1L
+        case RuleState.Failed(_) => -1L
+        case _ => 0L
+      })
+    sb.toString
+  }
+
   /** Async task registry (reference internal/pkg/async AsyncManager:
     * id → status/message with created/updated stamps).
     */

@@ -74,7 +74,10 @@ object RuleServer {
           try api.handle(ex.getRequestMethod, path, body)
           catch { case e: Exception => (500, s"""{"error":"${e.getMessage}"}""") }
         val bytes = json.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.set("Content-Type", "application/json")
+        // the prometheus exposition is text, everything else is JSON
+        ex.getResponseHeaders.set("Content-Type",
+          if (path == "/metrics/prometheus") "text/plain; version=0.0.4; charset=utf-8"
+          else "application/json")
         ex.sendResponseHeaders(status, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()

@@ -76,6 +76,46 @@ final case class HttpPullSource(url: String, schema: StructType,
         "exactly-once story, matching the reference's at-most-once puller")
 }
 
+/** HTTP lookup table (reference internal/io/http/lookup_source.go:
+  * Lookup at :47-54 does one doPull per lookup, prunes to the
+  * requested fields, and equality-matches the keys): a dimension
+  * table whose rows live behind a GET/POST endpoint. DDL:
+  * `CREATE TABLE t (...) WITH (TYPE="http_pull", URL="...")` — all the
+  * pull props (method/body/headers/oauth.*) apply.
+  *
+  * Where the reference re-pulls per event, graft materializes the
+  * pulled rows as a DataFrame and lets Catalyst plan the join (a
+  * dimension served over one HTTP response broadcasts); the engine's
+  * liveLookup path re-runs [[batch]] per micro-batch, so endpoint
+  * updates land in the very next batch — the same freshness contract.
+  */
+final case class HttpLookupSource(url: String, schema: StructType,
+                                  options: Map[String, String] = Map.empty) extends Source {
+  require(schema.nonEmpty, "http_pull lookup tables need declared columns")
+  private val puller = HttpPullSource(url, schema, options = options)
+
+  def batch(spark: SparkSession): DataFrame = puller.batch(spark)
+
+  /** eKuiper Lookup(fields, keys, values): one pull, keys
+    * equality-filtered, pruned to `fields`. (The reference prunes
+    * BEFORE matching, so a key outside `fields` can never match —
+    * lookup_source.go:52-53; graft filters first, which is what the
+    * lookupJoin semantics mean for a SQL join.)
+    */
+  def lookup(spark: SparkSession, fields: Seq[String],
+             keys: Seq[String], values: Seq[Any]): DataFrame = {
+    require(keys.length == values.length, "keys/values length mismatch")
+    val filtered = keys.zip(values).foldLeft(batch(spark)) {
+      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    }
+    if (fields.isEmpty) filtered else filtered.select(fields.map(col).toIndexedSeq: _*)
+  }
+
+  def stream(spark: SparkSession): DataFrame =
+    throw new UnsupportedOperationException(
+      "http_pull lookup tables are bounded; use them as TABLE sources")
+}
+
 /** Real sse source (reference: internal/io/sse): connect to a
   * text/event-stream endpoint, read `data:` frames (until the server
   * closes or `maxEvents`), decode to the declared schema. The bounded

@@ -151,6 +151,22 @@ final case class SimulatorSource(seedJson: Seq[String], intervalMs: Long = 1000,
     spark.read.schema(schema).json(
       spark.createDataset(seedJson)(org.apache.spark.sql.Encoders.STRING))
 
+  /** eKuiper Lookup(fields, keys, values) over the seed rows
+    * (reference internal/io/simulator/lookupSource.go Lookup). The
+    * reference OR-matches keys and can emit a row once per matching
+    * key; graft keeps the equality-AND semantics every other lookup
+    * source here uses — that is what the SQL join the table feeds
+    * means.
+    */
+  def lookup(spark: SparkSession, fields: Seq[String],
+             keys: Seq[String], values: Seq[Any]): DataFrame = {
+    require(keys.length == values.length, "keys/values length mismatch")
+    val filtered = keys.zip(values).foldLeft(batch(spark)) {
+      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    }
+    if (fields.isEmpty) filtered else filtered.select(fields.map(col).toIndexedSeq: _*)
+  }
+
   def stream(spark: SparkSession): DataFrame = {
     val n = seedJson.size
     val seeds = typedlit(seedJson)

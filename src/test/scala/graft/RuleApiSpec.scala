@@ -267,6 +267,38 @@ class RuleApiSpec extends SparkSuite {
       s"unexpected metrics: $bm")
   }
 
+  test("prometheus metrics: scrape-parseable text exposition with per-rule series") {
+    val dir = Files.createTempDirectory("graft_prom_in")
+    Files.write(dir.resolve("a.json"), """{"x":1}
+{"x":2}
+{"x":3}""".getBytes)
+    val a = api
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM prom_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    a.handle("POST", "/rules",
+      """{"id":"r_prom","sql":"SELECT x FROM prom_in","actions":[{"nop":{}}]}""")
+    a.handle("POST", "/rules/r_prom/start")
+    val (code, body) = a.handle("GET", "/metrics/prometheus")
+    assert(code == 200)
+    // every non-comment line must parse as name{labels} value — the
+    // 0.0.4 exposition contract a prometheus scraper enforces
+    val lines = body.split('\n').filter(_.nonEmpty)
+    val sample = """^[a-zA-Z_:][a-zA-Z0-9_:]*\{[^}]*\} -?\d+$""".r
+    lines.filterNot(_.startsWith("#")).foreach { l =>
+      assert(sample.matches(l), s"unparseable sample line: $l")
+    }
+    // HELP/TYPE metadata precedes each family
+    assert(lines.contains("# TYPE kuiper_source_records_in_total counter"))
+    assert(lines.contains("# TYPE graft_rule_state gauge"))
+    // the rule's own series carry its counters (3 input rows, running)
+    assert(lines.contains(
+      """kuiper_source_records_in_total{rule="r_prom",type="source",op="source",op_instance="0"} 3"""),
+      s"missing per-rule records series in:\n$body")
+    // one-shot batch rule finished → Stopped → gauge 0
+    assert(lines.contains("""graft_rule_state{rule="r_prom",type="rule",op="rule",op_instance="0"} 0"""),
+      s"missing state gauge in:\n$body")
+  }
+
   test("cron-scheduled rule JSON (reference cron + duration options) is accepted") {
     val dir = Files.createTempDirectory("graft_cron_in")
     Files.write(dir.resolve("a.json"), """{"x":3}""".getBytes)

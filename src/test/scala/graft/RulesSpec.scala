@@ -347,6 +347,65 @@ class RulesSpec extends SparkSuite {
     } finally stub.close()
   }
 
+  test("http lookup table: stream joins enrich from a live endpoint; updates land next batch") {
+    import com.sun.net.httpserver.HttpServer
+    // mutable dimension "database" behind a GET endpoint
+    @volatile var dim = """[{"key":"d1","site":"berlin","floor":2}]"""
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/dim", ex => {
+      val b = dim.getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    val evDir = Files.createTempDirectory("graft_hlk_ev")
+    val ckpt = Files.createTempDirectory("graft_hlk_ck")
+    try {
+      writeJson(evDir, Seq("""{"device":"d1"}"""))
+      val eng = newEngine
+      eng.createStream(
+        s"""CREATE STREAM hev (device STRING) WITH
+           | (TYPE="file", FORMAT="json", DATASOURCE="${evDir.toString}")""".stripMargin)
+      eng.createStream(
+        s"""CREATE TABLE hdim (key STRING, site STRING, floor BIGINT) WITH
+           | (TYPE="http_pull", URL="http://127.0.0.1:${server.getAddress.getPort}/dim")""".stripMargin)
+      ConnectorSink.clear("rest", "hlk/out")
+      eng.create(Rule("rhl",
+        "SELECT e.device, d.site, d.floor FROM hev e JOIN hdim d ON e.device = d.key",
+        Seq(ConnectorSink("rest", "hlk/out",
+          Map("dataTemplate" -> """{{device}}@{{site}}/{{floor}}"""))),
+        streaming = true, checkpointDir = Some(ckpt.toString), liveLookup = true))
+      eng.start("rhl")
+      try {
+        eng.processAllAvailable("rhl")
+        assert(ConnectorSink.sent("rest", "hlk/out").toSet == Set("d1@berlin/2"))
+        // endpoint update + a new key land in the very next micro-batch
+        dim = """[{"key":"d1","site":"munich","floor":3},{"key":"d2","site":"tokyo","floor":9}]"""
+        Files.write(evDir.resolve("ev-1.json"),
+          """{"device":"d1"}
+            |{"device":"d2"}""".stripMargin.getBytes)
+        eng.processAllAvailable("rhl")
+        assert(ConnectorSink.sent("rest", "hlk/out").toSet ==
+          Set("d1@berlin/2", "d1@munich/3", "d2@tokyo/9"))
+      } finally eng.stop("rhl")
+    } finally server.stop(0)
+  }
+
+  test("simulator lookup table: DATA rows join as a dimension; point lookup filters") {
+    val eng = newEngine
+    eng.createStream(
+      """CREATE TABLE sdim (key STRING, site STRING) WITH
+        | (TYPE="simulator", DATA="[{\"key\":\"d1\",\"site\":\"berlin\"},{\"key\":\"d2\",\"site\":\"tokyo\"}]")""".stripMargin)
+    val src = eng.catalog.get("sdim").get.source.asInstanceOf[graft.sources.SimulatorSource]
+    // table batch: both rows
+    assert(src.batch(spark).count() == 2)
+    // eKuiper Lookup(fields, keys, values)
+    val hit = src.lookup(spark, Seq("site"), Seq("key"), Seq("d2")).collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("tokyo"))
+    assert(src.lookup(spark, Nil, Seq("key"), Seq("nope")).isEmpty)
+  }
+
   test("explain exposes the Catalyst plan with pushed filters") {
     val eng = newEngine
     eng.createStream(

@@ -250,6 +250,28 @@ class SourcesSinksSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("http lookup source: pull + key-equality + field prune (reference Lookup)") {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/dim", ex => {
+      val b = """[{"k":"a","v":1},{"k":"b","v":2},{"k":"a","v":3}]""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val src = HttpLookupSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}/dim",
+        StructType.fromDDL("k string, v bigint"))
+      assert(src.batch(spark).count() == 3)
+      val rows = src.lookup(spark, Seq("v"), Seq("k"), Seq("a"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows == Seq(1L, 3L), "both k=a rows, pruned to v")
+      assert(src.lookup(spark, Nil, Seq("k"), Seq("zzz")).isEmpty)
+    } finally server.stop(0)
+  }
+
   test("sse source reads data frames from a live event-stream endpoint") {
     import com.sun.net.httpserver.HttpServer
     val server = HttpServer.create(
