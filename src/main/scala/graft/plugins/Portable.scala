@@ -50,10 +50,14 @@ object PortablePlugins {
 
   case class PortableFunction(name: String, returnType: String = "string")
   /** executable == Nil → attach mode: an already-running worker (or a
-    * test thread) dials the urls itself.
+    * test thread) dials the urls itself. `sources`/`sinks` declare
+    * connector symbols beside `functions` — the reference's PluginInfo
+    * (internal/plugin/portable/model.go:28-30) declares all three.
     */
   case class PluginMeta(name: String, executable: Seq[String] = Nil,
-                        functions: Seq[PortableFunction] = Nil)
+                        functions: Seq[PortableFunction] = Nil,
+                        sources: Seq[String] = Nil,
+                        sinks: Seq[String] = Nil)
 
   /** One bound channel endpoint: request/response with single
     * outstanding request (the reference's per-channel mutex).
@@ -67,7 +71,9 @@ object PortablePlugins {
     // be consumed as the answer to the NEXT call (silent wrong data)
     private val stale = new java.util.concurrent.atomic.AtomicInteger(0)
     listener.onMessage { b =>
-      if (stale.getAndUpdate(n => math.max(0, n - 1)) > 0) () // drop late reply
+      val h = frameHook
+      if (h != null) h(b) // push mode: straight to the frame consumer
+      else if (stale.getAndUpdate(n => math.max(0, n - 1)) > 0) () // drop late reply
       else inbox.put(b)
     }
 
@@ -96,13 +102,39 @@ object PortablePlugins {
       */
     def resetStale(): Unit = stale.set(0)
 
+    /** Fire-and-forget send (sink channel without requireAck — the
+      * reference's default sink path sends without reading an ack).
+      */
+    def send(body: Array[Byte], timeoutMs: Long): Unit = synchronized {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!listener.hasPeer) {
+        if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException("portable plugin channel has no connected peer")
+        Thread.sleep(10)
+      }
+      listener.send(body)
+    }
+
+    /** Route raw inbound frames to `h` instead of the request inbox —
+      * the source data channel's one-directional push mode.
+      */
+    def onFrame(h: Array[Byte] => Unit): Unit = frameHook = h
+    @volatile private var frameHook: Array[Byte] => Unit = null
+
     def close(): Unit = listener.close()
   }
 
   private final class Instance(val meta: PluginMeta, val control: Rpc,
                                val funcChans: Map[String, Rpc],
+                               val sourceChans: Map[String, Rpc],
+                               val sinkChans: Map[String, Rpc],
                                val conf: String,
-                               @volatile var process: Option[Process])
+                               @volatile var process: Option[Process]) {
+    // connector symbols started so far, with their Control payload —
+    // replayed after a process restart like the function symbols
+    val startedConnectors =
+      new ConcurrentHashMap[String, (String, String, Map[String, String])]()
+  }
 
   private val instances = new ConcurrentHashMap[String, Instance]()
 
@@ -110,14 +142,20 @@ object PortablePlugins {
     * (reference: PortableConfig json).
     */
   private def confJson(meta: PluginMeta, control: Rpc,
-                       funcChans: Map[String, Rpc]): String =
+                       funcChans: Map[String, Rpc],
+                       sourceChans: Map[String, Rpc],
+                       sinkChans: Map[String, Rpc]): String = {
+    def urls(m: Map[String, Rpc]) = JObject(m.toList.map {
+      case (s, r) => s -> (JString(r.address): JValue)
+    })
     JsonMethods.compact(JsonMethods.render(JObject(
       "name" -> JString(meta.name),
       "sendTimeout" -> JInt(1000),
       "controlUrl" -> JString(control.address),
-      "functionUrls" -> JObject(funcChans.toList.map {
-        case (s, r) => s -> (JString(r.address): JValue)
-      }))))
+      "functionUrls" -> urls(funcChans),
+      "sourceUrls" -> urls(sourceChans),
+      "sinkUrls" -> urls(sinkChans))))
+  }
 
   /** Start (or attach) a plugin and register its functions as SQL
     * functions on the session. Returns the config JSON. `onConf` fires
@@ -130,7 +168,9 @@ object PortablePlugins {
     require(!instances.containsKey(meta.name), s"plugin ${meta.name} already registered")
     val control = new Rpc
     val funcChans = meta.functions.map(f => f.name -> new Rpc).toMap
-    val conf = confJson(meta, control, funcChans)
+    val sourceChans = meta.sources.map(s => s -> new Rpc).toMap
+    val sinkChans = meta.sinks.map(s => s -> new Rpc).toMap
+    val conf = confJson(meta, control, funcChans, sourceChans, sinkChans)
     val process = meta.executable match {
       case Nil => None
       case exe =>
@@ -145,7 +185,8 @@ object PortablePlugins {
       val hs = control.awaitMessage(initTimeoutMs).map(new String(_))
       require(hs.contains("handshake"),
         s"plugin ${meta.name} control handshake error: got $hs")
-      val inst = new Instance(meta, control, funcChans, conf, process)
+      val inst = new Instance(meta, control, funcChans, sourceChans, sinkChans,
+        conf, process)
       instances.put(meta.name, inst)
       meta.functions.foreach { f =>
         startSymbol(inst, f.name)
@@ -158,21 +199,76 @@ object PortablePlugins {
       case e: Exception =>
         instances.remove(meta.name) // a failed registration must be retryable
         process.foreach(_.destroyForcibly())
-        control.close(); funcChans.values.foreach(_.close())
+        control.close()
+        (funcChans.values ++ sourceChans.values ++ sinkChans.values).foreach(_.close())
         throw e
     }
   }
 
-  private def startSymbol(inst: Instance, symbol: String): Unit = {
+  private def startSymbol(inst: Instance, symbol: String,
+                          pluginType: String = "func",
+                          dataSource: String = "",
+                          config: Map[String, String] = Map.empty): Unit = {
     val ctrl = JsonMethods.compact(JsonMethods.render(JObject(
       "symbolName" -> JString(symbol),
       "meta" -> JObject("ruleId" -> JString(""), "opId" -> JString(""),
         "instanceId" -> JInt(0)),
-      "pluginType" -> JString("func"))))
+      "pluginType" -> JString(pluginType),
+      "dataSource" -> JString(dataSource),
+      "config" -> JObject(config.toList.map { case (k, v) => k -> (JString(v): JValue) }))))
     val cmd = JsonMethods.compact(JsonMethods.render(JObject(
       "cmd" -> JString("start"), "arg" -> JString(ctrl))))
     val resp = new String(inst.control.request(cmd.getBytes("UTF-8"), 10000))
     require(resp == "ok", s"start symbol $symbol: expected ok, got $resp")
+  }
+
+  private def lookupInstance(plugin: String): Instance =
+    Option(instances.get(plugin)).getOrElse(
+      throw new IllegalStateException(s"plugin $plugin is not registered"))
+
+  /** Start a SOURCE symbol (reference runtime/source.go Connect: the
+    * Control names the symbol, pluginType "source", the DATASOURCE
+    * topic, and the stream's props) and route every frame the plugin
+    * pushes into [[graft.sources.ConnectorFeed]] under
+    * ("portable", topic) — from there the existing connector
+    * batch/stream/spool plumbing applies unchanged. Idempotent.
+    */
+  def ensureSource(plugin: String, symbol: String, topic: String,
+                   props: Map[String, String] = Map.empty): Unit = {
+    val inst = lookupInstance(plugin)
+    val chan = inst.sourceChans.getOrElse(symbol, throw new IllegalStateException(
+      s"plugin $plugin has no source $symbol"))
+    if (inst.startedConnectors.putIfAbsent(s"source/$symbol",
+        ("source", topic, props)) == null) {
+      chan.onFrame { b =>
+        graft.sources.ConnectorFeed.push("portable", topic,
+          new String(b, "UTF-8"), System.currentTimeMillis)
+      }
+      if (inst.process.exists(!_.isAlive)) restartProcess(inst)
+      startSymbol(inst, symbol, "source", topic, props)
+    }
+  }
+
+  /** Deliver one payload to a SINK symbol (reference runtime/sink.go:
+    * one send per tuple; with requireAck the engine waits for the
+    * plugin's reply and fails the batch on a nack). Starts the symbol
+    * on first use.
+    */
+  def sinkSend(plugin: String, symbol: String, payload: Array[Byte],
+               requireAck: Boolean, props: Map[String, String] = Map.empty): Unit = {
+    val inst = lookupInstance(plugin)
+    val chan = inst.sinkChans.getOrElse(symbol, throw new IllegalStateException(
+      s"plugin $plugin has no sink $symbol"))
+    if (inst.startedConnectors.putIfAbsent(s"sink/$symbol",
+        ("sink", "", props)) == null) {
+      if (inst.process.exists(!_.isAlive)) restartProcess(inst)
+      startSymbol(inst, symbol, "sink", "", props)
+    }
+    if (requireAck) {
+      val resp = new String(chan.request(payload, 10000), "UTF-8")
+      if (resp.startsWith("error"))
+        throw new java.io.IOException(s"portable sink $symbol nack: $resp")
+    } else chan.send(payload, 10000)
   }
 
   private[plugins] def call(plugin: String, symbol: String,
@@ -204,6 +300,12 @@ object PortablePlugins {
         .exists(b => new String(b) == "handshake")
     require(ok, s"plugin ${inst.meta.name} restart handshake timed out")
     inst.meta.functions.foreach(f => startSymbol(inst, f.name))
+    // replay connector symbols the engine had started (fresh process
+    // has no symbol state — the reference restarts symbols the same way)
+    inst.startedConnectors.forEach { (key, v) =>
+      val (ptype, ds, props) = v
+      startSymbol(inst, key.split('/').last, ptype, ds, props)
+    }
   }
 
   def status(name: String): String = Option(instances.get(name)) match {
@@ -228,7 +330,8 @@ object PortablePlugins {
     } finally {
       inst.process.foreach(_.destroyForcibly())
       inst.control.close()
-      inst.funcChans.values.foreach(_.close())
+      (inst.funcChans.values ++ inst.sourceChans.values ++
+        inst.sinkChans.values).foreach(_.close())
     }
   }
 
@@ -247,6 +350,56 @@ object PortablePlugins {
     case "array" => ArrayType(StringType)
     case _ => StringType
   }
+}
+
+/** Portable SINK plugin as a rule sink (reference runtime/sink.go:
+  * Collect sends each tuple's raw bytes on the sink channel, reading an
+  * ack when requireAck). dataTemplate/fields shape the payload like any
+  * other sink; rows are delivered from executor partitions through the
+  * JVM-level plugin instance — in local mode the engine JVM's, on a
+  * cluster each executor JVM starts its own plugin process, the
+  * reference's one-process-per-engine-instance model applied per
+  * worker.
+  */
+final case class PortableConnectorSink(plugin: String, symbol: String,
+                                       options: Map[String, String] = Map.empty)
+    extends graft.sinks.Sink {
+  private val requireAck = options.get("requireAck").exists(_.equalsIgnoreCase("true"))
+
+  def writeBatch(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val out = shaped(df)
+    val payloadCol = out.schema.fieldNames.toSeq match {
+      case Seq("payload") => col("payload")
+      case names => graft.sources.Codecs.encode(
+        names.map(n => n -> col(n)), options.getOrElse("format", "json"),
+        options.getOrElse("delimiter", ","))
+    }
+    val (p, s, ack, props) = (plugin, symbol, requireAck, options)
+    out.select(payloadCol.cast("string").as("payload"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach(r =>
+          PortablePlugins.sinkSend(p, s, r.getString(0).getBytes("UTF-8"), ack, props))
+      }
+  }
+}
+
+/** Portable SOURCE plugin as a stream/table source: the plugin pushes
+  * frames on its bound channel; they land in the ConnectorFeed under
+  * ("portable", topic), and batch/stream reads ride the existing
+  * connector spool plumbing (schema inference, formats, retention).
+  */
+final case class PortableStreamSource(plugin: String, symbol: String,
+                                      topic: String, schema: StructType,
+                                      options: Map[String, String] = Map.empty)
+    extends graft.sources.Source {
+  private def feed(spark: SparkSession): graft.sources.ConnectorSource = {
+    PortablePlugins.ensureSource(plugin, symbol, topic, options)
+    graft.sources.ConnectorSource("portable", topic, schema,
+      options - "server") // no broker bridge — the plugin IS the transport
+  }
+  def batch(spark: SparkSession): org.apache.spark.sql.DataFrame = feed(spark).batch(spark)
+  def stream(spark: SparkSession): org.apache.spark.sql.DataFrame = feed(spark).stream(spark)
 }
 
 /** A registered portable function: every evaluation is one FuncData
@@ -346,17 +499,27 @@ object PortableWorker {
 
   /** `handlers`: symbol → function over decoded JSON args (minus the
     * trailing ctx). Throwing produces `{"state":false,"result":msg}`.
+    * `sources`: source symbol → producer invoked with (dataSource,
+    * send) on the start command; it pushes frames at its own pace
+    * (spawn a thread for a continuous feed). `sinks`: sink symbol →
+    * consumer of each delivered payload; the worker always replies
+    * "ok"/"error:..." so requireAck engines see a verdict per send.
     */
-  def connect(confJson: String, handlers: Map[String, Seq[JValue] => JValue]): Running = {
+  def connect(confJson: String, handlers: Map[String, Seq[JValue] => JValue],
+              sources: Map[String, (String, Array[Byte] => Unit) => Unit] = Map.empty,
+              sinks: Map[String, Array[Byte] => Unit] = Map.empty): Running = {
     val conf = JsonMethods.parse(confJson)
     val controlUrl = (conf \ "controlUrl") match {
       case JString(u) => u
       case _ => throw new IllegalArgumentException("conf needs controlUrl")
     }
-    val funcUrls = (conf \ "functionUrls") match {
+    def urlMap(field: String): Map[String, String] = (conf \ field) match {
       case JObject(fs) => fs.collect { case JField(k, JString(u)) => k -> u }.toMap
       case _ => Map.empty[String, String]
     }
+    val funcUrls = urlMap("functionUrls")
+    val sourceUrls = urlMap("sourceUrls")
+    val sinkUrls = urlMap("sinkUrls")
     val control = NngPair.dial(controlUrl)
     val open = new java.util.concurrent.CopyOnWriteArrayList[NngPair]()
     open.add(control)
@@ -364,10 +527,36 @@ object PortableWorker {
       val cmd = JsonMethods.parse(new String(body, "UTF-8"))
       (cmd \ "cmd") match {
         case JString("start") =>
-          val symbol = (JsonMethods.parse((cmd \ "arg") match {
+          val ctl = JsonMethods.parse((cmd \ "arg") match {
             case JString(a) => a; case _ => "{}"
-          }) \ "symbolName") match { case JString(s) => s; case _ => "" }
-          handlers.get(symbol).zip(funcUrls.get(symbol)).foreach {
+          })
+          val symbol = (ctl \ "symbolName") match { case JString(s) => s; case _ => "" }
+          val pluginType = (ctl \ "pluginType") match { case JString(s) => s; case _ => "func" }
+          val dataSource = (ctl \ "dataSource") match { case JString(s) => s; case _ => "" }
+          if (pluginType == "source") {
+            // dial the source data channel and hand its send fn to the
+            // producer (reference SDK: the source symbol pushes tuples)
+            sources.get(symbol).zip(sourceUrls.get(symbol)).foreach {
+              case (producer, url) =>
+                val chan = NngPair.dial(url)
+                open.add(chan)
+                producer(dataSource, chan.send)
+            }
+          } else if (pluginType == "sink") {
+            // dial the sink data channel; every delivered payload goes
+            // to the consumer, acked ok/error (reference SDK sink loop)
+            sinks.get(symbol).zip(sinkUrls.get(symbol)).foreach {
+              case (consumer, url) =>
+                val chan = NngPair.dial(url)
+                open.add(chan)
+                chan.onMessage { payload =>
+                  val reply =
+                    try { consumer(payload); "ok" }
+                    catch { case e: Exception => s"error:${e.getMessage}" }
+                  chan.send(reply.getBytes("UTF-8"))
+                }
+            }
+          } else handlers.get(symbol).zip(funcUrls.get(symbol)).foreach {
             case (handler, url) =>
               val chan = NngPair.dial(url)
               open.add(chan)
@@ -417,6 +606,11 @@ object PortableWorker {
 object PortableWorkerMain {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PortableWorkerMain <confJson>")
+    // loopback connector pair: the `plugin_feed` SOURCE emits three
+    // seed frames on start, and the `plugin_echo` SINK re-emits every
+    // payload it receives through the source channel — so an engine in
+    // another JVM can observe the full sink→plugin→source round trip.
+    @volatile var feedSend: Array[Byte] => Unit = null
     PortableWorker.connect(args(0), Map(
       "plugin_rev" -> { as =>
         JString(as.headOption.collect { case JString(s) => s.reverse }.getOrElse(""))
@@ -426,6 +620,15 @@ object PortableWorkerMain {
           case JInt(n) => n + 1
           case JLong(n) => BigInt(n) + 1
         }.getOrElse(BigInt(0)))
+      }),
+      sources = Map("plugin_feed" -> { (ds, send) =>
+        feedSend = send
+        (1 to 3).foreach(i => send(s"""{"x":$i,"topic":"$ds"}""".getBytes("UTF-8")))
+      }),
+      sinks = Map("plugin_echo" -> { payload =>
+        val s = feedSend
+        require(s != null, "echo sink used before the feed source started")
+        s(payload)
       }))
     // stay alive until the engine kills the process (reference model)
     while (true) Thread.sleep(1000)

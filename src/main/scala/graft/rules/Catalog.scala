@@ -166,6 +166,16 @@ object Catalog {
         // with headers + oauth props); without one, the stub feed path
         HttpPullSource(props.get("url").orElse(props.get("server")).get, schema,
           props.getOrElse("interval", "1000").toLong, props)
+      case "portable" =>
+        // portable SOURCE plugin stream/table: PLUGIN + SYMBOL name the
+        // registered plugin's source; DATASOURCE is the topic handed to
+        // the symbol (reference runtime/source.go Control.DataSource)
+        graft.plugins.PortableStreamSource(
+          props.getOrElse("plugin",
+            throw new IllegalArgumentException("portable streams need a PLUGIN property")),
+          props.getOrElse("symbol",
+            throw new IllegalArgumentException("portable streams need a SYMBOL property")),
+          ds, schema, props)
       case k if ConnectorSource.kinds.contains(k) => ConnectorSource(k, ds, schema, props)
       case other => throw new IllegalArgumentException(s"unknown source type $other")
     }

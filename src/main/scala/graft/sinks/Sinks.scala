@@ -371,6 +371,8 @@ object SinkFactory {
         opts.getOrElse("imageFormat", "png"),
         opts.getOrElse("maxAge", "72").toInt,
         opts.getOrElse("maxCount", "1000").toInt, opts)
+      case "portable" => graft.plugins.PortableConnectorSink(
+        required("plugin"), required("symbol"), opts)
       case k => ConnectorSink(k,
         opt("topic").orElse(opt("url")).orElse(opt("endpoint")).getOrElse("out"),
         opts)

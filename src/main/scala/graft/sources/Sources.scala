@@ -357,7 +357,7 @@ final case class ConnectorSource(kind: String, topic: String,
 object ConnectorSource {
   val kinds: Set[String] =
     Set("mqtt", "http_pull", "http_push", "websocket", "sse", "redis", "neuron", "edgex", "kafka",
-      "sql", "zmq")
+      "sql", "zmq", "portable") // portable: frames pushed by a plugin process
 }
 
 /** STUB transport feed for ConnectorSource — deterministic, in-memory,

@@ -82,6 +82,44 @@ class PortableSpec extends SparkSuite {
     assert(PortablePlugins.status("t_proc") === "stopped")
   }
 
+  test("source/sink plugins: second-JVM worker feeds a stream and receives a sink's rows") {
+    def awaitCond(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for $what")
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    graft.sources.ConnectorFeed.clear("portable", "t/feed")
+    try {
+      PortablePlugins.register(spark,
+        PluginMeta("t_conn", executable = Seq(javaBin, "-cp", cp,
+          "graft.plugins.PortableWorkerMain"),
+          sources = Seq("plugin_feed"),
+          sinks = Seq("plugin_echo")),
+        initTimeoutMs = 60000)
+      // SOURCE: the worker pushes three seed frames when the symbol starts
+      val src = graft.plugins.PortableStreamSource("t_conn", "plugin_feed",
+        "t/feed", org.apache.spark.sql.types.StructType.fromDDL(
+          "x BIGINT, y BIGINT, topic STRING"))
+      awaitCond(src.batch(spark).count() == 3, "worker's seed frames in the feed")
+      assert(src.batch(spark).agg(org.apache.spark.sql.functions.sum("x"))
+        .head().getLong(0) == 6L)
+      assert(src.batch(spark).select("topic").distinct().head().getString(0) == "t/feed",
+        "DATASOURCE topic reached the worker's source symbol")
+      // SINK with requireAck: each row crosses to the worker, which
+      // echoes it back through the source channel — full round trip
+      // across JVMs
+      import spark.implicits._
+      graft.plugins.PortableConnectorSink("t_conn", "plugin_echo",
+        Map("requireAck" -> "true")).writeBatch(Seq(10L, 20L).toDF("y"))
+      awaitCond(src.batch(spark).count() == 5, "echoed sink rows back in the feed")
+      assert(src.batch(spark).agg(org.apache.spark.sql.functions.sum("y"))
+        .head().getLong(0) == 30L)
+      assert(PortablePlugins.status("t_conn") === "running")
+    } finally PortablePlugins.stop("t_conn")
+  }
+
   test("REST surface: POST/GET/DELETE /plugins/portables drive the runtime") {
     val a = new graft.rules.RuleApi(new graft.rules.RuleEngine(spark))
     val javaBin = System.getProperty("java.home") + "/bin/java"
