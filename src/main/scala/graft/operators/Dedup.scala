@@ -312,13 +312,28 @@ object Dedup {
         val filters = bloomShardFilters(corpus, h, nShards,
           math.max(1L, expectedItems / nShards), fpp)
         if (filters.isEmpty) return batch
-        // rows route to their shard's filter; a shard with no corpus
-        // rows has no filter and its batch rows are definitely new
+        // the filter blobs ride a BROADCAST (one torrent fetch per
+        // executor), never the serialized plan — a CASE chain of
+        // nShards filter literals shipped every shard to every task
+        // binary. The batch repartitions by shard, so each task's rows
+        // route to (and lazily deserialize) exactly one shard's
+        // filter; a shard absent from the corpus has no filter and its
+        // batch rows are definitely new.
+        val filtersB = corpus.sparkSession.sparkContext.broadcast(filters)
         val shard = pmod(h, lit(nShards.toLong))
-        filters.foldLeft(lit(false)) { case (acc, (s, bytes)) =>
-          when(shard === lit(s), ColumnBridge.column(BloomFilterMightContain(
-            Literal(bytes, BinaryType), ColumnBridge.expression(h)))).otherwise(acc)
-        }
+        val batchH = batch.withColumn("__h", h).withColumn("__shard", shard)
+          .repartition(nShards, col("__shard"))
+        val might = ColumnBridge.column(BloomShardMightContain(filtersB,
+          Seq(ColumnBridge.expression(col("__shard")),
+            ColumnBridge.expression(col("__h")))))
+        val candidates = batchH.filter(might)
+        val confirmed = corpus.select(h.as("__h"))
+          .join(broadcast(candidates.select(col("__h")).distinct()), "__h", "left_semi")
+          .distinct()
+        return candidates
+          .join(broadcast(confirmed), Seq("__h"), "left_anti")
+          .unionByName(batchH.filter(!might))
+          .drop("__h", "__shard")
       }
     val batchH = batch.withColumn("__h", h)
     val candidates = batchH.filter(might)
@@ -431,4 +446,48 @@ object Dedup {
       corpus.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
     }
   }
+}
+
+/** Shard-routed Bloom probe for [[Dedup.bloomNewDocs]] with
+  * `nShards > 1`: children are (shard, hash64). The serialized shard
+  * filters live in a broadcast — fetched once per executor, never
+  * serialized into the plan or task binaries — and deserialize lazily
+  * per shard on first probe, so after the batch repartitions by shard
+  * a task materializes exactly the one filter its rows route to.
+  * Returns null on null input like BloomFilterMightContain; a shard
+  * with no filter (no corpus rows hashed there) probes false.
+  */
+final case class BloomShardMightContain(
+    filters: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Byte]]],
+    children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends org.apache.spark.sql.catalyst.expressions.Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_shard_might_contain"
+
+  // per-task lazy cache: shard id -> deserialized filter
+  @transient private lazy val cache =
+    scala.collection.mutable.Map.empty[Long, org.apache.spark.util.sketch.BloomFilter]
+
+  override def eval(input: InternalRow): Any = {
+    val shardV = children(0).eval(input)
+    val hashV = children(1).eval(input)
+    if (shardV == null || hashV == null) return null
+    filters.value.get(shardV.asInstanceOf[Long]) match {
+      case None => false
+      case Some(bytes) =>
+        cache.getOrElseUpdate(shardV.asInstanceOf[Long],
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes)))
+          .mightContainLong(hashV.asInstanceOf[Long])
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }

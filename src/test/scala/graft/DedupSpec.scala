@@ -193,10 +193,20 @@ class DedupSpec extends SparkSuite {
       expectedItems = 10000, nShards = 4)
       .queryExecution.executedPlan.toString()
     // same shape as the single-filter plan: broadcast verify joins,
-    // per-shard might_contain probes inline, no corpus hash-shuffle
+    // shard-routed probes inline, no corpus hash-shuffle
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not hash-shuffle:\n$plan")
-    assert(plan.contains("might_contain"), s"expected bloom probes in the plan:\n$plan")
+    assert(plan.contains("bloom_shard_might_contain"),
+      s"expected shard-routed bloom probes in the plan:\n$plan")
+    // the batch repartitions by shard, so a task deserializes exactly
+    // its own shard's filter
+    assert(plan.contains("hashpartitioning(__shard"),
+      s"expected the shard-routing exchange:\n$plan")
+    // the filter blobs ride a broadcast, NOT the plan: 4 shards at
+    // 10k items ≈ 48 KB of filter bytes, which as literals would blow
+    // the plan string far past this bound
+    assert(plan.length < 50000,
+      s"plan string suspiciously large (${plan.length}) — filter blobs embedded?")
   }
 
   test("bloom dedup never shuffles the corpus: verify joins are broadcast") {
