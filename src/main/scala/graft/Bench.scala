@@ -84,13 +84,21 @@ object Bench {
         System.err.println(f"[bench] unstable box (probe ${probed}%.1fs vs recorded ${recorded}%.1fs); second pass")
         val second = timedPass().toMap
         results = results.map { case (k, v) =>
-          k -> (if (v < 0) v else math.min(v, second.getOrElse(k, v)))
+          // a query that failed one pass keeps the other pass's valid
+          // measurement — min() with a -1.0 failure marker would
+          // discard good data
+          val s = second.getOrElse(k, v)
+          val best = (if (v < 0) s else if (s < 0) v else math.min(v, s))
+          k -> best
         }
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // derive from the merged results — a query that failed one pass but
+    // measured in the other is not failed
+    val fl = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()

@@ -470,6 +470,14 @@ final case class BloomShardMightContain(
   override def nullable: Boolean = true
   override def prettyName: String = "bloom_shard_might_contain"
 
+  // The probe's RESULT is pure, but declaring it deterministic lets
+  // PushPredicateThroughNonJoin push the filter BELOW the shard
+  // repartition — every upstream task would then probe rows of all
+  // shards and deserialize up to nShards filters, exactly the per-task
+  // memory blowup the routing exists to avoid. Nondeterministic pins
+  // the probe above the exchange (one shard's filter per task).
+  override lazy val deterministic: Boolean = false
+
   // per-task lazy cache: shard id -> deserialized filter
   @transient private lazy val cache =
     scala.collection.mutable.Map.empty[Long, org.apache.spark.util.sketch.BloomFilter]

@@ -134,9 +134,11 @@ case class JsCallExpr(children: Seq[Expression], scriptId: String,
   // calls (the reference's goja runtime keeps per-instance state), so
   // by default Catalyst must not CSE, reorder, or constant-fold calls
   // away. Scripts that [[MiniJs.isPure]] proves stateless (functions
-  // only, no Date/log) keep determinism, so they remain usable in join
-  // conditions and keep CSE/pushdown.
-  override lazy val deterministic: Boolean = pure
+  // only, no Date/log, no non-local writes) keep determinism — but
+  // only when every argument is itself deterministic (a pure script
+  // over rand() is still nondeterministic end to end).
+  override lazy val deterministic: Boolean =
+    pure && children.forall(_.deterministic)
 
   @transient private lazy val fn: Seq[Any] => Any =
     MiniJs.load(script).function(scriptId).getOrElse(

@@ -1082,15 +1082,45 @@ object MiniJs {
     val stmts = try new Parser(lex(script)).program() catch {
       case _: Exception => return false // load() will surface the parse error
     }
-    def impure(n: Any): Boolean = n match {
+    // every name declared ANYWHERE inside a top-level function (params,
+    // vars, nested function names, for..of binders) is call-local:
+    // its state is fresh per invocation. Cross-call persistence can
+    // only flow through a binding OUTSIDE that set — a global function
+    // slot, a shared builtin object (JSON.n = …), another top-level
+    // function's name — so any write whose l-value roots at a
+    // non-local name marks the script stateful.
+    def locals(n: Any, acc: scala.collection.mutable.Set[String]): Unit = n match {
+      case FuncLit(name, params, body) =>
+        name.foreach(acc += _); acc ++= params; body.foreach(locals(_, acc))
+      case VarDecl(names) =>
+        names.foreach { case (nm, init) => acc += nm; init.foreach(locals(_, acc)) }
+      case ForOf(v, seq, body) => acc += v; locals(seq, acc); locals(body, acc)
+      case s: Seq[_] => s.foreach(locals(_, acc))
+      case o: Option[_] => o.foreach(locals(_, acc))
+      case p: Product => p.productIterator.foreach(locals(_, acc))
+      case _ => ()
+    }
+    def rootName(n: Node): Option[String] = n match {
+      case Id(name) => Some(name)
+      case Member(obj, _) => rootName(obj)
+      case IndexN(obj, _) => rootName(obj)
+      case _ => None
+    }
+    def impure(n: Any, local: String => Boolean): Boolean = n match {
       case Id("Date") | Id("log") => true
-      case s: Seq[_] => s.exists(impure)
-      case o: Option[_] => o.exists(impure)
-      case p: Product => p.productIterator.exists(impure)
+      case Assign(_, target, value) =>
+        !rootName(target).exists(local) || impure(target, local) || impure(value, local)
+      case Update(_, target, _) => !rootName(target).exists(local) || impure(target, local)
+      case s: Seq[_] => s.exists(impure(_, local))
+      case o: Option[_] => o.exists(impure(_, local))
+      case p: Product => p.productIterator.exists(impure(_, local))
       case _ => false
     }
     stmts.forall {
-      case f: FuncLit => !impure(f)
+      case f: FuncLit =>
+        val acc = scala.collection.mutable.Set.empty[String]
+        locals(f, acc)
+        !impure(f, acc.contains)
       case _ => false
     }
   }

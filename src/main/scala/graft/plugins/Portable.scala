@@ -104,6 +104,9 @@ object PortablePlugins {
 
     /** Fire-and-forget send (sink channel without requireAck — the
       * reference's default sink path sends without reading an ack).
+      * Workers (incl. the in-repo SDK) may ack anyway; drain the inbox
+      * per send so un-read acks can't grow driver memory one entry per
+      * delivered row over a long-running rule.
       */
     def send(body: Array[Byte], timeoutMs: Long): Unit = synchronized {
       val deadline = System.currentTimeMillis + timeoutMs
@@ -112,6 +115,7 @@ object PortablePlugins {
           throw new IllegalStateException("portable plugin channel has no connected peer")
         Thread.sleep(10)
       }
+      inbox.clear() // acks owed by prior fire-and-forget sends
       listener.send(body)
     }
 
@@ -238,14 +242,21 @@ object PortablePlugins {
     val inst = lookupInstance(plugin)
     val chan = inst.sourceChans.getOrElse(symbol, throw new IllegalStateException(
       s"plugin $plugin has no source $symbol"))
+    // restart BEFORE registering this symbol: the restart replays only
+    // the previously-started set, so the start below runs exactly once
+    if (inst.process.exists(!_.isAlive)) restartProcess(inst)
     if (inst.startedConnectors.putIfAbsent(s"source/$symbol",
         ("source", topic, props)) == null) {
       chan.onFrame { b =>
         graft.sources.ConnectorFeed.push("portable", topic,
           new String(b, "UTF-8"), System.currentTimeMillis)
       }
-      if (inst.process.exists(!_.isAlive)) restartProcess(inst)
-      startSymbol(inst, symbol, "source", topic, props)
+      // a failed start must stay retryable — otherwise every later
+      // ensureSource no-ops and the stream reads an empty feed forever
+      try startSymbol(inst, symbol, "source", topic, props)
+      catch { case e: Throwable =>
+        inst.startedConnectors.remove(s"source/$symbol"); throw e
+      }
     }
   }
 
@@ -259,10 +270,13 @@ object PortablePlugins {
     val inst = lookupInstance(plugin)
     val chan = inst.sinkChans.getOrElse(symbol, throw new IllegalStateException(
       s"plugin $plugin has no sink $symbol"))
+    if (inst.process.exists(!_.isAlive)) restartProcess(inst)
     if (inst.startedConnectors.putIfAbsent(s"sink/$symbol",
         ("sink", "", props)) == null) {
-      if (inst.process.exists(!_.isAlive)) restartProcess(inst)
-      startSymbol(inst, symbol, "sink", "", props)
+      try startSymbol(inst, symbol, "sink", "", props)
+      catch { case e: Throwable =>
+        inst.startedConnectors.remove(s"sink/$symbol"); throw e
+      }
     }
     if (requireAck) {
       val resp = new String(chan.request(payload, 10000), "UTF-8")
@@ -287,7 +301,8 @@ object PortablePlugins {
   private def restartProcess(inst: Instance): Unit = inst.synchronized {
     if (inst.process.exists(_.isAlive)) return // another caller won the race
     inst.control.resetStale()
-    inst.funcChans.values.foreach(_.resetStale())
+    (inst.funcChans.values ++ inst.sourceChans.values ++
+      inst.sinkChans.values).foreach(_.resetStale())
     val pb = new ProcessBuilder((inst.meta.executable :+ inst.conf).asJava)
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -355,11 +370,14 @@ object PortablePlugins {
 /** Portable SINK plugin as a rule sink (reference runtime/sink.go:
   * Collect sends each tuple's raw bytes on the sink channel, reading an
   * ack when requireAck). dataTemplate/fields shape the payload like any
-  * other sink; rows are delivered from executor partitions through the
-  * JVM-level plugin instance — in local mode the engine JVM's, on a
-  * cluster each executor JVM starts its own plugin process, the
-  * reference's one-process-per-engine-instance model applied per
-  * worker.
+  * other sink; rows are delivered from partition iterators through the
+  * JVM-level plugin registry. Deployment scope: in local mode (and
+  * anywhere executors share the engine JVM) this is the registered
+  * plugin instance; on a multi-JVM cluster the registry is per-JVM, so
+  * executors would need the plugin registered at executor startup (the
+  * reference's one-process-per-engine-instance model generalizes to
+  * one per worker, but that wiring is NOT yet built) — today this sink
+  * is engine-JVM-scoped, like the reference's own single-process sink.
   */
 final case class PortableConnectorSink(plugin: String, symbol: String,
                                        options: Map[String, String] = Map.empty)

@@ -819,9 +819,11 @@ object RuleApi {
     * topo/node/metric/prometheus.go:54-63: `kuiper_<prefix>_<counter>`
     * with labels rule/type/op/op_instance) so dashboards written for
     * the reference scrape graft unchanged; the per-operator instances
-    * the reference exports collapse to rule totals here, plus a
-    * graft-specific batches counter and state gauge (1 running/
-    * scheduled, 0 created/stopped, -1 failed).
+    * the reference exports collapse to rule totals here (only series
+    * the engine genuinely measures are exported — input records, not
+    * a fabricated sink-out count), plus a graft-specific batches
+    * counter and state gauge (1 running/scheduled, 0 created/stopped,
+    * -1 failed).
     */
   private[rules] def prometheusText(engine: RuleEngine): String = {
     // label values: escape backslash, double-quote, newline (exposition
@@ -841,9 +843,10 @@ object RuleApi {
     series("kuiper_source_records_in_total",
       "Total number of messages received by the rule's source", "counter",
       "source", _.rowsProcessed)
-    series("kuiper_sink_records_out_total",
-      "Total number of messages published by the rule's sinks", "counter",
-      "sink", _.rowsProcessed)
+    // no kuiper_sink_records_out_total: the engine tracks INPUT rows
+    // per rule; exporting that under a sink-output name would show
+    // records_out == records_in on filtering/aggregating rules —
+    // a wrong number is worse than an absent series
     series("graft_rule_batches_total",
       "Micro-batches (or batch runs) the rule has processed", "counter",
       "rule", _.batchesProcessed)

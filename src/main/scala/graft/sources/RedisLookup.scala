@@ -118,8 +118,14 @@ final case class RedisLookupSource(server: String,
                                  jsons: org.apache.spark.sql.Dataset[String]): StructType = {
     if (schema.nonEmpty) StructType(schema.filterNot(_.name == keyColumn))
     else {
-      if (inferredSchema == null)
-        inferredSchema = spark.read.json(jsons).schema
+      if (inferredSchema == null) {
+        val inferred = spark.read.json(jsons).schema
+        // an empty fetch infers an empty schema — do NOT pin that for
+        // the table's lifetime, or rows arriving later parse to
+        // nothing; re-infer until a non-empty shape shows up
+        if (inferred.nonEmpty) inferredSchema = inferred
+        else return inferred
+      }
       inferredSchema
     }
   }

@@ -202,6 +202,12 @@ class DedupSpec extends SparkSuite {
     // its own shard's filter
     assert(plan.contains("hashpartitioning(__shard"),
       s"expected the shard-routing exchange:\n$plan")
+    // and the probe must run ABOVE that exchange (plans print
+    // top-down): a probe pushed below it would make every upstream
+    // task deserialize all shards, defeating the routing
+    assert(plan.indexOf("bloom_shard_might_contain") <
+      plan.indexOf("hashpartitioning(__shard"),
+      s"probe pushed below the shard exchange:\n$plan")
     // the filter blobs ride a broadcast, NOT the plan: 4 shards at
     // 10k items ≈ 48 KB of filter bytes, which as literals would blow
     // the plan string far past this bound

@@ -156,6 +156,13 @@ class MiniJsSpec extends SparkSuite {
     assert(!MiniJs.isPure("function f() { return Date.now(); }"))
     assert(!MiniJs.isPure("function f(x) { log(x); return x; }"))
     assert(!MiniJs.isPure("var n = 0; function f() { n = n + 1; return n; }"))
+    // non-local writes: builtin-object fields and sibling function
+    // bindings persist across calls, so writing them is stateful
+    assert(!MiniJs.isPure("function f(x) { JSON.n = (JSON.n || 0) + 1; return JSON.n; }"))
+    assert(!MiniJs.isPure("function g() { return 1; } function f(x) { g = x; return 0; }"))
+    // writes to call-local state stay pure (fresh per invocation)
+    assert(MiniJs.isPure(
+      "function f(x) { var a = [0]; a[0] = x; var i = 0; i++; return a[0] + i; }"))
     assert(!MiniJs.isPure("not valid js ("))
 
     // a pure script works where Catalyst rejects nondeterministic

@@ -290,6 +290,9 @@ class RuleApiSpec extends SparkSuite {
     // HELP/TYPE metadata precedes each family
     assert(lines.contains("# TYPE kuiper_source_records_in_total counter"))
     assert(lines.contains("# TYPE graft_rule_state gauge"))
+    // the engine measures input rows only — a fabricated sink-out
+    // series equal to records_in would mislead reference dashboards
+    assert(!body.contains("kuiper_sink_records_out_total"))
     // the rule's own series carry its counters (3 input rows, running)
     assert(lines.contains(
       """kuiper_source_records_in_total{rule="r_prom",type="source",op="source",op_instance="0"} 3"""),
