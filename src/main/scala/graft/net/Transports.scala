@@ -311,6 +311,15 @@ object SinkTransports {
         // access/refresh renewal after each send — client.go Send)
         new Client {
           private val method = options.getOrElse("method", "POST").toUpperCase
+          // bodyType framing (reference client.go:143-155: GET/HEAD
+          // default to none, everything else json; unknown → error)
+          private val bodyType = HttpBody.validate(
+            options.getOrElse("bodyType", HttpBody.defaultFor(method)))
+          private val fileField = options.getOrElse("fileFieldName", "")
+          private val formFields = options.toSeq.collect {
+            case (k, v) if k.startsWith("formData.") =>
+              k.stripPrefix("formData.") -> v
+          }.sortBy(_._1)
           private val headers =
             graft.sources.OAuthTokenManager.headerMap(options.get("headers"))
           // JVM-level cache: foreachPartition builds a fresh Client per
@@ -331,11 +340,20 @@ object SinkTransports {
               c.setConnectTimeout(5000)
               c.setReadTimeout(options.getOrElse("timeout", "5000").toInt)
               c.setRequestMethod(method)
-              if (!hs.contains("Content-Type"))
-                c.setRequestProperty("Content-Type", "application/json")
+              val (ctype, body) =
+                HttpBody.encode(bodyType, payload, fileField, formFields)
+              if (ctype.nonEmpty && !hs.contains("Content-Type"))
+                c.setRequestProperty("Content-Type", ctype)
+              // compressed payloads advertise the codec so the server
+              // can decode (reference rest_sink.go:118-130; only the
+              // two codecs the reference names get the header)
+              options.get("compression").filter(Set("gzip", "zstd"))
+                .foreach(z => c.setRequestProperty("Content-Encoding", z))
               hs.foreach { case (k, v) => c.setRequestProperty(k, v) }
-              c.setDoOutput(true)
-              c.getOutputStream.write(payload)
+              if (bodyType != "none") {
+                c.setDoOutput(true)
+                c.getOutputStream.write(body)
+              }
               val code = c.getResponseCode
               if (code / 100 != 2)
                 throw new java.io.IOException(s"rest sink: HTTP $code from $endpoint")

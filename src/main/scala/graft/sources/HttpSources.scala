@@ -27,6 +27,11 @@ final case class HttpPullSource(url: String, schema: StructType,
   private val oauth = OAuthTokenManager.fromOptions(options)
   private val method = options.getOrElse("method", "GET").toUpperCase
   private val body = options.getOrElse("body", "")
+  // bodyType framing (reference httppull_source.go:118 sends the
+  // configured BodyType; client.go:143-149 defaults GET/HEAD → none,
+  // other methods → json)
+  private val bodyType = graft.net.HttpBody.validate(
+    options.getOrElse("bodyType", graft.net.HttpBody.defaultFor(method)))
 
   private def fetch(): String = {
     val headers = oauth match {
@@ -38,11 +43,14 @@ final case class HttpPullSource(url: String, schema: StructType,
     try {
       c.setRequestMethod(method)
       headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
-      if (body.nonEmpty && method != "GET") {
-        if (!headers.contains("Content-Type"))
-          c.setRequestProperty("Content-Type", "application/json")
+      if (body.nonEmpty && bodyType != "none") {
+        val (ctype, bytes) = graft.net.HttpBody.encode(bodyType,
+          body.getBytes(StandardCharsets.UTF_8),
+          options.getOrElse("fileFieldName", ""), Nil)
+        if (ctype.nonEmpty && !headers.contains("Content-Type"))
+          c.setRequestProperty("Content-Type", ctype)
         c.setDoOutput(true)
-        c.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+        c.getOutputStream.write(bytes)
       }
       new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
     } finally {

@@ -250,6 +250,75 @@ class SourcesSinksSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("rest sink bodyType: formdata multipart, none, binary+compression headers") {
+    import com.sun.net.httpserver.HttpServer
+    import java.util.concurrent.CopyOnWriteArrayList
+    // (method, contentType, contentEncoding, body)
+    val reqs = new CopyOnWriteArrayList[(String, String, String, Array[Byte])]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/up", ex => {
+      reqs.add((ex.getRequestMethod,
+        String.valueOf(ex.getRequestHeaders.getFirst("Content-Type")),
+        String.valueOf(ex.getRequestHeaders.getFirst("Content-Encoding")),
+        ex.getRequestBody.readAllBytes()))
+      ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/up"
+      val df = Seq(("a", 21)).toDF("device", "temp").repartition(1)
+
+      // formdata: payload rides a file part (reference httpx/http.go:
+      // 81-105), scalar formData fields follow, boundary in the header
+      graft.sinks.ConnectorSink("rest", base, Map(
+        "bodyType" -> "formdata", "fileFieldName" -> "upload",
+        "formData.tag" -> "hot", "formData.site" -> "b1")).writeBatch(df)
+      val (_, fdType, _, fdBody) = reqs.get(0)
+      assert(fdType.startsWith("multipart/form-data; boundary="))
+      val boundary = fdType.split("boundary=")(1)
+      val text = new String(fdBody, "UTF-8")
+      val parts = text.split(java.util.regex.Pattern.quote(s"--$boundary"))
+        .filterNot(p => p.trim.isEmpty || p.trim == "--")
+      assert(parts.length == 3, s"expected file + 2 fields in:\n$text")
+      // file part: configured field name, millis filename, the payload
+      assert(parts(0).contains("""name="upload"; filename="""))
+      assert(parts(0).matches("(?s).*filename=\"\\d+\".*"))
+      assert(parts(0).contains("Content-Type: application/octet-stream"))
+      assert(parts(0).contains("""{"device":"a","temp":21}"""))
+      assert(parts(1).contains("""name="site"""") && parts(1).contains("b1"))
+      assert(parts(2).contains("""name="tag"""") && parts(2).contains("hot"))
+      assert(text.endsWith(s"--$boundary--\r\n"))
+
+      // none: a bodiless request per row (GET default — client.go:146)
+      graft.sinks.ConnectorSink("rest", base, Map("method" -> "GET")).writeBatch(df)
+      val (nMethod, _, _, nBody) = reqs.get(1)
+      assert(nMethod == "GET" && nBody.isEmpty)
+
+      // binary + gzip: octet-stream type, Content-Encoding advertised
+      // (reference rest_sink.go:118-130), body inflates to the payload
+      graft.sinks.ConnectorSink("rest", base, Map(
+        "bodyType" -> "binary", "compression" -> "gzip")).writeBatch(df)
+      val (_, bType, bEnc, bBody) = reqs.get(2)
+      assert(bType == "application/octet-stream" && bEnc == "gzip")
+      assert(new String(graft.functions.Compression.decompress(bBody, "gzip"),
+        "UTF-8") == """{"device":"a","temp":21}""")
+
+      // text: plain content type, raw payload
+      graft.sinks.ConnectorSink("rest", base, Map("bodyType" -> "text",
+        "dataTemplate" -> "{{device}}:{{temp}}")).writeBatch(df)
+      val (_, tType, _, tBody) = reqs.get(3)
+      assert(tType == "text/plain" && new String(tBody, "UTF-8") == "a:21")
+
+      // unknown bodyType fails, like the reference's InitConf
+      intercept[org.apache.spark.SparkException] {
+        graft.sinks.ConnectorSink("rest", base, Map("bodyType" -> "nope")).writeBatch(df)
+      }
+    } finally server.stop(0)
+  }
+
   test("http lookup source: pull + key-equality + field prune (reference Lookup)") {
     import com.sun.net.httpserver.HttpServer
     val server = HttpServer.create(
