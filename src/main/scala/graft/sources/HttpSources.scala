@@ -32,6 +32,17 @@ final case class HttpPullSource(url: String, schema: StructType,
   // other methods → json)
   private val bodyType = graft.net.HttpBody.validate(
     options.getOrElse("bodyType", graft.net.HttpBody.defaultFor(method)))
+  // response handling props (reference client.go RawConf)
+  private val incremental = options.getOrElse("incremental", "false").toBoolean
+  private val compressionOpt = options.getOrElse("compression", "")
+  private val responseType = options.getOrElse("responseType", "code") match {
+    case t @ ("code" | "body") => t
+    case t => throw new IllegalArgumentException(
+      s"invalid responseType '$t' (code or body, client.go:156-160)")
+  }
+  // last successful pull's body digest (driver-side, like the
+  // reference's per-source lastMD5 state)
+  @volatile private var lastMD5: String = ""
 
   private def fetch(): String = {
     val headers = oauth match {
@@ -52,11 +63,46 @@ final case class HttpPullSource(url: String, schema: StructType,
         c.setDoOutput(true)
         c.getOutputStream.write(bytes)
       }
-      new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val raw = c.getInputStream.readAllBytes()
+      // `compression` declares what the endpoint was asked to send; a
+      // response without Content-Encoding means the server ignored the
+      // codec and the bytes are NOT what we'd decompress — error, like
+      // the reference (client.go responseBodyDecompress)
+      val bytes =
+        if (compressionOpt.isEmpty) raw
+        else if (c.getHeaderField("Content-Encoding") == null)
+          throw new java.io.IOException(
+            s"http_pull: no Content-Encoding in response; server does not speak '$compressionOpt'")
+        else graft.functions.Compression.decompress(raw, compressionOpt)
+      new String(bytes, StandardCharsets.UTF_8)
     } finally {
       c.disconnect()
       // the reference renews AFTER each send (client.go Send)
       oauth.foreach(_.afterSend())
+    }
+  }
+
+  /** responseType="body": the HTTP code only says the transport
+    * worked; each payload carries its own `code` field that must be
+    * 2xx (reference client.go:368-390 — a missing code field fails,
+    * matching MapToStruct's zero value).
+    */
+  private def checkBodyCodes(body: String): Unit = {
+    import org.json4s._
+    val payloads = org.json4s.jackson.JsonMethods.parse(body) match {
+      case JArray(items) => items
+      case other => List(other)
+    }
+    payloads.foreach { p =>
+      val code = p \ "code" match {
+        case JInt(v) => v.toInt
+        case JLong(v) => v.toInt
+        case JDouble(v) => v.toInt
+        case _ => 0
+      }
+      if (code < 200 || code > 299)
+        throw new java.io.IOException(
+          s"http_pull responseType=body: payload code $code")
     }
   }
 
@@ -72,7 +118,22 @@ final case class HttpPullSource(url: String, schema: StructType,
     else spark.read.schema(schema).json(raw)
   }
 
-  def batch(spark: SparkSession): DataFrame = decode(spark, fetch())
+  def batch(spark: SparkSession): DataFrame = {
+    val body = fetch()
+    if (incremental) {
+      // emit only when the body changed since the last pull
+      // (reference client.go:361-365: MD5 the raw body, skip on match)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      if (md5 == lastMD5)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      lastMD5 = md5
+    }
+    if (responseType == "body") checkBodyCodes(body)
+    decode(spark, body)
+  }
 
   /** One pull per rate tick: the rate stream triggers micro-batches;
     * each batch re-pulls the endpoint (mapped via the trigger row).

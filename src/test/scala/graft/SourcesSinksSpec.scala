@@ -250,6 +250,74 @@ class SourcesSinksSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("http_pull incremental pulls, body-code envelope, response decompression") {
+    import com.sun.net.httpserver.HttpServer
+    import java.util.concurrent.atomic.AtomicInteger
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val pulls = new AtomicInteger
+    server.createContext("/inc", ex => {
+      // same body for the first two pulls, then a new one
+      val b = (if (pulls.incrementAndGet() <= 2) """{"k":1}""" else """{"k":2}""").getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/codes_ok", ex => {
+      val b = """[{"code":200,"k":"a"},{"code":204,"k":"b"}]""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/codes_bad", ex => {
+      val b = """[{"code":200,"k":"a"},{"code":500,"k":"b"}]""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/gz", ex => {
+      val b = graft.functions.Compression.compress("""{"k":9}""".getBytes, "gzip")
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/plain", ex => { // ignores the requested codec
+      val b = """{"k":9}""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+
+      // incremental: unchanged body → zero rows, changed body → rows
+      // again (reference client.go:361-365 MD5 skip)
+      val inc = HttpPullSource(s"$base/inc", sch,
+        options = Map("incremental" -> "true"))
+      assert(inc.batch(spark).count() == 1)
+      assert(inc.batch(spark).count() == 0) // same body, skipped
+      assert(inc.batch(spark).count() == 1) // body changed
+
+      // responseType=body: per-payload code field gates the batch
+      val schK = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType)))
+      assert(HttpPullSource(s"$base/codes_ok", schK,
+        options = Map("responseType" -> "body")).batch(spark).count() == 2)
+      val err = intercept[java.io.IOException] {
+        HttpPullSource(s"$base/codes_bad", schK,
+          options = Map("responseType" -> "body")).batch(spark)
+      }
+      assert(err.getMessage.contains("code 500"))
+
+      // compression: gzip body decompresses; a server that ignores the
+      // codec (no Content-Encoding) is an error, not garbage rows
+      assert(HttpPullSource(s"$base/gz", sch,
+        options = Map("compression" -> "gzip")).batch(spark)
+        .collect().head.getLong(0) == 9)
+      intercept[java.io.IOException] {
+        HttpPullSource(s"$base/plain", sch,
+          options = Map("compression" -> "gzip")).batch(spark)
+      }
+    } finally server.stop(0)
+  }
+
   test("rest sink bodyType: formdata multipart, none, binary+compression headers") {
     import com.sun.net.httpserver.HttpServer
     import java.util.concurrent.CopyOnWriteArrayList
