@@ -23,12 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         args => ColumnBridge.expression(f(args.map(ColumnBridge.column)))))
     }
-    // the three non-builder registrations registerAll also makes
+    // the non-builder registrations registerAll also makes
     Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)](
       ("meta", GraftFunctions.metaBuilder _),
       ("get_keyed_state", args => graft.functions.GetKeyedStateExpr(args)),
-      ("accumulateWordCount", args => graft.functions.AccumulateWordCountExpr(args))
+      ("accumulateWordCount", args => graft.functions.AccumulateWordCountExpr(args)),
+      ("delay", args => graft.functions.DelayExpr(args))
     ).foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),

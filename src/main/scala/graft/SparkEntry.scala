@@ -14,7 +14,7 @@ object SparkEntry {
     Seq(
       (Q.CoreSql.qs, Q.CoreSql.oracle),
       (Q.WindowQueries.qs, Q.WindowQueries.oracle),
-      (Q.AnalyticQueries.qs, Q.AnalyticQueries.oracle),
+      (Q.AnalyticQueries.qs ++ Q.AnalyticQueries.sqlDialect, Q.AnalyticQueries.oracle),
       (Q.FunctionQueries.qs, Q.FunctionQueries.oracle),
       (Q.PipelineQueries.qs, Q.PipelineQueries.oracle),
       (Q.CodecQueries.qs, Q.CodecQueries.oracle)

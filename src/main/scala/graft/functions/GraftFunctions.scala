@@ -160,6 +160,44 @@ object GraftFunctions {
     "newuuid" -> { _ => uuid() },
     "tstamp" -> { _ => unix_millis(current_timestamp()) },
     "cardinality" -> { a => size(a(0)).cast("long") },
+    // bypass(x): identity — the reference's no-op placeholder
+    // (funcs_misc.go:48)
+    "bypass" -> { a => a(0) },
+    // props(key): deployment config property, bound at plan time like
+    // the other rule-context values; NULL when unset (funcs_misc.go:60)
+    "props" -> { a => lit(ConfProps.get(fmtLiteral(a(0))).orNull).cast("string") },
+
+    // ---- aggregate extensions (funcs_agg.go) ----
+    // merge_agg(m): merge the group's objects, last write per key wins
+    // in arrival order (funcs_agg.go:154). collect_list preserves
+    // encounter order; groups are per-window/per-key small, so the
+    // per-key scan is bounded — and the whole thing stays one
+    // partial-agg-friendly aggregation, no conf-dependent map dedup.
+    "merge_agg" -> { a =>
+      val entries = reverse(flatten(transform(collect_list(a(0)), m => map_entries(m))))
+      // first per key of the REVERSED entries = last write overall
+      map_from_entries(transform(
+        array_distinct(transform(entries, e => e.getField("key"))),
+        k => struct(
+          k.as("key"),
+          element_at(filter(entries, e => e.getField("key") === k), 1)
+            .getField("value").as("value")))) },
+    // deduplicate(col, all): the group's rows at the FIRST occurrence
+    // of each col value (funcs_agg.go:176, common_array_funcs.go:249);
+    // all=false keeps only the group's last row and only when its key
+    // is new. struct(*) captures the whole message like the
+    // reference's implicit all-messages argument.
+    "deduplicate" -> { a =>
+      val es = collect_list(struct(a(0).cast("string").as("k"), struct(col("*")).as("m")))
+      if (fmtLiteral(a(1)).toBoolean)
+        transform(
+          array_distinct(transform(es, e => e.getField("k"))),
+          k => element_at(filter(es, e => e.getField("k") === k), 1).getField("m"))
+      else
+        when(
+          array_position(transform(es, e => e.getField("k")),
+            element_at(es, -1).getField("k")) === size(es),
+          element_at(es, -1).getField("m")) },
 
     // ---- geohash plugin pack (extensions/functions/geohash/geohash.go;
     // names exactly as its plugin json registers them) ----
@@ -252,5 +290,6 @@ object GraftFunctions {
     RegistryBridge.register(spark, "meta", metaBuilder)
     RegistryBridge.register(spark, "get_keyed_state", args => GetKeyedStateExpr(args))
     RegistryBridge.register(spark, "accumulateWordCount", args => AccumulateWordCountExpr(args))
+    RegistryBridge.register(spark, "delay", args => DelayExpr(args))
   }
 }

@@ -148,7 +148,39 @@ object AnalyticQueries {
     })
   )
 
+  /** The analytic functions again, but entering through RULE SQL in the
+    * reference's own dialect (rules/AnalyticSql.scala rewrite): the
+    * same eKuiper names + OVER (PARTITION BY ... WHEN ...) grammar a
+    * migrated rule would use, planned as Spark window expressions and
+    * verified against a DuckDB window-SQL oracle. event_id is the
+    * arrival-order column (unique, so both engines order identically).
+    */
+  val sqlDialect: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_analytic_sql" -> ((s, d) => {
+      ev(s, d).createOrReplaceTempView("events_asql")
+      val sql =
+        """SELECT event_id,
+          |  latest(nullif(event_type, 'view'), 'none') OVER (PARTITION BY user_id) AS lat,
+          |  round(acc_sum(value) OVER (PARTITION BY user_id WHEN value > 50), 6) AS asum,
+          |  acc_count(value) OVER (PARTITION BY user_id WHEN event_type = 'click') AS clicks,
+          |  lag(nullif(event_type, 'view'), 1, 'start') OVER (PARTITION BY user_id) AS prev_nonview,
+          |  changed_col(true, event_type) OVER (PARTITION BY user_id) AS chg
+          |FROM events_asql""".stripMargin
+      s.sql(graft.rules.AnalyticSql.rewrite(sql, "event_id"))
+    }))
+
   val oracle: Map[String, String] = Map(
+    "q_analytic_sql" ->
+      """SELECT event_id,
+        |  coalesce(last_value(nullif(event_type,'view') IGNORE NULLS) OVER wr, 'none') AS lat,
+        |  round(coalesce(sum(CASE WHEN value > 50 THEN CAST(value AS DOUBLE) END) OVER wr, 0), 6) AS asum,
+        |  count(CASE WHEN event_type = 'click' THEN value END) OVER wr AS clicks,
+        |  lag(nullif(event_type,'view'), 1, 'start' IGNORE NULLS) OVER wo AS prev_nonview,
+        |  CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER wo THEN event_type END AS chg
+        |FROM events
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       wo AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
     "q_analytic" ->
       """SELECT event_id,
         |  lag(value) OVER w AS prev_val,

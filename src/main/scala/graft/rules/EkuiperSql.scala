@@ -88,8 +88,8 @@ object EkuiperSql {
     val code = withoutLiterals(sql)
     """(?i)\b(TUMBLING|HOPPING|SESSION|SLIDING|COUNT)WINDOW\s*\(""".r
       .findFirstIn(code).isDefined ||
-      """(?i)\bwindow_(start|end)\s*\(\s*\)""".r.findFirstIn(code).isDefined ||
-      """(?i)\bmeta\s*\(\s*[A-Za-z_]""".r.findFirstIn(code).isDefined ||
+      """(?i)\bwindow_(start|end|trigger)\s*\(\s*\)""".r.findFirstIn(code).isDefined ||
+      """(?i)\b(meta|mqtt)\s*\(\s*[A-Za-z_]""".r.findFirstIn(code).isDefined ||
       """\w->\w""".r.findFirstIn(code).isDefined
   }
 
@@ -126,17 +126,31 @@ object EkuiperSql {
             "(sliding: WindowQueries range frame; count: graft.streaming.CountWindowStream)")
 
     out = mapOutsideLiterals(out) { seg =>
-      """(?i)\bwindow_end\s*\(\s*\)""".r.replaceAllIn(
+      // window_trigger(): the window's trigger time (collection.go:608
+      // returns windowTrigger for both event_time-in-window and
+      // window_trigger) — for event-time windows the trigger is the
+      // window close, i.e. window.end
+      """(?i)\bwindow_(end|trigger)\s*\(\s*\)""".r.replaceAllIn(
         """(?i)\bwindow_start\s*\(\s*\)""".r.replaceAllIn(seg, "window.start"),
         "window.end")
     }
 
     // meta(topic) — eKuiper parses the bare identifier as the metadata
     // KEY, not a column (funcs_misc.go meta()); quote it so Spark's
-    // analyzer never tries to resolve it as an attribute
+    // analyzer never tries to resolve it as an attribute. mqtt(key) is
+    // the mqtt-specific accessor for the same metadata, restricted to
+    // topic/messageid (funcs_misc.go:450).
     out = mapOutsideLiterals(out) { seg =>
-      """(?i)\bmeta\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+      var s = """(?i)\bmeta\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
         .replaceAllIn(seg, m => s"meta('${m.group(1)}')")
+      s = """(?i)\bmqtt\s*\(\s*([A-Za-z_]\w*)\s*\)""".r.replaceAllIn(s, m => {
+        val key = m.group(1).toLowerCase
+        if (key != "topic" && key != "messageid")
+          throw new IllegalArgumentException(
+            "Parameter of mqtt function can be only topic or messageid.")
+        s"meta('$key')"
+      })
+      s
     }
 
     // arrow access (json_expr.md): a->b->c → a['b']['c'] — works for

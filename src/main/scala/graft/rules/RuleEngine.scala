@@ -139,7 +139,7 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       } else rule.sql
     val tsCol = referenced.flatMap(n => catalog.get(n).flatMap(_.timestampCol))
       .headOption.getOrElse("ts")
-    EkuiperSql.mapOutsideLiterals(translated) { seg =>
+    val substituted = EkuiperSql.mapOutsideLiterals(translated) { seg =>
       var s = seg
       s = """(?i)\brule_id\s*\(\s*\)""".r.replaceAllIn(s,
         java.util.regex.Matcher.quoteReplacement(s"'${rule.id.replace("'", "''")}'"))
@@ -148,6 +148,18 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       s = """(?i)\bevent_time\s*\(\s*\)""".r.replaceAllIn(s, tsCol)
       s
     }
+    // analytic scalar functions (lag/latest/changed_col/had_changed/
+    // acc_*) become pre-projected window expressions over event-time
+    // order — batch rules only: Spark disallows row-window functions
+    // on streams (the streaming twins live in graft.streaming)
+    if (AnalyticSql.hasAnalytic(substituted)) {
+      if (rule.streaming)
+        throw new IllegalArgumentException(
+          "analytic functions (lag/latest/changed_col/had_changed/acc_*) in a " +
+            "STREAMING rule need cross-batch state - use the typed operators in " +
+            "graft.streaming.AnalyticStream, or run the rule in batch mode")
+      AnalyticSql.rewrite(substituted, tsCol)
+    } else substituted
   }
 
   /** Resolve every catalog stream referenced by the rule's SQL as a

@@ -520,4 +520,59 @@ class FunctionsSpec extends SparkSuite {
     assert(spark.sql("SELECT get_keyed_state('gateway_limit', 'bigint', 0L)")
       .first().getLong(0) == 43L)
   }
+
+  test("bypass/props/delay: misc runtime functions (funcs_misc.go)") {
+    GraftFunctions.registerAll(spark)
+    graft.functions.ConfProps.clear()
+    graft.functions.ConfProps.set("site", "factory-7")
+    val r = spark.sql(
+      "SELECT bypass(41 + 1) AS b, props('site') AS p, props('absent') AS missing").first()
+    assert(r.getInt(0) == 42 && r.getString(1) == "factory-7" && r.isNullAt(2))
+    // delay sleeps then passes the value through unchanged
+    val t0 = System.nanoTime()
+    assert(spark.sql("SELECT delay(60, 'x' || 'y')").first().getString(0) == "xy")
+    assert((System.nanoTime() - t0) / 1e6 >= 60)
+  }
+
+  test("merge_agg: last write per key wins in arrival order") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq(
+      (1, 1, Map("a" -> 1, "b" -> 2)),
+      (1, 2, Map("b" -> 9, "c" -> 3)),
+      (2, 1, Map("x" -> 5))).toDF("g", "ord", "m").createOrReplaceTempView("ma_in")
+    val out = spark.sql(
+      "SELECT g, merge_agg(m) AS merged FROM ma_in GROUP BY g ORDER BY g").collect()
+    assert(out(0).getAs[Map[String, Int]]("merged") == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(out(1).getAs[Map[String, Int]]("merged") == Map("x" -> 5))
+  }
+
+  test("deduplicate agg: first occurrence per key; all=false keeps only a new last row") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq((1, 10, "a"), (2, 20, "b"), (3, 30, "a"), (4, 40, "c"))
+      .toDF("i", "v", "k").createOrReplaceTempView("dd_in")
+    // all=true: rows at the first occurrence of each k, in first-seen order
+    val rows = spark.sql("SELECT deduplicate(k, true) AS d FROM dd_in")
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(r => (r.getAs[Int]("i"), r.getAs[String]("k"))) ==
+      Seq((1, "a"), (2, "b"), (4, "c")))
+    // all=false: the last row, but only when its key is new to the group
+    assert(spark.sql("SELECT deduplicate(k, false) AS d FROM dd_in WHERE i <= 2")
+      .first().getStruct(0).getAs[Int]("i") == 2)
+    assert(spark.sql("SELECT deduplicate(k, false) AS d FROM dd_in WHERE i <= 3")
+      .first().isNullAt(0))
+  }
+
+  test("mqtt()/window_trigger() translate through the rule dialect") {
+    import graft.rules.EkuiperSql
+    assert(EkuiperSql.isEkuiperDialect("SELECT mqtt(topic) FROM demo"))
+    assert(EkuiperSql.translate("SELECT mqtt(topic) AS t FROM demo")
+      .contains("meta('topic')"))
+    intercept[IllegalArgumentException](
+      EkuiperSql.translate("SELECT mqtt(qos) FROM demo"))
+    val w = EkuiperSql.translate(
+      "SELECT count(*), window_trigger() FROM demo GROUP BY TUMBLINGWINDOW(ss, 10)")
+    assert(w.contains("window.end") && !w.toLowerCase.contains("window_trigger"))
+  }
 }
