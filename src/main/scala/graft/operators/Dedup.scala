@@ -446,6 +446,48 @@ object Dedup {
       corpus.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
     }
   }
+
+  /** SemDeDup-style semantic near-duplicate detection over an
+    * embedding column (Abbas et al. 2023, arXiv:2303.09540): cluster
+    * the embedding space with the IVF spherical-k-means trainer, then
+    * compare vectors only WITHIN a cluster — a document is a semantic
+    * duplicate when a lower-id member of its own cluster is within
+    * `threshold` cosine similarity, and the lowest such id is kept as
+    * the representative. Returns (id, rep_id, cos) for each removed
+    * document — survivors are `corpus` anti-joined on `id`.
+    *
+    * Scale design (why this is not all-pairs): the centroid table is
+    * cells × dim doubles on the driver (corpus-size independent, same
+    * contract as [[Knn.ivfTopK]]); cluster assignment is one map-only
+    * codegen pass; the only corpus shuffle keys on the cell id for the
+    * within-cell self-join, whose cost is Σ|cell|² — `maxCell` caps a
+    * degenerate cell by deterministic hash-rank (same dial as the LSH
+    * `maxBucket`), so a collapsed embedding space degrades recall, not
+    * the job. At 100 TB: write the corpus bucketed by cell and the
+    * self-join is a co-located scan, no shuffle at all.
+    */
+  def semanticDups(corpus: DataFrame, idCol: String, vecCol: String,
+                   cells: Int = 16, iters: Int = 1,
+                   threshold: Double = 0.95,
+                   maxCell: Int = 4096): DataFrame = {
+    val cents = Knn.trainIvfCentroids(corpus, idCol, vecCol, cells, iters)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.functions.VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
+    // deterministic per-cell cap: rank members by id-hash, keep the
+    // first maxCell — one shuffle keyed on the (dense, small-domain)
+    // cell id; the subsequent self-join reuses that partitioning.
+    val wCap = Window.partitionBy(col("cell")).orderBy(xxhash64(col("id")), col("id"))
+    val capped = assigned.withColumn("r", row_number().over(wCap))
+      .where(col("r") <= maxCell).drop("r")
+    val a = capped.select(col("cell"), col("id").as("rep_id"), col("vec").as("va"))
+    val b = capped.select(col("cell"), col("id").as("id"), col("vec").as("vb"))
+    a.join(b, a("cell") === b("cell") && col("rep_id") < col("id"))
+      .withColumn("cos", round(Knn.cosine(col("va"), col("vb")), 5))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(min(struct(col("rep_id"), col("cos"))).as("m"))
+      .select(col("id"), col("m.rep_id").as("rep_id"), col("m.cos").as("cos"))
+  }
 }
 
 /** Shard-routed Bloom probe for [[Dedup.bloomNewDocs]] with

@@ -222,4 +222,45 @@ object TextOps {
             struct(col("pos"), col("term"))))),
           s => s("term"))).as("cleaned"))
   }
+
+  /** Corpus-wide paragraph-level exact dedup (the Dolma/C4 hygiene
+    * step): the corpus is split into paragraphs (`delimiter` — "\n\n"
+    * in production; any span separator works), each distinct paragraph
+    * keeps only its FIRST occurrence corpus-wide (ordered by doc id,
+    * then position), and every document is rebuilt from its surviving
+    * paragraphs in original order. Unlike [[stripBoilerplate]] (which
+    * removes only high-document-frequency spans everywhere), this
+    * removes the second-and-later copies of ANY repeated span while
+    * the first copy survives.
+    *
+    * Returns per doc: the rebuilt text, kept/removed paragraph counts.
+    *
+    * Scale shape: exactly two corpus-sized shuffles, both unavoidable
+    * for these semantics — (1) the keep-first rank partitions by the
+    * paragraph (keyed by its 64-bit xxhash so partitioner compares are
+    * cheap; the paragraph itself stays in the key to keep the rank
+    * exact under hash collisions), (2) the rebuild regroups by doc id.
+    * No driver-side state, no broadcast, no window over an
+    * unpartitioned frame; skew on a mega-duplicated paragraph is
+    * bounded because the rank sort within one key is a streaming
+    * row_number, not a collect.
+    */
+  def paragraphDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, delimiter: String): org.apache.spark.sql.DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(delimiter))).as(Seq("pos", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("para")), col("para"))
+      .orderBy(col("doc_id"), col("pos"))
+    paras.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(delimiter, transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("para"))))),
+          s => s("para"))).as("text_dedup"),
+        count(when(col("rn") === 1, 1)).as("kept_paras"),
+        count(when(col("rn") > 1, 1)).as("removed_paras"))
+  }
 }

@@ -81,6 +81,26 @@ object PipelineQueries {
 
     // embedding-cosine near-dup: all (a < b) pairs above threshold in
     // the probe subset — brute-force exact, DuckDB-oracled.
+    // SemDeDup (cluster-then-compare) over embeddings with planted
+    // exact clones: two clone generations of vec_id < 20. Identical
+    // vectors land in the same k-means cell by construction, and the
+    // corpus's max natural cosine is ~0.51, so at threshold 0.95 the
+    // cluster-local result coincides with the brute-force pair set —
+    // which is what the DuckDB oracle computes. The operator's
+    // approximation behavior on NEAR-clones is DedupSpec's contract.
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = emb(s, d)
+      val clones = e.where(col("vec_id") < 20)
+      val planted = e
+        .unionByName(clones.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding"), col("label")))
+        .unionByName(clones.select((col("vec_id") + 200000).as("vec_id"),
+          col("embedding"), col("label")))
+      Dedup.semanticDups(planted, "vec_id", "embedding",
+          cells = 16, iters = 1, threshold = 0.95)
+        .select(col("id"), col("rep_id"), col("cos"))
+    }),
+
     "q_dedup_embed" -> ((s, d) => {
       val e = emb(s, d).where(col("vec_id") < 300)
       val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
@@ -160,6 +180,16 @@ object PipelineQueries {
       TextOps.stripBoilerplate(docs(s, d), "doc_id", "text", " ", 0.5)
         .select(col("doc_id"), col("removed_terms"), col("kept_terms"),
           col("kept_chars"))),
+
+    // Corpus-wide paragraph-level exact dedup (Dolma/C4): every
+    // repeated span keeps only its first occurrence (doc id, then
+    // position), documents are rebuilt in order. The synthetic corpus
+    // has no newlines, so the span delimiter is a frequent vocabulary
+    // word — same machinery as delimiter="\n\n" in production; the
+    // DuckDB oracle replays the full keep-first + rebuild semantics
+    // including the rebuilt text.
+    "q_text_paradedup" -> ((s, d) =>
+      TextOps.paragraphDedup(docs(s, d), "doc_id", "text", " table ")),
 
     // PII redaction: plant emails/IPs/phones into doc_id < 50, then
     // count + redact — one codegen projection over the corpus.
@@ -301,6 +331,24 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
         |    AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id < 20
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS rep_id, b.vec_id AS id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 5) AS cos
+        |  FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.95
+        |)
+        |SELECT id, min(rep_id) AS rep_id, arg_min(cos, rep_id) AS cos
+        |FROM pairs GROUP BY id""".stripMargin,
     "q_dedup_embed" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -309,6 +357,22 @@ object PipelineQueries {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.3""".stripMargin,
+    "q_text_paradedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, i - 1 AS pos, arr[i] AS para
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' table ') AS arr
+        |        FROM documents),
+        |       LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+        |),
+        |r AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |      FROM p)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, ' table ' ORDER BY pos)
+        |    FILTER (WHERE rn = 1), '') AS text_dedup,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_paras,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS removed_paras
+        |FROM r GROUP BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

@@ -224,4 +224,71 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not hash-shuffle:\n$plan")
     assert(plan.contains("might_contain"), s"expected the bloom probe in the plan:\n$plan")
   }
+
+  /** Deterministic synthetic embeddings: `groups` well-separated base
+    * vectors (one axis dominant per group), each with `perGroup`
+    * members perturbed by a tiny deterministic offset — within-group
+    * cosine ≈ 1, cross-group cosine ≈ 0.
+    */
+  private def syntheticEmbeddings(groups: Int, perGroup: Int, dim: Int = 8) = {
+    import spark.implicits._
+    val rows = for {
+      g <- 0 until groups
+      m <- 0 until perGroup
+    } yield {
+      val v = Array.tabulate(dim)(i =>
+        (if (i == g % dim) 10f else 0f) + (i * 7 + m * 3 + g) % 5 * 0.01f)
+      (g.toLong * 1000 + m, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semantic dedup removes planted near-clones, keeps one representative per group") {
+    val emb = syntheticEmbeddings(groups = 6, perGroup = 4)
+    val removed = Dedup.semanticDups(emb, "vec_id", "embedding",
+      cells = 6, iters = 2, threshold = 0.99)
+    val out = removed.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every non-minimal member of a group is removed; the kept
+    // representative is the group's minimal id (greedy-by-id contract)
+    val expectedRemoved = (for {
+      g <- 0 until 6; m <- 1 until 4
+    } yield g.toLong * 1000 + m).toSet
+    assert(out.keySet == expectedRemoved,
+      s"removed=${out.keySet.toSeq.sorted} expected=${expectedRemoved.toSeq.sorted}")
+    out.foreach { case (id, rep) =>
+      assert(rep == (id / 1000) * 1000, s"$id should dedup to its group min, got $rep")
+    }
+  }
+
+  test("semantic dedup is cluster-local: cross-group vectors are never compared as dups") {
+    val emb = syntheticEmbeddings(groups = 4, perGroup = 3)
+    val removed = Dedup.semanticDups(emb, "vec_id", "embedding",
+      cells = 4, iters = 2, threshold = 0.5)
+    // even at a permissive threshold, near-orthogonal cross-group
+    // pairs (cos ≈ 0) must not appear
+    removed.collect().foreach { r =>
+      assert(r.getLong(0) / 1000 == r.getLong(1) / 1000,
+        s"cross-group dup reported: ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+  }
+
+  test("semantic dedup maxCell cap bounds pair generation on a degenerate cell") {
+    import spark.implicits._
+    // 100 identical vectors: one cell, all mutual dups — the cap keeps
+    // the job O(maxCell²) and degrades recall, never the runtime
+    val emb = (0L until 100L).map(i => (i, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val removed = Dedup.semanticDups(emb, "vec_id", "embedding",
+      cells = 2, iters = 1, threshold = 0.99, maxCell = 8)
+    // 8 capped members -> 7 removed (the capped-out 92 are untouched)
+    assert(removed.count() == 7)
+  }
+
+  test("semantic dedup shuffles only the cell key — no cartesian, corpus joined once") {
+    val emb = syntheticEmbeddings(groups = 6, perGroup = 4)
+    val plan = Dedup.semanticDups(emb, "vec_id", "embedding",
+      cells = 6, iters = 1, threshold = 0.95)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup must join on the cell id, not cross:\n$plan")
+  }
 }

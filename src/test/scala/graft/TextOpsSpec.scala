@@ -126,4 +126,46 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"strip join should broadcast the boilerplate set:\n$plan")
   }
+
+  test("paragraph dedup keeps the first occurrence corpus-wide, rebuilds in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),        // beta already seen in doc 1
+      (3L, "delta\nalpha\nepsilon"), // both seen
+      (4L, "zeta")
+    ).toDF("doc_id", "text")
+    val out = TextOps.paragraphDedup(corpus, "doc_id", "text", "\n")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "alpha\nbeta\ngamma", 3L, 0L),
+      (2L, "delta", 1L, 1L),
+      (3L, "epsilon", 1L, 2L),
+      (4L, "zeta", 1L, 0L)))
+  }
+
+  test("paragraph dedup: a wholly duplicated document rebuilds to empty") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "one\ntwo"),
+      (20L, "one\ntwo") // every paragraph already claimed by doc 10
+    ).toDF("doc_id", "text")
+    val out = TextOps.paragraphDedup(corpus, "doc_id", "text", "\n")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (10L, "one\ntwo", 2L, 0L),
+      (20L, "", 0L, 2L)))
+  }
+
+  test("paragraph dedup: within-document repeats keep only the earliest position") {
+    import spark.implicits._
+    val corpus = Seq((5L, "x\ny\nx\nx\ny")).toDF("doc_id", "text")
+    val r = TextOps.paragraphDedup(corpus, "doc_id", "text", "\n").first()
+    assert(r.getString(1) == "x\ny")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 3)
+  }
 }
