@@ -24,7 +24,10 @@ object Codecs {
   def decodeDelimited(frame: Column, schema: StructType, delimiter: String = ","): Column = {
     // try_cast + empty→null: the reference's converter tolerates short
     // or malformed fields (and ANSI mode would otherwise throw on them)
-    val parts = split(frame, java.util.regex.Pattern.quote(delimiter))
+    // literal byte-scan split (codegen kernel) — same semantics as
+    // split(frame, Pattern.quote(delimiter), -1) without the regex
+    // engine in the per-row hot path
+    val parts = graft.functions.DelimitedKernels.literal_split(frame, delimiter)
     struct(schema.fields.zipWithIndex.map { case (f, i) =>
       nullif(try_element_at(parts, lit(i + 1)), lit(""))
         .try_cast(f.dataType.sql).as(f.name)

@@ -256,4 +256,33 @@ class WireCodecSpec extends SparkSuite {
     assert(gzParts.nonEmpty, "json parts should be gzip-compressed")
     assert(spark.read.json(out).count() == 2)
   }
+
+  test("literal_split kernel agrees with regex split on every edge shape") {
+    import spark.implicits._
+    val cases = Seq(
+      "a|b|c", "|leading", "trailing|", "||", "", "no-delim",
+      "a||b", "|", "multi||byte|é|ü|", "é|華|🎈", "a|b|c|",
+      "x,y|z,w" // delimiter char mixed with other punctuation
+    )
+    for (delim <- Seq("|", "||", ",", "é")) {
+      val df = cases.toDF("s")
+      val diff = df.select(
+          graft.functions.DelimitedKernels.literal_split(col("s"), delim).as("k"),
+          split(col("s"), java.util.regex.Pattern.quote(delim), -1).as("r"))
+        .where(not(col("k") === col("r")))
+        .count()
+      assert(diff == 0, s"kernel diverges from regex split for delimiter '$delim'")
+    }
+  }
+
+  test("literal_split stays inside whole-stage codegen") {
+    // a range source (not a foldable local relation, which would be
+    // constant-folded into a LocalTableScan before codegen runs)
+    val plan = spark.range(10)
+      .select(concat(col("id").cast("string"), lit("|b")).as("s"))
+      .select(graft.functions.DelimitedKernels.literal_split(col("s"), "|"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("codegen id"), s"kernel fell out of codegen:\n$plan")
+  }
 }
