@@ -245,6 +245,50 @@ object TextOps {
     * bounded because the rank sort within one key is a streaming
     * row_number, not a collect.
     */
+  /** Corpus-trained bigram language-model scoring (the CCNet/CC-Clean
+    * perplexity filter, self-trained: score every document by how
+    * typical its word transitions are for THIS corpus — outliers in
+    * either direction are junk candidates). For each document, the
+    * mean negative log add-k-smoothed bigram probability
+    *   cost(w1 w2) = -ln((c(w1,w2) + k) / (c(w1) + k·V))
+    * averaged over the document's bigrams (documents with < 2 tokens
+    * drop out — they have no transitions to score). Lower = more
+    * typical. `exp(logppl)` is the conventional perplexity.
+    *
+    * Scale shape: two count aggregations (unigram, bigram — shuffles
+    * keyed on 8/16-byte terms), then scoring joins the document's
+    * exploded bigrams to the count tables — tiny by construction
+    * relative to the corpus (≤ V + V² rows, and in practice the
+    * minCount cut used at 100 TB bounds the model to a broadcastable
+    * top-vocabulary; bigrams carrying pruned words score through the
+    * smoothing floor) — and one per-doc regroup. No driver state: V
+    * and the counts stay distributed; AQE broadcasts the count sides
+    * when they fit.
+    */
+  def lmPerplexity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val words = toks.select(explode(col("ts")).as("w"))
+    val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = words.agg(countDistinct(col("w")).as("vs"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // one row: the vocabulary size
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(
+        (col("c2") + lit(k)) / (col("c1") + lit(k) * col("vs")))), 4).as("logppl"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def paragraphDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, delimiter: String): org.apache.spark.sql.DataFrame = {
     val paras = docs.select(col(idCol).as("doc_id"),

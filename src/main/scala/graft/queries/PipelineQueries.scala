@@ -191,6 +191,12 @@ object PipelineQueries {
     "q_text_paradedup" -> ((s, d) =>
       TextOps.paragraphDedup(docs(s, d), "doc_id", "text", " table ")),
 
+    // Corpus-self-trained bigram perplexity (CCNet-style LM quality
+    // filter): the full count→score→regroup pipeline replayed by the
+    // DuckDB oracle, including the add-k smoothing math.
+    "q_text_perplexity" -> ((s, d) =>
+      TextOps.lmPerplexity(docs(s, d), "doc_id", "text", k = 0.5)),
+
     // PII redaction: plant emails/IPs/phones into doc_id < 50, then
     // count + redact — one codegen projection over the corpus.
     "q_text_pii" -> ((s, d) => {
@@ -357,6 +363,27 @@ object PipelineQueries {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.3""".stripMargin,
+    "q_text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, arr[i] AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '),
+        |                      x -> len(x) > 0) AS arr
+        |        FROM documents),
+        |       LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+        |),
+        |big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |),
+        |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS vs FROM toks)
+        |SELECT big.doc_id,
+        |  round(avg(-ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * v.vs))), 4) AS logppl,
+        |  count(*) AS n_bigrams
+        |FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY big.doc_id""".stripMargin,
     "q_text_paradedup" ->
       """WITH p AS (
         |  SELECT doc_id, i - 1 AS pos, arr[i] AS para

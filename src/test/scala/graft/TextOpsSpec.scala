@@ -161,6 +161,39 @@ class TextOpsSpec extends SparkSuite {
       (20L, "", 0L, 2L)))
   }
 
+  test("bigram perplexity matches the hand-computed add-k formula") {
+    import spark.implicits._
+    // corpus: d1 = "a b a b", d2 = "a b"
+    //   uni: a=3 b=3, V=2, bi: (a,b)=3 (b,a)=1, k=0.5
+    //   cost(a,b) = -ln(3.5/4) = 0.133531, cost(b,a) = -ln(1.5/4) = 0.980829
+    val corpus = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(corpus, "doc_id", "text", k = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 0.416, 3L)), s"d1: ${out(0)}")
+    assert(out(1) == ((2L, 0.1335, 1L)), s"d2: ${out(1)}")
+  }
+
+  test("perplexity flags out-of-distribution word transitions") {
+    import spark.implicits._
+    val typical = (1L to 50L).map(i => (i, "the cat sat on the mat"))
+    val weird = Seq((99L, "mat the on sat cat the"))
+    val corpus = (typical ++ weird).toDF("doc_id", "text")
+    val scores = TextOps.lmPerplexity(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(99L) > scores(1L) + 0.5,
+      s"reversed doc should be atypical: weird=${scores(99L)} typical=${scores(1L)}")
+  }
+
+  test("single-token and empty documents drop out of perplexity (no transitions)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "hello world"), (2L, "hello"), (3L, "")).toDF("doc_id", "text")
+    val ids = TextOps.lmPerplexity(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
   test("paragraph dedup: within-document repeats keep only the earliest position") {
     import spark.implicits._
     val corpus = Seq((5L, "x\ny\nx\nx\ny")).toDF("doc_id", "text")
