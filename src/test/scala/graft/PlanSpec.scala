@@ -150,4 +150,19 @@ class PlanSpec extends SparkSuite {
       assert(formatted(df).contains("codegen id"), name)
     }
   }
+
+  test("paragraph dedup: exactly the two semantic-essential shuffles, no joins") {
+    val df = SparkEntry.queries("q_text_paradedup")(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 corpus shuffles (rank + regroup), got $shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"paragraph dedup must not join:\n${p.take(2000)}")
+  }
+
+  test("perplexity: count tables join without a cartesian; corpus regroups once") {
+    val df = SparkEntry.queries("q_text_perplexity")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"model join must be keyed:\n${p.take(2000)}")
+  }
 }
