@@ -17,9 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * array. Byte-exact matching is UTF-8-correct for any delimiter: a
   * valid byte sequence can't begin inside a multi-byte code point.
   *
-  * Semantics match `split(str, Pattern.quote(d), -1)`: all fields
-  * kept, including trailing empties; an empty delimiter returns the
-  * whole string as one field; null in → null out.
+  * Semantics match `split(str, Pattern.quote(d), -1)` for any
+  * NON-EMPTY delimiter: all fields kept, including trailing empties;
+  * null in → null out. An empty delimiter returns the whole string as
+  * ONE field — this intentionally diverges from the zero-width-regex
+  * char-split; callers wanting that behavior (Codecs.decodeDelimited
+  * does) must route the empty-delimiter case to `split` themselves.
   */
 object DelimitedKernels {
 

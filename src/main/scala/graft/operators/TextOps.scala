@@ -223,28 +223,6 @@ object TextOps {
           s => s("term"))).as("cleaned"))
   }
 
-  /** Corpus-wide paragraph-level exact dedup (the Dolma/C4 hygiene
-    * step): the corpus is split into paragraphs (`delimiter` — "\n\n"
-    * in production; any span separator works), each distinct paragraph
-    * keeps only its FIRST occurrence corpus-wide (ordered by doc id,
-    * then position), and every document is rebuilt from its surviving
-    * paragraphs in original order. Unlike [[stripBoilerplate]] (which
-    * removes only high-document-frequency spans everywhere), this
-    * removes the second-and-later copies of ANY repeated span while
-    * the first copy survives.
-    *
-    * Returns per doc: the rebuilt text, kept/removed paragraph counts.
-    *
-    * Scale shape: exactly two corpus-sized shuffles, both unavoidable
-    * for these semantics — (1) the keep-first rank partitions by the
-    * paragraph (keyed by its 64-bit xxhash so partitioner compares are
-    * cheap; the paragraph itself stays in the key to keep the rank
-    * exact under hash collisions), (2) the rebuild regroups by doc id.
-    * No driver-side state, no broadcast, no window over an
-    * unpartitioned frame; skew on a mega-duplicated paragraph is
-    * bounded because the rank sort within one key is a streaming
-    * row_number, not a collect.
-    */
   /** Corpus-trained bigram language-model scoring (the CCNet/CC-Clean
     * perplexity filter, self-trained: score every document by how
     * typical its word transitions are for THIS corpus — outliers in
@@ -278,7 +256,10 @@ object TextOps {
     val words = toks.select(explode(col("ts")).as("w"))
     val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val vocab = words.agg(countDistinct(col("w")).as("vs"))
+    // V = |vocabulary| = the unigram table's row count — derived from
+    // the already-aggregated (tiny) table, not a third corpus-wide
+    // distinct over the raw token stream
+    val vocab = uni.agg(count(lit(1)).as("vs"))
     bigrams
       .join(bi, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
@@ -289,6 +270,28 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Corpus-wide paragraph-level exact dedup (the Dolma/C4 hygiene
+    * step): the corpus is split into paragraphs (`delimiter` — "\n\n"
+    * in production; any span separator works), each distinct paragraph
+    * keeps only its FIRST occurrence corpus-wide (ordered by doc id,
+    * then position), and every document is rebuilt from its surviving
+    * paragraphs in original order. Unlike [[stripBoilerplate]] (which
+    * removes only high-document-frequency spans everywhere), this
+    * removes the second-and-later copies of ANY repeated span while
+    * the first copy survives.
+    *
+    * Returns per doc: the rebuilt text, kept/removed paragraph counts.
+    *
+    * Scale shape: exactly two corpus-sized shuffles, both unavoidable
+    * for these semantics — (1) the keep-first rank partitions by the
+    * paragraph (keyed by its 64-bit xxhash so partitioner compares are
+    * cheap; the paragraph itself stays in the key to keep the rank
+    * exact under hash collisions), (2) the rebuild regroups by doc id.
+    * No driver-side state, no broadcast, no window over an
+    * unpartitioned frame; skew on a mega-duplicated paragraph is
+    * bounded because the rank sort within one key is a streaming
+    * row_number, not a collect.
+    */
   def paragraphDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, delimiter: String): org.apache.spark.sql.DataFrame = {
     val paras = docs.select(col(idCol).as("doc_id"),

@@ -79,8 +79,6 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
-    // embedding-cosine near-dup: all (a < b) pairs above threshold in
-    // the probe subset — brute-force exact, DuckDB-oracled.
     // SemDeDup (cluster-then-compare) over embeddings with planted
     // exact clones: two clone generations of vec_id < 20. Identical
     // vectors land in the same k-means cell by construction, and the
@@ -101,6 +99,8 @@ object PipelineQueries {
         .select(col("id"), col("rep_id"), col("cos"))
     }),
 
+    // embedding-cosine near-dup: all (a < b) pairs above threshold in
+    // the probe subset — brute-force exact, DuckDB-oracled.
     "q_dedup_embed" -> ((s, d) => {
       val e = emb(s, d).where(col("vec_id") < 300)
       val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))

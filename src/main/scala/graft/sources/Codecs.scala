@@ -26,8 +26,12 @@ object Codecs {
     // or malformed fields (and ANSI mode would otherwise throw on them)
     // literal byte-scan split (codegen kernel) — same semantics as
     // split(frame, Pattern.quote(delimiter), -1) without the regex
-    // engine in the per-row hot path
-    val parts = graft.functions.DelimitedKernels.literal_split(frame, delimiter)
+    // engine in the per-row hot path. An empty delimiter keeps the
+    // pre-kernel zero-width-regex behavior (split into single chars)
+    // rather than the kernel's whole-string fallback.
+    val parts =
+      if (delimiter.isEmpty) split(frame, "")
+      else graft.functions.DelimitedKernels.literal_split(frame, delimiter)
     struct(schema.fields.zipWithIndex.map { case (f, i) =>
       nullif(try_element_at(parts, lit(i + 1)), lit(""))
         .try_cast(f.dataType.sql).as(f.name)

@@ -153,7 +153,6 @@ class PlanSpec extends SparkSuite {
 
   test("paragraph dedup: exactly the two semantic-essential shuffles, no joins") {
     val df = SparkEntry.queries("q_text_paradedup")(spark, sf)
-    df.write.format("noop").mode("overwrite").save() // finalize AQE
     val p = df.queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 2, s"expected 2 corpus shuffles (rank + regroup), got $shuffles:\n${p.take(2000)}")

@@ -275,6 +275,15 @@ class WireCodecSpec extends SparkSuite {
     }
   }
 
+  test("decodeDelimited with an empty delimiter keeps the char-split behavior") {
+    import spark.implicits._
+    val r = Seq("abc").toDF("frame")
+      .select(graft.sources.Codecs.decodeDelimited(col("frame"),
+        StructType.fromDDL("a STRING, b STRING, c STRING"), "").as("m"))
+      .select(col("m.*")).first()
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("a", "b", "c")))
+  }
+
   test("literal_split stays inside whole-stage codegen") {
     // a range source (not a foldable local relation, which would be
     // constant-folded into a LocalTableScan before codegen runs)
