@@ -236,15 +236,21 @@ object TextOps {
     * Scale shape: two count aggregations (unigram, bigram — shuffles
     * keyed on 8/16-byte terms), then scoring joins the document's
     * exploded bigrams to the count tables — tiny by construction
-    * relative to the corpus (≤ V + V² rows, and in practice the
-    * minCount cut used at 100 TB bounds the model to a broadcastable
-    * top-vocabulary; bigrams carrying pruned words score through the
-    * smoothing floor) — and one per-doc regroup. No driver state: V
-    * and the counts stay distributed; AQE broadcasts the count sides
-    * when they fit.
+    * relative to the corpus (≤ V + V² rows) — and one per-doc
+    * regroup. No driver state: V and the counts stay distributed; AQE
+    * broadcasts the count sides when they fit.
+    *
+    * `minCount` is the 100 TB model-size dial: words seen fewer than
+    * `minCount` times are dropped from the vocabulary (and any bigram
+    * touching them from the model), so the model is bounded to the
+    * top-vocabulary regardless of corpus size; transitions through
+    * pruned words score at the smoothing floor
+    * -ln(k / (k·V)) = ln(V), the standard OOV treatment. V counts the
+    * KEPT vocabulary. The default (1) keeps everything.
     */
   def lmPerplexity(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                   textCol: String, k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+                   textCol: String, k: Double = 0.5,
+                   minCount: Long = 1): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
     val bigrams = toks.select(col("doc_id"),
       explode(when(size(col("ts")) >= 2,
@@ -254,19 +260,28 @@ object TextOps {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val words = toks.select(explode(col("ts")).as("w"))
-    val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    // V = |vocabulary| = the unigram table's row count — derived from
-    // the already-aggregated (tiny) table, not a third corpus-wide
-    // distinct over the raw token stream
+    val uniAll = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val uni = if (minCount <= 1) uniAll else uniAll.where(col("c1") >= minCount)
+    val biAll = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // the model only keeps transitions BETWEEN kept words — a bigram
+    // through a pruned word must fall to the smoothing floor, not
+    // keep its real count against a zeroed unigram (that would let
+    // P > 1)
+    val bi = if (minCount <= 1) biAll else biAll
+      .join(uni.select(col("w1")), Seq("w1"), "left_semi")
+      .join(uni.select(col("w1").as("w2")), Seq("w2"), "left_semi")
+    // V = |kept vocabulary| = the unigram table's row count — derived
+    // from the already-aggregated (tiny) table, not a third
+    // corpus-wide distinct over the raw token stream
     val vocab = uni.agg(count(lit(1)).as("vs"))
     bigrams
-      .join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab)) // one row: the vocabulary size
       .groupBy(col("doc_id"))
       .agg(round(avg(-log(
-        (col("c2") + lit(k)) / (col("c1") + lit(k) * col("vs")))), 4).as("logppl"),
+        (coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("vs")))), 4).as("logppl"),
         count(lit(1)).as("n_bigrams"))
   }
 

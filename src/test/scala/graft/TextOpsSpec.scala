@@ -186,6 +186,23 @@ class TextOpsSpec extends SparkSuite {
       s"reversed doc should be atypical: weird=${scores(99L)} typical=${scores(1L)}")
   }
 
+  test("perplexity minCount prunes rare words to the smoothing floor") {
+    import spark.implicits._
+    // with minCount=2, 'z' (1 occurrence) is pruned: kept vocab {a,b},
+    // V=2, kept bigrams (a,b)=3 (b,a)=1. d3's transitions:
+    //   (a,z): c2=0, c1(a)=4  -> -ln(0.5/5)    = 2.302585
+    //   (z,b): w1 pruned, c1=0 -> -ln(0.5/1)   = 0.693147 = ln(V)
+    // avg = 1.497866 -> 1.4979
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a z b")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(corpus, "doc_id", "text", k = 0.5, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3L) == 1.4979, s"d3: ${out(3L)}")
+    // and the default minCount=1 path is unchanged by the left joins
+    val dflt = TextOps.lmPerplexity(corpus, "doc_id", "text", k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dflt.keySet == Set(1L, 2L, 3L) && dflt.values.forall(!_.isNaN))
+  }
+
   test("single-token and empty documents drop out of perplexity (no transitions)") {
     import spark.implicits._
     val corpus = Seq((1L, "hello world"), (2L, "hello"), (3L, "")).toDF("doc_id", "text")
