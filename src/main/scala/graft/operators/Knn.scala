@@ -221,4 +221,82 @@ object Knn {
       .where(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
+
+  /** Train product-quantization sub-codebooks (Jégou et al. 2011):
+    * per subspace, L2 k-means over the corpus's normalized
+    * sub-vectors. One corpus scan per Lloyd iteration covers ALL m
+    * subspaces (the vector explodes into m (j, sub-vector) rows, the
+    * codegen PqArgminExpr assigns each to its subspace's nearest
+    * entry, means regroup by (j, entry, pos)). Driver state is
+    * m·ksub·(dim/m) = ksub·dim doubles — corpus-size independent,
+    * the identical contract to [[trainIvfCentroids]]. Deterministic:
+    * hash-ordered sample seeds, empty entries keep their seed.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int,
+                       iters: Int = 2): Array[Array[Array[Double]]] = {
+    import graft.functions.PqFunctions
+    val seedRows = corpus
+      .select(PqFunctions.pq_subvectors(col(vecCol), m).as("svs"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(ksub).select(col("svs"))
+      .collect()
+      .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seedRows.map(_(j)))
+
+    for (_ <- 1 to iters) {
+      val subs = corpus.select(
+        posexplode(PqFunctions.pq_subvectors(col(vecCol), m)).as(Seq("j", "sv")))
+      val means = subs
+        .select(col("j"), PqFunctions.pq_argmin(col("j"), col("sv"), cb).as("c"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("c"), col("pos"))
+        .agg(avg(col("x")).as("mean"))
+        .collect() // ≤ m·ksub·(dim/m) rows — the codebook, nothing more
+      val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Array.tabulate(m) { j =>
+        Array.tabulate(cb(j).length) { c =>
+          byCell.get((j, c)) match {
+            case Some(rows) =>
+              val v = new Array[Double](cb(j)(c).length)
+              rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+              v
+            case None => cb(j)(c) // empty entry keeps its seed
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** Product-quantized brute top-k: the corpus is stored as m
+    * one-byte codes per vector (dim=64, m=8: 32× smaller than float32
+    * — the difference between an in-memory scan and a disk-bound one
+    * at 1e9+ vectors), queries stay exact and score against codebook
+    * reconstructions (asymmetric distance). Same plan shape as
+    * [[bruteForceTopK]]: probes broadcast, corpus never shuffled.
+    * Compose with the IVF cell route for probe pruning at scale; the
+    * recall/compression trade vs [[bruteQuantTopK]]'s int8 (4×,
+    * near-exact) is the standard PQ dial, pinned by KnnSpec.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 16, ksub: Int = 64, iters: Int = 2,
+             excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.PqFunctions
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val c = corpus.select(col(idCol).as("n_id"),
+      PqFunctions.pq_encode(col(vecCol), cb).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos",
+        round(PqFunctions.pq_cosine(col("q_vec"), col("codes"), cb), 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
 }

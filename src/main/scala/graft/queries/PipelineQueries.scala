@@ -136,6 +136,14 @@ object PipelineQueries {
       Knn.bruteQuantTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
     }),
 
+    // product-quantized ANN: corpus stored as 16 one-byte codes per
+    // 64-dim vector (16x), asymmetric-distance scoring — golden-pinned
+    // like q_knn_ivf (codebooks come from distributed float averaging)
+    "q_knn_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.pqTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+    }),
+
     // ---- text analysis ----
     "q_text_quality" -> ((s, d) =>
       docs(s, d).select(

@@ -154,6 +154,44 @@ class KnnSpec extends SparkSuite {
     assert(recall >= 0.9, s"int8 recall $recall below floor")
   }
 
+  test("PQ top-k: recall >= 0.5 vs brute force at 16 bytes/vector") {
+    // near-random embeddings are PQ's worst case (no cluster structure
+    // for the codebooks to exploit); the 0.5 floor at 16x compression
+    // mirrors the LSH/IVF floors. Deterministic: hash-ordered seeds.
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val pq = Knn.pqTopK(q, emb, "vec_id", "embedding", k = 10)
+    val perQuery = pq.groupBy("q_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 10))
+    val recall = pq.select("q_id", "n_id").intersect(exact).count().toDouble /
+      exact.count()
+    assert(recall >= 0.5, s"PQ recall $recall below floor")
+  }
+
+  test("PQ codebooks: deterministic, m x ksub x dim/m, codes are m bytes") {
+    val cb1 = Knn.trainPqCodebooks(emb, "vec_id", "embedding", m = 16, ksub = 64)
+    val cb2 = Knn.trainPqCodebooks(emb, "vec_id", "embedding", m = 16, ksub = 64)
+    assert(cb1.length == 16 && cb1.forall(b => b.length == 64 && b.forall(_.length == 4)))
+    assert(cb1.zip(cb2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    import graft.functions.PqFunctions._
+    val bytes = emb.limit(20)
+      .select(octet_length(pq_encode(col("embedding"), cb1)).as("n"))
+      .collect()
+    assert(bytes.forall(_.getInt(0) == 16), "codes must be m bytes") // was 256 B float32
+  }
+
+  test("PQ self-similarity: a vector scored against its own codes stays high") {
+    val cb = Knn.trainPqCodebooks(emb, "vec_id", "embedding", m = 16, ksub = 64)
+    import graft.functions.PqFunctions._
+    val worst = emb.where(col("vec_id") < 50)
+      .select(pq_cosine(col("embedding"),
+        pq_encode(col("embedding"), cb), cb).as("c"))
+      .agg(min(col("c"))).first().getDouble(0)
+    assert(worst >= 0.85, s"reconstruction cosine floor violated: $worst")
+  }
+
   test("int8 quantization: cosine error is small, payload is 1 byte/dim") {
     import graft.functions.VectorFunctions._
     val pairs = emb.where(col("vec_id") < 30).alias("a")
