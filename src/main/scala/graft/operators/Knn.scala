@@ -299,4 +299,37 @@ object Knn {
       .where(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
+
+  /** The full production ANN composition — IVF probe pruning over a
+    * PQ-coded corpus (FAISS's IVFPQ shape): the corpus row is
+    * (cell, m codes) ≈ 20 bytes/vector, a query touches only its
+    * `probes` nearest cells, and scoring is asymmetric-distance
+    * against codebook reconstructions. At scale the corpus is written
+    * bucketed by cell: a probe is a pruned scan of compressed codes —
+    * both index structures' driver state stays corpus-size
+    * independent (cells·dim + ksub·dim doubles).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                cells: Int = 16, probes: Int = 4,
+                m: Int = 16, ksub: Int = 64, iters: Int = 2,
+                excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.PqFunctions
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, cells, iters)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val c = corpus.select(col(idCol).as("n_id"),
+      VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"),
+      PqFunctions.pq_encode(col(vecCol), cb).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(VectorFunctions.ivf_probe_cells(col(vecCol), cents, probes)).as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos",
+        round(PqFunctions.pq_cosine(col("q_vec"), col("codes"), cb), 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
 }

@@ -144,6 +144,14 @@ object PipelineQueries {
       Knn.pqTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
     }),
 
+    // the FAISS-IVFPQ shape: probe-pruned cells over the compressed
+    // corpus — golden-pinned for the same reason
+    "q_knn_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.ivfPqTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, cells = 16, probes = 4)
+    }),
+
     // ---- text analysis ----
     "q_text_quality" -> ((s, d) =>
       docs(s, d).select(

@@ -192,6 +192,24 @@ class KnnSpec extends SparkSuite {
     assert(worst >= 0.85, s"reconstruction cosine floor violated: $worst")
   }
 
+  test("IVFPQ composition: probe-pruned + compressed, recall above the compound floor") {
+    // compound approximation (IVF prunes cells, PQ approximates
+    // scores) — the floor is the product of the component floors, not
+    // either alone
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val res = Knn.ivfPqTopK(q, emb, "vec_id", "embedding", k = 10,
+      cells = 16, probes = 4)
+    val recall = res.select("q_id", "n_id").intersect(exact).count().toDouble /
+      exact.count()
+    assert(recall >= 0.3, s"IVFPQ recall $recall below compound floor")
+    // every query still fills k slots (probing 4/16 cells retains
+    // enough candidates on the fixture corpus)
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 10))
+  }
+
   test("int8 quantization: cosine error is small, payload is 1 byte/dim") {
     import graft.functions.VectorFunctions._
     val pairs = emb.where(col("vec_id") < 30).alias("a")
