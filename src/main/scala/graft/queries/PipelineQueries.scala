@@ -213,6 +213,26 @@ object PipelineQueries {
     "q_text_perplexity" -> ((s, d) =>
       TextOps.lmPerplexity(docs(s, d), "doc_id", "text", k = 0.5)),
 
+    // The composed hygiene pipeline a pre-training corpus actually
+    // runs, end to end in ONE plan: quality gate → PII redaction →
+    // corpus-wide paragraph dedup → exact keep-first — every stage an
+    // already-oracled operator, the composition itself replayed by a
+    // single DuckDB CTE chain (including the rebuilt-text md5).
+    "q_pipeline_e2e" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 50, concat(col("text"),
+          lit(" Contact jane.doe@example.com or 10.1.2.3 call 555-123-4567.")))
+          .otherwise(col("text")).as("text"))
+      val gated = corpus.where(TextOps.tokenCount(col("text")) >= 12)
+      val red = gated.select(col("doc_id"),
+        TextOps.piiRedact(col("text")).as("text"))
+      val para = TextOps.paragraphDedup(red, "doc_id", "text", " table ")
+        .where(col("kept_paras") > 0)
+      Dedup.exactKeepFirst(para, "text_dedup", "doc_id")
+        .select(col("doc_id"), md5(col("text_dedup").cast("binary")).as("text_md5"),
+          col("kept_paras"), col("removed_paras"))
+    }),
+
     // PII redaction: plant emails/IPs/phones into doc_id < 50, then
     // count + redact — one codegen projection over the corpus.
     "q_text_pii" -> ((s, d) => {
@@ -379,6 +399,38 @@ object PipelineQueries {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.3""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 50 THEN text ||
+        |    ' Contact jane.doe@example.com or 10.1.2.3 call 555-123-4567.'
+        |  ELSE text END AS text FROM documents),
+        |gated AS (SELECT doc_id, text FROM corpus
+        |  WHERE len(list_filter(string_split(lower(text), ' '),
+        |        x -> len(x) > 0)) >= 12),
+        |red AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS text FROM gated),
+        |p AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' table ') AS arr
+        |        FROM red),
+        |       LATERAL unnest(generate_series(1, len(arr))) AS t(i)),
+        |r AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |      FROM p),
+        |reb AS (SELECT doc_id,
+        |  coalesce(string_agg(para, ' table ' ORDER BY pos)
+        |    FILTER (WHERE rn = 1), '') AS text_dedup,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_paras,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS removed_paras
+        |  FROM r GROUP BY doc_id),
+        |keep AS (SELECT *, row_number() OVER
+        |    (PARTITION BY text_dedup ORDER BY doc_id) AS krn
+        |  FROM reb WHERE kept_paras > 0)
+        |SELECT doc_id, md5(text_dedup) AS text_md5, kept_paras, removed_paras
+        |FROM keep WHERE krn = 1""".stripMargin,
     "q_text_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, i - 1 AS pos, arr[i] AS w
