@@ -285,6 +285,45 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Streaming twin of the paragraph hygiene pass: every arriving
+    * document is stripped of the spans an already-ingested STATIC
+    * corpus contains, and rebuilt in original order. The same
+    * stream-vs-static contract as `Dedup.bloomNewDocsStream` — the
+    * cross-batch state is the corpus, so within-stream repeats pass
+    * (consistent with its documented semantics); run [[paragraphDedup]]
+    * over the accumulated corpus for the batch keep-first pass.
+    * Documents whose every span is corpus-seen disappear from the
+    * output (nothing survives to regroup).
+    *
+    * Works identically on a batch DataFrame. Streaming shape: the
+    * corpus span-hash set is the static side of a stream-static
+    * left-anti join (state-free on the stream side), then one per-doc
+    * regroup (update-mode aggregation keyed by doc id — each doc
+    * arrives whole in one row, so every key finalizes in its own
+    * micro-batch).
+    */
+  def stripSeenParagraphsStream(corpus: org.apache.spark.sql.DataFrame,
+                                stream: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String,
+                                delimiter: String): org.apache.spark.sql.DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    val seen = corpus
+      .select(explode(split(coalesce(col(textCol), lit("")), quoted)).as("para"))
+      .select(xxhash64(col("para")).as("__h")).distinct()
+    stream
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), quoted))
+          .as(Seq("pos", "para")))
+      .withColumn("__h", xxhash64(col("para")))
+      .join(seen, Seq("__h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(delimiter, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s("para"))).as("text_dedup"),
+        count(lit(1)).as("kept_paras"))
+  }
+
   /** Corpus-wide paragraph-level exact dedup (the Dolma/C4 hygiene
     * step): the corpus is split into paragraphs (`delimiter` — "\n\n"
     * in production; any span separator works), each distinct paragraph

@@ -81,6 +81,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming paragraph strip == batch op across micro-batches; saturated docs vanish") {
+    import graft.operators.TextOps
+    val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    // stream: held-out docs + full clones of corpus docs (every span
+    // seen -> the clone must vanish from the output)
+    val streamDf = all.where(col("doc_id") % 10 === 0)
+      .unionByName(corpus.where(col("doc_id") < 30)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val rows = streamDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val out = TextOps.stripSeenParagraphsStream(corpus,
+      ms.toDS().toDF("doc_id", "text"), "doc_id", "text", " table ")
+    val q = out.writeStream.format("memory").queryName("para_strip_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("para_strip_out")
+        .select("doc_id", "text_dedup", "kept_paras")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val want = TextOps.stripSeenParagraphsStream(corpus, streamDf,
+          "doc_id", "text", " table ")
+        .select("doc_id", "text_dedup", "kept_paras")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(got.sameElements(want), s"streaming ${got.length} != batch ${want.length}")
+      assert(!got.exists(_._1 >= 300000), "wholly corpus-seen clones must vanish")
+      assert(got.nonEmpty && got.forall(_._3 > 0))
+    } finally q.stop()
+  }
+
   test("condition window: batch operator matches hand-computed windows") {
     val df = evts.toDF()
       .select(col("key").as("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
