@@ -284,6 +284,28 @@ class WireCodecSpec extends SparkSuite {
     assert((r.getString(0), r.getString(1), r.getString(2)) == (("a", "b", "c")))
   }
 
+  test("literal_split: property equivalence with regex split on random inputs") {
+    // driver-side property check against the JVM kernel directly
+    // (the codegen path calls the same static method; the column-level
+    // equivalence cases above pin the plumbing)
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import org.apache.spark.unsafe.types.UTF8String
+    val delims = Gen.oneOf("|", ",", "||", "é", "ab")
+    val text = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("|"),
+      Gen.const(","), Gen.const("é"), Gen.const("ab"))).map(_.mkString)
+    val prop = Prop.forAll(text, delims) { (s: String, d: String) =>
+      val kernel = graft.functions.DelimitedKernels
+        .splitLiteral(UTF8String.fromString(s),
+          d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(_.toString).toSeq
+      val regex = s.split(java.util.regex.Pattern.quote(d), -1).toSeq
+      kernel == regex
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("literal_split stays inside whole-stage codegen") {
     // a range source (not a foldable local relation, which would be
     // constant-folded into a LocalTableScan before codegen runs)
