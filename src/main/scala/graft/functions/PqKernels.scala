@@ -64,12 +64,16 @@ object PqKernels {
   }
 
   /** Encode: normalize, then per subspace the nearest codebook index.
-    * Returns m bytes (ksub ≤ 256 by construction).
+    * Returns m bytes (ksub ≤ 256, enforced at training time).
     */
   def pqEncode(vec: ArrayData, elem: Int,
                codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
     val v = normalize(vec, elem)
     val m = codebooks.length
+    if (v.length % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${v.length} is not divisible by m=$m " +
+          "(tail dimensions would be silently dropped)")
     val sub = v.length / m
     val out = new Array[Byte](m)
     var j = 0
@@ -113,6 +117,58 @@ object PqKernels {
         rn += e(i) * e(i)
         i += 1
       }
+      j += 1
+    }
+    if (rn == 0) 0.0 else dot / math.sqrt(rn)
+  }
+
+  /** Per-query ADC lookup table (Jégou's asymmetric-distance trick):
+    * LUT[j·ksub + c] = q̂_j · cb[j][c], computed ONCE per query row —
+    * m·ksub doubles (16×64 = 8 KB). Scoring a corpus row then costs
+    * O(m) table lookups instead of O(dim) multiplies.
+    */
+  def pqLut(q: ArrayData, qElem: Int,
+            codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val qv = normalize(q, qElem)
+    val m = codebooks.length
+    val sub = qv.length / m
+    val ksub = codebooks(0).length
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val e = codebooks(j)(c)
+        var dot = 0.0; var i = 0
+        while (i < sub && i < e.length) { dot += qv(j * sub + i) * e(i); i += 1 }
+        lut(j * ksub + c) = dot
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** Precomputed per-entry squared norms for the LUT score's
+    * denominator — derived from the codebooks on the driver, m·ksub
+    * doubles.
+    */
+  def norm2Table(codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    codebooks.map(_.map(e => e.map(x => x * x).sum))
+
+  /** O(m) ADC score: Σ_j LUT[j·ksub + code_j] / ‖reconstruction‖. */
+  def pqLutScore(lut: ArrayData, codes: Array[Byte],
+                 norm2: Array[Array[Double]]): Double = {
+    val m = codes.length
+    val ksub = norm2(0).length
+    val l = lut.toDoubleArray()
+    var dot = 0.0
+    var rn = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes(j) & 0xFF
+      dot += l(j * ksub + c)
+      rn += norm2(j)(c)
       j += 1
     }
     if (rn == 0) 0.0 else dot / math.sqrt(rn)
@@ -190,6 +246,40 @@ case class PqCosineExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.pqLut(input.asInstanceOf[ArrayData],
+      VectorElem.code(child, prettyName), codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernels.pqLut($c, ${VectorElem.code(child, prettyName)}, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+case class PqLutScoreExpr(left: Expression, right: Expression,
+                          norm2: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_lut_score"
+  override protected def nullSafeEval(lut: Any, codes: Any): Any =
+    PqKernels.pqLutScore(lut.asInstanceOf[ArrayData],
+      codes.asInstanceOf[Array[Byte]], norm2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqNorm2", norm2, "double[][]")
+    defineCodeGen(ctx, ev, (l, c) =>
+      s"graft.functions.PqKernels.pqLutScore($l, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqLutScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
   def pq_subvectors(vec: Column, m: Int): Column =
     ColumnBridge.column(PqSubVectorsExpr(ColumnBridge.expression(vec), m))
@@ -201,4 +291,9 @@ object PqFunctions {
   def pq_cosine(q: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqCosineExpr(ColumnBridge.expression(q),
       ColumnBridge.expression(codes), codebooks))
+  def pq_lut(q: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(q), codebooks))
+  def pq_lut_score(lut: Column, codes: Column, norm2: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqLutScoreExpr(ColumnBridge.expression(lut),
+      ColumnBridge.expression(codes), norm2))
 }

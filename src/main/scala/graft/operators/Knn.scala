@@ -27,6 +27,22 @@ object Knn {
     */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine_sim(a, b)
 
+  /** The shared top-k epilogue: rank the ROUNDED similarity (ties
+    * broken by neighbor id) so the ordering is reproducible across
+    * engines and ulp noise, keep k per query. Every *TopK variant
+    * funnels through here — one place owns the tie-break/rounding
+    * convention.
+    */
+  private def rankTopK(joined: DataFrame, score: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    joined
+      .withColumn("cos", round(score, 5))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** Exact-shape top-k over int8-QUANTIZED vectors: both sides are
     * symmetric-quantized to one byte per element (cosine is invariant
     * under the per-vector scale, so no dequantization) and scored with
@@ -42,15 +58,9 @@ object Knn {
     val quant = VectorFunctions.quantize_int8 _
     val q = queries.select(col(idCol).as("q_id"), quant(col(vecCol)).as("q_q"))
     val c = corpus.select(col(idCol).as("n_id"), quant(col(vecCol)).as("n_q"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q),
-        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .withColumn("cos",
-        round(VectorFunctions.int8_cosine(col("q_q"), col("n_q")), 5))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
+      VectorFunctions.int8_cosine(col("q_q"), col("n_q")), k)
   }
 
   /** Exact top-k by cosine for every query row. `queries` must be small
@@ -62,17 +72,9 @@ object Knn {
                      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val joined = c.join(broadcast(q),
-      if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    joined
-      // rank on the ROUNDED similarity (ties broken by id) so the
-      // ordering is reproducible across engines and ulp noise
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
+      cosine(col("q_vec"), col("n_vec")), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
@@ -154,14 +156,9 @@ object Knn {
       VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         explode(VectorFunctions.ivf_probe_cells(col(vecCol), cents, probes)).as("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q), Seq("cell"))
-      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(c.join(broadcast(q), Seq("cell"))
+        .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
+      cosine(col("q_vec"), col("n_vec")), k)
   }
 
   /** Multi-table bucketed ANN: `tables` independent sign-bit LSH
@@ -210,16 +207,11 @@ object Knn {
             i => col("tb.bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))),
             1, math.max(probes, 0))))).as("bucket"))
 
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q), Seq("tbl", "bucket"))
-      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-      .dropDuplicates("q_id", "n_id")
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(c.join(broadcast(q), Seq("tbl", "bucket"))
+        .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+        .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+        .dropDuplicates("q_id", "n_id"),
+      cosine(col("q_vec"), col("n_vec")), k)
   }
 
   /** Train product-quantization sub-codebooks (Jégou et al. 2011):
@@ -236,12 +228,19 @@ object Knn {
                        m: Int, ksub: Int,
                        iters: Int = 2): Array[Array[Array[Double]]] = {
     import graft.functions.PqFunctions
+    require(ksub >= 2 && ksub <= 256,
+      s"ksub must be in [2, 256] (codes are one byte), got $ksub")
     val seedRows = corpus
       .select(PqFunctions.pq_subvectors(col(vecCol), m).as("svs"),
         xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(ksub).select(col("svs"))
       .collect()
       .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
+    seedRows.headOption.foreach { svs =>
+      val dim = svs.map(_.length).sum
+      require(dim % m == 0,
+        s"embedding dim $dim is not divisible by m=$m — tail dimensions would be dropped")
+    }
     var cb: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seedRows.map(_(j)))
 
@@ -286,18 +285,17 @@ object Knn {
              excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.PqFunctions
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val n2 = graft.functions.PqKernels.norm2Table(cb)
     val c = corpus.select(col(idCol).as("n_id"),
       PqFunctions.pq_encode(col(vecCol), cb).as("codes"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q),
-        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .withColumn("cos",
-        round(PqFunctions.pq_cosine(col("q_vec"), col("codes"), cb), 5))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    // ADC: the per-query dot table is computed ONCE on the (broadcast)
+    // probe side — scoring a corpus row is then O(m) lookups, not
+    // O(dim) multiplies
+    val q = queries.select(col(idCol).as("q_id"),
+      PqFunctions.pq_lut(col(vecCol), cb).as("q_lut"))
+    rankTopK(c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
+      PqFunctions.pq_lut_score(col("q_lut"), col("codes"), n2), k)
   }
 
   /** The full production ANN composition — IVF probe pruning over a
@@ -317,19 +315,15 @@ object Knn {
     import graft.functions.PqFunctions
     val cents = trainIvfCentroids(corpus, idCol, vecCol, cells, iters)
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val n2 = graft.functions.PqKernels.norm2Table(cb)
     val c = corpus.select(col(idCol).as("n_id"),
       VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"),
       PqFunctions.pq_encode(col(vecCol), cb).as("codes"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    val q = queries.select(col(idCol).as("q_id"),
+      PqFunctions.pq_lut(col(vecCol), cb).as("q_lut"),
       explode(VectorFunctions.ivf_probe_cells(col(vecCol), cents, probes)).as("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q), Seq("cell"))
-      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .withColumn("cos",
-        round(PqFunctions.pq_cosine(col("q_vec"), col("codes"), cb), 5))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(c.join(broadcast(q), Seq("cell"))
+        .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
+      PqFunctions.pq_lut_score(col("q_lut"), col("codes"), n2), k)
   }
 }

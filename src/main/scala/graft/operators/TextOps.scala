@@ -243,10 +243,15 @@ object TextOps {
     * `minCount` is the 100 TB model-size dial: words seen fewer than
     * `minCount` times are dropped from the vocabulary (and any bigram
     * touching them from the model), so the model is bounded to the
-    * top-vocabulary regardless of corpus size; transitions through
-    * pruned words score at the smoothing floor
-    * -ln(k / (k·V)) = ln(V), the standard OOV treatment. V counts the
-    * KEPT vocabulary. The default (1) keeps everything.
+    * top-vocabulary regardless of corpus size. A transition FROM a
+    * pruned word scores at the smoothing floor -ln(k/(k·V)) = ln(V)
+    * (its unigram count zeroes out); a transition TO a pruned word
+    * from a kept one scores -ln(k/(c1 + k·V)) — above the floor,
+    * since the kept word's count stays in the denominator. V counts
+    * the KEPT vocabulary; a minCount high enough to empty it yields
+    * null scores (division by zero in non-ANSI mode), not an error —
+    * callers picking aggressive cuts should sanity-check V first.
+    * The default (1) keeps everything.
     */
   def lmPerplexity(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, k: Double = 0.5,
@@ -296,11 +301,21 @@ object TextOps {
     * output (nothing survives to regroup).
     *
     * Works identically on a batch DataFrame. Streaming shape: the
-    * corpus span-hash set is the static side of a stream-static
-    * left-anti join (state-free on the stream side), then one per-doc
-    * regroup (update-mode aggregation keyed by doc id — each doc
+    * corpus span set is the static side of a stream-static left-anti
+    * join — keyed on (xxhash64(span), span), the 8-byte prefix for
+    * cheap compares and the span itself for exactness under hash
+    * collisions, same guard as [[paragraphDedup]] — then one per-doc
+    * regroup (update-mode aggregation keyed by doc id; each doc
     * arrives whole in one row, so every key finalizes in its own
     * micro-batch).
+    *
+    * State caveat: the per-doc aggregation has no watermark, so the
+    * state store retains one entry per distinct doc id for the life
+    * of the query, and a doc id RECURRING in a later micro-batch
+    * merges into (not replaces) its earlier aggregate. For unbounded
+    * streams, feed unique doc ids and bound retention with an
+    * event-time watermark on the input before the call, or run the
+    * batch [[paragraphDedup]] over the accumulated corpus instead.
     */
   def stripSeenParagraphsStream(corpus: org.apache.spark.sql.DataFrame,
                                 stream: org.apache.spark.sql.DataFrame,
@@ -309,13 +324,13 @@ object TextOps {
     val quoted = java.util.regex.Pattern.quote(delimiter)
     val seen = corpus
       .select(explode(split(coalesce(col(textCol), lit("")), quoted)).as("para"))
-      .select(xxhash64(col("para")).as("__h")).distinct()
+      .select(xxhash64(col("para")).as("__h"), col("para")).distinct()
     stream
       .select(col(idCol).as("doc_id"),
         posexplode(split(coalesce(col(textCol), lit("")), quoted))
           .as(Seq("pos", "para")))
       .withColumn("__h", xxhash64(col("para")))
-      .join(seen, Seq("__h"), "left_anti")
+      .join(seen, Seq("__h", "para"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         concat_ws(delimiter, transform(

@@ -405,7 +405,7 @@ object PipelineQueries {
         |    ' Contact jane.doe@example.com or 10.1.2.3 call 555-123-4567.'
         |  ELSE text END AS text FROM documents),
         |gated AS (SELECT doc_id, text FROM corpus
-        |  WHERE len(list_filter(string_split(lower(text), ' '),
+        |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
         |        x -> len(x) > 0)) >= 12),
         |red AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,
