@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring for training-data pipelines: TF-IDF
+  * weights and Okapi BM25 ranking (Robertson & Zaragoza 2009, the
+  * Lucene-default variant). Used for quality-driven selection ("keep
+  * documents that look like the target domain"), decontamination
+  * triage, and corpus search.
+  *
+  * Scale shape (both ops): the corpus explodes to (doc, term) postings
+  * ONCE; document length is computed map-side before the explode; the
+  * corpus-level statistics (N, avgdl, per-term document frequency) are
+  * tiny by construction — N/avgdl is a single row and the df table has
+  * one row per scored term — so they ride broadcast joins and the only
+  * corpus-sized shuffle is the per-doc score regroup. With a query
+  * term set, postings are filtered to matching terms BEFORE the
+  * shuffle (a broadcast hash semi-join), so the regroup moves only the
+  * matching postings, not the corpus.
+  */
+object Search {
+
+  private def toks(textCol: Column): Column = TextOps.tokens(textCol)
+
+  /** Per-(doc, term) TF-IDF over the whole corpus:
+    * tf = raw term count in the doc, df = number of docs containing
+    * the term, tfidf = tf · ln(N / df). One postings explode, one
+    * (term)-keyed df aggregation (its output is vocabulary-sized, tiny
+    * relative to the corpus), one per-(doc,term) regroup.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val postings = docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+    val tf = postings.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n)) // one row: the corpus size
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+  }
+
+  /** Okapi BM25 score of every document that matches ≥1 query term:
+    *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * Query terms broadcast as a literal; postings not matching a query
+    * term are dropped at the scan side, so the per-doc regroup moves
+    * O(matches), not O(corpus). dl (doc length in tokens) is computed
+    * before the explode and carried on the posting rows — no second
+    * corpus pass.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qset = typedlit(terms.map(_.toLowerCase))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(toks(col(textCol))).cast("double")).as("avgdl"))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+      .where(array_contains(qset, col("term")))
+    val df = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val tf = postings.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      ), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+}

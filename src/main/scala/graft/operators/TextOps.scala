@@ -339,6 +339,118 @@ object TextOps {
         count(lit(1)).as("kept_paras"))
   }
 
+  // ---- Gopher rule pack (Rae et al. 2021, appendix A1.1) ----
+  // The full repetition-independent rule set as map-only codegen
+  // Columns; dupLineFrac/bigramDupFrac above cover the repetition
+  // family. Every rule is also expressible in ANSI SQL, so the pack
+  // carries a full DuckDB oracle (q_text_gopher).
+
+  /** Symbol-to-word ratio: '#' and '...' occurrences per token. */
+  def symbolWordRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") /
+      greatest(tokenCount(text), lit(1L)).cast("double")
+
+  /** Fraction of lines starting with a bullet ('-', '*', '•'). */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines ending with an ellipsis ("..." or '…'). */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens containing ≥1 alphabetic character. */
+  def alphaWordFrac(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") /
+        size(ts).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Number of DISTINCT stopwords of the language present. Gopher's
+    * "contains at least 2 of a small function-word list" rule.
+    */
+  def stopwordHits(text: Column, lang: String = "en"): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      typedlit(stopwords(lang)))).cast("long")
+
+  /** The Gopher keep/drop verdict with that paper's published bounds:
+    * 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, symbol ratio
+    * ≤ 0.1, bullet lines ≤ 90 %, ellipsis lines ≤ 30 %, ≥80 % of
+    * words alphabetic, ≥2 stopwords. One codegen projection — the
+    * whole pack is shuffle-free and composes with the repetition
+    * metrics for the complete filter.
+    */
+  def gopherKeep(text: Column): Column =
+    tokenCount(text).between(50L, 100000L) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      (symbolWordRatio(text) <= 0.1) &&
+      (bulletLineFrac(text) <= 0.9) &&
+      (ellipsisLineFrac(text) <= 0.3) &&
+      (alphaWordFrac(text) >= 0.8) &&
+      (stopwordHits(text) >= 2L)
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram distribution is —
+    * the mean over its tokens of the smoothed log-likelihood ratio
+    *   ln( p_target(bucket(w)) / p_raw(bucket(w)) )
+    * with add-α smoothing over `buckets` hashed feature buckets.
+    * High scores = looks like the target domain; resample the corpus
+    * proportionally (or gate on a threshold) to shift its mixture.
+    * The bucket hash is the md5-prefix integer (engine-portable, same
+    * construction as [[samplingBucket]]), so the DuckDB oracle replays
+    * the exact pipeline.
+    *
+    * Scale shape: the two bucket-count aggregations shuffle (term-
+    * hashed keys) but OUTPUT ≤ `buckets` rows each; the weight table
+    * (≤ `buckets` rows, bounded by the caller's constant — default
+    * 256) is collected and re-broadcast as a map literal, so scoring
+    * is a single map-only codegen projection over the corpus: no
+    * posting explode, no per-doc regroup, zero corpus-sized shuffles.
+    * The collect is the same documented intentional pattern as the
+    * IVF centroid pull — driver traffic is O(buckets), independent of
+    * corpus size.
+    */
+  def dsirScores(raw: org.apache.spark.sql.DataFrame,
+                 target: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String,
+                 buckets: Int = 256, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    def bucket(term: Column): Column =
+      pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    def bucketCounts(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(bucket(col("w")).as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tTot = tc.values.sum.toDouble
+    val rTot = rc.values.sum.toDouble
+    val weights: Map[Long, Double] = (0L until buckets.toLong).map { b =>
+      val pt = (tc.getOrElse(b, 0L) + alpha) / (tTot + alpha * buckets)
+      val pr = (rc.getOrElse(b, 0L) + alpha) / (rTot + alpha * buckets)
+      b -> math.log(pt / pr)
+    }.toMap
+    val wmap = typedlit(weights)
+    val ts = tokens(col(textCol))
+    raw.select(col(idCol).as("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      round(when(size(ts) > 0,
+        aggregate(transform(ts, t => element_at(wmap, bucket(t))),
+          lit(0.0), (acc, x) => acc + x) / size(ts).cast("double"))
+        .otherwise(lit(0.0)), 4).as("dsir_logratio"))
+  }
+
   /** Corpus-wide paragraph-level exact dedup (the Dolma/C4 hygiene
     * step): the corpus is split into paragraphs (`delimiter` — "\n\n"
     * in production; any span separator works), each distinct paragraph

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Knn, Multimodal, TextOps}
+import graft.operators.{Dedup, Knn, Multimodal, Search, TextOps}
 
 /** SURVEY §2.9 — LLM-scale data-pipeline operators over the
   * documents/embeddings tables: dedup (exact, minhash LSH, simhash,
@@ -296,6 +296,48 @@ object PipelineQueries {
         .where(col("bucket") < col("rate"))
     }),
 
+    // Gopher rule pack (Rae et al. 2021 A1.1): the published bounds as
+    // one map-only projection. Planted rows exercise every rule: docs
+    // <10 gain bullet lines, 10–19 ellipsis lines, 20–29 symbol runs.
+    "q_text_gopher" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 10,
+          concat(col("text"), lit("\n- bullet one\n- bullet two\n- bullet three")))
+          .when(col("doc_id") < 20,
+            concat(col("text"), lit("\nto be continued...\nmore soon...")))
+          .when(col("doc_id") < 30, concat(col("text"), lit(" ### ## #")))
+          .otherwise(col("text")).as("text"))
+      corpus.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_words"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
+        round(TextOps.symbolWordRatio(col("text")), 6).as("symbol_ratio"),
+        round(TextOps.bulletLineFrac(col("text")), 6).as("bullet_frac"),
+        round(TextOps.ellipsisLineFrac(col("text")), 6).as("ellipsis_frac"),
+        round(TextOps.alphaWordFrac(col("text")), 6).as("alpha_word_frac"),
+        TextOps.stopwordHits(col("text")).as("stopword_hits"),
+        TextOps.gopherKeep(col("text")).as("keep"))
+    }),
+
+    // Corpus-wide TF-IDF: the full (doc, term) weight table — one
+    // postings explode, vocabulary-sized df aggregation, broadcast N.
+    "q_text_tfidf" -> ((s, d) =>
+      Search.tfidf(docs(s, d), "doc_id", "text")),
+
+    // Okapi BM25 ranking for a 3-term query — postings pruned to the
+    // broadcast query set before any shuffle.
+    "q_search_bm25" -> ((s, d) =>
+      Search.bm25(docs(s, d), "doc_id", "text",
+        Seq("join", "window", "hash"))),
+
+    // DSIR importance scoring (Xie et al. 2023): target = the English
+    // slice, raw = everything; hashed-unigram log-likelihood ratio per
+    // doc. Bucket weights are a 256-entry broadcast map literal, so
+    // scoring is map-only — the md5-bucket construction lets DuckDB
+    // replay the exact pipeline.
+    "q_sample_dsir" -> ((s, d) =>
+      TextOps.dsirScores(docs(s, d), docs(s, d).where(col("lang") === "en"),
+        "doc_id", "text")),
+
     // Sequence packing: shard the corpus, then greedily pack documents
     // into 2048-token bins by running token count — the batch-shaping
     // step before tokenizer/trainer handoff. Window is PER SHARD, so
@@ -559,6 +601,93 @@ object PipelineQueries {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT) AS bin
         |FROM t""".stripMargin,
+    "q_text_gopher" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 10 THEN text || chr(10) || '- bullet one'
+        |         || chr(10) || '- bullet two' || chr(10) || '- bullet three'
+        |       WHEN doc_id < 20 THEN text || chr(10) || 'to be continued...'
+        |         || chr(10) || 'more soon...'
+        |       WHEN doc_id < 30 THEN text || ' ### ## #'
+        |       ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+        |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls
+        |  FROM corpus),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> len(x)))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mwl,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) / greatest(len(toks), 1) AS sym,
+        |  CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+        |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+        |    / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bul,
+        |  CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+        |      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+        |    / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ell,
+        |  CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
+        |      x -> regexp_matches(x, '[a-z]')))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS awf,
+        |  CAST(len(list_filter(list_distinct(toks), x -> list_contains(
+        |    ['the','a','of','and','to','in','is','it','that','for'], x))) AS BIGINT)
+        |    AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(bul, 6) AS bullet_frac,
+        |  round(ell, 6) AS ellipsis_frac,
+        |  round(awf, 6) AS alpha_word_frac,
+        |  stop_hits AS stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND awf >= 0.8
+        |    AND stop_hits >= 2 AS keep
+        |FROM m""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin,
+    "q_search_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS ts FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM toks),
+        |m AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, unnest(ts) AS term
+        |  FROM toks),
+        |mq AS (SELECT * FROM m WHERE term IN ('join', 'window', 'hash')),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM mq GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |  FROM mq GROUP BY 1, 2)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |    * (tf.tf * 2.2)
+        |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN df USING (term) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin,
+    "q_sample_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bk FROM tok),
+        |tcnt AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+        |rcnt AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM tcnt) AS tt,
+        |        (SELECT sum(c) FROM rcnt) AS rt),
+        |w AS (SELECT r.bk,
+        |  ln(((coalesce(t.c, 0) + 0.5) / (tot.tt + 0.5 * 256))
+        |   / ((r.c + 0.5) / (tot.rt + 0.5 * 256))) AS wt
+        |  FROM rcnt r LEFT JOIN tcnt t USING (bk) CROSS JOIN tot)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(w.wt), 4) AS dsir_logratio
+        |FROM b JOIN w USING (bk) GROUP BY b.doc_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (

@@ -211,6 +211,71 @@ class TextOpsSpec extends SparkSuite {
     assert(ids == Set(1L))
   }
 
+  test("gopher rules: each rule trips on its designed pathology") {
+    import spark.implicits._
+    // 12 words / 47 chars per repeat -> 60 words, mean word len 3.92
+    val clean = ("the quick brown fox jumps over the lazy dog while it waits " * 5).trim
+    val df = Seq(
+      ("clean", clean),
+      ("bullets", clean + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"),
+      ("symbols", clean + " " + ("### " * 20).trim),
+      ("short", "too short"),
+      ("numeric", (1 to 60).map(_.toString).mkString(" "))
+    ).toDF("kind", "text")
+    val r = df.select(col("kind"),
+      TextOps.gopherKeep(col("text")).as("keep"),
+      TextOps.bulletLineFrac(col("text")).as("bf"),
+      TextOps.symbolWordRatio(col("text")).as("sr"),
+      TextOps.alphaWordFrac(col("text")).as("af"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(r("clean"), "clean 55-word text passes every rule")
+    assert(!r("bullets"), "11 of 12 lines bulleted -> bullet_frac > 0.9")
+    assert(!r("symbols"), "20 hashes on 75 words -> symbol ratio > 0.1")
+    assert(!r("short"), "word count below 50")
+    assert(!r("numeric"), "no alphabetic words, no stopwords")
+  }
+
+  test("gopher ellipsis rule counts terminal ... and … lines") {
+    import spark.implicits._
+    val df = Seq(("x", "read on...\nnormal line\nwait…\nplain")).toDF("k", "text")
+    val v = df.select(TextOps.ellipsisLineFrac(col("text"))).first().getDouble(0)
+    assert(math.abs(v - 0.5) < 1e-9, s"2 of 4 lines end in ellipsis: $v")
+  }
+
+  test("dsir scores target-like documents above off-target ones") {
+    import spark.implicits._
+    val target = (1L to 40L).map(i => (i, "the cat sat on the mat quietly"))
+      .toDF("doc_id", "text")
+    val raw = ((101L to 110L).map(i => (i, "the cat sat on the mat quietly")) ++
+      (201L to 210L).map(i => (i, "der hund lief schnell durch den wald")))
+      .toDF("doc_id", "text")
+    val s = TextOps.dsirScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(101L) > s(201L) + 0.5,
+      s"target-like should score higher: like=${s(101L)} unlike=${s(201L)}")
+    // deterministic: a second run reproduces the exact scores
+    val s2 = TextOps.dsirScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s == s2)
+  }
+
+  test("dsir: empty documents score 0 with n_tokens 0") {
+    import spark.implicits._
+    val raw = Seq((1L, ""), (2L, "hello world")).toDF("doc_id", "text")
+    val target = Seq((9L, "hello world")).toDF("doc_id", "text")
+    val r = TextOps.dsirScores(raw, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 0L && r(0).getDouble(2) == 0.0)
+  }
+
+  test("dsir scoring is map-only: no shuffle after the weight map is built") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = TextOps.dsirScores(docs, docs.where(col("lang") === "en"),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scoring pass must be shuffle-free (weights are a map literal):\n$plan")
+  }
+
   test("paragraph dedup: within-document repeats keep only the earliest position") {
     import spark.implicits._
     val corpus = Seq((5L, "x\ny\nx\nx\ny")).toDF("doc_id", "text")
