@@ -37,6 +37,7 @@ object Goldens {
     "q_knn_pq" -> (Set("n_id"), 2),
     "q_knn_quant" -> (Set.empty[String], 6),
     "q_multimodal" -> (Set.empty[String], 6),
+    "q_text_bpe" -> (Set.empty[String], 6),
     "q_text_fingerprint" -> (Set.empty[String], 6),
     "q_text_langid" -> (Set.empty[String], 6))
 
@@ -55,6 +56,7 @@ object Goldens {
       "q_knn_pq" -> "59cc477111c21f80e66f255af50c42b218ef8b0088ea87da30da9375d382efcd",
       "q_knn_quant" -> "a24ad23ab36c619a4cfdea6f512bac32251a2dbfcf60ca339e833279007a9b6f",
       "q_multimodal" -> "63332ab8c9e9724222ed5513067985ccde77c89dec3fde9ea84bb9a94e2d14b4",
+      "q_text_bpe" -> "1fcc44b4a00e32e91010aeb6f5a97d5ed42b5124887b45d37b68a42f7d8bcf21",
       "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
       "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
     "sf0.01" -> Map(
@@ -70,6 +72,7 @@ object Goldens {
       "q_knn_pq" -> "e7956c578083a7844e253a56c85c355c44d3caae64afe938b279c0d070e802b0",
       "q_knn_quant" -> "10a065f42868de4b12f65e66a0517fbab6eeadb9b3d4f01a6a2bbe08890c1177",
       "q_multimodal" -> "7873c4c8bb430d5847a03ee36c78c9a5299cee2649cf36525a1fd93c30bddb3d",
+      "q_text_bpe" -> "0e73b4f61f1398eabee81cb7cf7c55a9784de1c7190a02533fdec0f7b931ae78",
       "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371",
       "q_text_langid" -> "c065812a8a5c81b67285f9fe1bf5d146110d566fc2f7470c5670e386ec8a3cb9"))
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Knn, Multimodal, Search, TextOps}
+import graft.operators.{Bpe, Dedup, Knn, Multimodal, Search, TextOps}
 
 /** SURVEY §2.9 — LLM-scale data-pipeline operators over the
   * documents/embeddings tables: dedup (exact, minhash LSH, simhash,
@@ -338,6 +338,25 @@ object PipelineQueries {
       TextOps.dsirScores(docs(s, d), docs(s, d).where(col("lang") === "en"),
         "doc_id", "text")),
 
+    // BPE vocabulary training (Sennrich 2016): one corpus pass for
+    // word counts, merge loop on the capped vocab table. Rows-only
+    // golden — the iterative trainer has no SQL formulation; BpeSpec
+    // pins the merges against hand-computed algebra.
+    "q_text_bpe" -> ((s, d) =>
+      Bpe.train(docs(s, d), "text", numMerges = 24, maxVocab = 1000)),
+
+    // BPE encoding with a FIXED rank-ordered merge list — the chain of
+    // character-split + merge replacements is pure regex, so DuckDB
+    // replays it exactly (full oracle). The list builds 'table'
+    // hierarchically: t+a, l+e, ta+b, tab+le.
+    "q_text_bpe_encode" -> ((s, d) => {
+      val merges = Seq(("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"))
+      val enc = Bpe.encode(col("text"), merges)
+      docs(s, d).select(col("doc_id"),
+        size(enc).cast("long").as("n_subwords"),
+        size(filter(enc, t => t === "table")).cast("long").as("n_table"))
+    }),
+
     // Sequence packing: shard the corpus, then greedily pack documents
     // into 2048-token bins by running token count — the batch-shaping
     // step before tokenizer/trainer handoff. Window is PER SHARD, so
@@ -671,6 +690,22 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_text_bpe_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |e AS (SELECT doc_id, flatten(list_transform(toks, w ->
+        |  list_filter(string_split(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ',
+        |      ' t a ', ' ta ', 'g'),
+        |      ' l e ', ' le ', 'g'),
+        |      ' ta b ', ' tab ', 'g'),
+        |      ' tab le ', ' table ', 'g'), ' '),
+        |    s -> len(s) > 0))) AS enc FROM t)
+        |SELECT doc_id, CAST(len(enc) AS BIGINT) AS n_subwords,
+        |  CAST(len(list_filter(enc, s -> s = 'table')) AS BIGINT) AS n_table
+        |FROM e""".stripMargin,
     "q_sample_dsir" ->
       """WITH tok AS (SELECT doc_id, lang,
         |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
