@@ -33,6 +33,14 @@ object Bpe {
     * pair occurs twice. Returns the rules in rank order:
     * (rank, left, right, pair_count). Argmax ties break on
     * (left, right) ascending so the merge table is reproducible.
+    *
+    * The loop recounts every pair per iteration — O(numMerges ×
+    * Σ word lengths), exact and plenty for vocabulary-building runs
+    * in the hundreds of merges. A 30k-merge production run should
+    * switch the inner loop to Sennrich's incremental bookkeeping
+    * (update only the pair counts adjacent to the positions a merge
+    * touched); the corpus-side cost — the one that scales with data
+    * size — is identical either way.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxVocab: Int = 50000): DataFrame = {
@@ -99,8 +107,11 @@ object Bpe {
     */
   def encode(text: Column, merges: Seq[(String, String)]): Column = {
     val word = (c: Column) => merges.foldLeft(
-      // "hello" -> "h e l l o": a space at every intra-word boundary
-      regexp_replace(c, "(?<=.)(?=.)", " ")) { case (acc, (l, r)) =>
+      // "hello" -> "h e l l o": a space at every intra-word boundary.
+      // (?s) so '.' also matches line terminators (U+2028 etc.) that
+      // \s+ tokenization keeps inside a token — the trainer's
+      // split("") sees those as symbols, so the encoder must too.
+      regexp_replace(c, "(?s)(?<=.)(?=.)", " ")) { case (acc, (l, r)) =>
       regexp_replace(acc, mergePattern(l, r), mergeReplacement(l, r))
     }
     flatten(transform(TextOps.tokens(text), t => split(word(t), " ")))

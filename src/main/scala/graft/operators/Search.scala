@@ -34,7 +34,10 @@ object Search {
     val postings = docs.select(col(idCol).as("doc_id"),
         explode(toks(col(textCol))).as("term"))
     val tf = postings.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // tf already holds one row per (doc, term), so document frequency
+    // is a count over the small aggregate — no second corpus explode,
+    // no corpus-sized countDistinct shuffle
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n)) // one row: the corpus size
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -62,9 +65,11 @@ object Search {
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
         explode(col("ts")).as("term"))
       .where(array_contains(qset, col("term")))
-    val df = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val tf = postings.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // derived from the (doc, term)-grained aggregate, not a second
+    // pass over the postings
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")

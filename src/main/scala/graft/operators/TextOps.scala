@@ -381,8 +381,8 @@ object TextOps {
     * "contains at least 2 of a small function-word list" rule.
     */
   def stopwordHits(text: Column, lang: String = "en"): Column =
-    size(array_intersect(array_distinct(tokens(text)),
-      typedlit(stopwords(lang)))).cast("long")
+    // array_intersect already returns distinct elements
+    size(array_intersect(tokens(text), typedlit(stopwords(lang)))).cast("long")
 
   /** The Gopher keep/drop verdict with that paper's published bounds:
     * 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, symbol ratio

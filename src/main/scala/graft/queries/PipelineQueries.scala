@@ -691,17 +691,23 @@ object PipelineQueries {
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
     "q_text_bpe_encode" ->
+      // RE2 has no lookarounds, so the oracle can't use Spark's
+      // non-consuming boundary patterns. Instead every symbol is
+      // wrapped in ITS OWN pair of spaces (double-space separators):
+      // adjacent merge matches then share no characters, which makes
+      // plain consuming left-to-right replacement exactly equal to
+      // the lookaround semantics — including runs like 'tata'.
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0) AS toks FROM documents),
         |e AS (SELECT doc_id, flatten(list_transform(toks, w ->
         |  list_filter(string_split(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ',
-        |      ' t a ', ' ta ', 'g'),
-        |      ' l e ', ' le ', 'g'),
-        |      ' ta b ', ' tab ', 'g'),
-        |      ' tab le ', ' table ', 'g'), ' '),
+        |      ' ' || array_to_string(string_split(w, ''), '  ') || ' ',
+        |      ' t  a ', ' ta ', 'g'),
+        |      ' l  e ', ' le ', 'g'),
+        |      ' ta  b ', ' tab ', 'g'),
+        |      ' tab  le ', ' table ', 'g'), ' '),
         |    s -> len(s) > 0))) AS enc FROM t)
         |SELECT doc_id, CAST(len(enc) AS BIGINT) AS n_subwords,
         |  CAST(len(list_filter(enc, s -> s = 'table')) AS BIGINT) AS n_table
@@ -719,10 +725,13 @@ object PipelineQueries {
         |w AS (SELECT r.bk,
         |  ln(((coalesce(t.c, 0) + 0.5) / (tot.tt + 0.5 * 256))
         |   / ((r.c + 0.5) / (tot.rt + 0.5 * 256))) AS wt
-        |  FROM rcnt r LEFT JOIN tcnt t USING (bk) CROSS JOIN tot)
-        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  FROM rcnt r LEFT JOIN tcnt t USING (bk) CROSS JOIN tot),
+        |s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(w.wt), 4) AS dsir_logratio
-        |FROM b JOIN w USING (bk) GROUP BY b.doc_id""".stripMargin,
+        |  FROM b JOIN w USING (bk) GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.dsir_logratio, 0.0) AS dsir_logratio
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (
