@@ -351,7 +351,9 @@ object PipelineQueries {
     // hierarchically: t+a, l+e, ta+b, tab+le.
     "q_text_bpe_encode" -> ((s, d) => {
       val merges = Seq(("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"))
-      val enc = Bpe.encode(col("text"), merges)
+      // codegen kernel; BpeSpec pins it identical to Bpe.encode's
+      // regex-chain reference
+      val enc = graft.functions.BpeFunctions.bpe_encode(col("text"), merges)
       docs(s, d).select(col("doc_id"),
         size(enc).cast("long").as("n_subwords"),
         size(filter(enc, t => t === "table")).cast("long").as("n_table"))

@@ -68,6 +68,30 @@ class BpeSpec extends SparkSuite {
     assert(a.nonEmpty && a.size <= 8)
   }
 
+  test("codegen encode kernel agrees with the regex-chain reference") {
+    import spark.implicits._
+    val merges = Seq(("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"))
+    val docs = Tables(spark, sf, "documents").select(col("text"))
+      .unionByName(Seq(
+        "tata tabtab cantata ukulele",       // adjacent pair runs
+        "  leading   and \t trailing  ",      // whitespace shapes
+        "TABLE TaBlE MiXeD",                  // case folding
+        "aaa aaaa aaaaaa",                    // self-overlapping runs
+        "").toDF("text"))
+    val diff = docs.select(
+      graft.functions.BpeFunctions.bpe_encode(col("text"), merges).as("k"),
+      Bpe.encode(col("text"), merges).as("r"))
+      .where(not(col("k") <=> col("r"))).count()
+    assert(diff == 0, "kernel and regex-chain encode diverge")
+    // and with the 'aa' merge family, where left-to-right order matters
+    val m2 = Seq(("a", "a"), ("aa", "a"))
+    val d2 = docs.select(
+      graft.functions.BpeFunctions.bpe_encode(col("text"), m2).as("k"),
+      Bpe.encode(col("text"), m2).as("r"))
+      .where(not(col("k") <=> col("r"))).count()
+    assert(d2 == 0)
+  }
+
   test("regex-special symbols survive merging and encoding") {
     import spark.implicits._
     // words of regex metacharacters: merges like (.,.) and ($,$) must
