@@ -290,6 +290,70 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Windowed exact-substring dedup (the tractable formulation of Lee
+    * et al. 2021's ExactSubstr): every L-token window of the corpus is
+    * keyed; a window value occurring more than once keeps only its
+    * globally-first occurrence (by doc id, then position), and every
+    * token covered by a later occurrence is removed. Documents are
+    * rebuilt from surviving tokens in order — so repeated passages of
+    * length ≥ L disappear from all but the document that said them
+    * first, even when the copies sit mid-document (which
+    * [[paragraphDedup]]'s span splitting can't see).
+    *
+    * Window keys are md5 over the space-joined window — 128 bits, so
+    * the shuffle carries a fixed 32-byte key instead of the L-token
+    * window text (the suffix-array trick of the paper re-expressed as
+    * a hash: collision probability at 1e12 windows is ~1e-14, and the
+    * key is engine-portable, so the DuckDB oracle replays the whole
+    * pipeline exactly).
+    *
+    * Scale shape: three corpus-sized shuffles, each semantically
+    * forced — (1) the per-doc window build (partitioned by doc id;
+    * one pass builds every window via a rows-frame collect), (2) the
+    * keep-first rank (partitioned by the 16-byte key), (3) the
+    * rebuild regroup (doc id). The removal set broadcasts back onto
+    * the token stream when small (the common case — only duplicated
+    * coverage travels); AQE picks the join side at runtime.
+    */
+  def windowDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, windowTokens: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = windowTokens
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, L - 1)
+    val wins = toks
+      .withColumn("warr", collect_list(col("w")).over(frame))
+      .withColumn("key",
+        when(size(col("warr")) === L, md5(concat_ws(" ", col("warr")))))
+    val rank = Window.partitionBy(col("key")).orderBy(col("doc_id"), col("pos"))
+    val rm = wins.where(col("key").isNotNull)
+      .withColumn("rn", row_number().over(rank))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + L - 1))
+        .as("rmpos"))
+      .distinct()
+    val kept = toks.join(rm,
+      toks("doc_id") === rm("doc_id") && toks("pos") === rm("rmpos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s("w"))).as("text_dedup"),
+        count(lit(1)).as("kept_tokens"))
+    // fully-deduplicated docs have no surviving tokens — restore them
+    // with an empty rebuild so the output covers every input doc
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
   /** Streaming twin of the paragraph hygiene pass: every arriving
     * document is stripped of the spans an already-ingested STATIC
     * corpus contains, and rebuilt in original order. The same

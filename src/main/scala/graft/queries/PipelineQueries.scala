@@ -338,6 +338,19 @@ object PipelineQueries {
       TextOps.dsirScores(docs(s, d), docs(s, d).where(col("lang") === "en"),
         "doc_id", "text")),
 
+    // Windowed exact-substring dedup (Lee et al. 2021): every 8-token
+    // window keeps only its globally-first occurrence; covered tokens
+    // are stripped and documents rebuilt. doc_id < 30 get a shared
+    // 11-token phrase appended, so its interior windows repeat 30x and
+    // 29 copies are removed mid-document.
+    "q_text_substrdedup" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 30, concat(col("text"),
+          lit(" the shared boilerplate sentence that repeats across many documents verbatim here")))
+          .otherwise(col("text")).as("text"))
+      TextOps.windowDedup(corpus, "doc_id", "text", windowTokens = 8)
+    }),
+
     // BPE vocabulary training (Sennrich 2016): one corpus pass for
     // word counts, merge loop on the capped vocab table. Rows-only
     // golden — the iterative trainer has no SQL formulation; BpeSpec
@@ -692,6 +705,35 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_text_substrdedup" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 30 THEN text ||
+        |    ' the shared boilerplate sentence that repeats across many documents verbatim here'
+        |  ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, i - 1 AS pos, arr[i] AS w
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> len(x) > 0) AS arr FROM corpus),
+        |       LATERAL unnest(generate_series(1, len(arr))) AS t(i)),
+        |win AS (SELECT doc_id, pos,
+        |  CASE WHEN len(wa) = 8 THEN md5(array_to_string(wa, ' ')) END AS key
+        |  FROM (SELECT doc_id, pos, list(w) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wa FROM tok)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY key
+        |    ORDER BY doc_id, pos) AS rn FROM win WHERE key IS NOT NULL)
+        |  WHERE rn > 1),
+        |rm AS (SELECT DISTINCT doc_id, rmpos FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS rmpos FROM dup)),
+        |kept AS (SELECT t.* FROM tok t WHERE NOT EXISTS (
+        |  SELECT 1 FROM rm WHERE rm.doc_id = t.doc_id AND rm.rmpos = t.pos)),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM corpus)
+        |SELECT n.doc_id, coalesce(reb.text_dedup, '') AS text_dedup,
+        |  coalesce(reb.kept_tokens, 0) AS kept_tokens,
+        |  n.n_tokens - coalesce(reb.kept_tokens, 0) AS removed_tokens
+        |FROM n LEFT JOIN reb USING (doc_id)""".stripMargin,
     "q_text_bpe_encode" ->
       // RE2 has no lookarounds, so the oracle can't use Spark's
       // non-consuming boundary patterns. Instead every symbol is

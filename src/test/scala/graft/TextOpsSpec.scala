@@ -211,6 +211,45 @@ class TextOpsSpec extends SparkSuite {
     assert(ids == Set(1L))
   }
 
+  test("window dedup strips a repeated mid-document passage, keeps the first") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token passage "p q r s" mid-document;
+    // with L=3 its interior windows repeat, so doc 2 loses the passage
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "x y p q r s z w")).toDF("doc_id", "text")
+    val out = TextOps.windowDedup(docs, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 2: windows (p q r) and (q r s) are rank-2 -> tokens p,q,r,s removed
+    assert(out.toSeq == Seq(
+      (1L, "a b p q r s c d", 8L, 0L),
+      (2L, "x y z w", 4L, 4L)))
+  }
+
+  test("window dedup: a wholly duplicated document rebuilds to empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val out = TextOps.windowDedup(docs, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "one two three four", 4L, 0L),
+      (2L, "", 0L, 4L)))
+  }
+
+  test("window dedup leaves short documents (< L tokens) untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextOps.windowDedup(docs, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    // no window of length 3 exists, so nothing can be removed
+    assert(out.toSeq == Seq(("tiny doc", 0L), ("tiny doc", 0L)))
+  }
+
   test("gopher rules: each rule trips on its designed pathology") {
     import spark.implicits._
     // 12 words / 47 chars per repeat -> 60 words, mean word len 3.92
