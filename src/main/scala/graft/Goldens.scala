@@ -27,6 +27,7 @@ object Goldens {
   val rowsOnly: Map[String, (Set[String], Int)] = Map(
     "q_dedup_cluster" -> (Set.empty[String], 6),
     "q_dedup_jaccard" -> (Set.empty[String], 6),
+    "q_dedup_keepbest" -> (Set.empty[String], 6),
     "q_dedup_minhash" -> (Set.empty[String], 6),
     "q_dedup_simhash" -> (Set.empty[String], 6),
     "q_fn_geohash" -> (Set.empty[String], 6),
@@ -45,6 +46,7 @@ object Goldens {
   val expected: Map[String, Map[String, String]] = Map(
     "sf0.001" -> Map(
       "q_dedup_cluster" -> "bdd4017b76dc73cb5f57e39cc06503efc2e37cbc7721785afd4dadea4bd53528",
+      "q_dedup_keepbest" -> "13ce2fc3e414db7d5eb634313b6c078be6f0128912fdb944a31e5d74077b7aee",
       "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
       "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
       "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
@@ -61,6 +63,7 @@ object Goldens {
       "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
     "sf0.01" -> Map(
       "q_dedup_cluster" -> "ec9fd05fc076b06768f72c64040294c9f308418dcc58a55ac842d6c2edd94cc6",
+      "q_dedup_keepbest" -> "7bcb7b3cb475639081abf3ae7bde13a3f242eb02fd62e37aa9296af925571d0b",
       "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
       "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
       "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",

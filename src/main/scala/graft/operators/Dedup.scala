@@ -185,6 +185,32 @@ object Dedup {
     * with cluster = the minimum member id, i.e. the representative a
     * pipeline keeps.
     */
+  /** Keep-BEST fuzzy dedup: given per-doc scores and a near-duplicate
+    * pair list (e.g. [[minhashPairs]]), cluster the pairs and keep the
+    * highest-scoring member of each cluster (ties broken by id, so
+    * selection is deterministic); docs outside any cluster keep
+    * themselves. The keep-first policy of exact dedup discards
+    * whichever copy sorts later — this is the variant real pipelines
+    * run when near-duplicates differ in quality (keep the cleanest
+    * copy, not the earliest).
+    *
+    * Scale shape: the cluster table is only the near-dup graph —
+    * tiny relative to the corpus — so the label join broadcasts; the
+    * keep rank partitions by cluster id and each cluster's members
+    * stream through one reducer.
+    */
+  def keepBest(scored: DataFrame, pairs: DataFrame,
+               idCol: String, scoreCol: String): DataFrame = {
+    val cl = clusters(pairs)
+    scored.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(broadcast(cl), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .withColumn("keep", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+          .orderBy(col("score").desc, col("id"))) === 1)
+      .select(col("id"), col("cluster"), col("score"), col("keep"))
+  }
+
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edge list, both directions
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -403,6 +403,28 @@ object TextOps {
         count(lit(1)).as("kept_paras"))
   }
 
+  // ---- URL extraction / domain filtering (C4/RefinedWeb hygiene) ----
+  // Patterns stay in the Java∩RE2 subset so the DuckDB oracle runs
+  // the identical regexes.
+
+  val urlRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?"
+
+  /** All URLs in the text, in order. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(urlRe), lit(0))
+
+  /** Host part of a URL. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([A-Za-z0-9.-]+)", 1)
+
+  /** True when the URL's domain (or a parent domain) is blocklisted —
+    * the UT1/C4-style domain filter. The blocklist broadcasts as an
+    * array literal; matching is one codegen projection.
+    */
+  def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
+    blocklist.map(b => domain === b || domain.endsWith("." + b))
+      .reduce(_ || _)
+
   // ---- Gopher rule pack (Rae et al. 2021, appendix A1.1) ----
   // The full repetition-independent rule set as map-only codegen
   // Columns; dupLineFrac/bigramDupFrac above cover the repetition

@@ -338,6 +338,36 @@ object PipelineQueries {
       TextOps.dsirScores(docs(s, d), docs(s, d).where(col("lang") === "en"),
         "doc_id", "text")),
 
+    // URL extraction + domain blocklist filter (C4/RefinedWeb): plant
+    // URLs into doc_id < 40, explode to (doc, url, domain, blocked).
+    "q_text_urls" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 40, concat(col("text"),
+          lit(" see https://example.com/a/b or http://ads.spam-site.com/x?q=1 and https://sub.example.com:8080/path")))
+          .otherwise(col("text")).as("text"))
+      val u = corpus.select(col("doc_id"),
+        explode(TextOps.urls(col("text"))).as("url"))
+      u.select(col("doc_id"), col("url"),
+        TextOps.urlDomain(col("url")).as("domain"))
+        .withColumn("blocked",
+          TextOps.domainBlocked(col("domain"), Seq("spam-site.com")))
+    }),
+
+    // Keep-BEST fuzzy dedup: minhash near-dup clusters, highest
+    // quality score survives (the planted suffix copies score lower
+    // than their originals, so originals win). Rows-only golden —
+    // clustering rides the minhash signatures.
+    "q_dedup_keepbest" -> ((s, d) => {
+      val planted = withPlanted(docs(s, d))
+      val scored = planted.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      Dedup.keepBest(scored,
+        Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.5)
+          .select(col("a"), col("b")),
+        "doc_id", "quality")
+        .orderBy(col("id"))
+    }),
+
     // Windowed exact-substring dedup (Lee et al. 2021): every 8-token
     // window keeps only its globally-first occurrence; covered tokens
     // are stripped and documents rebuilt. doc_id < 30 get a shared
@@ -705,6 +735,18 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_text_urls" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 40 THEN text ||
+        |    ' see https://example.com/a/b or http://ads.spam-site.com/x?q=1 and https://sub.example.com:8080/path'
+        |  ELSE text END AS text FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |  'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')) AS url FROM corpus),
+        |d AS (SELECT doc_id, url,
+        |  regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u)
+        |SELECT doc_id, url, domain,
+        |  (domain = 'spam-site.com' OR suffix(domain, '.spam-site.com')) AS blocked
+        |FROM d""".stripMargin,
     "q_text_substrdedup" ->
       """WITH corpus AS (SELECT doc_id,
         |  CASE WHEN doc_id < 30 THEN text ||

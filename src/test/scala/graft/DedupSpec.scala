@@ -283,6 +283,35 @@ class DedupSpec extends SparkSuite {
     assert(removed.count() == 7)
   }
 
+  test("keepBest keeps the highest-scoring member per cluster, singletons keep themselves") {
+    import spark.implicits._
+    // clusters: {1,2,3} (chain), {7,8}; 5 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),  // 2 wins its cluster
+      (5L, 0.1),                         // singleton always keeps
+      (7L, 0.4), (8L, 0.4)               // tie -> lower id (7) wins
+    ).toDF("doc_id", "quality")
+    val out = Dedup.keepBest(scored, pairs, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)) && out(3L) == ((1L, false)))
+    assert(out(5L) == ((5L, true)))
+    assert(out(7L) == ((7L, true)) && out(8L) == ((7L, false)))
+  }
+
+  test("keepBest: the cluster-label join broadcasts, the corpus side never does") {
+    val docs = Tables(spark, sf, "documents").limit(300)
+    import org.apache.spark.sql.functions.{col, round}
+    val scored = docs.select(col("doc_id"),
+      round(graft.operators.TextOps.qualityScore(col("text")), 6).as("q"))
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .select(col("a"), col("b"))
+    val plan = Dedup.keepBest(scored, pairs, "doc_id", "q")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster labels should broadcast:\n$plan")
+  }
+
   test("semantic dedup shuffles only the cell key — no cartesian, corpus joined once") {
     val emb = syntheticEmbeddings(groups = 6, perGroup = 4)
     val plan = Dedup.semanticDups(emb, "vec_id", "embedding",
