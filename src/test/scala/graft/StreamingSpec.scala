@@ -113,6 +113,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate (gopher + pii + bpe count) equals the batch projection") {
+    import graft.operators.{Bpe, TextOps}
+    val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
+    val merges = Seq(("t", "a"), ("l", "e"))
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        TextOps.gopherKeep(col("text")).as("keep"),
+        TextOps.stopwordHits(col("text")).as("hits"),
+        TextOps.piiRedact(col("text")).as("red"),
+        size(graft.functions.BpeFunctions.bpe_encode(col("text"), merges))
+          .as("n_sub"))
+    val ms = MemoryStream[(Long, String)]
+    val q = gate(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("gate_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3), r.getInt(4)))
+        .sortBy(_._1)
+      val want = gate(all).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3), r.getInt(4)))
+        .sortBy(_._1)
+      assert(got.sameElements(want),
+        s"map-only hygiene stages must be batch/stream identical (${got.length}/${want.length})")
+    } finally q.stop()
+  }
+
   test("condition window: batch operator matches hand-computed windows") {
     val df = evts.toDF()
       .select(col("key").as("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
