@@ -338,6 +338,32 @@ object PipelineQueries {
       TextOps.dsirScores(docs(s, d), docs(s, d).where(col("lang") === "en"),
         "doc_id", "text")),
 
+    // Corpus profile: per-source doc/token counts, quality and length
+    // means, language spread — the summary an operator reads before
+    // choosing mixture weights. One partial-agg'd shuffle on source.
+    "q_corpus_stats" -> ((s, d) =>
+      docs(s, d).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+        round(avg(TextOps.qualityScore(col("text"))), 6).as("mean_quality"),
+        round(avg(length(col("text")).cast("double")), 6).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"))),
+
+    // Class-balanced deterministic downsample: per language, the 40
+    // docs with the smallest content-hash bucket (ties by id) — a
+    // reproducible balanced subset with no RNG state; the rank
+    // partitions by class so each class streams one reducer.
+    "q_sample_balanced" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("bucket"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.samplingBucket(col("text")).as("bucket"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .where(col("rk") <= 40)
+    }),
+
     // URL extraction + domain blocklist filter (C4/RefinedWeb): plant
     // URLs into doc_id < 40, explode to (doc, url, domain, blocked).
     "q_text_urls" -> ((s, d) => {
@@ -735,6 +761,41 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT doc_id, source, lang, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, lang, text, toks,
+        |  round(
+        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           / greatest(length(text), 1))
+        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
+        |        THEN len(list_filter(toks, x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
+        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
+        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (1.0 - least(10 * (length(text)
+        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |        / greatest(length(text), 1), 1.0)), 6) AS quality
+        |  FROM t)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        |  round(avg(quality), 6) AS mean_quality,
+        |  round(avg(CAST(length(text) AS DOUBLE)), 6) AS mean_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM q GROUP BY source""".stripMargin,
+    "q_sample_balanced" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS bucket
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, bucket,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY bucket, doc_id) AS INT) AS rk FROM b)
+        |SELECT doc_id, lang, bucket, rk FROM r WHERE rk <= 40""".stripMargin,
     "q_text_urls" ->
       """WITH corpus AS (SELECT doc_id,
         |  CASE WHEN doc_id < 40 THEN text ||
