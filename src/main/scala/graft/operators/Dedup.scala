@@ -103,6 +103,47 @@ object Dedup {
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** FUZZY eval-set decontamination: corpus documents whose MinHash
+    * signature near-collides with any benchmark document — the
+    * companion to the exact n-gram [[contaminated]] for paraphrased
+    * or lightly-edited leakage that exact grams miss. Returns
+    * (doc_id, eval_id, est_jaccard) for every corpus×eval candidate
+    * pair at or above `minEstJaccard`.
+    *
+    * Scale shape: the eval set is small by definition, so BOTH its
+    * band buckets and its signatures broadcast — the corpus is never
+    * shuffled; candidate pruning and signature agreement are map-side
+    * against the broadcast tables. The only shuffle is the
+    * dropDuplicates on candidate pairs, which is O(collisions), not
+    * O(corpus).
+    */
+  def minhashContaminated(corpus: DataFrame, evalSet: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int = 3, k: Int = 64, bands: Int = 16,
+                          minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def withBuckets(df: DataFrame, outId: String, sigName: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          minhashSignature(col(textCol), n, k).as(sigName))
+        .select(col(outId), col(sigName),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            j => struct(j.as("band"),
+              hash(j, slice(col(sigName), j * r + 1, lit(r))).as("bh")))).as("bk"))
+        .select(col(outId), col(sigName), col("bk.band"), col("bk.bh"))
+    val c = withBuckets(corpus, "doc_id", "sc")
+    val e = withBuckets(evalSet, "eval_id", "se")
+    c.join(broadcast(e), Seq("band", "bh"))
+      .select(col("doc_id"), col("eval_id"), col("sc"), col("se"))
+      .dropDuplicates("doc_id", "eval_id")
+      .withColumn("est_jaccard",
+        graft.functions.VectorFunctions.sig_agree(col("sc"), col("se"))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_id"), col("eval_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** 64-bit SimHash over token hashes: bit i of the result is the sign
     * of Σ_tokens (bit i set ? +1 : -1). Codegen kernel
     * (graft.functions.SimHash64Expr).

@@ -285,6 +285,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY decontamination: corpus docs whose minhash signature
+    // near-collides with a benchmark doc — catches lightly-edited
+    // leakage the exact 8-gram overlap misses. Eight paraphrase-ish
+    // copies of eval docs are planted. Rows-only golden (minhash).
+    "q_text_fuzzy_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      val evalSet = all.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val corpus = all.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+        .unionByName(evalSet.where(col("doc_id") < 8).select(
+          (col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" lightly edited tail appended")).as("text")))
+      Dedup.minhashContaminated(corpus, evalSet, "text", "doc_id",
+        minEstJaccard = 0.5)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     // Deterministic stratified sampling: md5 content bucket per-mille
     // vs a per-source rate — reproducible on any engine, no RNG state.
     "q_sample_stratified" -> ((s, d) => {

@@ -283,6 +283,40 @@ class DedupSpec extends SparkSuite {
     assert(removed.count() == 7)
   }
 
+  test("fuzzy decontamination flags planted near-copies of eval docs") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val all = Tables(spark, sf, "documents")
+    val evalSet = all.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val corpus = all.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+      .unionByName(evalSet.where(col("doc_id") < 8).select(
+        (col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" lightly edited tail appended")).as("text")))
+    val hits = Dedup.minhashContaminated(corpus, evalSet, "text", "doc_id",
+      minEstJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted near-copy is caught against its own eval source
+    (0L until 8L).foreach { i =>
+      assert(hits.exists(h => h._1 == i + 400000 && h._2 == i),
+        s"planted near-copy of eval doc $i not flagged")
+    }
+    assert(hits.forall(_._3 >= 0.5))
+  }
+
+  test("fuzzy decontamination broadcasts the eval side; the corpus never shuffles for it") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables(spark, sf, "documents")
+    val evalSet = all.where(col("doc_id") < 20)
+    val corpus = all.where(col("doc_id") >= 20)
+    val plan = Dedup.minhashContaminated(corpus, evalSet, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval buckets+sigs must broadcast:\n$plan")
+    // the only hash exchange is the candidate-pair dropDuplicates
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges <= 1, s"corpus must not shuffle for candidates:\n$plan")
+  }
+
   test("keepBest keeps the highest-scoring member per cluster, singletons keep themselves") {
     import spark.implicits._
     // clusters: {1,2,3} (chain), {7,8}; 5 is a singleton
