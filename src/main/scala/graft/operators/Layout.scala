@@ -50,6 +50,28 @@ object Layout {
   /** Read a bucketed table back. */
   def readBucketed(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Sharded corpus export — the trainer-handoff step: write the
+    * frame as exactly `shards` content-addressed parquet shards
+    * (`shard=N/` directories), each internally ordered by the shard
+    * sort key. Shard assignment is a pure function of the content
+    * hash, so re-exports of a grown corpus keep unchanged rows in
+    * the same shard (downstream caches stay warm), and
+    * `maxRecordsPerFile` bounds every output file for the data
+    * loader. One repartition on the shard id — the single shuffle an
+    * export fundamentally needs — then files stream out of each
+    * partition without a global sort.
+    */
+  def exportShards(df: DataFrame, outDir: String, contentCol: String,
+                   shards: Int, maxRecordsPerFile: Int = 100000): Unit =
+    df.withColumn("shard",
+        pmod(xxhash64(col(contentCol)), lit(shards.toLong)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), xxhash64(col(contentCol)))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(outDir)
+
   /** Skew diagnosis: per-key row counts of the heaviest keys — what
     * you look at before deciding the salt factor.
     */

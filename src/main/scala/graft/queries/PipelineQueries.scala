@@ -365,6 +365,21 @@ object PipelineQueries {
         round(avg(length(col("text")).cast("double")), 6).as("mean_chars"),
         countDistinct(col("lang")).as("n_langs"))),
 
+    // Per-source quality quantiles (exact interpolated percentiles —
+    // Spark's percentile ≡ SQL quantile_cont): the numbers an
+    // operator reads to set a corpus-wide quality threshold. One
+    // shuffle on source; exact percentile sorts within each group,
+    // which is the semantic cost of exactness (approx_percentile is
+    // the one-pass variant when 1% error is fine).
+    "q_quality_quantiles" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"), TextOps.qualityScore(col("text")).as("q"))
+        .groupBy(col("source")).agg(
+          round(expr("percentile(q, 0.5)"), 6).as("p50"),
+          round(expr("percentile(q, 0.9)"), 6).as("p90"),
+          round(min(col("q")), 6).as("q_min"),
+          round(max(col("q")), 6).as("q_max"))),
+
     // Class-balanced deterministic downsample: per language, the 40
     // docs with the smallest content-hash bucket (ties by id) — a
     // reproducible balanced subset with no RNG state; the rank
@@ -803,6 +818,32 @@ object PipelineQueries {
         |  round(avg(quality), 6) AS mean_quality,
         |  round(avg(CAST(length(text) AS DOUBLE)), 6) AS mean_chars,
         |  count(DISTINCT lang) AS n_langs
+        |FROM q GROUP BY source""".stripMargin,
+    "q_quality_quantiles" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |q AS (SELECT source,
+        |  round(
+        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           / greatest(length(text), 1))
+        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
+        |        THEN len(list_filter(toks, x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
+        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
+        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (1.0 - least(10 * (length(text)
+        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |        / greatest(length(text), 1), 1.0)), 6) AS q
+        |  FROM t)
+        |SELECT source,
+        |  round(quantile_cont(q, 0.5), 6) AS p50,
+        |  round(quantile_cont(q, 0.9), 6) AS p90,
+        |  round(min(q), 6) AS q_min,
+        |  round(max(q), 6) AS q_max
         |FROM q GROUP BY source""".stripMargin,
     "q_sample_balanced" ->
       """WITH b AS (SELECT doc_id, lang,

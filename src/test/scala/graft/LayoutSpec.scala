@@ -70,6 +70,45 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("sharded export: stable content-addressed shards, bounded files, lossless") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Layout.exportShards(docs, out, "text", shards = 4, maxRecordsPerFile = 50)
+      val back = spark.read.parquet(out)
+      // lossless round trip
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+      // exactly the requested shard directories
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.length == 4, dirs.mkString(","))
+      // every file respects the record cap
+      val files = dirs.flatMap(d => new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")))
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 50, s"${f.getName} has $n rows")
+      }
+      // shard assignment is content-addressed: a re-export of a GROWN
+      // corpus keeps the original rows in the same shards
+      val out2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+      try {
+        Layout.exportShards(docs.unionByName(
+          docs.limit(10).select((col("doc_id") + 900000).as("doc_id"),
+            concat_ws(" ", col("text"), col("doc_id")).as("text"))),
+          out2, "text", shards = 4, maxRecordsPerFile = 50)
+        val m1 = back.select("doc_id", "shard").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val m2 = spark.read.parquet(out2).select("doc_id", "shard").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(m1.forall { case (id, s) => m2(id) == s },
+          "unchanged rows must stay in their shard on re-export")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("key histogram surfaces the skew") {
     val fact = spark.range(1000).toDF("i")
       .select(when(col("i") % 10 < 9, 7L).otherwise(col("i")).as("k"))
