@@ -50,6 +50,23 @@ object Dedup {
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     minhash_sig(text, n, k)
 
+  /** A document with no n-token shingle carries the sentinel
+    * all-Long.MaxValue signature (see TextHashing.minhashSig). Such a
+    * doc has no LSH identity and must match NOTHING — without this
+    * guard every sub-shingle-length doc would collide with every
+    * other at est_jaccard 1.0, a guaranteed false positive.
+    */
+  private def hasShingles(sig: Column): Column =
+    element_at(sig, 1) =!= lit(Long.MaxValue)
+
+  /** The per-band (band, bucket-hash) structs of a signature — ONE
+    * definition shared by [[minhashPairs]] and [[minhashContaminated]]
+    * so LSH bucketing stays bit-identical across operators.
+    */
+  private def bandBucketArray(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band"), hash(j, slice(sig, j * r + 1, lit(r))).as("bh")))
+
   /** Candidate near-duplicate pairs via banded MinHash LSH.
     * Returns (a, b, est_jaccard) with a < b, distinct across bands,
     * est_jaccard = fraction of agreeing signature positions.
@@ -74,11 +91,10 @@ object Dedup {
     val sigs = if (cacheSignatures) raw.localCheckpoint(true) else raw
 
     // (band, bucket-hash, id): 16 rows of ~20 bytes per doc — the only
-    // thing shuffled at corpus scale.
-    val buckets = sigs.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          j => struct(j.as("band"), hash(j, slice(col("sig"), j * r + 1, lit(r))).as("bh"))))
-          .as("bk"))
+    // thing shuffled at corpus scale. Sentinel (shingle-less) docs are
+    // excluded: they have no LSH identity.
+    val buckets = sigs.where(hasShingles(col("sig")))
+      .select(col("id"), explode(bandBucketArray(col("sig"), bands, r)).as("bk"))
       .select(col("bk.band"), col("bk.bh"), col("id"))
 
     val pairs = buckets
@@ -126,10 +142,9 @@ object Dedup {
     def withBuckets(df: DataFrame, outId: String, sigName: String): DataFrame =
       df.select(col(idCol).as(outId),
           minhashSignature(col(textCol), n, k).as(sigName))
+        .where(hasShingles(col(sigName))) // sentinel docs match nothing
         .select(col(outId), col(sigName),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            j => struct(j.as("band"),
-              hash(j, slice(col(sigName), j * r + 1, lit(r))).as("bh")))).as("bk"))
+          explode(bandBucketArray(col(sigName), bands, r)).as("bk"))
         .select(col(outId), col(sigName), col("bk.band"), col("bk.bh"))
     val c = withBuckets(corpus, "doc_id", "sc")
     val e = withBuckets(evalSet, "eval_id", "se")
@@ -215,17 +230,6 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Transitive duplicate clusters from a pair list: connected
-    * components via distributed label propagation (each node adopts the
-    * minimum id reachable; iterate until fixpoint). The min label
-    * travels one hop per iteration; iteration stops as soon as a round
-    * changes no label (one tiny existence probe per round on the
-    * already-materialized frame), with `maxIter` as a runaway cap for
-    * pathological graphs. Each iteration is one join + one
-    * min-aggregation — no driver-side graph. Returns (id, cluster)
-    * with cluster = the minimum member id, i.e. the representative a
-    * pipeline keeps.
-    */
   /** Keep-BEST fuzzy dedup: given per-doc scores and a near-duplicate
     * pair list (e.g. [[minhashPairs]]), cluster the pairs and keep the
     * highest-scoring member of each cluster (ties broken by id, so
@@ -252,6 +256,17 @@ object Dedup {
       .select(col("id"), col("cluster"), col("score"), col("keep"))
   }
 
+  /** Transitive duplicate clusters from a pair list: connected
+    * components via distributed label propagation (each node adopts the
+    * minimum id reachable; iterate until fixpoint). The min label
+    * travels one hop per iteration; iteration stops as soon as a round
+    * changes no label (one tiny existence probe per round on the
+    * already-materialized frame), with `maxIter` as a runaway cap for
+    * pathological graphs. Each iteration is one join + one
+    * min-aggregation — no driver-side graph. Returns (id, cluster)
+    * with cluster = the minimum member id, i.e. the representative a
+    * pipeline keeps.
+    */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edge list, both directions
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

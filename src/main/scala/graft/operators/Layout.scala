@@ -65,7 +65,11 @@ object Layout {
                    shards: Int, maxRecordsPerFile: Int = 100000): Unit =
     df.withColumn("shard",
         pmod(xxhash64(col(contentCol)), lit(shards.toLong)).cast("int"))
-      .repartition(shards, col("shard"))
+      // range partitioning gives shard→task assignment that is 1:1 for
+      // N distinct shard ids over N partitions; hash partitioning
+      // would collide ids (balls-in-bins: ~1/e of tasks empty, others
+      // carrying 2-3 shards) and halve write parallelism
+      .repartitionByRange(shards, col("shard"))
       .sortWithinPartitions(col("shard"), xxhash64(col(contentCol)))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)

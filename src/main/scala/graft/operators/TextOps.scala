@@ -319,8 +319,12 @@ object TextOps {
                   textCol: String, windowTokens: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
+    // the token frame feeds the window build AND the anti-join probe;
+    // materialize it so the corpus tokenizes once (the repo-wide
+    // multi-consumer convention — see minhashPairs)
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .localCheckpoint(true)
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, L - 1)
     val wins = toks
@@ -342,16 +346,18 @@ object TextOps {
           array_sort(collect_list(struct(col("pos"), col("w")))),
           s => s("w"))).as("text_dedup"),
         count(lit(1)).as("kept_tokens"))
-    // fully-deduplicated docs have no surviving tokens — restore them
-    // with an empty rebuild so the output covers every input doc
-    docs.select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    // removed counts come from the (small) removal set itself — no
+    // third tokenize of the corpus; the id-only scan restores
+    // fully-deduplicated docs with an empty rebuild
+    val rmCounts = rm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("removed_tokens"))
+    docs.select(col(idCol).as("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
+      .join(rmCounts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
-          .as("removed_tokens"))
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
   }
 
   /** Streaming twin of the paragraph hygiene pass: every arriving
@@ -407,7 +413,10 @@ object TextOps {
   // Patterns stay in the Java∩RE2 subset so the DuckDB oracle runs
   // the identical regexes.
 
-  val urlRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?"
+  // path charset is the positive printable-ASCII class [!-~] — NOT
+  // [^\s], whose \s differs between Java (includes \x0B) and RE2
+  // (ASCII-only); [!-~] is bit-identical in both engines
+  val urlRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[!-~]*)?"
 
   /** All URLs in the text, in order. */
   def urls(text: Column): Column =
@@ -423,7 +432,7 @@ object TextOps {
     */
   def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
     blocklist.map(b => domain === b || domain.endsWith("." + b))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _) // empty blocklist blocks nothing
 
   // ---- Gopher rule pack (Rae et al. 2021, appendix A1.1) ----
   // The full repetition-independent rule set as map-only codegen

@@ -18,6 +18,30 @@ import graft.operators.{Bpe, Dedup, Knn, Multimodal, Search, TextOps}
   */
 object PipelineQueries {
 
+  /** The DuckDB rendering of TextOps.qualityScore — ONE definition
+    * interpolated into every quality-scoring oracle (q_text_quality,
+    * q_corpus_stats, q_quality_quantiles), so the Spark formula and
+    * its SQL replay cannot drift apart per-query. Margin pipes stay:
+    * interpolation runs before the enclosing oracle's stripMargin.
+    * Expects `text` and `toks` columns in scope.
+    */
+  private val qualitySql: String =
+    """round(
+        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           / greatest(length(text), 1))
+        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
+        |        THEN len(list_filter(toks, x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
+        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
+        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.1 * (1.0 - least(10 * (length(text)
+        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |        / greatest(length(text), 1), 1.0)), 6)"""
+
+
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
@@ -497,7 +521,7 @@ object PipelineQueries {
         |SELECT b.doc_id FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)""".stripMargin,
     "q_text_quality" ->
-      """WITH t AS (SELECT doc_id, text,
+      raw"""WITH t AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents)
         |SELECT doc_id,
@@ -514,20 +538,7 @@ object PipelineQueries {
         |    THEN len(list_filter(toks, x -> list_contains(
         |      ['the','a','of','and','to','in','is','it','that','for'], x)))
         |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
-        |  round(
-        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        |           / greatest(length(text), 1))
-        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
-        |        THEN len(list_filter(toks, x -> list_contains(
-        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
-        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
-        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
-        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
-        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
-        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-        |    + 0.1 * (1.0 - least(10 * (length(text)
-        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-        |        / greatest(length(text), 1), 1.0)), 6) AS quality
+        |  ${qualitySql} AS quality
         |FROM t""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
@@ -793,24 +804,11 @@ object PipelineQueries {
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
     "q_corpus_stats" ->
-      """WITH t AS (SELECT doc_id, source, lang, text,
+      raw"""WITH t AS (SELECT doc_id, source, lang, text,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents),
         |q AS (SELECT doc_id, source, lang, text, toks,
-        |  round(
-        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        |           / greatest(length(text), 1))
-        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
-        |        THEN len(list_filter(toks, x -> list_contains(
-        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
-        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
-        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
-        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
-        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
-        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-        |    + 0.1 * (1.0 - least(10 * (length(text)
-        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-        |        / greatest(length(text), 1), 1.0)), 6) AS quality
+        |  ${qualitySql} AS quality
         |  FROM t)
         |SELECT source,
         |  count(*) AS n_docs,
@@ -820,24 +818,11 @@ object PipelineQueries {
         |  count(DISTINCT lang) AS n_langs
         |FROM q GROUP BY source""".stripMargin,
     "q_quality_quantiles" ->
-      """WITH t AS (SELECT doc_id, source, text,
+      raw"""WITH t AS (SELECT doc_id, source, text,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents),
         |q AS (SELECT source,
-        |  round(
-        |    0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        |           / greatest(length(text), 1))
-        |    + 0.3 * least(5 * CASE WHEN len(toks) > 0
-        |        THEN len(list_filter(toks, x -> list_contains(
-        |          ['the','a','of','and','to','in','is','it','that','for'], x)))
-        |          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 1.0)
-        |    + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
-        |    + 0.1 * (CASE WHEN len(toks) > 0 AND
-        |        list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
-        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-        |    + 0.1 * (1.0 - least(10 * (length(text)
-        |        - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-        |        / greatest(length(text), 1), 1.0)), 6) AS q
+        |  ${qualitySql} AS q
         |  FROM t)
         |SELECT source,
         |  round(quantile_cont(q, 0.5), 6) AS p50,
@@ -859,7 +844,7 @@ object PipelineQueries {
         |    ' see https://example.com/a/b or http://ads.spam-site.com/x?q=1 and https://sub.example.com:8080/path'
         |  ELSE text END AS text FROM documents),
         |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
-        |  'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')) AS url FROM corpus),
+        |  'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[!-~]*)?')) AS url FROM corpus),
         |d AS (SELECT doc_id, url,
         |  regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u)
         |SELECT doc_id, url, domain,

@@ -283,6 +283,24 @@ class DedupSpec extends SparkSuite {
     assert(removed.count() == 7)
   }
 
+  test("sub-shingle-length docs have no LSH identity: they match nothing, not everything") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'ok go' and 'hi' have <3 tokens -> sentinel signatures; without
+    // the guard they'd pair with each other (and any other short doc)
+    // at est_jaccard 1.0
+    val docs = Seq((1L, "ok go"), (2L, "hi"), (3L, "completely unrelated text here"),
+      (4L, "completely unrelated text here")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((3L, 4L)), s"only the real dup pair: ${pairs.toSeq}")
+    // same guard on the cross-corpus path
+    val hits = Dedup.minhashContaminated(
+      docs.where(col("doc_id") <= 2), docs.where(col("doc_id") >= 3),
+      "text", "doc_id").count()
+    assert(hits == 0, "short corpus docs must not hit unrelated eval docs")
+  }
+
   test("fuzzy decontamination flags planted near-copies of eval docs") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val all = Tables(spark, sf, "documents")

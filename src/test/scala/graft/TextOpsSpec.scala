@@ -250,6 +250,20 @@ class TextOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(("tiny doc", 0L), ("tiny doc", 0L)))
   }
 
+  test("url ops: extraction, domains, blocklist incl. the empty list") {
+    import spark.implicits._
+    val df = Seq("go to https://sub.spam-site.com:8080/a/b?q=1 or http://ok.org now")
+      .toDF("text")
+    val r = df.select(explode(TextOps.urls(col("text"))).as("url"))
+      .select(col("url"), TextOps.urlDomain(col("url")).as("d"))
+      .withColumn("blocked", TextOps.domainBlocked(col("d"), Seq("spam-site.com")))
+      .withColumn("never", TextOps.domainBlocked(col("d"), Seq.empty))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      ("https://sub.spam-site.com:8080/a/b?q=1", "sub.spam-site.com", true, false),
+      ("http://ok.org", "ok.org", false, false)))
+  }
+
   test("gopher rules: each rule trips on its designed pathology") {
     import spark.implicits._
     // 12 words / 47 chars per repeat -> 60 words, mean word len 3.92

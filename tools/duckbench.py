@@ -23,6 +23,7 @@ def main(sfdir, oracle_path, runs=3):
     oracles = json.load(open(oracle_path))
     per = {}
     for name in sorted(oracles):
+        con.execute(oracles[name]).fetchall()  # discarded cold warm-up
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -34,4 +35,6 @@ def main(sfdir, oracle_path, runs=3):
                       "unit": "sec", "queries": per, "sf": sfdir}))
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__.strip())
     main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
