@@ -360,6 +360,58 @@ object TextOps {
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
   }
 
+  /** Streaming twin of [[windowDedup]]: every arriving document is
+    * stripped of the tokens covered by any L-token window an
+    * already-ingested STATIC corpus contains, and rebuilt in order.
+    * Same stream-vs-static contract as [[stripSeenParagraphsStream]]
+    * (the cross-batch state IS the corpus; within-stream repeats
+    * pass — run the batch [[windowDedup]] over the accumulated corpus
+    * for the keep-first pass). Works identically on a batch frame.
+    *
+    * Streaming shape: window keys are computed per doc from the token
+    * ARRAY (no window function, so no per-doc sort in the streaming
+    * plan); the corpus's distinct window-key set (16 bytes per
+    * window) is the static side of a stream-static left join; one
+    * update-mode regroup per doc collects the hit positions; the
+    * rebuild is a map-only array projection on the aggregated row.
+    * Same state caveat as the paragraph twin: feed unique doc ids or
+    * watermark the input.
+    */
+  def stripSeenWindowsStream(corpus: org.apache.spark.sql.DataFrame,
+                             stream: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             windowTokens: Int): org.apache.spark.sql.DataFrame = {
+    val L = windowTokens
+    def windowKeys(ts: Column): Column =
+      when(size(ts) >= L,
+        transform(sequence(lit(0), size(ts) - L),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(ts, i + 1, lit(L)))).as("key"))))
+        .otherwise(array().cast("array<struct<pos:int,key:string>>"))
+    val seenKeys = corpus
+      .select(explode(windowKeys(tokens(col(textCol)))).as("wk"))
+      .select(col("wk.key").as("k")).distinct()
+    val agg = stream
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode_outer(windowKeys(col("ts"))).as("wk"))
+      .join(seenKeys, col("wk.key") === col("k"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("ts")).as("ts"),
+        collect_list(when(col("k").isNotNull, col("wk.pos"))).as("hitpos"))
+    val cov = array_distinct(flatten(transform(col("hitpos"),
+      p => sequence(p, p + L - 1))))
+    agg
+      .withColumn("__cov", cov)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(
+          filter(transform(col("ts"), (w, i) => struct(w.as("w"), i.as("i"))),
+            s => !array_contains(col("__cov"), s("i"))),
+          s => s("w"))).as("text_dedup"),
+        (size(col("ts")) - size(col("__cov"))).cast("long").as("kept_tokens"),
+        size(col("__cov")).cast("long").as("removed_tokens"))
+  }
+
   /** Streaming twin of the paragraph hygiene pass: every arriving
     * document is stripped of the spans an already-ingested STATIC
     * corpus contains, and rebuilt in original order. The same

@@ -113,6 +113,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming window strip == batch op across micro-batches; cloned docs vanish") {
+    import graft.operators.TextOps
+    val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    // stream: held-out docs + full clones of corpus docs (every window
+    // corpus-seen -> the clone rebuilds to empty)
+    val streamDf = all.where(col("doc_id") % 10 === 0)
+      .unionByName(corpus.where(col("doc_id") < 30)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val rows = streamDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val out = TextOps.stripSeenWindowsStream(corpus,
+      ms.toDS().toDF("doc_id", "text"), "doc_id", "text", windowTokens = 8)
+    val q = out.writeStream.format("memory").queryName("win_strip_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("win_strip_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val want = TextOps.stripSeenWindowsStream(corpus, streamDf,
+          "doc_id", "text", windowTokens = 8).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(got.sameElements(want), s"streaming ${got.length} != batch ${want.length}")
+      // full clones: every window seen -> all tokens covered -> empty
+      val clones = got.filter(_._1 >= 500000)
+      assert(clones.nonEmpty && clones.forall(c => c._2 == "" && c._3 == 0))
+      // held-out docs keep at least their tail (windows are doc-local)
+      assert(got.filter(_._1 < 500000).exists(_._3 > 0))
+    } finally q.stop()
+  }
+
   test("streaming quality gate (gopher + pii + bpe count) equals the batch projection") {
     import graft.operators.{Bpe, TextOps}
     val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
