@@ -15,7 +15,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 class ZmqSpec extends SparkSuite {
 
   private def awaitCond(cond: => Boolean, what: String): Unit = {
-    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
     while (!cond && System.nanoTime() < deadline) Thread.sleep(20)
     assert(cond, s"timed out waiting for $what")
   }
@@ -28,7 +28,7 @@ class ZmqSpec extends SparkSuite {
       try {
         sub.onMessage((t, p) => got.add(t -> new String(p, UTF_8)))
         awaitCond(pub.peerCount == 1, "subscriber handshake")
-        Thread.sleep(100) // let the subscription frame land
+        Thread.sleep(300) // let the subscription frame land (slack for loaded-box runs)
         pub.publish("sensors", "{\"t\":21}".getBytes(UTF_8))
         pub.publish("other", "{\"t\":99}".getBytes(UTF_8)) // filtered server-side
         pub.publish("sensors2", "{\"t\":22}".getBytes(UTF_8)) // prefix match
@@ -47,7 +47,7 @@ class ZmqSpec extends SparkSuite {
       try {
         sub.onMessage((_, p) => got.add(new String(p, UTF_8)))
         awaitCond(pub.peerCount == 1, "subscriber handshake")
-        Thread.sleep(100)
+        Thread.sleep(300)
         pub.publish("", "raw-payload".getBytes(UTF_8))
         awaitCond(got.size == 1, "single-frame delivery")
         assert(got.peek() == "raw-payload")
@@ -67,7 +67,7 @@ class ZmqSpec extends SparkSuite {
         try {
           sub.onMessage((_, p) => got.add(new String(p, UTF_8)))
           awaitCond(pub.peerCount == 1, "real subscriber handshake behind silent peer")
-          Thread.sleep(100)
+          Thread.sleep(300)
           pub.publish("", "still-works".getBytes(UTF_8))
           awaitCond(got.size == 1, "delivery with silent peer connected")
         } finally sub.close()
@@ -106,7 +106,7 @@ class ZmqSpec extends SparkSuite {
       try {
         sub.onMessage((_, p) => got.add(p.length))
         awaitCond(pub.peerCount == 1, "subscriber handshake")
-        Thread.sleep(100)
+        Thread.sleep(300)
         val payload = Array.fill[Byte](70000)('x')
         pub.publish("big", payload)
         awaitCond(got.size == 1, "long-frame delivery")
@@ -124,7 +124,7 @@ class ZmqSpec extends SparkSuite {
         Map("server" -> pub.address))
       src.batch(spark) // ensures the bridge (empty batch is fine)
       awaitCond(pub.peerCount == 1, "bridge subscriber")
-      Thread.sleep(100)
+      Thread.sleep(300)
       pub.publish("zin", "{\"device\":\"a\",\"temp\":21.5}".getBytes(UTF_8))
       pub.publish("zin", "{\"device\":\"b\",\"temp\":22.5}".getBytes(UTF_8))
       awaitCond(
@@ -150,7 +150,7 @@ class ZmqSpec extends SparkSuite {
         StructType.fromDDL("v bigint"), Map("server" -> s"tcp://127.0.0.1:$port"))
       src.batch(spark)
       awaitCond(pub1.peerCount == 1, "first connection")
-      Thread.sleep(100)
+      Thread.sleep(300)
       pub1.publish("zre", "{\"v\":1}".getBytes(UTF_8))
       awaitCond(ConnectorFeed.frames(spark, "zmq", "zre").count() == 1, "first frame")
       pub1.close() // publisher dies
@@ -185,7 +185,7 @@ class ZmqSpec extends SparkSuite {
       try {
         sub.onMessage((t, p) => got.add(t -> new String(p, UTF_8)))
         awaitCond(pub.peerCount == 1, "subscriber handshake")
-        Thread.sleep(100)
+        Thread.sleep(300)
         sink.writeBatch(Seq(("a", 1)).toDF("k", "v"))
         awaitCond(got.size == 1, "sink delivery")
         val (topic, payload) = got.peek()
