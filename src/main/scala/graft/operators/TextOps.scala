@@ -360,6 +360,33 @@ object TextOps {
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
   }
 
+  /** Token-window chunking — the context-window shaping step before
+    * tokenizer/trainer handoff (and the RAG indexing chunker): split
+    * every document into windows of `size` tokens starting every
+    * `stride` tokens (stride < size ⇒ overlapping chunks; the final
+    * chunks may be shorter). Map-only: chunk starts are arithmetic on
+    * the token count and each chunk is an array slice — no shuffle,
+    * no window function, streams and batches alike.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val ts = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(when(org.apache.spark.sql.functions.size(col("ts")) > 0,
+          sequence(lit(0), org.apache.spark.sql.functions.size(col("ts")) - 1,
+            lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        col("start"),
+        org.apache.spark.sql.functions.size(slice(col("ts"), col("start") + 1, lit(size)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("ts"), col("start") + 1, lit(size))).cast("binary"))
+          .as("chunk_md5"))
+  }
+
   /** Streaming twin of [[windowDedup]]: every arriving document is
     * stripped of the tokens covered by any L-token window an
     * already-ingested STATIC corpus contains, and rebuilt in order.

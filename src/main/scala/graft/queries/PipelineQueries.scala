@@ -378,6 +378,31 @@ object PipelineQueries {
       TextOps.dsirScores(docs(s, d), docs(s, d).where(col("lang") === "en"),
         "doc_id", "text")),
 
+    // Token-window chunking (context-window shaping / RAG chunker):
+    // 64-token chunks every 48 tokens — overlapping, final chunks
+    // short. Map-only; chunk identity is the md5 of the joined tokens.
+    "q_text_chunk" -> ((s, d) =>
+      TextOps.chunk(docs(s, d), "doc_id", "text", size = 64, stride = 48)),
+
+    // Mixture resampling toward a uniform per-source budget: sources
+    // above the mean size are deterministically downsampled to it via
+    // the content-md5 bucket (keep_rate = mean/n per mille); the rate
+    // table is S rows and broadcasts. The static DoReMi-style
+    // reweighting step.
+    "q_sample_mixture" -> ((s, d) => {
+      val c = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val m = c.agg(avg(col("n").cast("double")).as("mean_n"))
+      val rates = c.crossJoin(broadcast(m))
+        .select(col("source"),
+          least(lit(1000.0), lit(1000.0) * col("mean_n") / col("n")).as("rate"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.samplingBucket(col("text")).as("bucket"))
+        .join(broadcast(rates), Seq("source"))
+        .where(col("bucket").cast("double") < col("rate"))
+        .select(col("doc_id"), col("source"), col("bucket"))
+    }),
+
     // Corpus profile: per-source doc/token counts, quality and length
     // means, language spread — the summary an operator reads before
     // choosing mixture weights. One partial-agg'd shuffle on source.
@@ -803,6 +828,30 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |c AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1, 48)) AS start
+        |  FROM t WHERE len(ts) > 0)
+        |SELECT doc_id,
+        |  CAST(start / 48 AS INT) AS chunk_id,
+        |  CAST(start AS INT) AS start,
+        |  CAST(len(list_slice(ts, start + 1, least(start + 64, len(ts)))) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(ts, start + 1, least(start + 64, len(ts))), ' '))
+        |    AS chunk_md5
+        |FROM c""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT avg(CAST(n AS DOUBLE)) AS mean_n FROM c),
+        |r AS (SELECT c.source,
+        |  least(1000.0, 1000.0 * m.mean_n / c.n) AS rate FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source,
+        |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS bucket
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS DOUBLE)
+        |  < r.rate""".stripMargin,
     "q_corpus_stats" ->
       raw"""WITH t AS (SELECT doc_id, source, lang, text,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks

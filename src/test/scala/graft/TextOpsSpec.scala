@@ -250,6 +250,24 @@ class TextOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(("tiny doc", 0L), ("tiny doc", 0L)))
   }
 
+  test("chunking: overlapping windows, short tail, empty doc drops out") {
+    import spark.implicits._
+    // 7 tokens, size 3 stride 2 -> starts 0,2,4,6; lengths 3,3,3,1
+    val docs = Seq((1L, "a b c d e f g"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, "doc_id", "text", size = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 3L), (1L, 1, 2, 3L), (1L, 2, 4, 3L), (1L, 3, 6, 1L)))
+  }
+
+  test("chunking is map-only: no shuffle in the plan") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = TextOps.chunk(docs, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("url ops: extraction, domains, blocklist incl. the empty list") {
     import spark.implicits._
     val df = Seq("go to https://sub.spam-site.com:8080/a/b?q=1 or http://ok.org now")
