@@ -319,12 +319,15 @@ object TextOps {
                   textCol: String, windowTokens: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
-    // the token frame feeds the window build AND the anti-join probe;
-    // materialize it so the corpus tokenizes once (the repo-wide
-    // multi-consumer convention — see minhashPairs)
+    // the token frame feeds the window build AND the anti-join probe —
+    // two tokenize passes. Unlike minhashPairs' signature frame
+    // (1000× smaller than its source, so materializing wins), the
+    // EXPLODED token frame is larger than the text it derives from:
+    // checkpointing it costs more I/O at scale than re-tokenizing
+    // (measured: sf1 3.5 s recompute vs 4.4 s checkpointed), so the
+    // two passes stay.
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .localCheckpoint(true)
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, L - 1)
     val wins = toks
