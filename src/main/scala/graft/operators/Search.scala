@@ -80,4 +80,41 @@ object Search {
       ), 4).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
   }
+
+  /** Stream-scoring twin of [[bm25]]: score ARRIVING documents
+    * against a STATIC reference corpus's statistics (N, avgdl, df) —
+    * the "route incoming docs by topic relevance" rule shape. The
+    * statistics collapse to per-term constants at build time
+    * (`terms` is small by definition), so scoring is one map-only
+    * codegen projection with NO joins and no state: it runs
+    * identically under Structured Streaming and on a batch frame.
+    * The bounded collect is the per-term stat table — O(|terms|),
+    * the same documented pattern as the IVF centroid pull.
+    */
+  def bm25Scorer(corpus: DataFrame, textCol: String, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): Column => Column = {
+    val qset = terms.map(_.toLowerCase).distinct
+    val st = corpus.agg(count(lit(1)).as("n"),
+      avg(size(toks(col(textCol))).cast("double")).as("avgdl")).head()
+    val (nDocs, avgdl) = (st.getLong(0).toDouble, st.getDouble(1))
+    val dfMap: Map[String, Long] = corpus
+      .select(explode(array_distinct(toks(col(textCol)))).as("term"))
+      .where(col("term").isin(qset: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (text: Column) => {
+      val ts = toks(text)
+      val dl = size(ts).cast("double")
+      val score = qset.map { t =>
+        val df = dfMap.getOrElse(t, 0L).toDouble
+        val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        val tf = size(filter(ts, w => w === t)).cast("double")
+        when(tf > 0,
+          lit(idf) * (tf * lit(k1 + 1.0)) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      round(score, 4)
+    }
+  }
 }

@@ -200,6 +200,15 @@ object PipelineQueries {
         TextOps.langId(col("text")).as("lang_pred"),
         round(TextOps.stopwordRatio(col("text"), "en"), 6).as("en_ratio"))),
 
+    // Per-language stopword-hit ratios — the langId kernel's raw
+    // inputs as a fully-oracled projection (langId itself argmaxes
+    // these and is golden-pinned; this query pins the scores the
+    // argmax reads, per language, against DuckDB).
+    "q_text_langscores" -> ((s, d) =>
+      docs(s, d).select(Seq(col("doc_id")) ++
+        TextOps.stopwords.keys.toSeq.sorted.map(l =>
+          round(TextOps.stopwordRatio(col("text"), l), 6).as(s"r_$l")): _*)),
+
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -828,6 +837,27 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_text_langscores" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+        |    ['der','die','das','und','ist','nicht','ein','ich','mit','im'], x)))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS r_de,
+        |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+        |    ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS r_en,
+        |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+        |    ['el','la','de','que','y','en','un','es','por','los'], x)))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS r_es,
+        |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+        |    ['le','la','de','et','est','un','une','les','dans','que'], x)))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS r_fr,
+        |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(
+        |    ['的','是','了','在','我','有','和','不','这','他'], x)))
+        |    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS r_zh
+        |FROM t""".stripMargin,
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts

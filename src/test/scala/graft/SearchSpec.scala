@@ -53,6 +53,26 @@ class SearchSpec extends SparkSuite {
       s"df/stats should ride broadcast joins:\n$plan")
   }
 
+  test("bm25Scorer: map-only scoring matches the distributed bm25 on matching docs") {
+    val docs = Tables(spark, sf, "documents")
+    val terms = Seq("join", "window", "hash")
+    val scorer = Search.bm25Scorer(docs, "text", terms)
+    val viaScorer = docs.select(col("doc_id"), scorer(col("text")).as("s"))
+      .where(col("s") > 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBm25 = Search.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaScorer.keySet == viaBm25.keySet)
+    viaBm25.foreach { case (id, s) =>
+      assert(math.abs(viaScorer(id) - s) <= 0.0001, s"doc $id: ${viaScorer(id)} vs $s")
+    }
+    // and the scorer's plan is join-free (pure projection)
+    val plan = docs.select(scorer(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"scorer must be a map-only projection:\n$plan")
+  }
+
   test("tfidf on the real corpus: weights are 0 for universal terms, positive otherwise") {
     val docs = Tables(spark, sf, "documents")
     val out = Search.tfidf(docs, "doc_id", "text")
