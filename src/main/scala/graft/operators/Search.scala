@@ -94,14 +94,19 @@ object Search {
   def bm25Scorer(corpus: DataFrame, textCol: String, terms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): Column => Column = {
     val qset = terms.map(_.toLowerCase).distinct
-    val st = corpus.agg(count(lit(1)).as("n"),
-      avg(size(toks(col(textCol))).cast("double")).as("avgdl")).head()
-    val (nDocs, avgdl) = (st.getLong(0).toDouble, st.getDouble(1))
-    val dfMap: Map[String, Long] = corpus
-      .select(explode(array_distinct(toks(col(textCol)))).as("term"))
-      .where(col("term").isin(qset: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (qset.isEmpty) return (_: Column) => lit(0.0)
+    // ONE corpus pass builds every statistic: N, avgdl, and per-term
+    // document frequency as conditional sums over the same scan
+    val ts = toks(col(textCol))
+    val aggs = Seq(count(lit(1)).as("n"),
+      avg(size(ts).cast("double")).as("avgdl")) ++
+      qset.map(t => sum(when(array_contains(ts, t), 1L).otherwise(0L)).as(s"df_$t"))
+    val st = corpus.agg(aggs.head, aggs.tail: _*).head()
+    val nDocs = st.getLong(0).toDouble
+    if (nDocs == 0) return (_: Column) => lit(0.0) // no reference corpus yet
+    val avgdl = st.getDouble(1)
+    val dfMap: Map[String, Long] =
+      qset.zipWithIndex.map { case (t, i) => t -> st.getLong(i + 2) }.toMap
     (text: Column) => {
       val ts = toks(text)
       val dl = size(ts).cast("double")

@@ -324,8 +324,8 @@ object TextOps {
     // (1000× smaller than its source, so materializing wins), the
     // EXPLODED token frame is larger than the text it derives from:
     // checkpointing it costs more I/O at scale than re-tokenizing
-    // (measured: sf1 3.5 s recompute vs 4.4 s checkpointed), so the
-    // two passes stay.
+    // (measured: sf1 3.0 s recompute vs 4.4 s checkpointed — the
+    // numbers in SURVEY §6), so the two passes stay.
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -372,22 +372,27 @@ object TextOps {
     * no window function, streams and batches alike.
     */
   def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
-            textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
-    require(size > 0 && stride > 0, "size and stride must be positive")
+            textCol: String, chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
     val ts = tokens(col(textCol))
+    // last start: a chunk is emitted only if the PREVIOUS chunk didn't
+    // already reach the document's end — otherwise it would be a
+    // strict subset of its predecessor (a duplicate index entry /
+    // duplicated training text). For stride >= chunkTokens this
+    // reduces to the plain n-1 bound.
+    val n = size(col("ts"))
+    val hi = greatest(lit(0), least(n - 1, n - chunkTokens + stride - 1))
     docs.select(col(idCol).as("doc_id"), ts.as("ts"))
       .select(col("doc_id"), col("ts"),
-        explode(when(org.apache.spark.sql.functions.size(col("ts")) > 0,
-          sequence(lit(0), org.apache.spark.sql.functions.size(col("ts")) - 1,
-            lit(stride)))
+        explode(when(size(col("ts")) > 0, sequence(lit(0), hi, lit(stride)))
           .otherwise(array().cast("array<int>"))).as("start"))
       .select(col("doc_id"),
         (col("start") / stride).cast("int").as("chunk_id"),
         col("start"),
-        org.apache.spark.sql.functions.size(slice(col("ts"), col("start") + 1, lit(size)))
+        size(slice(col("ts"), col("start") + 1, lit(chunkTokens)))
           .cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", slice(col("ts"), col("start") + 1, lit(size))).cast("binary"))
-          .as("chunk_md5"))
+        md5(concat_ws(" ", slice(col("ts"), col("start") + 1, lit(chunkTokens)))
+          .cast("binary")).as("chunk_md5"))
   }
 
   /** Streaming twin of [[windowDedup]]: every arriving document is
@@ -419,10 +424,13 @@ object TextOps {
             md5(concat_ws(" ", slice(ts, i + 1, lit(L)))).as("key"))))
         .otherwise(array().cast("array<struct<pos:int,key:string>>"))
     val seenKeys = corpus
-      .select(explode(windowKeys(tokens(col(textCol)))).as("wk"))
+      .select(explode(windowKeys(tokens(coalesce(col(textCol), lit(""))))).as("wk"))
       .select(col("wk.key").as("k")).distinct()
     val agg = stream
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      // null text coalesces to "" (size(null) = -1 would corrupt the
+      // kept/removed counts) — same guard as the paragraph twin
+      .select(col(idCol).as("doc_id"),
+        tokens(coalesce(col(textCol), lit(""))).as("ts"))
       .select(col("doc_id"), col("ts"),
         explode_outer(windowKeys(col("ts"))).as("wk"))
       .join(seenKeys, col("wk.key") === col("k"), "left")

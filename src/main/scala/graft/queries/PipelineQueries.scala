@@ -391,7 +391,7 @@ object PipelineQueries {
     // 64-token chunks every 48 tokens — overlapping, final chunks
     // short. Map-only; chunk identity is the md5 of the joined tokens.
     "q_text_chunk" -> ((s, d) =>
-      TextOps.chunk(docs(s, d), "doc_id", "text", size = 64, stride = 48)),
+      TextOps.chunk(docs(s, d), "doc_id", "text", chunkTokens = 64, stride = 48)),
 
     // Mixture resampling toward a uniform per-source budget: sources
     // above the mean size are deterministically downsampled to it via
@@ -862,7 +862,8 @@ object PipelineQueries {
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
         |  FROM documents),
-        |c AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1, 48)) AS start
+        |c AS (SELECT doc_id, ts, unnest(generate_series(0,
+        |    greatest(0, least(len(ts) - 1, len(ts) - 64 + 48 - 1)), 48)) AS start
         |  FROM t WHERE len(ts) > 0)
         |SELECT doc_id,
         |  CAST(start / 48 AS INT) AS chunk_id,

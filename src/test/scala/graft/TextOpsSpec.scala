@@ -252,13 +252,14 @@ class TextOpsSpec extends SparkSuite {
 
   test("chunking: overlapping windows, short tail, empty doc drops out") {
     import spark.implicits._
-    // 7 tokens, size 3 stride 2 -> starts 0,2,4,6; lengths 3,3,3,1
+    // 7 tokens, size 3 stride 2 -> starts 0,2,4 (the chunk at 6 would be
+    // a strict subset of the one at 4, so it is not emitted)
     val docs = Seq((1L, "a b c d e f g"), (2L, "")).toDF("doc_id", "text")
-    val out = TextOps.chunk(docs, "doc_id", "text", size = 3, stride = 2)
+    val out = TextOps.chunk(docs, "doc_id", "text", chunkTokens = 3, stride = 2)
       .orderBy("doc_id", "chunk_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(out.toSeq == Seq(
-      (1L, 0, 0, 3L), (1L, 1, 2, 3L), (1L, 2, 4, 3L), (1L, 3, 6, 1L)))
+      (1L, 0, 0, 3L), (1L, 1, 2, 3L), (1L, 2, 4, 3L)))
   }
 
   test("chunking is map-only: no shuffle in the plan") {
