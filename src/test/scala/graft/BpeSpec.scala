@@ -92,6 +92,42 @@ class BpeSpec extends SparkSuite {
     assert(d2 == 0)
   }
 
+  test("encode kernel: property equivalence with the regex chain on random inputs") {
+    // driver-side property check against the JVM kernel directly —
+    // the regex reference below replays Bpe.encode's exact column
+    // semantics (lowercase, \s+ tokenize, per-char split, padded
+    // lookaround merges) with java.util.regex, the same engine
+    // Spark's regexp_replace uses
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    def regexEncode(s: String, merges: Seq[(String, String)]): Seq[String] = {
+      def q(x: String) = java.util.regex.Pattern.quote(x)
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
+        var r = t.replaceAll("(?s)(?<=.)(?=.)", " ")
+        merges.foreach { case (l, rr) =>
+          r = r.replaceAll("(?<=^| )" + q(l) + " " + q(rr) + "(?=$| )",
+            java.util.regex.Matcher.quoteReplacement(l + rr))
+        }
+        r.split(" ").toSeq
+      }
+    }
+    val mergeSets = Gen.oneOf(
+      Seq(("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le")),
+      Seq(("a", "a"), ("aa", "a")),
+      Seq(("$", "$"), (".", ".")),
+      Seq(("a", "b"), ("ab", "a")))
+    val text = Gen.listOf(Gen.oneOf("a", "b", "t", "l", "e", "ta", "aa",
+      "$", ".", " ", "  ", "\t", "table", "tata", "aaa")).map(_.mkString)
+    val prop = Prop.forAll(text, mergeSets) { (s, ms) =>
+      val flat = ms.flatMap { case (l, r) => Seq(l, r) }.toArray
+      val kernel = graft.functions.BpeRuntime.encode(s, flat)
+        .array.map(_.toString).toSeq
+      kernel == regexEncode(s, ms)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("regex-special symbols survive merging and encoding") {
     import spark.implicits._
     // words of regex metacharacters: merges like (.,.) and ($,$) must

@@ -262,6 +262,30 @@ class TextOpsSpec extends SparkSuite {
       (1L, 0, 0, 3L), (1L, 1, 2, 3L), (1L, 2, 4, 3L)))
   }
 
+  test("chunk start formula: full coverage, no contained chunks, for all n/size/stride") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(1, 400); s <- Gen.choose(1, 100); st <- Gen.choose(1, 100)
+    } yield (n, s, st)
+    val prop = Prop.forAll(gen) { case (n, size, stride) =>
+      // the operator's bound: greatest(0, least(n-1, n - size + stride - 1))
+      val hi = math.max(0, math.min(n - 1, n - size + stride - 1))
+      val starts = 0 to hi by stride
+      val ends = starts.map(st => math.min(st + size, n))
+      starts.nonEmpty && starts.head == 0 &&
+        // overlapping mode (stride <= size) covers every token; with
+        // stride > size the gaps between windows are intentional
+        (stride > size || ends.last == n) &&
+        starts.zip(ends).sliding(2).forall { // no chunk inside its predecessor
+          case Seq((s1, e1), (s2, e2)) => s2 > s1 && e2 > e1
+          case _ => true
+        }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunking is map-only: no shuffle in the plan") {
     val docs = Tables(spark, sf, "documents")
     val plan = TextOps.chunk(docs, "doc_id", "text", 64, 48)
