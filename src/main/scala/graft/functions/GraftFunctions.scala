@@ -227,7 +227,23 @@ object GraftFunctions {
       fmtLiteral(a(1)).toInt, fmtLiteral(a(2)).toInt) },
     "simhash64" -> { a => TextHashFunctions.simhash64(a(0)) },
     "shingle_hashes" -> { a => TextHashFunctions.shingle_hashes(a(0), fmtLiteral(a(1)).toInt) },
-    "doc_fingerprint" -> { a => TextHashFunctions.doc_fingerprint(a(0), fmtLiteral(a(1)).toInt) }
+    "doc_fingerprint" -> { a => TextHashFunctions.doc_fingerprint(a(0), fmtLiteral(a(1)).toInt) },
+
+    // ---- corpus-hygiene pack, SQL-reachable (streaming rules can
+    // gate/redact/score arriving documents with the same Columns the
+    // batch pipeline runs; every one is a map-only projection) ----
+    "lang_id" -> { a => TextHashFunctions.lang_id(a(0)) },
+    "quality_score" -> { a => graft.operators.TextOps.qualityScore(a(0)) },
+    "gopher_keep" -> { a => graft.operators.TextOps.gopherKeep(a(0)) },
+    "pii_redact" -> { a => graft.operators.TextOps.piiRedact(a(0)) },
+    "dup_line_frac" -> { a => graft.operators.TextOps.dupLineFrac(a(0)) },
+    "token_count" -> { a => graft.operators.TextOps.tokenCount(a(0)) },
+    "bpe_token_count" -> { a => graft.operators.TextOps.bpeTokenCount(a(0)) },
+    "sampling_bucket" -> { a => graft.operators.TextOps.samplingBucket(a(0)) },
+    "url_domain" -> { a => graft.operators.TextOps.urlDomain(a(0)) },
+    "stopword_ratio" -> { a =>
+      if (a.length > 1) graft.operators.TextOps.stopwordRatio(a(0), fmtLiteral(a(1)))
+      else graft.operators.TextOps.stopwordRatio(a(0)) }
   )
 
   /** Go-style duration literal ("1h30m", "-20m", "1.5s") → micros.

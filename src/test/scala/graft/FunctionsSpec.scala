@@ -68,6 +68,30 @@ class FunctionsSpec extends SparkSuite {
       spark.sql("""SELECT compress(cast('x' AS binary), 'no"pe')""").collect())
   }
 
+  test("corpus-hygiene pack is SQL-reachable and matches the Column API") {
+    GraftFunctions.registerAll(spark)
+    val df = Tables(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    df.createOrReplaceTempView("docs_hyg")
+    val viaSql = spark.sql(
+      """SELECT doc_id, lang_id(text) AS l, quality_score(text) AS q,
+        |  gopher_keep(text) AS g, token_count(text) AS t,
+        |  sampling_bucket(text) AS b, round(stopword_ratio(text, 'de'), 6) AS de
+        |FROM docs_hyg""".stripMargin)
+    val viaCols = df.select(col("doc_id"),
+      graft.operators.TextOps.langId(col("text")).as("l"),
+      graft.operators.TextOps.qualityScore(col("text")).as("q"),
+      graft.operators.TextOps.gopherKeep(col("text")).as("g"),
+      graft.operators.TextOps.tokenCount(col("text")).as("t"),
+      graft.operators.TextOps.samplingBucket(col("text")).as("b"),
+      round(graft.operators.TextOps.stopwordRatio(col("text"), "de"), 6).as("de"))
+    assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
+    // redaction + url domain, literal checks
+    val r = spark.sql(
+      "SELECT pii_redact('mail a@b.co now'), url_domain('https://x.y.z/p')").first()
+    assert(r.getString(0) == "mail <EMAIL> now" && r.getString(1) == "x.y.z")
+  }
+
   test("compress/decompress as Column expressions and SQL functions") {
     GraftFunctions.registerAll(spark)
     val df = Tables(spark, sf, "documents").limit(10).select(col("doc_id"), col("text"))
