@@ -164,4 +164,29 @@ class PlanSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"model join must be keyed:\n${p.take(2000)}")
   }
+
+  test("new text queries prune the documents scan to the columns they read") {
+    // a scan reading all 5 documents columns for a 2-column op is wrong
+    for (q <- Seq("q_text_tfidf", "q_search_bm25", "q_text_chunk", "q_text_gopher")) {
+      val s = formatted(SparkEntry.queries(q)(spark, sf))
+      val readSchema = s.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+        .mkString("\n")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+        !readSchema.contains("lang") && !readSchema.contains("source") &&
+        !readSchema.contains("n_chars"),
+        s"$q must scan only doc_id+text:\n$readSchema")
+    }
+    // dsir's scoring pass likewise (its weight build reads lang by design)
+    val dsir = formatted(SparkEntry.queries("q_sample_dsir")(spark, sf))
+    val rs = dsir.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString
+    assert(!rs.contains("n_chars"), s"dsir must not read n_chars:\n$rs")
+  }
+
+  test("substring dedup: the rank shuffle carries the 16-byte key, not window text") {
+    val df = SparkEntry.queries("q_text_substrdedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"removal set must broadcast at this SF:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
