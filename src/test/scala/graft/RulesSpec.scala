@@ -60,6 +60,31 @@ class RulesSpec extends SparkSuite {
     eng.start("r1")
   }
 
+  test("hygiene rule: gopher gate + pii redaction + quality score inside rule SQL") {
+    val dir = Files.createTempDirectory("graft_rule_hyg")
+    val keepText = ("the quick brown fox jumps over the lazy dog while it waits " * 5).trim
+    writeJson(dir, Seq(
+      s"""{"doc":"good","body":"$keepText mail me at a.b@x.co"}""",
+      """{"doc":"short","body":"too short to pass"}""",
+      """{"doc":"junk","body":"### ### ### ### ### ### ### ### ### ###"}"""))
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM docs (doc STRING, body STRING) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}")""".stripMargin)
+    MemoryHub.drop("hyg_out")
+    eng.create(Rule("hyg",
+      """SELECT doc, pii_redact(body) AS clean, quality_score(body) AS q,
+        |  token_count(body) AS n FROM docs WHERE gopher_keep(body)""".stripMargin,
+      Seq(MemorySink("hyg_out"))))
+    eng.start("hyg")
+    val out = MemoryHub.frame(spark, "hyg_out").collect()
+    assert(out.length == 1, s"only the clean 60-word doc passes: ${out.mkString}")
+    assert(out(0).getString(0) == "good")
+    assert(out(0).getString(1).contains("<EMAIL>") &&
+      !out(0).getString(1).contains("a.b@x.co"), "pii redacted in the rule")
+    assert(out(0).getDouble(2) > 0.5)
+  }
+
   test("streaming rule over file stream delivers to sink incrementally") {
     val dir = Files.createTempDirectory("graft_stream_in")
     val ckpt = Files.createTempDirectory("graft_ckpt")
