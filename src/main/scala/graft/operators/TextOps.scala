@@ -310,13 +310,26 @@ object TextOps {
     * Scale shape: three corpus-sized shuffles, each semantically
     * forced — (1) the per-doc window build (partitioned by doc id;
     * one pass builds every window via a rows-frame collect), (2) the
-    * keep-first rank (partitioned by the 16-byte key), (3) the
-    * rebuild regroup (doc id). The removal set broadcasts back onto
-    * the token stream when small (the common case — only duplicated
-    * coverage travels); AQE picks the join side at runtime.
+    * keep-first pass on the 16-byte key, (3) the rebuild regroup
+    * (doc id). The removal set broadcasts back onto the token stream
+    * when small (the common case — only duplicated coverage
+    * travels); AQE picks the join side at runtime.
+    *
+    * `skewSafe` picks the keep-first strategy (both measured at sf1;
+    * DedupSpec-pinned equivalent):
+    *  - false (default): a per-key row_number — fastest when no
+    *    window is pathologically duplicated (1.9 s vs 3.2 s at
+    *    sf0.1), but a mega-duplicated window (boilerplate 8-grams in
+    *    half the corpus) funnels every occurrence through one
+    *    reducer's sort.
+    *  - true: a MIN-aggregation (map-side combine — hot keys cost
+    *    partial-agg work) plus an AQE-skew-splittable join back;
+    *    pays the window build twice (both consumers re-derive it),
+    *    the right trade only when hot keys dominate the runtime.
     */
   def windowDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String, windowTokens: Int): org.apache.spark.sql.DataFrame = {
+                  textCol: String, windowTokens: Int,
+                  skewSafe: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
     // the token frame feeds the window build AND the anti-join probe —
@@ -334,10 +347,21 @@ object TextOps {
       .withColumn("warr", collect_list(col("w")).over(frame))
       .withColumn("key",
         when(size(col("warr")) === L, md5(concat_ws(" ", col("warr")))))
-    val rank = Window.partitionBy(col("key")).orderBy(col("doc_id"), col("pos"))
-    val rm = wins.where(col("key").isNotNull)
-      .withColumn("rn", row_number().over(rank))
-      .where(col("rn") > 1)
+      .where(col("key").isNotNull)
+      .select(col("doc_id"), col("pos"), col("key"))
+    // an occurrence is removed iff it is not the key's global
+    // (doc_id, pos) minimum — two strategies, see the scaladoc
+    val nonFirst =
+      if (skewSafe) {
+        val firstOcc = wins.groupBy(col("key"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+        wins.join(firstOcc, Seq("key"))
+          .where(struct(col("doc_id"), col("pos")) =!= col("first"))
+      } else {
+        val rank = Window.partitionBy(col("key")).orderBy(col("doc_id"), col("pos"))
+        wins.withColumn("rn", row_number().over(rank)).where(col("rn") > 1)
+      }
+    val rm = nonFirst
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + L - 1))
         .as("rmpos"))
       .distinct()

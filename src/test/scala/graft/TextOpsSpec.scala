@@ -240,6 +240,20 @@ class TextOpsSpec extends SparkSuite {
       (2L, "", 0L, 4L)))
   }
 
+  test("window dedup: skewSafe min-agg strategy is equivalent to the rank strategy") {
+    val docs = Tables(spark, sf, "documents").limit(200)
+      .select(col("doc_id"),
+        // plant a shared passage so the strategies have real work
+        when(col("doc_id") < 40, concat(col("text"),
+          lit(" nine token shared passage for the strategy equivalence test")))
+          .otherwise(col("text")).as("text"))
+    def run(skewSafe: Boolean) =
+      TextOps.windowDedup(docs, "doc_id", "text", 8, skewSafe)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(run(skewSafe = false) == run(skewSafe = true))
+  }
+
   test("window dedup leaves short documents (< L tokens) untouched") {
     import spark.implicits._
     val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
