@@ -683,14 +683,34 @@ object TextOps {
     * row_number, not a collect.
     */
   def paragraphDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String, delimiter: String): org.apache.spark.sql.DataFrame = {
+                     textCol: String, delimiter: String,
+                     skewSafe: Boolean = false): org.apache.spark.sql.DataFrame = {
     val paras = docs.select(col(idCol).as("doc_id"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(delimiter))).as(Seq("pos", "para")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("para")), col("para"))
-      .orderBy(col("doc_id"), col("pos"))
-    paras.withColumn("rn", row_number().over(w))
+    // `skewSafe` mirrors [[windowDedup]]'s keep-first strategy choice:
+    // default per-key row_number (fastest when no span is
+    // pathologically duplicated); the min-agg + join variant turns a
+    // mega-duplicated span's single-reducer sort into map-side
+    // combine + an AQE-skew-splittable join, recomputing the (cheap —
+    // split + posexplode, no window function) span derivation twice.
+    val flagged =
+      if (skewSafe) {
+        val firstOcc = paras
+          .groupBy(xxhash64(col("para")).as("__h"), col("para"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+          .select(col("__h"), col("para"), col("first"))
+        paras.withColumn("__h", xxhash64(col("para")))
+          .join(firstOcc, Seq("__h", "para"))
+          .withColumn("rn",
+            when(struct(col("doc_id"), col("pos")) === col("first"), 1).otherwise(2))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("para")), col("para"))
+          .orderBy(col("doc_id"), col("pos"))
+        paras.withColumn("rn", row_number().over(w))
+      }
+    flagged
       .groupBy(col("doc_id"))
       .agg(
         concat_ws(delimiter, transform(

@@ -254,6 +254,15 @@ class TextOpsSpec extends SparkSuite {
     assert(run(skewSafe = false) == run(skewSafe = true))
   }
 
+  test("paragraph dedup: skewSafe strategy matches the rank strategy on real docs") {
+    val docs = Tables(spark, sf, "documents").limit(200)
+    def run(skewSafe: Boolean) =
+      TextOps.paragraphDedup(docs, "doc_id", "text", " table ", skewSafe)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(run(skewSafe = false) == run(skewSafe = true))
+  }
+
   test("window dedup leaves short documents (< L tokens) untouched") {
     import spark.implicits._
     val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
