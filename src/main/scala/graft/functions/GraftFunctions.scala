@@ -243,7 +243,19 @@ object GraftFunctions {
     "url_domain" -> { a => graft.operators.TextOps.urlDomain(a(0)) },
     "stopword_ratio" -> { a =>
       if (a.length > 1) graft.operators.TextOps.stopwordRatio(a(0), fmtLiteral(a(1)))
-      else graft.operators.TextOps.stopwordRatio(a(0)) }
+      else graft.operators.TextOps.stopwordRatio(a(0)) },
+    // merge list as a literal: rank-ordered pairs "l r;lr x;..."
+    // (symbols may not contain space or ';' — BPE symbols never do,
+    // they derive from whitespace-split tokens)
+    "bpe_encode" -> { a =>
+      val merges = fmtLiteral(a(1)).split(";").toSeq.filter(_.nonEmpty).map { p =>
+        p.split(" ") match {
+          case Array(l, r) => (l, r)
+          case _ => throw new IllegalArgumentException(
+            s"bpe_encode merge entry must be 'left right': '$p'")
+        }
+      }
+      BpeFunctions.bpe_encode(a(0), merges) }
   )
 
   /** Go-style duration literal ("1h30m", "-20m", "1.5s") → micros.

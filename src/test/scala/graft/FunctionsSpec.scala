@@ -90,6 +90,12 @@ class FunctionsSpec extends SparkSuite {
     val r = spark.sql(
       "SELECT pii_redact('mail a@b.co now'), url_domain('https://x.y.z/p')").first()
     assert(r.getString(0) == "mail <EMAIL> now" && r.getString(1) == "x.y.z")
+    // bpe_encode with a rank-ordered literal merge list
+    val e = spark.sql(
+      "SELECT bpe_encode('table talk', 't a;l e;ta b;tab le')").first()
+    assert(e.getSeq[String](0) == Seq("table", "ta", "l", "k"))
+    intercept[Exception](
+      spark.sql("SELECT bpe_encode('x', 'bad merge entry here')").collect())
   }
 
   test("compress/decompress as Column expressions and SQL functions") {
