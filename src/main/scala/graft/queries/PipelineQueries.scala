@@ -440,8 +440,13 @@ object PipelineQueries {
 
     // Class-balanced deterministic downsample: per language, the 40
     // docs with the smallest content-hash bucket (ties by id) — a
-    // reproducible balanced subset with no RNG state; the rank
-    // partitions by class so each class streams one reducer.
+    // reproducible balanced subset with no RNG state. The rank
+    // partitions by class, so with FEW classes each funnels one
+    // reducer; at 100 TB pre-filter candidates by a generous bucket
+    // ceiling (bucket < c·k·1000/n_class keeps the true top-k with
+    // overwhelming probability and shrinks the ranked set to O(c·k))
+    // before the exact rank — the filter is map-side and the
+    // deterministic key makes the result identical.
     "q_sample_balanced" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
