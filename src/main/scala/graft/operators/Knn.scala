@@ -150,8 +150,19 @@ object Knn {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               cells: Int = 16, probes: Int = 4, iters: Int = 1,
-              excludeSelf: Boolean = true): DataFrame = {
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, cells, iters)
+              excludeSelf: Boolean = true): DataFrame =
+    ivfTopKWith(trainIvfCentroids(corpus, idCol, vecCol, cells, iters),
+      queries, corpus, idCol, vecCol, k, probes, excludeSelf)
+
+  /** [[ivfTopK]] with an already-trained centroid table — the
+    * build-once/probe-many production path (pair with
+    * [[saveIvfIndex]]/[[loadIvfIndex]]): training cost is paid by the
+    * indexing job, probe jobs just load kilobytes of centroids.
+    */
+  def ivfTopKWith(cents: Array[Array[Double]],
+                  queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  probes: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
@@ -159,6 +170,48 @@ object Knn {
     rankTopK(c.join(broadcast(q), Seq("cell"))
         .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
       cosine(col("q_vec"), col("n_vec")), k)
+  }
+
+  // ---- index persistence ----
+  // Model sizes are corpus-independent (cells·dim and ksub·dim
+  // doubles), so save/load moves kilobytes; parquet keeps them
+  // engine-readable for audit.
+
+  /** Persist trained IVF centroids as parquet (cell, centroid). */
+  def saveIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved IVF centroid table (ordered by cell id). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Persist trained PQ codebooks as parquet (subspace, entry, values). */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      cb: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    (for { (sub, j) <- cb.zipWithIndex; (e, c) <- sub.zipWithIndex }
+      yield (j, c, e.toSeq)).toSeq
+      .toDF("subspace", "entry", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load saved PQ codebooks. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m) { j =>
+      val sub = rows.filter(_._1 == j).sortBy(_._2)
+      sub.map(_._3)
+    }
   }
 
   /** Multi-table bucketed ANN: `tables` independent sign-bit LSH
@@ -282,9 +335,18 @@ object Knn {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
              m: Int = 16, ksub: Int = 64, iters: Int = 2,
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true): DataFrame =
+    pqTopKWith(trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters),
+      queries, corpus, idCol, vecCol, k, excludeSelf)
+
+  /** [[pqTopK]] with an already-trained codebook — pair with
+    * [[savePqCodebooks]]/[[loadPqCodebooks]] for build-once indexing.
+    */
+  def pqTopKWith(cb: Array[Array[Array[Double]]],
+                 queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.PqFunctions
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
     val n2 = graft.functions.PqKernels.norm2Table(cb)
     val c = corpus.select(col(idCol).as("n_id"),
       PqFunctions.pq_encode(col(vecCol), cb).as("codes"))

@@ -210,6 +210,38 @@ class KnnSpec extends SparkSuite {
     assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 10))
   }
 
+  test("index persistence: save/load round-trips IVF centroids and PQ codebooks exactly") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Knn.trainIvfCentroids(emb, "vec_id", "embedding", cells = 8)
+    val cb = Knn.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_index").toString
+    try {
+      Knn.saveIvfIndex(spark, cents, s"$dir/ivf")
+      Knn.savePqCodebooks(spark, cb, s"$dir/pq")
+      val cents2 = Knn.loadIvfIndex(spark, s"$dir/ivf")
+      val cb2 = Knn.loadPqCodebooks(spark, s"$dir/pq")
+      assert(cents2.length == cents.length &&
+        cents.zip(cents2).forall { case (a, b) => a.sameElements(b) },
+        "centroids must round-trip bit-exactly")
+      assert(cb2.length == cb.length && cb.indices.forall(j =>
+        cb(j).zip(cb2(j)).forall { case (a, b) => a.sameElements(b) }),
+        "codebooks must round-trip bit-exactly")
+      // probing with the loaded index reproduces the direct call
+      import org.apache.spark.sql.functions.col
+      val q = emb.where(col("vec_id") < 5)
+      val direct = Knn.ivfTopKWith(cents, q, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val loaded = Knn.ivfTopKWith(cents2, q, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(direct == loaded)
+      val pqDirect = Knn.pqTopKWith(cb, q, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val pqLoaded = Knn.pqTopKWith(cb2, q, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(pqDirect == pqLoaded)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("int8 quantization: cosine error is small, payload is 1 byte/dim") {
     import graft.functions.VectorFunctions._
     val pairs = emb.where(col("vec_id") < 30).alias("a")
