@@ -172,6 +172,38 @@ object Knn {
       cosine(col("q_vec"), col("n_vec")), k)
   }
 
+  /** Streaming vector search: top-k over a STREAM of query vectors
+    * against a static, IVF-indexed corpus — the serving shape of the
+    * batch [[ivfTopKWith]]. The stream side explodes to its probe
+    * cells (map-only; the centroid table is a plan literal), joins
+    * the cell-assigned static corpus (stream-static inner join, no
+    * state), and one update-mode aggregation per query id assembles
+    * the top-k array — tie-breaking exactly like the batch rankTopK
+    * (rounded score desc, neighbor id asc). Works identically on a
+    * batch frame; each query id should arrive once (the aggregation
+    * merges re-arrivals).
+    *
+    * Returns (q_id, top) where top = array of (n_id, cos) structs in
+    * rank order.
+    */
+  def ivfTopKStream(cents: Array[Array[Double]],
+                    queryStream: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    probes: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
+    val q = queryStream.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(VectorFunctions.ivf_probe_cells(col(vecCol), cents, probes)).as("cell"))
+    q.join(c, Seq("cell"))
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
+      .groupBy(col("q_id"))
+      .agg(transform(
+        slice(array_sort(collect_list(struct((-col("cos")).as("neg"),
+          col("n_id")))), 1, k),
+        s => struct(s("n_id").as("n_id"), (-s("neg")).as("cos"))).as("top"))
+  }
+
   // ---- index persistence ----
   // Model sizes are corpus-independent (cells·dim and ksub·dim
   // doubles), so save/load moves kilobytes; parquet keeps them
@@ -373,10 +405,20 @@ object Knn {
                 idCol: String, vecCol: String, k: Int,
                 cells: Int = 16, probes: Int = 4,
                 m: Int = 16, ksub: Int = 64, iters: Int = 2,
-                excludeSelf: Boolean = true): DataFrame = {
+                excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopKWith(
+      trainIvfCentroids(corpus, idCol, vecCol, cells, iters),
+      trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters),
+      queries, corpus, idCol, vecCol, k, probes, excludeSelf)
+
+  /** [[ivfPqTopK]] with already-trained models — the persisted-index
+    * probe path.
+    */
+  def ivfPqTopKWith(cents: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+                    queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    probes: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.PqFunctions
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, cells, iters)
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
     val n2 = graft.functions.PqKernels.norm2Table(cb)
     val c = corpus.select(col(idCol).as("n_id"),
       VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"),

@@ -146,6 +146,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming vector search: IVF top-k over a query stream equals the batch probe") {
+    import graft.operators.Knn
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val cents = Knn.trainIvfCentroids(emb, "vec_id", "embedding", cells = 8)
+    val queries = emb.where(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = Knn.ivfTopKStream(cents,
+      ms.toDS().toDF("vec_id", "embedding"), emb, "vec_id", "embedding",
+      k = 5, probes = 3)
+    val q = out.writeStream.format("memory").queryName("vsearch_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = queries.splitAt(6)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      def fmt(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getDouble(1)))
+      }.toMap
+      val got = fmt(spark.table("vsearch_out"))
+      val want = fmt(Knn.ivfTopKStream(cents,
+        emb.where(col("vec_id") < 12), emb, "vec_id", "embedding", k = 5, probes = 3))
+      assert(got == want, s"stream ${got.size} queries != batch ${want.size}")
+      assert(got.values.forall(_.length == 5))
+      // and the per-rank results line up with the batch ivfTopKWith path
+      val ranked = Knn.ivfTopKWith(cents, emb.where(col("vec_id") < 12), emb,
+        "vec_id", "embedding", k = 5, probes = 3)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+      assert(got.map { case (id, t) => id -> t.toSeq } == ranked)
+    } finally q.stop()
+  }
+
   test("streaming quality gate (gopher + pii + bpe count) equals the batch projection") {
     import graft.operators.{Bpe, TextOps}
     val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
