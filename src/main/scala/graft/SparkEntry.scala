@@ -17,6 +17,7 @@ object SparkEntry {
       (Q.AnalyticQueries.qs ++ Q.AnalyticQueries.sqlDialect, Q.AnalyticQueries.oracle),
       (Q.FunctionQueries.qs, Q.FunctionQueries.oracle),
       (Q.PipelineQueries.qs, Q.PipelineQueries.oracle),
+      (Q.TemporalQueries.qs, Q.TemporalQueries.oracle),
       (Q.CodecQueries.qs, Q.CodecQueries.oracle)
     )
 

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the built-in join operators don't express directly:
+  * point-in-time (as-of) join and bounded time-range join.
+  *
+  * Neither exists in the reference (its stream-stream join is an
+  * equi-join within a time bound — rules/RuleEngine covers that);
+  * these are the two shapes every feature-backfill / telemetry-
+  * enrichment pipeline needs, so they're first-class here alongside
+  * the §2.9 pipeline pack.
+  *
+  * Both are built to hold at 100 TB:
+  *   - `asofJoin` is ONE hash-shuffle of `left ∪ right` by the join
+  *     key, then a per-key sorted window carry-forward — no range
+  *     explosion, no per-row subquery, state is one struct per row.
+  *   - `rangeJoin` buckets the build side by a fixed time grain and
+  *     fans the probe side out to the 2–3 buckets its interval can
+  *     touch, turning an inequality join (a per-key cartesian in naive
+  *     form) into an equi-join on (key, bucket) with a residual
+  *     filter. Catalyst plans a shuffled equi-join, never a
+  *     nested-loop.
+  */
+object Temporal {
+
+  /** For each left row, attach the single most recent right row with
+    * the same `key` and right time ≤ left time (a right row exactly at
+    * the left row's time DOES match; ties among right rows at the same
+    * instant resolve to the greatest `rightTie`). Rows with no match
+    * carry nulls. `toleranceUs` (if set) voids matches older than
+    * `lTime - toleranceUs`.
+    *
+    * `rightCols` are emitted under their own names (caller renames
+    * upstream on collision); every left column is preserved.
+    *
+    * Implementation: tag both sides, union, and run one running
+    * `last(_, ignoreNulls)` over
+    * `Window.partitionBy(key).orderBy(time, side, tie)` — right rows
+    * sort before left rows at an equal timestamp so "at-or-before"
+    * includes the instant itself. One shuffle, by `key` alone; the
+    * carried state is a single struct column.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lTime: String,
+      rTime: String,
+      rightTie: String,
+      rightCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightCols.forall(c => !leftCols.contains(c)),
+      "left/right column collision — rename before asofJoin")
+
+    val rStructed = right
+      .withColumn("_asof_t", unix_micros(col(rTime)))
+      .withColumn("_asof_r", struct(
+        (rightCols.map(col) :+ col("_asof_t").as("_asof_rt")): _*))
+    val rStructType = rStructed.schema("_asof_r").dataType
+
+    val lTagged = left
+      .withColumn("_asof_t", unix_micros(col(lTime)))
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_tie", lit(Long.MaxValue))
+      .withColumn("_asof_r", lit(null).cast(rStructType))
+      .select((Seq(col(key), col("_asof_t"), col("_asof_side"), col("_asof_tie"),
+        col("_asof_r")) ++ leftCols.filterNot(_ == key).map(col)): _*)
+
+    val rTagged = rStructed
+      .withColumn("_asof_side", lit(0))
+      .withColumn("_asof_tie", col(rightTie).cast("long"))
+      .select((Seq(col(key), col("_asof_t"), col("_asof_side"), col("_asof_tie"),
+        col("_asof_r")) ++ leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_asof_t"), col("_asof_side"), col("_asof_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("_asof_m", last(col("_asof_r"), ignoreNulls = true).over(w))
+      .where(col("_asof_side") === 1)
+
+    val tolerated = toleranceUs match {
+      case Some(tol) => carried.withColumn("_asof_m",
+        when(col("_asof_t") - col("_asof_m._asof_rt") <= tol, col("_asof_m")))
+      case None => carried
+    }
+
+    tolerated.select(
+      (leftCols.map(col) ++ rightCols.map(c => col(s"_asof_m.$c").as(c))): _*)
+  }
+
+  /** INNER equi-key time-range join: every (probe, build) pair with
+    * the same `key` and `bTime ∈ [pTime+lowerUs, pTime+upperUs]`.
+    * Output = all probe columns + `buildCols` + `_rj_matched_t` (the
+    * matched build row's time in µs).
+    *
+    * Left/zero semantics belong to the caller: aggregate the matches
+    * per probe id, then left-join the probe side to the aggregate —
+    * that keeps this operator duplicate-free (the probe fan-out makes
+    * an in-operator LEFT join emit one null row per unmatched bucket).
+    *
+    * The build side lands in exactly ONE bucket
+    * (`grain = upperUs - lowerUs`), the probe side explodes to the
+    * buckets its interval can touch (2–3), so no pair is produced
+    * twice and fan-out is bounded by construction.
+    */
+  def rangeJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      pTime: String,
+      bTime: String,
+      lowerUs: Long,
+      upperUs: Long,
+      buildCols: Seq[String]): DataFrame = {
+    require(upperUs > lowerUs, "empty range")
+    val grain = upperUs - lowerUs
+    val probeCols = probe.columns.toSeq
+    require(buildCols.forall(c => !probeCols.contains(c)),
+      "probe/build column collision — rename before rangeJoin")
+
+    val b = build
+      .withColumn("_rj_bt", unix_micros(col(bTime)))
+      .withColumn("_rj_bucket", floor(col("_rj_bt") / grain))
+      .select((Seq(col(key).as("_rj_key"), col("_rj_bucket"), col("_rj_bt")) ++
+        buildCols.map(col)): _*)
+
+    val p = probe
+      .withColumn("_rj_pt", unix_micros(col(pTime)))
+      .withColumn("_rj_bucket", explode(sequence(
+        floor((col("_rj_pt") + lowerUs) / grain),
+        floor((col("_rj_pt") + upperUs) / grain))))
+
+    p.join(b,
+        p("_rj_bucket") === b("_rj_bucket") && p(key) === b("_rj_key") &&
+          b("_rj_bt").between(p("_rj_pt") + lowerUs, p("_rj_pt") + upperUs))
+      .select((probeCols.map(p(_)) ++ buildCols.map(b(_)) :+
+        b("_rj_bt").as("_rj_matched_t")): _*)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Temporal
+
+/** SURVEY §2.9 — temporal join operators (as-of / point-in-time join,
+  * bounded range join) over the events table, each with a full DuckDB
+  * oracle. The oracle SQL mirrors the operator's semantics in portable
+  * window/inequality-join form (not DuckDB's ASOF JOIN extension, whose
+  * tie-breaking at equal timestamps is unspecified).
+  */
+object TemporalQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // point-in-time: each click attached to the user's most recent
+    // purchase at-or-before the click (tie at the same µs → greatest
+    // purchase event_id). -1 sentinels keep the columns non-nullable
+    // for the driver's hasher.
+    "q_join_asof" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_eid"), col("user_id"),
+          col("ts").as("p_ts"), round(col("value"), 2).as("p_val"))
+      Temporal.asofJoin(clicks, purchases,
+          key = "user_id", lTime = "ts", rTime = "p_ts", rightTie = "p_eid",
+          rightCols = Seq("p_eid", "p_val"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("p_eid"), lit(-1L)).as("p_eid"),
+          coalesce(col("p_val"), lit(-1.0)).as("p_val"))
+    }),
+
+    // as above but only matches within the last 6 hours — the
+    // tolerance variant (feature freshness window).
+    "q_join_asof_tol" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_eid"), col("user_id"), col("ts").as("p_ts"))
+      Temporal.asofJoin(clicks, purchases,
+          key = "user_id", lTime = "ts", rTime = "p_ts", rightTie = "p_eid",
+          rightCols = Seq("p_eid"), toleranceUs = Some(6L * 3600 * 1000000))
+        .select(col("event_id"),
+          coalesce(col("p_eid"), lit(-1L)).as("p_eid"))
+    }),
+
+    // bounded range join: per error event, how many clicks the same
+    // user made within ±2 h, and their value sum. Zero-match errors
+    // stay (probe left-joins the aggregated matches). ±2 h (not ±30 s)
+    // so the match set is non-trivial at every SF.
+    "q_join_range" -> ((s, d) => {
+      val e = ev(s, d)
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
+      val matches = Temporal.rangeJoin(errors, clicks,
+          key = "user_id", pTime = "ts", bTime = "c_ts",
+          lowerUs = -7200L * 1000000, upperUs = 7200L * 1000000,
+          buildCols = Seq("c_val"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"), round(sum(col("c_val")), 2).as("sum_nearby"))
+      errors.select(col("event_id"))
+        .join(matches, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+          coalesce(col("sum_nearby"), lit(0.0)).as("sum_nearby"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |c AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(CASE WHEN side=0 THEN event_id END IGNORE NULLS) OVER w AS p_eid,
+        |    last_value(CASE WHEN side=0 THEN round(value,2) END IGNORE NULLS) OVER w AS p_val
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, coalesce(p_eid, -1) AS p_eid,
+        |  coalesce(p_val, -1.0) AS p_val
+        |FROM c WHERE side = 1""".stripMargin,
+    "q_join_asof_tol" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |c AS (
+        |  SELECT ts, event_id, side,
+        |    last_value(CASE WHEN side=0 THEN event_id END IGNORE NULLS) OVER w AS p_eid,
+        |    last_value(CASE WHEN side=0 THEN ts END IGNORE NULLS) OVER w AS p_ts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  CASE WHEN p_ts IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(p_ts) <= 6*3600*1000000::BIGINT
+        |       THEN p_eid ELSE -1 END AS p_eid
+        |FROM c WHERE side = 1""".stripMargin,
+    "q_join_range" ->
+      """SELECT e.event_id,
+        |  count(c.user_id) AS n_nearby,
+        |  coalesce(round(sum(c.value), 2), 0.0) AS sum_nearby
+        |FROM events e LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        |  AND c.ts BETWEEN e.ts - INTERVAL 2 HOUR
+        |              AND e.ts + INTERVAL 2 HOUR
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1""".stripMargin
+  )
+}

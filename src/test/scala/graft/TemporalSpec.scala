@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Temporal joins: as-of (point-in-time) and bounded range join —
+  * result equivalence against a naive per-row reference computed on a
+  * hand-built fixture, plus plan-shape pins (one key shuffle for
+  * as-of; equi-join, never a nested-loop, for the range join).
+  */
+class TemporalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fixture = {
+    // (id, user, tSec, kind, value) — includes an exact-tie purchase
+    // (u1 @ 100 with two purchases), a purchase after the last click,
+    // and a user with clicks but no purchases.
+    val rows = Seq(
+      (1L, "u1", 100L, "purchase", 5.0),
+      (2L, "u1", 100L, "purchase", 7.0),
+      (3L, "u1", 100L, "click", 0.0),
+      (4L, "u1", 90L, "click", 0.0),
+      (5L, "u1", 200L, "click", 0.0),
+      (6L, "u1", 300L, "purchase", 9.0),
+      (7L, "u2", 50L, "click", 0.0),
+      (8L, "u3", 10L, "purchase", 1.0),
+      (9L, "u3", 100000L, "click", 0.0))
+    rows.toDF("id", "user", "t", "kind", "value")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+  }
+
+  test("asof join: at-or-before match, max-tie at equal ts, nulls when none") {
+    val df = fixture
+    val clicks = df.where($"kind" === "click").select($"id", $"user", $"ts")
+    val purchases = df.where($"kind" === "purchase")
+      .select($"id".as("p_id"), $"user", $"ts".as("p_ts"), $"value".as("p_val"))
+    val out = Temporal.asofJoin(clicks, purchases,
+        key = "user", lTime = "ts", rTime = "p_ts", rightTie = "p_id",
+        rightCols = Seq("p_id", "p_val"))
+      .select($"id", $"p_id", $"p_val")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out === Set(
+      (3L, 2L, 7.0),   // equal-ts tie → greatest p_id wins
+      (4L, -1L, -1.0), // before any purchase
+      (5L, 2L, 7.0),   // purchase @300 is later, still the @100 pair
+      (7L, -1L, -1.0), // u2 has no purchases
+      (9L, 8L, 1.0)))  // long gap still matches without tolerance
+  }
+
+  test("asof join: tolerance voids stale matches") {
+    val df = fixture
+    val clicks = df.where($"kind" === "click").select($"id", $"user", $"ts")
+    val purchases = df.where($"kind" === "purchase")
+      .select($"id".as("p_id"), $"user", $"ts".as("p_ts"))
+    val out = Temporal.asofJoin(clicks, purchases,
+        key = "user", lTime = "ts", rTime = "p_ts", rightTie = "p_id",
+        rightCols = Seq("p_id"), toleranceUs = Some(150L * 1000000))
+      .select($"id", $"p_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // click 9 (u3 @100000s) is ~99990s after purchase 8 → voided
+    assert(out.contains((9L, -1L)) && out.contains((3L, 2L)) && out.contains((5L, 2L)))
+  }
+
+  test("asof join plan: exactly one shuffle, by the key alone") {
+    val df = fixture
+    val clicks = df.where($"kind" === "click").select($"id", $"user", $"ts")
+    val purchases = df.where($"kind" === "purchase")
+      .select($"id".as("p_id"), $"user", $"ts".as("p_ts"))
+    val out = Temporal.asofJoin(clicks, purchases,
+      key = "user", lTime = "ts", rTime = "p_ts", rightTie = "p_id",
+      rightCols = Seq("p_id"))
+    val p = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(shuffles.size === 1, s"want 1 shuffle, got ${shuffles.size}:\n${p.take(2000)}")
+    val keyed = "Exchange hashpartitioning\\(user".r.findAllIn(p).size
+    assert(keyed === 1, s"shuffle not keyed by user alone:\n${p.take(2000)}")
+  }
+
+  test("range join: exact pair set on a fixture with bucket-boundary pairs") {
+    val df = fixture
+    val errors = df.where($"kind" === "click").select($"id", $"user", $"ts")
+    val near = df.where($"kind" === "purchase")
+      .select($"user", $"ts".as("b_ts"), $"id".as("b_id"))
+    // ±60 s window; naive reference via a plain (small) cross filter
+    val got = Temporal.rangeJoin(errors, near,
+        key = "user", pTime = "ts", bTime = "b_ts",
+        lowerUs = -60L * 1000000, upperUs = 60L * 1000000,
+        buildCols = Seq("b_id"))
+      .select($"id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      e <- Seq((3L, "u1", 100L), (4L, "u1", 90L), (5L, "u1", 200L),
+        (7L, "u2", 50L), (9L, "u3", 100000L))
+      b <- Seq((1L, "u1", 100L), (2L, "u1", 100L), (6L, "u1", 300L), (8L, "u3", 10L))
+      if e._2 == b._2 && math.abs(e._3 - b._3) <= 60
+    } yield (e._1, b._1)).toSet
+    assert(got === want)
+    assert(want.contains((4L, 1L)) && !want.contains((5L, 6L)))
+  }
+
+  test("range join plan: equi-join, no nested-loop or cartesian") {
+    val df = fixture
+    val errors = df.where($"kind" === "click").select($"id", $"user", $"ts")
+    val near = df.where($"kind" === "purchase")
+      .select($"user", $"ts".as("b_ts"), $"id".as("b_id"))
+    val plan = Temporal.rangeJoin(errors, near,
+      key = "user", pTime = "ts", bTime = "b_ts",
+      lowerUs = -60L * 1000000, upperUs = 60L * 1000000,
+      buildCols = Seq("b_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+  }
+
+  test("range join: every build row in exactly one bucket (no duplicate pairs)") {
+    val df = fixture
+    val probe = df.select($"id", $"user", $"ts")
+    val build = df.select($"user", $"ts".as("b_ts"), $"id".as("b_id"))
+    val out = Temporal.rangeJoin(probe, build,
+        key = "user", pTime = "ts", bTime = "b_ts",
+        lowerUs = -90L * 1000000, upperUs = 90L * 1000000,
+        buildCols = Seq("b_id"))
+      .groupBy($"id", $"b_id").count().where($"count" > 1).count()
+    assert(out === 0L)
+  }
+}
