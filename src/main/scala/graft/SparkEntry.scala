@@ -18,6 +18,7 @@ object SparkEntry {
       (Q.FunctionQueries.qs, Q.FunctionQueries.oracle),
       (Q.PipelineQueries.qs, Q.PipelineQueries.oracle),
       (Q.TemporalQueries.qs, Q.TemporalQueries.oracle),
+      (Q.SketchQueries.qs, Q.SketchQueries.oracle),
       (Q.CodecQueries.qs, Q.CodecQueries.oracle)
     )
 

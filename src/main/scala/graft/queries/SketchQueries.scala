@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Sketches
+import graft.operators.TextOps
+
+/** SURVEY §2.9 — sketch-aggregate queries: t-digest quantiles,
+  * SpaceSaving top-k, and exact heavy-hitter n-gram mining.
+  *
+  * q_topk_sketch runs the SpaceSaving aggregate with capacity ≥ the
+  * group's item cardinality, where its estimates are provably exact —
+  * so the sketch path itself carries a full DuckDB oracle. The
+  * eviction/approximation regime is pinned by SketchSpec.
+  * q_quantiles_tdigest is golden-pinned (approximation has no SQL
+  * replay); the rank-error bound vs exact percentiles is SketchSpec's
+  * job. The query repartitions by group and sorts within partitions,
+  * making the digest's update order — and thus the golden — fully
+  * deterministic at any core count.
+  */
+object SketchQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-source doc-length quantiles via mergeable t-digest state
+    "q_quantiles_tdigest" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .repartition(8, col("source"))
+        .sortWithinPartitions(col("source"), col("n_chars"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(Sketches.tdigestQuantiles(col("n_chars").cast("double"), 100.0,
+          Seq(0.5, 0.9, 0.99)).as("qv"))
+        .select(col("source"),
+          round(element_at(col("qv"), 1), 2).as("p50"),
+          round(element_at(col("qv"), 2), 2).as("p90"),
+          round(element_at(col("qv"), 3), 2).as("p99"))),
+
+    // top-2 languages per source via the SpaceSaving aggregate; with
+    // capacity 16 ≥ 5 distinct langs the sketch is exact → oracled
+    "q_topk_sketch" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(Sketches.topkSketch(col("lang"), 16, 2).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("rank", "e")))
+        .select(col("source"), (col("rank") + 1).as("rank"),
+          col("e.item").as("lang"), col("e.count_hi").as("cnt"))),
+
+    // exact corpus-wide heavy hitters: top-20 word trigrams
+    // (deterministic tie-break by gram). Exact two-phase group-by is
+    // the baseline the sketch approximates; TakeOrderedAndProject
+    // keeps the top-k global sort driver-light.
+    "q_ngram_topk" -> ((s, d) => {
+      val toks = docs(s, d).select(TextOps.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 3)
+      toks.select(explode(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3)))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_topk_sketch" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY count(*) DESC, lang) AS rank
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, rank, lang, cnt FROM c WHERE rank <= 2""".stripMargin,
+    "q_ngram_topk" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.functions.Sketches.{SpaceSaving, TDigest}
+
+/** Sketch aggregates: t-digest rank-error bounds vs exact quantiles,
+  * merge ≡ whole-stream equivalence, SpaceSaving heavy-hitter
+  * guarantee and bound soundness, serialization round-trips, and the
+  * distributed (partial → shuffle → merge) path through the DataFrame
+  * API.
+  */
+class SketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rankOf(sorted: Array[Double], v: Double): Double = {
+    val i = sorted.indexWhere(_ >= v)
+    if (i < 0) 1.0 else i.toDouble / sorted.length
+  }
+
+  test("tdigest: rank error within 1% on uniform and heavy-tailed data") {
+    val rnd = new scala.util.Random(42)
+    val uniform = Array.fill(20000)(rnd.nextDouble() * 1000)
+    val pareto = Array.fill(20000)(math.pow(1 - rnd.nextDouble(), -1.5))
+    for (data <- Seq(uniform, pareto)) {
+      val d = new TDigest(100.0)
+      data.foreach(d.add(_))
+      val sorted = data.sorted
+      for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+        val est = d.quantile(q)
+        val err = math.abs(rankOf(sorted, est) - q)
+        assert(err < 0.01, s"q=$q est=$est rank err $err")
+      }
+    }
+  }
+
+  test("tdigest: merged halves agree with the whole stream within bound") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(10000)(rnd.nextGaussian() * 50 + 200)
+    val whole = new TDigest(100.0); data.foreach(whole.add(_))
+    val a = new TDigest(100.0); data.take(5000).foreach(a.add(_))
+    val b = new TDigest(100.0); data.drop(5000).foreach(b.add(_))
+    a.addAll(b)
+    val sorted = data.sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val errMerged = math.abs(rankOf(sorted, a.quantile(q)) - q)
+      assert(errMerged < 0.015, s"merged rank err $errMerged at q=$q")
+    }
+  }
+
+  test("tdigest: serialization round-trip preserves quantiles exactly") {
+    val d = new TDigest(50.0)
+    (1 to 5000).foreach(i => d.add(i.toDouble))
+    val d2 = TDigest.fromBytes(d.toBytes)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.99))
+      assert(d.quantile(q) === d2.quantile(q))
+  }
+
+  test("tdigest: centroid count stays bounded by the compression") {
+    val rnd = new scala.util.Random(3)
+    val d = new TDigest(100.0)
+    (1 to 100000).foreach(_ => d.add(rnd.nextDouble()))
+    d.compress()
+    assert(d.n <= 200, s"centroids ${d.n} exceed 2x compression")
+  }
+
+  test("spacesaving: every item with freq > n/capacity survives; bounds sound") {
+    // zipf-ish stream: item i appears ~ 10000/i times, capacity 20
+    val stream = (1 to 60).flatMap(i => Seq.fill(10000 / i)(s"item$i"))
+    val shuffled = new scala.util.Random(11).shuffle(stream)
+    val s = new SpaceSaving(20)
+    shuffled.foreach(s.add(_))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val kept = s.topK(20).map(_._1).toSet
+    exact.filter(_._2 > n / 20).keys.foreach(i =>
+      assert(kept.contains(i), s"heavy hitter $i evicted"))
+    s.topK(20).foreach { case (item, cnt, err) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(truth <= cnt && cnt - err <= truth,
+        s"$item: bounds [${cnt - err},$cnt] miss truth $truth")
+    }
+  }
+
+  test("spacesaving: merge of shards covers shard-spanning heavy hitters") {
+    val shard1 = Seq.fill(500)("big") ++ (1 to 300).map(i => s"a$i")
+    val shard2 = Seq.fill(500)("big") ++ (1 to 300).map(i => s"b$i")
+    val s1 = new SpaceSaving(50); shard1.foreach(s1.add(_))
+    val s2 = new SpaceSaving(50); shard2.foreach(s2.add(_))
+    s1.mergeIn(s2)
+    val top = s1.topK(1)
+    assert(top.head._1 === "big")
+    assert(top.head._2 >= 1000, s"merged estimate ${top.head._2} under-counts")
+  }
+
+  test("spacesaving: exact when capacity >= cardinality (the oracled regime)") {
+    val stream = new scala.util.Random(5).shuffle(
+      (1 to 8).flatMap(i => Seq.fill(i * 7)(s"v$i")))
+    val s = new SpaceSaving(16)
+    stream.foreach(s.add(_))
+    s.topK(8).foreach { case (item, cnt, err) =>
+      val truth = item.drop(1).toLong * 7
+      assert(cnt === truth && err === 0L)
+    }
+  }
+
+  test("distributed path: sketch aggregates agree with exact over the documents table") {
+    val docs = Tables(spark, sf, "documents")
+    // t-digest p50 per source within 2 ranks of the exact median
+    val est = docs.repartition(4, $"source")
+      .groupBy($"source")
+      .agg(Sketches.tdigestQuantiles($"n_chars".cast("double"), 100.0, Seq(0.5)).as("qv"))
+      .select($"source", element_at($"qv", 1).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = docs.groupBy($"source")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (src, p50) =>
+      val vals = docs.where($"source" === src).select($"n_chars")
+        .collect().map(_.getLong(0).toDouble).sorted
+      val r = rankOf(vals, p50)
+      assert(math.abs(r - 0.5) <= math.max(0.02, 2.0 / counts(src)),
+        s"$src: est $p50 (rank $r) vs exact ${exact(src)}")
+    }
+    // SpaceSaving with big capacity == exact lang counts
+    val sk = docs.groupBy($"source")
+      .agg(Sketches.topkSketch($"lang", 16, 16).as("top"))
+      .select($"source", explode($"top").as("e"))
+      .select($"source", $"e.item".as("lang"), $"e.count_hi".as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exactLang = docs.groupBy($"source", $"lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sk === exactLang)
+  }
+}
