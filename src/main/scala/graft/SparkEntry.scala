@@ -19,6 +19,7 @@ object SparkEntry {
       (Q.PipelineQueries.qs, Q.PipelineQueries.oracle),
       (Q.TemporalQueries.qs, Q.TemporalQueries.oracle),
       (Q.SketchQueries.qs, Q.SketchQueries.oracle),
+      (Q.ExportQueries.qs, Q.ExportQueries.oracle),
       (Q.CodecQueries.qs, Q.CodecQueries.oracle)
     )
 
