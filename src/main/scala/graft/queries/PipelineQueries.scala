@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Dedup, Knn, Multimodal, Search, TextOps}
+import graft.operators.{Bpe, Classifier, Dedup, Knn, Multimodal, Search, TextOps}
 
 /** SURVEY §2.9 — LLM-scale data-pipeline operators over the
   * documents/embeddings tables: dedup (exact, minhash LSH, simhash,
@@ -187,6 +187,26 @@ object PipelineQueries {
         round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
         round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextOps.qualityScore(col("text")).as("quality"))),
+
+    // fastText-style quality classifier end-to-end, in the reference-
+    // vs-garbage shape the GPT-3/LLaMA data filters use: the corpus
+    // itself is the positive class, a deterministic corruption of it
+    // (vowel-substituted tokens — out-of-vocabulary garbage) is the
+    // negative class; train, then score both sides map-only with the
+    // codegen kernel. Training is deterministic (pid-ordered gradient
+    // sum), so the golden pins both halves. ClassifierSpec owns
+    // accuracy (planted signal + this construction) and the
+    // treeAggregate ≈ deterministic-path equivalence.
+    "q_quality_classifier" -> ((s, d) => {
+      val corrupt = translate(col("text"), "aeiou", "xqzvk")
+      val tr = docs(s, d).select(col("text"), lit(1).as("y"))
+        .unionAll(docs(s, d).select(corrupt.as("text"), lit(0).as("y")))
+      val w = Classifier.train(tr, "text", "y", dim = 1 << 15, iters = 100, lr = 16.0)
+      docs(s, d).select(
+        col("doc_id"),
+        round(Classifier.score(col("text"), w), 2).as("clean_score"),
+        round(Classifier.score(corrupt, w), 2).as("garbage_score"))
+    }),
 
     "q_text_tokens" -> ((s, d) =>
       docs(s, d).select(

@@ -48,6 +48,16 @@ object SketchQueries {
         .select(col("source"), (col("rank") + 1).as("rank"),
           col("e.item").as("lang"), col("e.count_hi").as("cnt"))),
 
+    // per-type distinct users via the mergeable HLL sketch (p=14 →
+    // 16 KiB state per group at ANY cardinality; register-max merge is
+    // order-independent, so the golden is bit-stable at any core
+    // count). SketchSpec pins the error bound vs the exact count.
+    "q_distinct_hll" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(Sketches.hllDistinct(col("user_id")).as("est_users"),
+          count(lit(1)).as("n_events"))),
+
     // exact corpus-wide heavy hitters: top-20 word trigrams
     // (deterministic tie-break by gram). Exact two-phase group-by is
     // the baseline the sketch approximates; TakeOrderedAndProject

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Sketches
-import graft.functions.Sketches.{SpaceSaving, TDigest}
+import graft.functions.Sketches.{Hll, SpaceSaving, TDigest}
 
 /** Sketch aggregates: t-digest rank-error bounds vs exact quantiles,
   * merge ≡ whole-stream equivalence, SpaceSaving heavy-hitter
@@ -133,5 +133,56 @@ class SketchSpec extends SparkSuite {
     val exactLang = docs.groupBy($"source", $"lang").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(sk === exactLang)
+  }
+
+  test("hll: estimate within 3% at 100k distinct; merge == whole stream") {
+    val h = new Hll(14)
+    val a = new Hll(14); val b = new Hll(14)
+    var i = 0L
+    while (i < 100000L) {
+      // xxhash-free unit path: feed a splitmix64-style scramble so the
+      // register distribution matches a real hash
+      var z = i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      h.add(z)
+      (if (i % 2 == 0) a else b).add(z)
+      i += 1
+    }
+    val err = math.abs(h.estimate - 100000L) / 100000.0
+    assert(err < 0.03, s"estimate ${h.estimate} err $err")
+    a.mergeIn(b)
+    assert(a.estimate === h.estimate) // register-max merge is exact
+  }
+
+  test("hll: small-range linear counting is near-exact at low cardinality") {
+    val h = new Hll(14)
+    (1 to 500).foreach(i => h.add(graft.functions.TextHashing.mix64(i.toLong)))
+    assert(math.abs(h.estimate - 500L) <= 5, s"got ${h.estimate}")
+  }
+
+  test("hll: serialization round-trip preserves the registers") {
+    val agg = Sketches.HllAgg(null, 12)
+    val h = new Hll(12)
+    (1 to 10000).foreach(i => h.add(i.toLong * 0x2545f4914f6cdd1dL))
+    val back = agg.deserialize(agg.serialize(h))
+    assert(back.p === 12 && back.regs.toSeq === h.regs.toSeq)
+  }
+
+  test("distributed path: hll per-group estimates track exact distinct counts") {
+    val ev = Tables(spark, sf, "events")
+    val est = ev.repartition(8)
+      .groupBy($"event_type")
+      .agg(Sketches.hllDistinct($"user_id").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val e = est(t)
+      assert(math.abs(e - n) <= math.max(3.0, 0.03 * n),
+        s"$t: est $e vs exact $n")
+    }
   }
 }
