@@ -77,6 +77,44 @@ object Knn {
       cosine(col("q_vec"), col("n_vec")), k)
   }
 
+  /** Hard-negative mining for contrastive embedding training (the DPR
+    * recipe — Karpukhin et al. 2020 "Dense Passage Retrieval" mines
+    * negatives from the retriever's own top results): per anchor, the
+    * positive is the nearest SAME-label neighbor and the hard negative
+    * the nearest DIFFERENT-label neighbor within the top-k. Anchors
+    * lacking either kind inside k drop out (inner join — a training
+    * pair needs both sides).
+    *
+    * Plan shape: one *TopK pass (anchors broadcast, corpus never
+    * shuffled; pass `cents` to ride the IVF pruned-probe path at
+    * scale), then the (anchors×k)-row neighbor table is BROADCAST back
+    * against a column-pruned (id,label) corpus scan — the corpus is
+    * read twice, shuffled never.
+    *
+    * Returns (q_id, pos_id, pos_cos, neg_id, neg_cos).
+    */
+  def miningTriplets(anchors: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     k: Int = 20,
+                     cents: Option[Array[Array[Double]]] = None): DataFrame = {
+    val nbrs = cents match {
+      case Some(c) => ivfTopKWith(c, anchors, corpus, idCol, vecCol, k)
+      case None    => bruteForceTopK(anchors, corpus, idCol, vecCol, k)
+    }
+    val labels = corpus.select(col(idCol).as("n_id"), col(labelCol).as("n_label"))
+    val aLab = anchors.select(col(idCol).as("q_id"), col(labelCol).as("q_label"))
+    val j = labels.join(broadcast(nbrs), "n_id")
+      .join(broadcast(aLab), "q_id")
+      .withColumn("same", col("n_label") === col("q_label"))
+    def pick(cond: Column, prefix: String) =
+      j.where(cond)
+        .groupBy(col("q_id"))
+        .agg(min_by(struct(col("n_id"), col("cos")), col("rank")).as("s"))
+        .select(col("q_id"), col("s.n_id").as(s"${prefix}_id"),
+          col("s.cos").as(s"${prefix}_cos"))
+    pick(col("same"), "pos").join(pick(!col("same"), "neg"), Seq("q_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
     * components in [-1, 1), derived from a seeded xorshift — stable
     * across runs and cluster nodes.

@@ -135,10 +135,45 @@ object PipelineQueries {
         .select(col("a"), col("b"), col("cos"))
     }),
 
+    // distributed PCA over the embedding corpus: one-pass moment fit
+    // (driver sees dim² moments only), then the identity var(projᵢ)=λᵢ
+    // demonstrated DISTRIBUTEDLY — per component, the variance of the
+    // codegen projection across the corpus must reproduce the driver-
+    // solved eigenvalue. Output is rotation-invariant (spectrum +
+    // projection variances), so the golden is stable even where the
+    // near-isotropic synthetic spectrum makes individual eigenvectors
+    // ill-conditioned. PcaSpec owns planted-structure recovery,
+    // orthonormality, residual math, and the Jacobi solver itself.
+    "q_embed_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.operators.Pca.fit(e, "embedding", 8)
+      val spec = model.eigenvalues.zip(model.explainedRatio).zipWithIndex
+        .map { case ((ev, r), i) => (i, ev, r) }.toSeq
+      val specDf = s.createDataFrame(spec).toDF("comp", "eigenvalue", "explained")
+      e.select(posexplode(graft.operators.Pca.project(col("embedding"), model))
+          .as(Seq("comp", "p")))
+        .groupBy(col("comp"))
+        .agg(round(var_pop(col("p")), 4).as("proj_var"))
+        .join(broadcast(specDf), "comp")
+        .select(col("comp"), round(col("eigenvalue"), 4).as("eigenvalue"),
+          col("proj_var"), round(col("explained"), 4).as("explained"))
+    }),
+
     // ---- similarity search ----
     "q_knn_cosine" -> ((s, d) => {
       val e = emb(s, d)
       Knn.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+    }),
+
+    // contrastive-training triplets: nearest same-label neighbor as
+    // the positive, nearest different-label neighbor as the hard
+    // negative, mined from the exact top-20 (DuckDB replays the whole
+    // construction, so this is a full-oracle query; the IVF-pruned
+    // variant at scale shares the code path and KnnSpec's recall pins).
+    "q_knn_hardneg" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.miningTriplets(e.where(col("vec_id") < 50), e,
+        "vec_id", "embedding", "label", k = 20)
     }),
 
     "q_knn_ivf" -> ((s, d) => {
@@ -1026,6 +1061,25 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         |  coalesce(s.dsir_logratio, 0.0) AS dsir_logratio
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "q_knn_hardneg" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+        |           FROM embeddings WHERE vec_id < 50),
+        |sims AS (
+        |  SELECT q.q_id, q.q_label, c.vec_id AS n_id, c.label AS n_label,
+        |    round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 5) AS cos
+        |  FROM q CROSS JOIN embeddings c WHERE q.q_id <> c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY cos DESC, n_id) AS rank FROM sims),
+        |top AS (SELECT * FROM ranked WHERE rank <= 20),
+        |pos AS (SELECT q_id, n_id AS pos_id, cos AS pos_cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rn
+        |  FROM top WHERE n_label = q_label),
+        |neg AS (SELECT q_id, n_id AS neg_id, cos AS neg_cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rn
+        |  FROM top WHERE n_label <> q_label)
+        |SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+        |FROM pos p JOIN neg n USING (q_id) WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (

@@ -257,4 +257,31 @@ class KnnSpec extends SparkSuite {
     val maxErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
     assert(maxErr < 0.02, s"int8 cosine drifts $maxErr from float cosine")
   }
+
+  test("hard-negative mining: pos shares the anchor's label, neg does not, both are the nearest such") {
+    val anchors = emb.where(col("vec_id") < 20)
+    val t = Knn.miningTriplets(anchors, emb, "vec_id", "embedding", "label", k = 30)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(t.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // cross-check against the raw top-k table
+    val top = Knn.bruteForceTopK(anchors, emb, "vec_id", "embedding", k = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    t.foreach { case (q, (posId, posCos, negId, negCos)) =>
+      assert(labels(posId) == labels(q), s"anchor $q: positive $posId label mismatch")
+      assert(labels(negId) != labels(q), s"anchor $q: negative $negId shares label")
+      val mine = top.filter(_._1 == q).sortBy(_._4)
+      val firstSame = mine.find(e => labels(e._2) == labels(q)).get
+      val firstDiff = mine.find(e => labels(e._2) != labels(q)).get
+      assert(firstSame._2 == posId && firstSame._3 == posCos)
+      assert(firstDiff._2 == negId && firstDiff._3 == negCos)
+    }
+    // IVF-pruned variant: same shape, recall-bounded agreement
+    val cents = Knn.trainIvfCentroids(emb, "vec_id", "embedding", 16)
+    val tIvf = Knn.miningTriplets(anchors, emb, "vec_id", "embedding", "label",
+      k = 30, cents = Some(cents)).collect()
+    assert(tIvf.length >= t.size / 2, "IVF mining lost too many anchors")
+  }
 }
