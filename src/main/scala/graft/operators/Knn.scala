@@ -112,7 +112,9 @@ object Knn {
         .agg(min_by(struct(col("n_id"), col("cos")), col("rank")).as("s"))
         .select(col("q_id"), col("s.n_id").as(s"${prefix}_id"),
           col("s.cos").as(s"${prefix}_cos"))
-    pick(col("same"), "pos").join(pick(!col("same"), "neg"), Seq("q_id"))
+    // both sides are ≤|anchors| rows by construction — broadcast the
+    // neg side so the pairing never plans a sort-merge join
+    pick(col("same"), "pos").join(broadcast(pick(!col("same"), "neg")), Seq("q_id"))
   }
 
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`

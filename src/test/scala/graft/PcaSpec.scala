@@ -67,6 +67,30 @@ class PcaSpec extends SparkSuite {
     assert(math.abs(avgResid - dropped) < 1e-9, s"resid $avgResid vs dropped $dropped")
   }
 
+  test("pca projection preserves pairwise distances on low-rank data (the ANN-compression contract)") {
+    // PCA's neighbor guarantee is EUCLIDEAN: ||xi−xj||² equals the
+    // projected distance plus the residual-space distance, so when the
+    // dropped variance is tiny (low intrinsic dimension — the real-
+    // embedding regime) distances and hence Euclidean neighbor sets
+    // survive the 4× compression. Verify on planted rank-2 vectors.
+    val data = planted(400)
+    val model = Pca.fit(data, "embedding", 2)
+    assert(model.explainedRatio.sum > 0.99)
+    val rows = data.select($"embedding".cast("array<double>"),
+        Pca.project($"embedding", model).as("p"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val errs = for (i <- 0 until 50; j <- i + 1 until 50) yield {
+      val full = d2(rows(i)._1, rows(j)._1)
+      val red = d2(rows(i)._2, rows(j)._2)
+      math.abs(full - red)
+    }
+    // dropped variance is the noise floor: 8 dims × 0.01² × 2 sides
+    assert(errs.max < 0.05, s"max pairwise distance error ${errs.max}")
+  }
+
   test("fit is insensitive to partition layout (same moments, same spectrum)") {
     val data = planted(500)
     val m1 = Pca.fit(data.repartition(2), "embedding", 3)

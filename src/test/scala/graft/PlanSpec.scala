@@ -189,4 +189,40 @@ class PlanSpec extends SparkSuite {
       s"removal set must broadcast at this SF:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("classifier scoring is a map-only codegen projection") {
+    val w = new Array[Double]((1 << 12) + 1)
+    val df = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.Classifier.score(col("text"), w, 1 << 12).as("s"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n${p.take(1500)}")
+    assert(p.contains("logistic_score"), p.take(1500))
+    val rs = formatted(df).linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString
+    assert(!rs.contains("lang"), s"scan must prune to doc_id+text:\n$rs")
+  }
+
+  test("pca projection kernel is inline; the identity query joins the spectrum via broadcast") {
+    val p = planOf("q_embed_pca")
+    assert(p.contains("pca_project"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), s"spectrum table must broadcast:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"), p.take(1500)) // two-phase var_pop
+  }
+
+  test("hard-negative mining never shuffles the corpus (broadcast-only joins)") {
+    val p = planOf("q_knn_hardneg")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("hll distinct aggregates two-phase: partial sketches before the shuffle") {
+    val df = SparkEntry.queries("q_distinct_hll")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial (hll_distinct) on the map side, then
+    // one key exchange, then the merge — the mergeable-sketch contract
+    assert(p.contains("hll_distinct"), p.take(1500))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n${p.take(1500)}")
+  }
 }
