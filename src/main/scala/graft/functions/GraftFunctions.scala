@@ -319,5 +319,43 @@ object GraftFunctions {
     RegistryBridge.register(spark, "get_keyed_state", args => GetKeyedStateExpr(args))
     RegistryBridge.register(spark, "accumulateWordCount", args => AccumulateWordCountExpr(args))
     RegistryBridge.register(spark, "delay", args => DelayExpr(args))
+    registerSketches(spark)
+  }
+
+  /** The mergeable-sketch aggregates as rule-SQL names. Builders
+    * return the bare AggregateFunction — the analyzer wraps it in an
+    * AggregateExpression like any native aggregate. Shape parameters
+    * must be literals (they size executor state, so a per-row value
+    * would be meaningless).
+    */
+  private def registerSketches(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.NumericType
+    // SQL numeric literals arrive as int/bigint/decimal/double
+    // depending on how they're written — accept any NumericType
+    def litDouble(e: Expression, what: String): Double = e match {
+      case Literal(v: org.apache.spark.sql.types.Decimal, _: NumericType) => v.toDouble
+      case Literal(v: Number, _: NumericType) => v.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+    def litInt(e: Expression, what: String): Int = litDouble(e, what).toInt
+    RegistryBridge.register(spark, "hll_distinct", {
+      case Seq(e) => Sketches.HllAgg(XxHash64(Seq(e), 42L), 14)
+      case Seq(e, p) => Sketches.HllAgg(XxHash64(Seq(e), 42L), litInt(p, "precision"))
+      case _ => throw new IllegalArgumentException("hll_distinct(col[, precision])")
+    })
+    RegistryBridge.register(spark, "tdigest_quantiles", {
+      case e +: comp +: qs if qs.nonEmpty =>
+        Sketches.TDigestAgg(e, litDouble(comp, "compression"),
+          qs.map(litDouble(_, "quantile")))
+      case _ => throw new IllegalArgumentException(
+        "tdigest_quantiles(col, compression, q1[, q2, ...])")
+    })
+    RegistryBridge.register(spark, "topk_sketch", {
+      case Seq(e, cap, k) =>
+        Sketches.SpaceSavingAgg(e, litInt(cap, "capacity"), litInt(k, "k"))
+      case _ => throw new IllegalArgumentException("topk_sketch(col, capacity, k)")
+    })
   }
 }

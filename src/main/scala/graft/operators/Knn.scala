@@ -79,42 +79,56 @@ object Knn {
 
   /** Hard-negative mining for contrastive embedding training (the DPR
     * recipe — Karpukhin et al. 2020 "Dense Passage Retrieval" mines
-    * negatives from the retriever's own top results): per anchor, the
-    * positive is the nearest SAME-label neighbor and the hard negative
-    * the nearest DIFFERENT-label neighbor within the top-k. Anchors
-    * lacking either kind inside k drop out (inner join — a training
-    * pair needs both sides).
+    * negatives from the retriever's own results): per anchor, the
+    * positive is the nearest SAME-label item and the hard negative the
+    * nearest DIFFERENT-label item. The two classes rank SEPARATELY
+    * (conditional max_by over the scored pairs — no shared top-k cut),
+    * so a well-clustered corpus where every near neighbor shares the
+    * anchor's label still yields a negative: exactly the regime where
+    * a top-k-then-filter miner silently returns nothing (the sf1
+    * rehearsal caught this). Anchors whose candidate set lacks a class
+    * entirely drop out (a training pair needs both sides).
     *
-    * Plan shape: one *TopK pass (anchors broadcast, corpus never
-    * shuffled; pass `cents` to ride the IVF pruned-probe path at
-    * scale), then the (anchors×k)-row neighbor table is BROADCAST back
-    * against a column-pruned (id,label) corpus scan — the corpus is
-    * read twice, shuffled never.
+    * Plan shape: ONE scored pass — anchors (with labels) broadcast
+    * against the corpus scan carrying its label column, then a single
+    * partial-agg'd shuffle on q_id; no window, no second corpus read.
+    * Pass `cents` to prune candidates to the IVF probe cells at scale
+    * (both classes then rank within the probed cells only).
     *
     * Returns (q_id, pos_id, pos_cos, neg_id, neg_cos).
     */
   def miningTriplets(anchors: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, labelCol: String,
-                     k: Int = 20,
-                     cents: Option[Array[Array[Double]]] = None): DataFrame = {
-    val nbrs = cents match {
-      case Some(c) => ivfTopKWith(c, anchors, corpus, idCol, vecCol, k)
-      case None    => bruteForceTopK(anchors, corpus, idCol, vecCol, k)
+                     cents: Option[Array[Array[Double]]] = None,
+                     probes: Int = 4): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"))
+    val joined = cents match {
+      case Some(ct) =>
+        val c = c0.withColumn("cell", VectorFunctions.ivf_cell(col("n_vec"), ct))
+        val q = anchors.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+          col(labelCol).as("q_label"),
+          explode(VectorFunctions.ivf_probe_cells(col(vecCol), ct, probes)).as("cell"))
+        c.join(broadcast(q), Seq("cell")).where(col("q_id") =!= col("n_id"))
+      case None =>
+        val q = anchors.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+          col(labelCol).as("q_label"))
+        c0.join(broadcast(q), col("q_id") =!= col("n_id"))
     }
-    val labels = corpus.select(col(idCol).as("n_id"), col(labelCol).as("n_label"))
-    val aLab = anchors.select(col(idCol).as("q_id"), col(labelCol).as("q_label"))
-    val j = labels.join(broadcast(nbrs), "n_id")
-      .join(broadcast(aLab), "q_id")
+    val scored = joined
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
       .withColumn("same", col("n_label") === col("q_label"))
-    def pick(cond: Column, prefix: String) =
-      j.where(cond)
-        .groupBy(col("q_id"))
-        .agg(min_by(struct(col("n_id"), col("cos")), col("rank")).as("s"))
-        .select(col("q_id"), col("s.n_id").as(s"${prefix}_id"),
-          col("s.cos").as(s"${prefix}_cos"))
-    // both sides are ≤|anchors| rows by construction — broadcast the
-    // neg side so the pairing never plans a sort-merge join
-    pick(col("same"), "pos").join(broadcast(pick(!col("same"), "neg")), Seq("q_id"))
+    // max_by ignores rows whose ordering key is null, so the two
+    // conditional keys rank each class independently in one aggregate;
+    // (cos, -n_id) reproduces rankTopK's desc-cos / asc-id tie-break
+    def key(cond: Column) = when(cond, struct(col("cos"), (-col("n_id")).as("t")))
+    scored.groupBy(col("q_id"))
+      .agg(
+        max_by(struct(col("n_id"), col("cos")), key(col("same"))).as("p"),
+        max_by(struct(col("n_id"), col("cos")), key(!col("same"))).as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("q_id"), col("p.n_id").as("pos_id"), col("p.cos").as("pos_cos"),
+        col("n.n_id").as("neg_id"), col("n.cos").as("neg_cos"))
   }
 
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`

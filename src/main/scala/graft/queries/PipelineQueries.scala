@@ -165,15 +165,16 @@ object PipelineQueries {
       Knn.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
     }),
 
-    // contrastive-training triplets: nearest same-label neighbor as
-    // the positive, nearest different-label neighbor as the hard
-    // negative, mined from the exact top-20 (DuckDB replays the whole
-    // construction, so this is a full-oracle query; the IVF-pruned
-    // variant at scale shares the code path and KnnSpec's recall pins).
+    // contrastive-training triplets: nearest same-label item as the
+    // positive, nearest different-label item as the hard negative —
+    // the classes rank separately, so a label-clustered corpus still
+    // yields negatives (DuckDB replays the whole construction, so this
+    // is a full-oracle query; the IVF-pruned variant shares the code
+    // path and KnnSpec covers it).
     "q_knn_hardneg" -> ((s, d) => {
       val e = emb(s, d)
       Knn.miningTriplets(e.where(col("vec_id") < 50), e,
-        "vec_id", "embedding", "label", k = 20)
+        "vec_id", "embedding", "label")
     }),
 
     "q_knn_ivf" -> ((s, d) => {
@@ -1065,21 +1066,16 @@ object PipelineQueries {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
         |           FROM embeddings WHERE vec_id < 50),
         |sims AS (
-        |  SELECT q.q_id, q.q_label, c.vec_id AS n_id, c.label AS n_label,
+        |  SELECT q.q_id, c.vec_id AS n_id, (c.label = q.q_label) AS same,
         |    round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
         |      CAST(c.embedding AS DOUBLE[])), 5) AS cos
         |  FROM q CROSS JOIN embeddings c WHERE q.q_id <> c.vec_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |  ORDER BY cos DESC, n_id) AS rank FROM sims),
-        |top AS (SELECT * FROM ranked WHERE rank <= 20),
-        |pos AS (SELECT q_id, n_id AS pos_id, cos AS pos_cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rn
-        |  FROM top WHERE n_label = q_label),
-        |neg AS (SELECT q_id, n_id AS neg_id, cos AS neg_cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rn
-        |  FROM top WHERE n_label <> q_label)
-        |SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
-        |FROM pos p JOIN neg n USING (q_id) WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
+        |best AS (SELECT *, row_number() OVER (PARTITION BY q_id, same
+        |  ORDER BY cos DESC, n_id) AS rk FROM sims)
+        |SELECT p.q_id, p.n_id AS pos_id, p.cos AS pos_cos,
+        |  n.n_id AS neg_id, n.cos AS neg_cos
+        |FROM best p JOIN best n USING (q_id)
+        |WHERE p.rk = 1 AND p.same AND n.rk = 1 AND NOT n.same""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (

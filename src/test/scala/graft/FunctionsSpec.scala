@@ -594,6 +594,37 @@ class FunctionsSpec extends SparkSuite {
       .first().isNullAt(0))
   }
 
+  test("sketch aggregates are rule-SQL reachable and match the Column API") {
+    GraftFunctions.registerAll(spark)
+    Tables(spark, sf, "events").createOrReplaceTempView("ev_sketch")
+    // hll_distinct: SQL name == Column API == order-independent result
+    val sql = spark.sql(
+      """SELECT event_type, hll_distinct(user_id) AS est FROM ev_sketch GROUP BY 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val api = Tables(spark, sf, "events").groupBy(col("event_type"))
+      .agg(graft.functions.Sketches.hllDistinct(col("user_id")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sql === api)
+    // topk_sketch in the exact regime reproduces plain counts
+    val top = spark.sql(
+      """SELECT topk_sketch(event_type, 16, 1) AS t FROM ev_sketch""").first()
+      .getSeq[org.apache.spark.sql.Row](0)
+    val exact = Tables(spark, sf, "events").groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type")).first()
+    assert(top.head.getString(0) === exact.getString(0))
+    assert(top.head.getLong(1) === exact.getLong(1))
+    // tdigest median lands within the column's range
+    val med = spark.sql(
+      """SELECT tdigest_quantiles(CAST(value AS DOUBLE), 100.0, 0.5)[0] AS p50
+        |FROM ev_sketch""".stripMargin).first().getDouble(0)
+    val mm = Tables(spark, sf, "events")
+      .agg(min(col("value")), max(col("value"))).first()
+    assert(med >= mm.getDouble(0) && med <= mm.getDouble(1))
+    // shape parameters must be literals
+    intercept[Exception](spark.sql(
+      "SELECT hll_distinct(user_id, value) FROM ev_sketch").collect())
+  }
+
   test("mqtt()/window_trigger() translate through the rule dialect") {
     import graft.rules.EkuiperSql
     assert(EkuiperSql.isEkuiperDialect("SELECT mqtt(topic) FROM demo"))

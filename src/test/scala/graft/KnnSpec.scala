@@ -260,14 +260,15 @@ class KnnSpec extends SparkSuite {
 
   test("hard-negative mining: pos shares the anchor's label, neg does not, both are the nearest such") {
     val anchors = emb.where(col("vec_id") < 20)
-    val t = Knn.miningTriplets(anchors, emb, "vec_id", "embedding", "label", k = 30)
+    val t = Knn.miningTriplets(anchors, emb, "vec_id", "embedding", "label")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(t.nonEmpty)
+    assert(t.size == 20, s"every anchor must pair (got ${t.size})")
     val labels = emb.select(col("vec_id"), col("label"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // cross-check against the raw top-k table
-    val top = Knn.bruteForceTopK(anchors, emb, "vec_id", "embedding", k = 30)
+    // cross-check against the FULL ranking (k = corpus size)
+    val top = Knn.bruteForceTopK(anchors, emb, "vec_id", "embedding",
+        k = labels.size)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     t.foreach { case (q, (posId, posCos, negId, negCos)) =>
       assert(labels(posId) == labels(q), s"anchor $q: positive $posId label mismatch")
@@ -278,10 +279,34 @@ class KnnSpec extends SparkSuite {
       assert(firstSame._2 == posId && firstSame._3 == posCos)
       assert(firstDiff._2 == negId && firstDiff._3 == negCos)
     }
-    // IVF-pruned variant: same shape, recall-bounded agreement
+    // IVF-pruned variant: same shape, every anchor still pairs as long
+    // as its probed cells span two labels
     val cents = Knn.trainIvfCentroids(emb, "vec_id", "embedding", 16)
     val tIvf = Knn.miningTriplets(anchors, emb, "vec_id", "embedding", "label",
-      k = 30, cents = Some(cents)).collect()
+      cents = Some(cents)).collect()
     assert(tIvf.length >= t.size / 2, "IVF mining lost too many anchors")
+  }
+
+  test("hard-negative mining on a label-clustered corpus still finds negatives") {
+    // tight per-label clusters: every near neighbor shares the label —
+    // the regime where a shared top-k cut would return zero triplets
+    import spark.implicits._
+    val base = Map(0 -> Array(1f, 0f, 0f, 0f), 1 -> Array(0f, 1f, 0f, 0f),
+      2 -> Array(0f, 0f, 1f, 0f))
+    val rows = (0 until 90).map { i =>
+      val lab = i % 3
+      val v = base(lab).clone()
+      v(3) = (i / 3).toFloat * 1e-3f // tiny within-cluster spread
+      (i.toLong, v.toSeq, lab)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val t = Knn.miningTriplets(df.where($"vec_id" < 9), df,
+      "vec_id", "embedding", "label").collect()
+    assert(t.length == 9, s"all anchors must pair on a clustered corpus (got ${t.length})")
+    t.foreach { r =>
+      assert(r.getDouble(2) > 0.99, "positive is within the anchor's tight cluster")
+      assert(r.getDouble(4) < 0.1, "negative comes from another cluster")
+    }
   }
 }

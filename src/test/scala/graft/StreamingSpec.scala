@@ -213,6 +213,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming classifier gate: batch-trained weights score a stream identically") {
+    import graft.operators.Classifier
+    // train once on the batch corpus (the offline half), then the
+    // codegen scorer — a plain map-only Column — runs unchanged on a
+    // stream of arriving documents (the online half)
+    val docs = graft.Tables(spark, sf, "documents")
+    val corrupt = translate(col("text"), "aeiou", "xqzvk")
+    val tr = docs.select(col("text"), lit(1).as("y"))
+      .unionAll(docs.select(corrupt.as("text"), lit(0).as("y")))
+    val w = Classifier.train(tr, "text", "y", dim = 1 << 12, iters = 30, lr = 16.0)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), round(Classifier.score(col("text"), w, 1 << 12), 6).as("s"))
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = score(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(rows.toSeq); q.processAllAvailable()
+      val got = spark.table("clf_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val want = score(docs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("condition window: batch operator matches hand-computed windows") {
     val df = evts.toDF()
       .select(col("key").as("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
