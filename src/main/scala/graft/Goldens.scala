@@ -33,6 +33,7 @@ object Goldens {
     "q_dedup_minhash" -> (Set.empty[String], 6),
     "q_dedup_simhash" -> (Set.empty[String], 6),
     "q_fn_geohash" -> (Set.empty[String], 6),
+    "q_sample_coreset" -> (Set.empty[String], 6),
     "q_fn_hash2" -> (Set.empty[String], 6),
     "q_knn_ivf" -> (Set("n_id"), 2),
     "q_quality_classifier" -> (Set.empty[String], 2),
@@ -59,6 +60,7 @@ object Goldens {
       "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
       "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
+      "q_sample_coreset" -> "1d9df47806e88c08b0eaf3844312743057f01a6f04fc76e030546e793c4edb06",
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
       "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
@@ -81,6 +83,7 @@ object Goldens {
       "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
       "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
+      "q_sample_coreset" -> "fda0326ae1b3511b461c5c8bf5ef04380042930709aa56f9ba0cf68dff1e2f36",
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
       "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",

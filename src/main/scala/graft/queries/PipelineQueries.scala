@@ -468,6 +468,49 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("bucket"))
     }),
 
+    // temperature-flattened source mixture (the mT5/XLM-R multilingual
+    // recipe — Xue et al. 2021 / Conneau et al. 2019: p(source) ∝ n^α,
+    // α<1 boosting low-resource sources). Rendered as the largest
+    // downsample-only realization: rate_s = (n_min/n_s)^(1-α), so the
+    // smallest source keeps everything and larger sources flatten
+    // toward it; the draw replays exactly from the content hash. The
+    // rate table is one row per language and broadcasts (FULL oracle).
+    "q_sample_temperature" -> ((s, d) => {
+      val alpha = 0.3
+      val c = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val mn = c.agg(min(col("n")).as("n_min"))
+      val rates = c.crossJoin(broadcast(mn))
+        .select(col("lang"),
+          round(lit(1000.0) *
+            pow(col("n_min").cast("double") / col("n"), 1 - alpha), 6).as("rate"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.samplingBucket(col("text")).as("bucket"))
+        .join(broadcast(rates), Seq("lang"))
+        .where(col("bucket").cast("double") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // embedding-diversity coreset: per LSH bucket (a pure function of
+    // the vector — no trained state, bit-stable at any layout) keep
+    // the k lowest-hash members. Downsampling that preserves coverage
+    // of embedding space instead of density — the cluster-balanced
+    // selection step of SemDeDup-style curation. One shuffle on the
+    // bucket; rows-only golden (hyperplane dots have no SQL replay).
+    "q_sample_coreset" -> ((s, d) => {
+      val planes = Knn.hyperplanes(bits = 6, dim = 64)
+      val pri = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(1000000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("pri"), col("vec_id"))
+      emb(s, d)
+        .select(col("vec_id"), Knn.lshBucket(col("embedding"), planes).as("bucket"),
+          pri.as("pri"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 8)
+        .select(col("bucket"), col("rk").cast("long").as("rk"), col("vec_id"))
+    }),
+
     // Corpus profile: per-source doc/token counts, quality and length
     // means, language spread — the summary an operator reads before
     // choosing mixture weights. One partial-agg'd shuffle on source.
@@ -942,6 +985,17 @@ object PipelineQueries {
         |SELECT d.doc_id, d.source,
         |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS bucket
         |FROM documents d JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS DOUBLE)
+        |  < r.rate""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT c.lang,
+        |  round(1000.0 * power(CAST(m.n_min AS DOUBLE) / c.n, 0.7), 6) AS rate
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang,
+        |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS bucket
+        |FROM documents d JOIN r USING (lang)
         |WHERE CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS DOUBLE)
         |  < r.rate""".stripMargin,
     "q_corpus_stats" ->

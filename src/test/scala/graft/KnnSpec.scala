@@ -287,6 +287,24 @@ class KnnSpec extends SparkSuite {
     assert(tIvf.length >= t.size / 2, "IVF mining lost too many anchors")
   }
 
+  test("coreset sampling covers every occupied LSH bucket, capped at k per bucket") {
+    val q = SparkEntry.queries("q_sample_coreset")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planes = Knn.hyperplanes(bits = 6, dim = 64)
+    val occupied = emb.select(Knn.lshBucket(col("embedding"), planes).as("b"))
+      .groupBy(col("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perBucket = q.groupBy(_._1).view.mapValues(_.length).toMap
+    occupied.foreach { case (b, n) =>
+      assert(perBucket.getOrElse(b, 0) == math.min(n, 8L).toInt,
+        s"bucket $b: expected ${math.min(n, 8L)} reps, got ${perBucket.getOrElse(b, 0)}")
+    }
+    // ranks are 1..k and contiguous within each bucket
+    q.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"bucket $b ranks")
+    }
+  }
+
   test("hard-negative mining on a label-clustered corpus still finds negatives") {
     // tight per-label clusters: every near neighbor shares the label —
     // the regime where a shared top-k cut would return zero triplets

@@ -213,6 +213,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hll sketch: incremental per-group estimates converge to the batch result") {
+    // TypedImperativeAggregate under update-mode streaming: partial
+    // sketches merge across micro-batches exactly like across
+    // partitions (register-max is order-independent), so the final
+    // streamed estimate equals the batch aggregate bit-for-bit
+    import graft.functions.Sketches
+    val ev = graft.Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+    val rows = ev.collect().map(r => (r.getString(0), r.getLong(1)))
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDS().toDF("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(Sketches.hllDistinct(col("user_id")).as("est"))
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a.toSeq); q.processAllAvailable()
+      ms.addData(b.toSeq); q.processAllAvailable()
+      // update mode re-emits groups; last emission per group wins
+      val got = spark.table("hll_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = ev.groupBy(col("event_type"))
+        .agg(Sketches.hllDistinct(col("user_id")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming classifier gate: batch-trained weights score a stream identically") {
     import graft.operators.Classifier
     // train once on the batch corpus (the offline half), then the
