@@ -100,6 +100,23 @@ object Classifier {
   def score(text: Column, weights: Array[Double], dim: Int = 1 << 15): Column =
     ClassifierFunctions.logistic_score(text, weights, dim)
 
+  /** Persist trained weights as parquet — the train-once/score-many
+    * production contract (pair of [[Knn.saveIvfIndex]]): the training
+    * job pays the iteration cost, scoring jobs load dim+1 doubles.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           weights: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    weights.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("idx", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load saved weights (ordered by index). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] =
+    spark.read.parquet(path).orderBy(col("idx"))
+      .collect().map(_.getDouble(1))
+
   /** Train-accuracy of `weights` on a labeled frame (spec helper and
     * convergence telemetry; one map-only pass + a 2-value aggregate).
     */

@@ -114,6 +114,34 @@ object Pca {
   def residual(vec: Column, model: PcaModel): Column =
     PcaFunctions.pca_residual(vec, model.mean, model.components)
 
+  /** Persist a fitted model as parquet (kind, idx, values): row -1 is
+    * the mean + [totalVariance, n] tail; rows 0..k-1 are components
+    * with their eigenvalue appended — fit-once/project-many, the same
+    * contract as the ANN index persistence.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           model: PcaModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = (-1, (model.mean :+ model.totalVariance :+ model.n.toDouble).toSeq) +:
+      model.components.zipWithIndex.map { case (c, i) =>
+        (i, (c :+ model.eigenvalues(i)).toSeq)
+      }.toSeq
+    rows.toDF("idx", "v").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved model. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel = {
+    val rows = spark.read.parquet(path).orderBy(col("idx"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val (meanRow, comps) = (rows.head._2, rows.tail)
+    PcaModel(
+      mean = meanRow.dropRight(2),
+      components = comps.map(_._2.dropRight(1)),
+      eigenvalues = comps.map(_._2.last),
+      totalVariance = meanRow(meanRow.length - 2),
+      n = meanRow.last.toLong)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues desc, matching row eigenvectors). Destroys `a`.
     */

@@ -62,6 +62,20 @@ class ClassifierSpec extends SparkSuite {
     assert(Classifier.accuracy(data, "text", "y", wt, 1 << 12) >= 0.98)
   }
 
+  test("weight persistence: save/load round-trips exactly; loaded weights score identically") {
+    val w = Classifier.train(planted(200), "text", "y", dim = 1 << 10, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("clf_w").toString
+    try {
+      Classifier.save(spark, w, dir)
+      val back = Classifier.load(spark, dir)
+      assert(back.toSeq === w.toSeq)
+      val d = planted(50)
+      val a = d.select(Classifier.score(col("text"), w, 1 << 10)).collect().map(_.getDouble(0))
+      val b = d.select(Classifier.score(col("text"), back, 1 << 10)).collect().map(_.getDouble(0))
+      assert(a.toSeq === b.toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("codegen scorer matches the kernel math and handles empty/null text") {
     val dim = 1 << 10
     val w = new Array[Double](dim + 1)

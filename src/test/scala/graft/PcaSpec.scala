@@ -91,6 +91,19 @@ class PcaSpec extends SparkSuite {
     assert(errs.max < 0.05, s"max pairwise distance error ${errs.max}")
   }
 
+  test("model persistence: save/load round-trips the fit exactly") {
+    val model = Pca.fit(planted(200), "embedding", 3)
+    val dir = java.nio.file.Files.createTempDirectory("pca_idx").toString
+    try {
+      Pca.save(spark, model, dir)
+      val back = Pca.load(spark, dir)
+      assert(back.mean.toSeq === model.mean.toSeq)
+      assert(back.components.map(_.toSeq).toSeq === model.components.map(_.toSeq).toSeq)
+      assert(back.eigenvalues.toSeq === model.eigenvalues.toSeq)
+      assert(back.totalVariance === model.totalVariance && back.n === model.n)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("fit is insensitive to partition layout (same moments, same spectrum)") {
     val data = planted(500)
     val m1 = Pca.fit(data.repartition(2), "embedding", 3)
