@@ -50,6 +50,26 @@ object TextHashing {
     res
   }
 
+  /** Lower-cased whitespace tokens as strings — the string-valued twin
+    * of [[tokenHashes]] (same per-char lowercasing and boundaries), for
+    * kernels that need the token text rather than its hash.
+    */
+  def tokensOf(text: String): Array[String] = {
+    val len = text.length
+    val out = new java.util.ArrayList[String](math.max(8, len / 6))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length > 0) { out.add(sb.toString); sb.setLength(0) }
+      } else sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    if (sb.length > 0) out.add(sb.toString)
+    out.toArray(new Array[String](out.size))
+  }
+
   /** Distinct (sorted) 64-bit hashes of word n-gram shingles. */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val toks = tokenHashes(text)

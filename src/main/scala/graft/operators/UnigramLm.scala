@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{UnigramFunctions, UnigramKernels}
+
+/** Unigram-LM subword tokenizer training (Kudo 2018, "Subword
+  * Regularization" — the SentencePiece unigram model), the standard
+  * alternative to BPE for LLM tokenizers. Viterbi-EM variant: the
+  * E-step counts pieces along each word's single best segmentation
+  * (hard EM — a recognized simplification of the forward-backward
+  * E-step that keeps every count an INTEGER, which is what makes the
+  * distributed reduction bit-deterministic: freq-weighted long sums
+  * are order-independent, unlike floating expectations).
+  *
+  * Distribution shape per iteration — the classifier's layout:
+  *  - the piece table (≤ seed size entries) broadcasts OUT inside a
+  *    codegen segmentation kernel;
+  *  - each partition returns (piece, long count) partials that one
+  *    partial-agg'd shuffle reduces; the driver sees vocab-sized
+  *    counts only.
+  * The word list itself is the corpus's DISTINCT (word, freq) table —
+  * one corpus pass; at 100 TB this is the standard
+  * sample-then-train-tokenizer shape (SentencePiece itself trains on
+  * a corpus sample), and the EM passes run over the bounded word
+  * table, never the corpus.
+  *
+  * Pruning: after each EM round the lowest-count non-character pieces
+  * are dropped (`shrinkFactor` per round) until `vocabSize` remains;
+  * single characters are never pruned, so segmentation stays total.
+  */
+object UnigramLm {
+
+  final case class UnigramModel(logp: java.util.HashMap[String, java.lang.Double],
+      maxPieceLen: Int) {
+    def pieces: Seq[(String, Double)] = {
+      import scala.jdk.CollectionConverters._
+      logp.asScala.toSeq.map { case (k, v) => (k, v.doubleValue()) }.sortBy(_._1)
+    }
+  }
+
+  /** Distinct lower-cased (word, freq) table of a text column. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Train a unigram-LM vocabulary of `vocabSize` pieces. */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 6, seedSize: Int = 4000, iters: Int = 4,
+      shrinkFactor: Double = 0.75): UnigramModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordTable(docs, textCol)
+      .as[(String, Long)].collect().sortBy { case (w, _) => w }
+    require(words.nonEmpty, "unigram training needs a non-empty corpus")
+
+    // ---- seed: all substrings ≤ maxPieceLen by corpus frequency ----
+    val subCounts = new java.util.HashMap[String, Long]()
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val maxl = math.min(maxPieceLen, w.length - i)
+        while (l <= maxl) {
+          val p = w.substring(i, i + l)
+          subCounts.merge(p, f, (a, b) => a + b)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val chars = subCounts.asScala.keys.filter(_.length == 1).toSet
+    val seeded = subCounts.asScala.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(seedSize, chars.size))
+      .map(_._1).toSet ++ chars // chars always present
+
+    def toLogp(counts: Map[String, Long]): java.util.HashMap[String, java.lang.Double] = {
+      val total = math.max(1L, counts.values.sum).toDouble
+      val m = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+      counts.foreach { case (p, c) =>
+        m.put(p, math.log(math.max(c, 1L) / total))
+      }
+      m
+    }
+
+    var counts: Map[String, Long] =
+      subCounts.asScala.collect { case (p, c) if seeded(p) => (p, c) }.toMap
+    var vocabNow = toLogp(counts)
+
+    // words as a small cached frame for the distributed E-step
+    val wordsDf = words.toSeq.toDF("w", "freq").repartition(
+      math.max(1, spark.sparkContext.defaultParallelism / 2)).cache()
+    try {
+      var iter = 0
+      while (iter < iters) {
+        // E-step: freq-weighted Viterbi piece counts — long sums, so
+        // the aggregation is deterministic at any layout
+        val eCounts = wordsDf
+          .select(explode(UnigramFunctions.unigram_encode(col("w"), vocabNow,
+            maxPieceLen)).as("piece"), col("freq"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+          .as[(String, Long)].collect().toMap
+        // M-step + prune: drop lowest-count multi-char pieces
+        val target = math.max(vocabSize,
+          (eCounts.size * shrinkFactor).toInt)
+        val kept = eCounts.toSeq
+          .sortBy { case (p, c) => (-c, p) }
+          .iterator.zipWithIndex
+          .collect { case ((p, c), i) if i < target || p.length == 1 => (p, c) }
+          .toMap
+        // characters that fell out of use keep a floor count so
+        // segmentation stays total
+        val withChars = chars.foldLeft(kept) { (m, ch) =>
+          if (m.contains(ch)) m else m + (ch -> 1L)
+        }
+        counts = withChars
+        vocabNow = toLogp(counts)
+        iter += 1
+      }
+    } finally wordsDf.unpersist(blocking = false)
+    UnigramModel(vocabNow, maxPieceLen)
+  }
+
+  /** Encode a text column with a trained model (codegen, map-only). */
+  def encode(text: Column, model: UnigramModel): Column =
+    UnigramFunctions.unigram_encode(text, model.logp, model.maxPieceLen)
+
+  /** −Σ log p(piece) per document over the Viterbi encode — the "how
+    * well does the tokenizer fit this text" description length.
+    */
+  def scoreBits(text: Column, model: UnigramModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.UnigramScoreExpr(
+      ColumnBridge.expression(text), model.logp, model.maxPieceLen))
+  }
+}

@@ -244,6 +244,22 @@ object PipelineQueries {
         round(Classifier.score(corrupt, w), 2).as("garbage_score"))
     }),
 
+    // unigram-LM (SentencePiece-style) tokenizer trained on the corpus
+    // itself, then every document Viterbi-encoded map-only: subword
+    // count + description length under the learned piece probabilities.
+    // Hard-EM counts are freq-weighted longs, so training is
+    // bit-deterministic at any layout and the golden pins both halves.
+    // UnigramLmSpec owns segmentation correctness / round-trips.
+    "q_text_unigram" -> ((s, d) => {
+      val model = graft.operators.UnigramLm.train(docs(s, d), "text",
+        vocabSize = 500, iters = 3)
+      docs(s, d).select(
+        col("doc_id"),
+        size(graft.operators.UnigramLm.encode(col("text"), model))
+          .cast("long").as("n_pieces"),
+        round(graft.operators.UnigramLm.scoreBits(col("text"), model), 2).as("bits"))
+    }),
+
     "q_text_tokens" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
