@@ -85,6 +85,33 @@ class RulesSpec extends SparkSuite {
     assert(out(0).getDouble(2) > 0.5)
   }
 
+  test("sketch rule: hll distinct + topk sketch aggregates inside rule SQL") {
+    val dir = Files.createTempDirectory("graft_rule_sketch")
+    writeJson(dir, (1 to 60).map { i =>
+      s"""{"shop":"s${i % 3}","user":"u${i % 7}","spend":${i * 2}}"""
+    })
+    val eng = newEngine
+    eng.createStream(
+      s"""CREATE STREAM visits (shop STRING, user STRING, spend BIGINT) WITH
+         | (TYPE="file", FORMAT="json", DATASOURCE="${dir.toString}")""".stripMargin)
+    MemoryHub.drop("sketch_out")
+    eng.create(Rule("sk",
+      """SELECT shop, hll_distinct(user) AS u_est,
+        |  topk_sketch(user, 16, 1)[0].item AS top_user
+        |FROM visits GROUP BY shop""".stripMargin,
+      Seq(MemorySink("sketch_out"))))
+    eng.start("sk")
+    val out = MemoryHub.frame(spark, "sketch_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet == Set("s0", "s1", "s2"))
+    // 7 distinct users round-robin over 3 shops → every shop sees all 7;
+    // hll at p=14 is exact at this cardinality
+    out.values.foreach { case (est, top) =>
+      assert(est == 7L, s"estimate $est")
+      assert(top.startsWith("u"))
+    }
+  }
+
   test("streaming rule over file stream delivers to sink incrementally") {
     val dir = Files.createTempDirectory("graft_stream_in")
     val ckpt = Files.createTempDirectory("graft_ckpt")
