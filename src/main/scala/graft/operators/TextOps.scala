@@ -290,6 +290,59 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999's benchmark formulation — the KenLM-style
+    * smoothing real LM-quality filters use, vs [[lmPerplexity]]'s
+    * add-k baseline):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1) + D·N1+(w1·)/c(w1) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + 0.5) / (types + 0.5·V)
+    *
+    * with full backoff to Pcont for unseen histories. Pcont carries a
+    * light add-half floor over the vocabulary so out-of-model words
+    * score finitely (a documented stand-in for the <unk> mass real
+    * toolkits reserve); each term is capped below 1 before the log.
+    *
+    * Scale shape mirrors lmPerplexity: the count tables are bounded
+    * by vocabulary (not corpus) size and AQE-broadcast; the corpus
+    * token stream shuffles once for the per-doc regroup.
+    */
+  def lmPerplexityKN(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val uni = toks.select(explode(col("ts")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cont = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1p"))   // N1+(w1·)
+    val hist = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))   // N1+(·w2)
+    val types = bi.agg(count(lit(1)).as("nt"))
+    val vocab = uni.agg(count(lit(1)).as("vs"))
+    val pcont = (coalesce(col("n1m"), lit(0L)) + lit(0.5)) /
+      (col("nt") + lit(0.5) * col("vs"))
+    val seen = (greatest(col("c2") - lit(discount), lit(0.0)) / col("c1")) +
+      (lit(discount) * col("n1p") / col("c1")) * pcont
+    val p = least(lit(0.999999),
+      when(col("c1").isNotNull, seen).otherwise(pcont))
+    bigrams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(cont, Seq("w1"), "left")
+      .join(hist, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(p)), 4).as("kn_logppl"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Windowed exact-substring dedup (the tractable formulation of Lee
     * et al. 2021's ExactSubstr): every L-token window of the corpus is
     * keyed; a window value occurring more than once keeps only its

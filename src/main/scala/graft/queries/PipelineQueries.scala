@@ -323,6 +323,11 @@ object PipelineQueries {
     // corpus-wide paragraph dedup → exact keep-first — every stage an
     // already-oracled operator, the composition itself replayed by a
     // single DuckDB CTE chain (including the rebuilt-text md5).
+    // Kneser-Ney smoothed twin of q_text_perplexity: the KenLM-grade
+    // discounted-interpolation formula, fully replayed by DuckDB.
+    "q_text_perplexity_kn" -> ((s, d) =>
+      TextOps.lmPerplexityKN(docs(s, d), "doc_id", "text")),
+
     "q_pipeline_e2e" -> ((s, d) => {
       val corpus = docs(s, d).select(col("doc_id"),
         when(col("doc_id") < 50, concat(col("text"),
@@ -779,6 +784,34 @@ object PipelineQueries {
         |  round(avg(-ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * v.vs))), 4) AS logppl,
         |  count(*) AS n_bigrams
         |FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY big.doc_id""".stripMargin,
+    "q_text_perplexity_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, arr[i] AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '),
+        |                      x -> len(x) > 0) AS arr
+        |        FROM documents),
+        |       LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+        |),
+        |big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |),
+        |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |cont AS (SELECT w1, count(*) AS n1p FROM bi GROUP BY w1),
+        |hist AS (SELECT w2, count(*) AS n1m FROM bi GROUP BY w2),
+        |ty AS (SELECT count(*) AS nt FROM bi),
+        |v AS (SELECT count(*) AS vs FROM uni)
+        |SELECT big.doc_id,
+        |  round(avg(-ln(least(0.999999,
+        |    greatest(bi.c2 - 0.75, 0.0) / uni.c1
+        |    + (0.75 * cont.n1p / uni.c1)
+        |      * ((hist.n1m + 0.5) / (ty.nt + 0.5 * v.vs))))), 4) AS kn_logppl,
+        |  count(*) AS n_bigrams
+        |FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1)
+        |  JOIN cont USING (w1) JOIN hist USING (w2) CROSS JOIN ty CROSS JOIN v
         |GROUP BY big.doc_id""".stripMargin,
     "q_text_paradedup" ->
       """WITH p AS (

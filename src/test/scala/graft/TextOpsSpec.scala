@@ -175,6 +175,46 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1) == ((2L, 0.1335, 1L)), s"d2: ${out(1)}")
   }
 
+  test("kneser-ney perplexity matches the hand-computed interpolation") {
+    import spark.implicits._
+    // corpus: d1 = "a b a b", d2 = "a c"
+    //   uni a=3 b=2 c=1 (V=3); bi (a,b)=2 (b,a)=1 (a,c)=1 (3 types)
+    //   N1+(a·)=2, N1+(b·)=1; N1+(·w)=1 each → Pcont = 1.5/4.5 = 1/3
+    //   P(b|a)=1.25/3 + .75·2/3·(1/3) = 0.583333 → cost 0.538997
+    //   P(a|b)=0.25/2 + .75·1/2·(1/3) = 0.25      → cost 1.386294
+    //   P(c|a)=0.25/3 + .75·2/3·(1/3) = 0.25      → cost 1.386294
+    //   d1 avg = (0.538997·2 + 1.386294)/3 = 0.8214; d2 = 1.3863
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexityKN(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 0.8214, 3L)), s"d1: ${out(0)}")
+    assert(out(1) == ((2L, 1.3863, 1L)), s"d2: ${out(1)}")
+  }
+
+  test("kneser-ney discounts frequent-context mass toward diverse continuations") {
+    import spark.implicits._
+    // "san francisco" pattern: "francisco" appears often but ONLY after
+    // "san"; "york" appears equally often after varied contexts. KN's
+    // continuation probability penalizes francisco as a novel
+    // continuation — add-k (frequency-only) cannot see the difference.
+    // both novel bigrams occur exactly once with the same history, so
+    // raw counts are identical — only Pcont separates them
+    val docs = Seq.fill(20)("san francisco") ++
+      Seq("new york", "old york", "west york", "east york", "port york") ++
+      Seq("zzz francisco", "zzz york")
+    val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kn = TextOps.lmPerplexityKN(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val novelFrancisco = docs.indexOf("zzz francisco").toLong
+    val novelYork = docs.indexOf("zzz york").toLong
+    assert(kn(novelFrancisco) > kn(novelYork),
+      s"'zzz francisco' (${kn(novelFrancisco)}) must cost more than " +
+        s"'zzz york' (${kn(novelYork)}) under KN — york has 6 distinct histories")
+  }
+
   test("perplexity flags out-of-distribution word transitions") {
     import spark.implicits._
     val typical = (1L to 50L).map(i => (i, "the cat sat on the mat"))
