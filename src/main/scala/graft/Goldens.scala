@@ -55,7 +55,7 @@ object Goldens {
       "q_dedup_cluster" -> "bdd4017b76dc73cb5f57e39cc06503efc2e37cbc7721785afd4dadea4bd53528",
       "q_distinct_hll" -> "9508329dd7bbe0612017d26db7e2579620bc632c326df851d33b343e9c8b05a2",
       "q_embed_pca" -> "d8286925037ec2fdd8d552166e9ed19d28e838689d80ec975dc9192b422d336b",
-      "q_quality_classifier" -> "30c90fbe2be1e38242c970927db2f2d54a6068c1ba475530a012df7ec7ce16eb",
+      "q_quality_classifier" -> "cc8015558429448c8816ba3ff7c0b282ee1c0cb1af867daaf5ebbef6383fa32b",
       "q_dedup_keepbest" -> "13ce2fc3e414db7d5eb634313b6c078be6f0128912fdb944a31e5d74077b7aee",
       "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
       "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
@@ -79,7 +79,7 @@ object Goldens {
       "q_dedup_cluster" -> "ec9fd05fc076b06768f72c64040294c9f308418dcc58a55ac842d6c2edd94cc6",
       "q_distinct_hll" -> "a9baf50ace10a8efce5086149293408f75f694ce9de3ddc9cfe7dcae31193f6b",
       "q_embed_pca" -> "65388c42dc9fb6b6e52df3bad283dd716b3a6c810d984cc9e2fb99462dbd4afd",
-      "q_quality_classifier" -> "cfa600567b05a48a44c95736971e1433ce8630f9421ca5f2482dc6c0e0a2bb73",
+      "q_quality_classifier" -> "abb46a5f693cf7cb695b183e2d9285949f985fa569b80f0a99abc8f1452a3ca6",
       "q_dedup_keepbest" -> "7bcb7b3cb475639081abf3ae7bde13a3f242eb02fd62e37aa9296af925571d0b",
       "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
       "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",

@@ -237,7 +237,7 @@ object PipelineQueries {
       val corrupt = translate(col("text"), "aeiou", "xqzvk")
       val tr = docs(s, d).select(col("text"), lit(1).as("y"))
         .unionAll(docs(s, d).select(corrupt.as("text"), lit(0).as("y")))
-      val w = Classifier.train(tr, "text", "y", dim = 1 << 15, iters = 100, lr = 16.0)
+      val w = Classifier.train(tr, "text", "y", dim = 1 << 15, iters = 30, lr = 4.0)
       docs(s, d).select(
         col("doc_id"),
         round(Classifier.score(col("text"), w), 2).as("clean_score"),

@@ -40,7 +40,7 @@ class ClassifierSpec extends SparkSuite {
     val corrupt = translate(col("text"), "aeiou", "xqzvk")
     val tr = docs.select(col("text"), lit(1).as("y"))
       .unionAll(docs.select(corrupt.as("text"), lit(0).as("y")))
-    val w = Classifier.train(tr, "text", "y", dim = 1 << 15, iters = 100, lr = 16.0)
+    val w = Classifier.train(tr, "text", "y", dim = 1 << 15, iters = 30, lr = 4.0)
     val acc = Classifier.accuracy(tr, "text", "y", w)
     assert(acc >= 0.99, s"train accuracy $acc")
   }
