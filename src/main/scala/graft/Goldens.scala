@@ -25,6 +25,7 @@ object Goldens {
 
   /** query → (columns to exclude, decimal places for doubles). */
   val rowsOnly: Map[String, (Set[String], Int)] = Map(
+    "q_curation_e2e" -> (Set.empty[String], 2),
     "q_dedup_cluster" -> (Set.empty[String], 6),
     "q_distinct_hll" -> (Set.empty[String], 6),
     "q_embed_pca" -> (Set.empty[String], 4),
@@ -52,6 +53,7 @@ object Goldens {
   /** Expected fingerprints per scale factor (testdata dir basename). */
   val expected: Map[String, Map[String, String]] = Map(
     "sf0.001" -> Map(
+      "q_curation_e2e" -> "882e677cc75288dfb256bd7a959222154c8f1dd5b7a1881680c29cbe9998ee32",
       "q_dedup_cluster" -> "bdd4017b76dc73cb5f57e39cc06503efc2e37cbc7721785afd4dadea4bd53528",
       "q_distinct_hll" -> "9508329dd7bbe0612017d26db7e2579620bc632c326df851d33b343e9c8b05a2",
       "q_embed_pca" -> "d8286925037ec2fdd8d552166e9ed19d28e838689d80ec975dc9192b422d336b",
@@ -76,6 +78,7 @@ object Goldens {
       "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
       "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
     "sf0.01" -> Map(
+      "q_curation_e2e" -> "35bdaeadabf66f60cfe9b4130475d56d15fb5a64a0332085cbb80fcda6efdfe9",
       "q_dedup_cluster" -> "ec9fd05fc076b06768f72c64040294c9f308418dcc58a55ac842d6c2edd94cc6",
       "q_distinct_hll" -> "a9baf50ace10a8efce5086149293408f75f694ce9de3ddc9cfe7dcae31193f6b",
       "q_embed_pca" -> "65388c42dc9fb6b6e52df3bad283dd716b3a6c810d984cc9e2fb99462dbd4afd",

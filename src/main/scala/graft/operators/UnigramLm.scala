@@ -124,6 +124,29 @@ object UnigramLm {
     UnigramModel(vocabNow, maxPieceLen)
   }
 
+  /** Persist a trained vocabulary as parquet (piece, logp) — the
+    * train-once/encode-many contract shared with the ANN index and
+    * classifier-weight persistence.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           model: UnigramModel, path: String): Unit = {
+    import spark.implicits._
+    (("", model.maxPieceLen.toDouble) +: model.pieces) // row 0 carries maxLen
+      .toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved vocabulary. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): UnigramModel = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val maxLen = rows.collectFirst { case ("", v) => v.toInt }
+      .getOrElse(throw new IllegalArgumentException(s"no header row in $path"))
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    rows.foreach { case (p, lp) => if (p.nonEmpty) m.put(p, lp) }
+    UnigramModel(m, maxLen)
+  }
+
   /** Encode a text column with a trained model (codegen, map-only). */
   def encode(text: Column, model: UnigramModel): Column =
     UnigramFunctions.unigram_encode(text, model.logp, model.maxPieceLen)

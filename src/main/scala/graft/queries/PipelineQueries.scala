@@ -328,6 +328,40 @@ object PipelineQueries {
     "q_text_perplexity_kn" -> ((s, d) =>
       TextOps.lmPerplexityKN(docs(s, d), "doc_id", "text")),
 
+    // end-to-end CURATION composition of this round's operators:
+    // classifier gate (corpus-vs-corrupted fastText filter) → KN
+    // description-length annotation → temperature-flattened language
+    // mixture over the survivors → deterministic shuffle key for the
+    // epoch order. Every stage is the already-verified operator; the
+    // golden pins the composition (classifier scores make it
+    // rows-only). One kn join + the rate broadcast are the only
+    // non-map stages.
+    "q_curation_e2e" -> ((s, d) => {
+      val dd = docs(s, d)
+      val corrupt = translate(col("text"), "aeiou", "xqzvk")
+      val tr = dd.select(col("text"), lit(1).as("y"))
+        .unionAll(dd.select(corrupt.as("text"), lit(0).as("y")))
+      val w = Classifier.train(tr, "text", "y", dim = 1 << 15, iters = 30, lr = 4.0)
+      val kn = TextOps.lmPerplexityKN(dd, "doc_id", "text")
+      val gated = dd.select(col("doc_id"), col("lang"), col("text"),
+          round(Classifier.score(col("text"), w), 2).as("clf"))
+        .where(col("clf") > 0.5)
+        .join(kn.select(col("doc_id"), col("kn_logppl")), Seq("doc_id"))
+      val c = gated.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val mn = c.agg(min(col("n")).as("n_min"))
+      val rates = c.crossJoin(broadcast(mn)).select(col("lang"),
+        round(lit(1000.0) *
+          pow(col("n_min").cast("double") / col("n"), 0.7), 6).as("rate"))
+      gated.withColumn("bucket", TextOps.samplingBucket(col("text")))
+        .join(broadcast(rates), Seq("lang"))
+        .where(col("bucket").cast("double") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("clf"),
+          round(col("kn_logppl"), 2).as("kn_bits"),
+          pmod(conv(substring(md5(concat(lit("cur1:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(1000000L)).as("shuffle_key"))
+    }),
+
     "q_pipeline_e2e" -> ((s, d) => {
       val corpus = docs(s, d).select(col("doc_id"),
         when(col("doc_id") < 50, concat(col("text"),

@@ -71,6 +71,21 @@ class UnigramLmSpec extends SparkSuite {
     assert(m1.pieces == m2.pieces)
   }
 
+  test("vocabulary persistence: save/load round-trips pieces and encoding") {
+    val df = Tables(spark, sf, "documents").limit(40)
+    val model = UnigramLm.train(df, "text", vocabSize = 300, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_v").toString
+    try {
+      UnigramLm.save(spark, model, dir)
+      val back = UnigramLm.load(spark, dir)
+      assert(back.maxPieceLen == model.maxPieceLen)
+      assert(back.pieces == model.pieces)
+      val a = df.select(UnigramLm.encode(col("text"), model)).collect().map(_.getSeq[String](0))
+      val b = df.select(UnigramLm.encode(col("text"), back)).collect().map(_.getSeq[String](0))
+      assert(a.toSeq == b.toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("scoreBits is positive, additive over the encode, and codegen-inline") {
     val df = Tables(spark, sf, "documents").limit(30)
     val model = UnigramLm.train(df, "text", vocabSize = 300, iters = 2)
