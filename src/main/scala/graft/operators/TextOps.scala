@@ -343,6 +343,83 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Order-3 interpolated Kneser-Ney perplexity — the full KenLM
+    * recursion (Chen & Goodman 1999 eq. 18): the top order discounts
+    * raw trigram counts; the MIDDLE order uses continuation counts
+    * (N1+(·w2w3) over N1+(·w2·)), which is the defining Kneser-Ney
+    * move; the bottom order is the same add-half-floored continuation
+    * unigram as [[lmPerplexityKN]]:
+    *
+    *   P3(w3|w1w2) = max(c3−D,0)/c2(w1w2) + D·N1+(w1w2·)/c2(w1w2) · P2
+    *   P2(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                 + D·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+    *
+    * with full backoff (unseen history at an order falls through to
+    * the next). All count tables are n-gram-TYPE bounded — corpus
+    * frequency never inflates them — and AQE-broadcast against the
+    * per-doc trigram stream; one regroup on doc id.
+    */
+  def lmPerplexityKN3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val tri = toks.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 3,
+        transform(sequence(lit(0), size(col("ts")) - 3),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2"),
+            element_at(col("ts"), i + 3).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+    val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val biCnt = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2h"))
+    // histories at the top order count TRIGRAM occurrences, so the
+    // interpolation weights sum correctly over the trigram stream
+    val contTop = triTypes.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n1p_top"))                        // N1+(w1w2·)
+    val midNum = triTypes.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1p_mid"))                        // N1+(·w2w3)
+    val midDen = triTypes.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_mid_all"))                    // N1+(·w2·)
+    // bigram TYPE tables for λ2 and the continuation unigram
+    val biTypes = toks.select(col("ts")).select(
+      explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("a"),
+            element_at(col("ts"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("g"))
+      .select(col("g.a"), col("g.b")).distinct()
+    val contMid = biTypes.groupBy(col("a").as("w2"))
+      .agg(count(lit(1)).as("n1p_w2"))                         // N1+(w2·)
+    val hist = biTypes.groupBy(col("b").as("w3"))
+      .agg(count(lit(1)).as("n1m"))                            // N1+(·w3)
+    val types = biTypes.agg(count(lit(1)).as("nt"))
+    val vocab = toks.select(explode(col("ts")).as("w")).agg(
+      count_distinct(col("w")).as("vs"))
+    val pcont = (coalesce(col("n1m"), lit(0L)) + lit(0.5)) /
+      (col("nt") + lit(0.5) * col("vs"))
+    val p2seen = (greatest(col("n1p_mid") - lit(discount), lit(0.0)) / col("n1p_mid_all")) +
+      (lit(discount) * col("n1p_w2") / col("n1p_mid_all")) * pcont
+    val p2 = when(col("n1p_mid_all").isNotNull, p2seen).otherwise(pcont)
+    val p3seen = (greatest(col("c3") - lit(discount), lit(0.0)) / col("c2h")) +
+      (lit(discount) * col("n1p_top") / col("c2h")) * p2
+    val p = least(lit(0.999999),
+      when(col("c2h").isNotNull, p3seen).otherwise(p2))
+    tri
+      .join(triTypes, Seq("w1", "w2", "w3"), "left")
+      .join(biCnt, Seq("w1", "w2"), "left")
+      .join(contTop, Seq("w1", "w2"), "left")
+      .join(midNum, Seq("w2", "w3"), "left")
+      .join(midDen, Seq("w2"), "left")
+      .join(contMid, Seq("w2"), "left")
+      .join(hist, Seq("w3"), "left")
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(p)), 4).as("kn3_logppl"),
+        count(lit(1)).as("n_trigrams"))
+  }
+
   /** Windowed exact-substring dedup (the tractable formulation of Lee
     * et al. 2021's ExactSubstr): every L-token window of the corpus is
     * keyed; a window value occurring more than once keeps only its

@@ -328,6 +328,11 @@ object PipelineQueries {
     "q_text_perplexity_kn" -> ((s, d) =>
       TextOps.lmPerplexityKN(docs(s, d), "doc_id", "text")),
 
+    // order-3 Kneser-Ney: the full KenLM recursion with continuation
+    // counts at the middle order — also fully replayed by DuckDB.
+    "q_text_perplexity_kn3" -> ((s, d) =>
+      TextOps.lmPerplexityKN3(docs(s, d), "doc_id", "text")),
+
     // end-to-end CURATION composition of this round's operators:
     // classifier gate (corpus-vs-corrupted fastText filter) → KN
     // description-length annotation → temperature-flattened language
@@ -847,6 +852,44 @@ object PipelineQueries {
         |FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1)
         |  JOIN cont USING (w1) JOIN hist USING (w2) CROSS JOIN ty CROSS JOIN v
         |GROUP BY big.doc_id""".stripMargin,
+    "q_text_perplexity_kn3" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, arr[i] AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '),
+        |                      x -> len(x) > 0) AS arr
+        |        FROM documents),
+        |       LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+        |),
+        |tg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |),
+        |tt AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        |bc AS (SELECT w1, w2, count(*) AS c2h FROM tg GROUP BY 1, 2),
+        |ct AS (SELECT w1, w2, count(*) AS n1p_top FROM tt GROUP BY 1, 2),
+        |mn AS (SELECT w2, w3, count(*) AS n1p_mid FROM tt GROUP BY 1, 2),
+        |md AS (SELECT w2, count(*) AS n1p_mid_all FROM tt GROUP BY 1),
+        |bt AS (SELECT DISTINCT a.w AS a, b.w AS b FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cm AS (SELECT a AS w2, count(*) AS n1p_w2 FROM bt GROUP BY 1),
+        |hs AS (SELECT b AS w3, count(*) AS n1m FROM bt GROUP BY 1),
+        |ty AS (SELECT count(*) AS nt FROM bt),
+        |v AS (SELECT count(DISTINCT w) AS vs FROM toks)
+        |SELECT tg.doc_id,
+        |  round(avg(-ln(least(0.999999,
+        |    greatest(tt.c3 - 0.75, 0.0) / bc.c2h
+        |    + (0.75 * ct.n1p_top / bc.c2h) * (
+        |        greatest(mn.n1p_mid - 0.75, 0.0) / md.n1p_mid_all
+        |        + (0.75 * cm.n1p_w2 / md.n1p_mid_all)
+        |          * ((hs.n1m + 0.5) / (ty.nt + 0.5 * v.vs)))))), 4) AS kn3_logppl,
+        |  count(*) AS n_trigrams
+        |FROM tg JOIN tt USING (w1, w2, w3) JOIN bc USING (w1, w2)
+        |  JOIN ct USING (w1, w2) JOIN mn USING (w2, w3) JOIN md USING (w2)
+        |  JOIN cm USING (w2) JOIN hs USING (w3) CROSS JOIN ty CROSS JOIN v
+        |GROUP BY tg.doc_id""".stripMargin,
     "q_text_paradedup" ->
       """WITH p AS (
         |  SELECT doc_id, i - 1 AS pos, arr[i] AS para

@@ -215,6 +215,26 @@ class TextOpsSpec extends SparkSuite {
         s"'zzz york' (${kn(novelYork)}) under KN — york has 6 distinct histories")
   }
 
+  test("order-3 kneser-ney: typical text scores lower than scrambled; short docs drop") {
+    import spark.implicits._
+    val typical = (1L to 50L).map(i => (i, "the cat sat on the mat near the door"))
+    val extra = Seq((90L, "door the near mat on sat the cat the"), // scrambled
+      (91L, "two words"), (92L, "the cat sat")) // 0 and 1 trigrams
+    val corpus = (typical ++ extra).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexityKN3(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(91L), "a 2-token doc has no trigrams")
+    assert(byId(92L)._3 == 1L)
+    assert(byId(90L)._2 > byId(1L)._2 + 0.5,
+      s"scrambled ${byId(90L)._2} must cost more than typical ${byId(1L)._2}")
+    // note: under SELF-training a novel doc's own trigrams carry
+    // count-1-over-count-1 histories, so order-3 self-scores are
+    // bounded below by the discount ratio — the order-2 model can
+    // show a larger gap on fully-scrambled text. The cross-order
+    // comparison is therefore not asserted; OOD detection is.
+  }
+
   test("perplexity flags out-of-distribution word transitions") {
     import spark.implicits._
     val typical = (1L to 50L).map(i => (i, "the cat sat on the mat"))
