@@ -343,6 +343,49 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Fit a serving-side KN model on a STATIC corpus: the count tables
+    * (n-gram TYPES — vocabulary-bounded, never corpus-sized) collapse
+    * to hash maps inside a [[graft.functions.KnModel]], and the
+    * returned column factory scores any text map-only through one
+    * codegen kernel — identical under Structured Streaming (the
+    * bm25Scorer serving pattern). This is where the backoff branches
+    * the self-trained batch operator can't reach become live: scoring
+    * text routinely has unseen histories and OOV words.
+    */
+  def knScorer(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+               discount: Double = 0.75): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val toks = corpus.select(tokens(col(textCol)).as("ts"))
+    val uniRows = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val biRows = toks.select(
+      explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val c1 = new java.util.HashMap[String, java.lang.Long]()
+    uniRows.foreach { case (w, c) => c1.put(w, c) }
+    val c2 = new java.util.HashMap[String, java.lang.Long]()
+    val n1p = new java.util.HashMap[String, java.lang.Long]()
+    val n1m = new java.util.HashMap[String, java.lang.Long]()
+    biRows.foreach { case (bg, c) =>
+      c2.put(bg, c)
+      val sp = bg.indexOf(' ')
+      val w1 = bg.substring(0, sp)
+      val w2 = bg.substring(sp + 1)
+      n1p.merge(w1, 1L, (a, b) => a + b)
+      n1m.merge(w2, 1L, (a, b) => a + b)
+    }
+    val model = new graft.functions.KnModel(c1, c2, n1p, n1m,
+      nTypes = biRows.length.toLong, vocab = uniRows.length.toLong,
+      discount = discount)
+    (text: org.apache.spark.sql.Column) =>
+      graft.functions.KnFunctions.kn_bits(text, model)
+  }
+
   /** Order-3 interpolated Kneser-Ney perplexity — the full KenLM
     * recursion (Chen & Goodman 1999 eq. 18): the top order discounts
     * raw trigram counts; the MIDDLE order uses continuation counts

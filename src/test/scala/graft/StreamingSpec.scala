@@ -242,6 +242,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming kn-perplexity gate: static-corpus model scores a stream identically") {
+    import graft.operators.TextOps
+    val docs = graft.Tables(spark, sf, "documents")
+    val score = TextOps.knScorer(docs, "text")
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), round(score(col("text")), 6).as("bits"))
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = gate(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("kn_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(rows.toSeq); q.processAllAvailable()
+      val got = spark.table("kn_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val want = gate(docs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("streaming classifier gate: batch-trained weights score a stream identically") {
     import graft.operators.Classifier
     // train once on the batch corpus (the offline half), then the

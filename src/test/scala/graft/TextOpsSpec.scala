@@ -215,6 +215,35 @@ class TextOpsSpec extends SparkSuite {
         s"'zzz york' (${kn(novelYork)}) under KN — york has 6 distinct histories")
   }
 
+  test("kn scorer: hand-computed backoff branches and agreement with the batch operator") {
+    import spark.implicits._
+    // model corpus "a b a b": uni a=2 b=2 (V=2); bi (a,b)=2 (b,a)=1
+    // (2 types); Pcont(z)=1/6, Pcont(a)=Pcont(b)=1/2
+    val score = TextOps.knScorer(Seq("a b a b").toDF("text"), "text")
+    val out = Seq("a b", "b z", "z z", "solo")
+      .toDF("t").select(score(col("t")).as("bits")).collect().map(_.getDouble(0))
+    // P(b|a) = 1.25/2 + .75·(1/2)·(1/2) = 0.8125
+    assert(math.abs(out(0) - -math.log(0.8125)) < 1e-9)
+    // unseen continuation: P(z|b) = λ(b)·Pcont(z) = .375/6
+    assert(math.abs(out(1) - -math.log(0.375 / 6.0)) < 1e-9)
+    // unseen history: P(z|z) = Pcont(z) = 1/6
+    assert(math.abs(out(2) - -math.log(1.0 / 6.0)) < 1e-9)
+    assert(out(3) == 0.0) // one token → no bigrams
+    // agreement with the distributed batch operator on the real corpus
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val s2 = TextOps.knScorer(docs, "text")
+    val served = docs.select(col("doc_id"), s2(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TextOps.lmPerplexityKN(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    batch.foreach { case (id, b) =>
+      assert(math.abs(served(id) - b) < 1e-3, s"doc $id: served ${served(id)} vs batch $b")
+    }
+    // the scorer is a map-only codegen projection
+    val plan = docs.select(s2(col("text"))).queryExecution.executedPlan.toString
+    assert(plan.contains("kn_bits") && !plan.contains("Exchange"))
+  }
+
   test("order-3 kneser-ney: typical text scores lower than scrambled; short docs drop") {
     import spark.implicits._
     val typical = (1L to 50L).map(i => (i, "the cat sat on the mat near the door"))
