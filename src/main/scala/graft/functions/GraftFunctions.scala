@@ -320,6 +320,15 @@ object GraftFunctions {
     RegistryBridge.register(spark, "accumulateWordCount", args => AccumulateWordCountExpr(args))
     RegistryBridge.register(spark, "delay", args => DelayExpr(args))
     registerSketches(spark)
+    // keyword_tag(text, 'p1;p2;...'): Aho-Corasick multi-pattern tag;
+    // the pattern list must be a literal (it builds the automaton)
+    RegistryBridge.register(spark, "keyword_tag", {
+      case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(pats, _)) =>
+        val list = pats.toString.split(';').map(_.trim).filter(_.nonEmpty).toSeq
+        AcTagExpr(t, new AcAutomaton(list))
+      case _ => throw new IllegalArgumentException(
+        "keyword_tag(text, 'p1;p2;...') — patterns must be a string literal")
+    })
   }
 
   /** The mergeable-sketch aggregates as rule-SQL names. Builders

@@ -343,6 +343,17 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Multi-pattern keyword tagging via one Aho-Corasick pass per
+    * document ([[graft.functions.AcAutomaton]]): total occurrence
+    * count + the sorted distinct patterns matched. The automaton
+    * builds once from the (driver-side) pattern list and broadcasts
+    * inside the codegen kernel — the blocklist/topic-tag primitive at
+    * thousands of patterns, map-only at any corpus size.
+    */
+  def keywordTag(text: org.apache.spark.sql.Column,
+                 patterns: Seq[String]): org.apache.spark.sql.Column =
+    graft.functions.AcFunctions.keyword_tag(text, patterns)
+
   /** Fit a serving-side KN model on a STATIC corpus: the count tables
     * (n-gram TYPES — vocabulary-bounded, never corpus-sized) collapse
     * to hash maps inside a [[graft.functions.KnModel]], and the

@@ -328,6 +328,19 @@ object PipelineQueries {
     "q_text_perplexity_kn" -> ((s, d) =>
       TextOps.lmPerplexityKN(docs(s, d), "doc_id", "text")),
 
+    // Aho-Corasick keyword tagging: one automaton pass per document
+    // over a multi-pattern list — the blocklist/topic-tag primitive.
+    // DuckDB replays substring counts per pattern (none of these
+    // patterns self-overlaps, so overlap-inclusive AC counts equal
+    // replace-based counts) → FULL oracle.
+    "q_text_keywords" -> ((s, d) => {
+      val pats = Seq("hash", "join", "spark", "stream", "window")
+      val tag = TextOps.keywordTag(col("text"), pats)
+      docs(s, d).select(col("doc_id"),
+        tag.getField("n_hits").as("n_hits"),
+        tag.getField("matched").as("matched"))
+    }),
+
     // order-3 Kneser-Ney: the full KenLM recursion with continuation
     // counts at the middle order — also fully replayed by DuckDB.
     "q_text_perplexity_kn3" -> ((s, d) =>
@@ -824,6 +837,22 @@ object PipelineQueries {
         |  count(*) AS n_bigrams
         |FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY big.doc_id""".stripMargin,
+    "q_text_keywords" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |o AS (SELECT doc_id,
+        |  (length(t) - length(replace(t, 'hash', ''))) / 4 AS o_hash,
+        |  (length(t) - length(replace(t, 'join', ''))) / 4 AS o_join,
+        |  (length(t) - length(replace(t, 'spark', ''))) / 5 AS o_spark,
+        |  (length(t) - length(replace(t, 'stream', ''))) / 6 AS o_stream,
+        |  (length(t) - length(replace(t, 'window', ''))) / 6 AS o_window
+        | FROM d)
+        |SELECT doc_id,
+        |  CAST(o_hash + o_join + o_spark + o_stream + o_window AS BIGINT) AS n_hits,
+        |  list_filter(['hash', 'join', 'spark', 'stream', 'window'],
+        |    p -> CASE p WHEN 'hash' THEN o_hash WHEN 'join' THEN o_join
+        |         WHEN 'spark' THEN o_spark WHEN 'stream' THEN o_stream
+        |         ELSE o_window END > 0) AS matched
+        |FROM o""".stripMargin,
     "q_text_perplexity_kn" ->
       """WITH toks AS (
         |  SELECT doc_id, i - 1 AS pos, arr[i] AS w
