@@ -45,6 +45,7 @@ object Goldens {
     "q_multimodal" -> (Set.empty[String], 6),
     "q_quantiles_tdigest" -> (Set.empty[String], 2),
     "q_text_bpe" -> (Set.empty[String], 6),
+    "q_text_normalize" -> (Set.empty[String], 6),
     "q_text_unigram" -> (Set.empty[String], 2),
     "q_text_fuzzy_decontam" -> (Set.empty[String], 6),
     "q_text_fingerprint" -> (Set.empty[String], 6),
@@ -73,6 +74,7 @@ object Goldens {
       "q_multimodal" -> "63332ab8c9e9724222ed5513067985ccde77c89dec3fde9ea84bb9a94e2d14b4",
       "q_quantiles_tdigest" -> "04a2a1e116af883684fc8eb62a505d74f085bc67ba5d635f9ded0dbf8eecd743",
       "q_text_bpe" -> "1fcc44b4a00e32e91010aeb6f5a97d5ed42b5124887b45d37b68a42f7d8bcf21",
+      "q_text_normalize" -> "78634513bdfd972a26e2f01e3230c1232d5f05999995f73f08a00c66071ec3ef",
       "q_text_unigram" -> "621f273fecb785ee866d9ce36fe2ec705a32013424a2b91649ab74e2e70953cc",
       "q_text_fuzzy_decontam" -> "fd915656e2c3ed540451bd6740db8bc6a242244a3def1dc740d983b29cddc161",
       "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
@@ -98,6 +100,7 @@ object Goldens {
       "q_multimodal" -> "7873c4c8bb430d5847a03ee36c78c9a5299cee2649cf36525a1fd93c30bddb3d",
       "q_quantiles_tdigest" -> "e62c6416537c663b20585ea55eb7467ad2e734333a05ac3d54f938ab00b5b987",
       "q_text_bpe" -> "0e73b4f61f1398eabee81cb7cf7c55a9784de1c7190a02533fdec0f7b931ae78",
+      "q_text_normalize" -> "ea1caea3414abe42ddfd760fcbca186038574ad2284e19aa5c83193298bb4e4a",
       "q_text_unigram" -> "587cf47c71ff267f7ad5dce4ccff9d0dcc6cd1a3d33b4e51d3bd8f4f712a1df9",
       "q_text_fuzzy_decontam" -> "f49d8381c425f83b91b37914c71f9b4d7024e105b751bbbf9ac9a60d5ce61b3c",
       "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371",

@@ -320,6 +320,8 @@ object GraftFunctions {
     RegistryBridge.register(spark, "accumulateWordCount", args => AccumulateWordCountExpr(args))
     RegistryBridge.register(spark, "delay", args => DelayExpr(args))
     registerSketches(spark)
+    RegistryBridge.register(spark, "normalize_text",
+      { args => NormalizeTextExpr(args.head) })
     // keyword_tag(text, 'p1;p2;...'): Aho-Corasick multi-pattern tag;
     // the pattern list must be a literal (it builds the automaton)
     RegistryBridge.register(spark, "keyword_tag", {

@@ -343,6 +343,25 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** C4/CCNet-style ingestion normalization — NFKC + typographic
+    * folds + control strip + whitespace canonicalization, one codegen
+    * kernel per row ([[graft.functions.NormalizeKernels]]). Idempotent.
+    */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeFunctions.normalize_text(text)
+
+  /** zlib bytes-out over bytes-in — the CCNet compression-ratio
+    * quality signal: highly repetitive/templated text compresses far
+    * below typical prose, natural text sits near a stable band.
+    * Map-only (the compress kernel already runs in codegen).
+    */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      round(octet_length(graft.functions.CompressionFunctions
+        .compress(text, "zlib")).cast("double") /
+        octet_length(text).cast("double"), 6))
+      .otherwise(lit(1.0))
+
   /** Multi-pattern keyword tagging via one Aho-Corasick pass per
     * document ([[graft.functions.AcAutomaton]]): total occurrence
     * count + the sorted distinct patterns matched. The automaton

@@ -328,6 +328,15 @@ object PipelineQueries {
     "q_text_perplexity_kn" -> ((s, d) =>
       TextOps.lmPerplexityKN(docs(s, d), "doc_id", "text")),
 
+    // ingestion normalization + compression-ratio signal: NFKC is not
+    // SQL-replayable → rows-only golden; NormalizeSpec owns the
+    // unicode fixtures and idempotence, CCNet-band sanity in spec.
+    "q_text_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        length(TextOps.normalizeText(col("text"))).cast("long").as("n_chars_norm"),
+        xxhash64(TextOps.normalizeText(col("text"))).as("norm_hash"),
+        TextOps.compressionRatio(col("text")).as("compr_ratio"))),
+
     // Aho-Corasick keyword tagging: one automaton pass per document
     // over a multi-pattern list — the blocklist/topic-tag primitive.
     // DuckDB replays substring counts per pattern (none of these
