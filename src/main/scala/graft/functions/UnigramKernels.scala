@@ -86,6 +86,23 @@ object UnigramKernels {
     s
   }
 
+  /** All substrings of `word` with length ≤ maxLen, document order. */
+  def substringsUpTo(word: String, maxLen: Int): GenericArrayData = {
+    val n = word.length
+    val out = new java.util.ArrayList[Any](n * maxLen)
+    var i = 0
+    while (i < n) {
+      var l = 1
+      val maxl = math.min(maxLen, n - i)
+      while (l <= maxl) {
+        out.add(UTF8String.fromString(word.substring(i, i + l)))
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** −Σ log p over the Viterbi pieces of every token of `text`. */
   def textBits(text: String, vocab: java.util.HashMap[String, java.lang.Double],
       maxLen: Int): Double = {
@@ -125,6 +142,23 @@ case class UnigramEncodeExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** All substrings of a word up to maxLen — the unigram seed
+  * candidates, generated corpus-side so the seed aggregation is
+  * distributed (the word table never collects whole).
+  */
+case class SubstringsExpr(child: Expression, maxLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "substrings_upto"
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramKernels.substringsUpTo(input.asInstanceOf[UTF8String].toString, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramKernels.substringsUpTo($c.toString(), $maxLen)")
+  override protected def withNewChildInternal(newChild: Expression): SubstringsExpr =
+    copy(child = newChild)
+}
+
 /** −Σ log p(piece) over the Viterbi encode of every token of `text`
   * (negative description length; UnkLogp for out-of-vocab chars).
   */
@@ -148,4 +182,6 @@ object UnigramFunctions {
   def unigram_encode(text: Column,
       vocab: java.util.HashMap[String, java.lang.Double], maxLen: Int): Column =
     ColumnBridge.column(UnigramEncodeExpr(ColumnBridge.expression(text), vocab, maxLen))
+  def substrings_upto(word: Column, maxLen: Int): Column =
+    ColumnBridge.column(SubstringsExpr(ColumnBridge.expression(word), maxLen))
 }

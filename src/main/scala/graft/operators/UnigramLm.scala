@@ -51,49 +51,36 @@ object UnigramLm {
       shrinkFactor: Double = 0.75): UnigramModel = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordTable(docs, textCol)
-      .as[(String, Long)].collect().sortBy { case (w, _) => w }
-    require(words.nonEmpty, "unigram training needs a non-empty corpus")
-
-    // ---- seed: all substrings ≤ maxPieceLen by corpus frequency ----
-    val subCounts = new java.util.HashMap[String, Long]()
-    words.foreach { case (w, f) =>
-      var i = 0
-      while (i < w.length) {
-        var l = 1
-        val maxl = math.min(maxPieceLen, w.length - i)
-        while (l <= maxl) {
-          val p = w.substring(i, i + l)
-          subCounts.merge(p, f, (a, b) => a + b)
-          l += 1
-        }
-        i += 1
-      }
-    }
-    import scala.jdk.CollectionConverters._
-    val chars = subCounts.asScala.keys.filter(_.length == 1).toSet
-    val seeded = subCounts.asScala.toSeq
-      .sortBy { case (p, c) => (-c, p) }
-      .take(math.max(seedSize, chars.size))
-      .map(_._1).toSet ++ chars // chars always present
-
-    def toLogp(counts: Map[String, Long]): java.util.HashMap[String, java.lang.Double] = {
-      val total = math.max(1L, counts.values.sum).toDouble
-      val m = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
-      counts.foreach { case (p, c) =>
-        m.put(p, math.log(math.max(c, 1L) / total))
-      }
-      m
-    }
-
-    var counts: Map[String, Long] =
-      subCounts.asScala.collect { case (p, c) if seeded(p) => (p, c) }.toMap
-    var vocabNow = toLogp(counts)
-
-    // words as a small cached frame for the distributed E-step
-    val wordsDf = words.toSeq.toDF("w", "freq").repartition(
+    val wordsDf = wordTable(docs, textCol).repartition(
       math.max(1, spark.sparkContext.defaultParallelism / 2)).cache()
     try {
+      require(!wordsDf.isEmpty, "unigram training needs a non-empty corpus")
+      // ---- seed, DISTRIBUTED: substrings explode corpus-side, the
+      // freq-weighted candidate counts aggregate through one shuffle,
+      // and only the seed-sized top slice (plus the alphabet) ever
+      // reaches the driver — the word table itself never collects
+      val subDf = wordsDf.select(
+          explode(graft.functions.UnigramFunctions.substrings_upto(
+            col("w"), maxPieceLen)).as("p"), col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+      val top = subDf.orderBy(col("c").desc, col("p"))
+        .limit(math.max(seedSize, 16))
+        .as[(String, Long)].collect()
+      val charRows = subDf.where(length(col("p")) === 1)
+        .as[(String, Long)].collect()
+      val chars = charRows.map(_._1).toSet
+      var counts: Map[String, Long] = (top ++ charRows).toMap
+
+      def toLogp(cs: Map[String, Long]): java.util.HashMap[String, java.lang.Double] = {
+        val total = math.max(1L, cs.values.sum).toDouble
+        val m = new java.util.HashMap[String, java.lang.Double](cs.size * 2)
+        cs.foreach { case (p, c) =>
+          m.put(p, math.log(math.max(c, 1L) / total))
+        }
+        m
+      }
+
+      var vocabNow = toLogp(counts)
       var iter = 0
       while (iter < iters) {
         // E-step: freq-weighted Viterbi piece counts — long sums, so
@@ -120,8 +107,8 @@ object UnigramLm {
         vocabNow = toLogp(counts)
         iter += 1
       }
+      UnigramModel(vocabNow, maxPieceLen)
     } finally wordsDf.unpersist(blocking = false)
-    UnigramModel(vocabNow, maxPieceLen)
   }
 
   /** Persist a trained vocabulary as parquet (piece, logp) — the
