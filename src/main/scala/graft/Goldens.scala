@@ -43,6 +43,7 @@ object Goldens {
     "q_knn_pq" -> (Set("n_id"), 2),
     "q_knn_quant" -> (Set.empty[String], 6),
     "q_multimodal" -> (Set.empty[String], 6),
+    "q_multimodal_dups" -> (Set.empty[String], 6),
     "q_quantiles_tdigest" -> (Set.empty[String], 2),
     "q_text_bpe" -> (Set.empty[String], 6),
     "q_text_normalize" -> (Set.empty[String], 6),
@@ -72,6 +73,7 @@ object Goldens {
       "q_knn_pq" -> "59cc477111c21f80e66f255af50c42b218ef8b0088ea87da30da9375d382efcd",
       "q_knn_quant" -> "a24ad23ab36c619a4cfdea6f512bac32251a2dbfcf60ca339e833279007a9b6f",
       "q_multimodal" -> "63332ab8c9e9724222ed5513067985ccde77c89dec3fde9ea84bb9a94e2d14b4",
+      "q_multimodal_dups" -> "8d57a5b32d04a00315912868d12b2c4632a0c3c894bdca0906889a18e245609b",
       "q_quantiles_tdigest" -> "04a2a1e116af883684fc8eb62a505d74f085bc67ba5d635f9ded0dbf8eecd743",
       "q_text_bpe" -> "1fcc44b4a00e32e91010aeb6f5a97d5ed42b5124887b45d37b68a42f7d8bcf21",
       "q_text_normalize" -> "78634513bdfd972a26e2f01e3230c1232d5f05999995f73f08a00c66071ec3ef",
@@ -98,6 +100,7 @@ object Goldens {
       "q_knn_pq" -> "e7956c578083a7844e253a56c85c355c44d3caae64afe938b279c0d070e802b0",
       "q_knn_quant" -> "10a065f42868de4b12f65e66a0517fbab6eeadb9b3d4f01a6a2bbe08890c1177",
       "q_multimodal" -> "7873c4c8bb430d5847a03ee36c78c9a5299cee2649cf36525a1fd93c30bddb3d",
+      "q_multimodal_dups" -> "c722e78a0b98cc4aeb02a6af6df50060f71a2017e9d8298df17c13bf17355eee",
       "q_quantiles_tdigest" -> "e62c6416537c663b20585ea55eb7467ad2e734333a05ac3d54f938ab00b5b987",
       "q_text_bpe" -> "0e73b4f61f1398eabee81cb7cf7c55a9784de1c7190a02533fdec0f7b931ae78",
       "q_text_normalize" -> "ea1caea3414abe42ddfd760fcbca186038574ad2284e19aa5c83193298bb4e4a",

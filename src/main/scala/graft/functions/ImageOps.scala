@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType}
@@ -116,6 +116,29 @@ object ImageOps {
     out
   }
 
+  /** 64-bit dHash; see [[ImageDhashExpr]]. */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val img = decode(bytes)
+    val small = scaleBilinear(img, 9, 8, hasAlpha = false)
+    @inline def lum(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(small.getRGB(x, y)) < lum(small.getRGB(x + 1, y))) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   def thumbnail(bytes: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
     require(maxW >= 0 && maxH >= 0, "thumbnail dimensions must be >= 0")
     val format = detectFormat(bytes)
@@ -129,6 +152,24 @@ object ImageOps {
       encode(scaleBilinear(img, tw, th, img.getColorModel.hasAlpha), format)
     }
   }
+}
+
+/** 64-bit difference hash (dHash — the standard perceptual image
+  * fingerprint, e.g. Krawetz's widely-documented variant): decode,
+  * bilinear-scale to 9×8 luminance, set one bit per adjacent-pixel
+  * gradient. Robust to re-encoding, uniform brightness shifts and
+  * resizes; pairs with [[graft.operators.Dedup.sigPairs]] for
+  * banding-blocked near-dup candidate generation over image corpora.
+  */
+case class ImageDhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "image_dhash"
+  override protected def nullSafeEval(img: Any): Any =
+    ImageOps.dhash64(img.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageOps.dhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): ImageDhashExpr =
+    copy(child = newChild)
 }
 
 case class ImageResizeExpr(first: Expression, second: Expression, third: Expression,
@@ -167,4 +208,6 @@ object ImageFunctions {
     ColumnBridge.column(ImageResizeExpr(e(img), e(w.cast("int")), e(h.cast("int")), raw))
   def thumbnail(img: Column, maxW: Column, maxH: Column): Column =
     ColumnBridge.column(ImageThumbnailExpr(e(img), e(maxW.cast("int")), e(maxH.cast("int"))))
+  def image_dhash(img: Column): Column =
+    ColumnBridge.column(ImageDhashExpr(e(img)))
 }

@@ -173,8 +173,16 @@ object Dedup {
     * so candidate generation shuffles only (chunk-idx, chunk-value, id).
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame =
+    sigPairs(docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs for ANY 64-bit signature table (id, sig) via the
+    * 16-bit chunk blocking above — shared by text simhash and image
+    * dHash dedup (the signature source is the only difference).
+    */
+  def sigPairs(sigs: DataFrame, maxHamming: Int = 3,
+               maxBucket: Int = 64): DataFrame = {
     val chunked = sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(3)), j => struct(
           j.as("chunk"),

@@ -136,12 +136,12 @@ object Multimodal {
     * queries and tests drive the REAL decode path from arbitrary
     * deterministic bytes (documents.text) without binary fixtures.
     */
-  def syntheticPng(seed: Array[Byte]): Array[Byte] = {
+  def syntheticPng(seed: Array[Byte], shift: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val src = if (seed.isEmpty) Array[Byte](0) else seed // empty doc → black image
     var i = 0
     while (i < 64) {
-      val v = src(i % src.length) & 0xff
+      val v = math.min(255, (src(i % src.length) & 0xff) + shift)
       img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
       i += 1
     }
@@ -164,6 +164,21 @@ object Multimodal {
       (length(col(payloadCol)) / 256 + 1).cast("int").as("n_frames"))
       .as[MediaAsset]
   }
+
+  /** Perceptual near-duplicate image pairs: 64-bit dHash per image
+    * (REAL decode via javax.imageio — robust to re-encoding, uniform
+    * brightness shifts and resizes), then the same 16-bit-chunk
+    * blocking the text simhash path uses ([[Dedup.sigPairs]]): the
+    * shuffle carries (chunk, value, id), never pixels, so the corpus
+    * of image BYTES is read once map-only and only signatures travel.
+    * Returns (a, b, hamming).
+    */
+  def imageDupPairs(images: DataFrame, idCol: String, binCol: String,
+                    maxHamming: Int = 4, maxBucket: Int = 64): DataFrame =
+    graft.operators.Dedup.sigPairs(
+      images.select(col(idCol).as("id"),
+        graft.functions.ImageFunctions.image_dhash(col(binCol)).as("sig")),
+      maxHamming, maxBucket)
 
   /** End-to-end plumbing query over deterministic payloads: even doc
     * ids become synthetic PNGs (REAL javax.imageio decode), odd ids

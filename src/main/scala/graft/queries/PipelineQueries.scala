@@ -297,6 +297,23 @@ object PipelineQueries {
     // delimiter="\n" is the production boilerplate-line form. The
     // order-preserving `cleaned` rebuild is pinned by TextOpsSpec; the
     // oracle checks the removed/kept/char accounting.
+    // perceptual image near-dup pairs over REAL PNGs: deterministic
+    // synthesized images per doc + planted brightness-shifted copies;
+    // dHash is decode-dependent (no SQL replay) → rows-only golden.
+    // MultimodalSpec owns planted recall and dHash invariances.
+    "q_multimodal_dups" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      val imgs = base.mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val orig = (id, Multimodal.syntheticPng(raw))
+        if (id < 25) Seq(orig, (id + 100000L, Multimodal.syntheticPng(raw, shift = 30)))
+        else Seq(orig)
+      }).toDF("img_id", "png")
+      Multimodal.imageDupPairs(imgs, "img_id", "png", maxHamming = 2)
+    }),
+
     "q_text_boilerplate" -> ((s, d) =>
       TextOps.stripBoilerplate(docs(s, d), "doc_id", "text", " ", 0.5)
         .select(col("doc_id"), col("removed_terms"), col("kept_terms"),

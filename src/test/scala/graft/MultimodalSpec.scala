@@ -84,4 +84,40 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.stubDecode(a, 4).sampled_frames == 2)
     assert(Multimodal.stubDecode(a, 1).sampled_frames == 8)
   }
+
+  test("dhash: invariant to brightness shift and resize, far for distinct images") {
+    import graft.functions.ImageOps
+    val gradient = Array.tabulate(64)(i => (i * 3).toByte) // ≤189: +30 stays unclamped
+    val noise = Array.tabulate(64)(i => ((i * 37 + 11) % 251).toByte)
+    val a = Multimodal.syntheticPng(gradient)
+    val aBright = Multimodal.syntheticPng(gradient, shift = 30)
+    val aBig = ImageOps.resize(a, 32, 32)
+    val b = Multimodal.syntheticPng(noise)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val ha = ImageOps.dhash64(a)
+    assert(ham(ha, ImageOps.dhash64(aBright)) <= 2, "brightness shift must barely move dhash")
+    assert(ham(ha, ImageOps.dhash64(aBig)) <= 6, "resize must stay near")
+    assert(ham(ha, ImageOps.dhash64(b)) >= 16, "distinct images must land far")
+  }
+
+  test("image near-dup pairing recovers planted brightness-shifted copies") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val imgs = docs.mapPartitions(_.flatMap { case (id, text) =>
+      val raw = text.getBytes("UTF-8")
+      val orig = (id, Multimodal.syntheticPng(raw))
+      if (id < 15) Seq(orig, (id + 100000L, Multimodal.syntheticPng(raw, shift = 30)))
+      else Seq(orig)
+    }).toDF("img_id", "png")
+    val pairs = Multimodal.imageDupPairs(imgs, "img_id", "png", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 15L).map(id => (id, id + 100000L))
+    val found = planted.count(p => pairs.contains(p) || pairs.contains(p.swap))
+    assert(found >= 13, s"recovered $found/15 planted image near-dups")
+    // no pixels in the shuffle: the plan's exchange carries chunk/value/id
+    val plan = Multimodal.imageDupPairs(imgs, "img_id", "png")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("image_dhash"), plan.take(1200))
+  }
 }
