@@ -38,11 +38,16 @@ object Classifier {
     * Classical momentum (Polyak 1964) on the full-batch gradient —
     * each saved iteration is one fewer cluster-wide pass, so faster
     * convergence is a distributed-cost win, not just wall-clock.
+    * `init` warm-starts from existing weights — the ONLINE/streaming
+    * path: a foreachBatch loop trains a few iterations per
+    * micro-batch on arriving labeled data and carries the weights
+    * forward (mini-batch gradient descent in streaming clothes).
     */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       dim: Int = 1 << 15, iters: Int = 30, lr: Double = 1.0,
       reg: Double = 1e-6, momentum: Double = 0.9,
-      deterministic: Boolean = true): Array[Double] = {
+      deterministic: Boolean = true,
+      init: Option[Array[Double]] = None): Array[Double] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats = docs
@@ -53,7 +58,8 @@ object Classifier {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = feats.count().toDouble
     require(n > 0, "empty training set")
-    var w = new Array[Double](dim + 1)
+    var w = init.map(_.clone()).getOrElse(new Array[Double](dim + 1))
+    require(w.length == dim + 1, s"init weights must be dim+1 = ${dim + 1}")
     val vel = new Array[Double](dim + 1)
     try {
       var iter = 0

@@ -242,6 +242,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("online classifier training: foreachBatch warm-starts per micro-batch and converges") {
+    import graft.operators.Classifier
+    val dim = 1 << 12
+    def planted(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val common = s"the quick brown fox jumps over lazy dog number ${i % 7}"
+      if (i % 2 == 0) (s"$common zorp quux flibber", 1) else (s"$common plain ordinary text", 0)
+    }
+    @volatile var w = new Array[Double](dim + 1)
+    val ms = MemoryStream[(String, Int)]
+    val q = ms.toDS().toDF("text", "y")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          w = Classifier.train(batch, "text", "y", dim = dim, iters = 8,
+            lr = 2.0, init = Some(w))
+      }
+      .start()
+    try {
+      // three arriving labeled micro-batches; weights carry forward
+      ms.addData(planted(0, 100)); q.processAllAvailable()
+      ms.addData(planted(100, 200)); q.processAllAvailable()
+      ms.addData(planted(200, 300)); q.processAllAvailable()
+      import spark.implicits._
+      val held = planted(1000, 1200).toDF("text", "y")
+      val acc = Classifier.accuracy(held, "text", "y", w, dim)
+      assert(acc >= 0.95, s"online-trained accuracy $acc")
+    } finally q.stop()
+  }
+
   test("streaming kn-perplexity gate: static-corpus model scores a stream identically") {
     import graft.operators.TextOps
     val docs = graft.Tables(spark, sf, "documents")
