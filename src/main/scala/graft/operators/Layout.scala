@@ -82,4 +82,36 @@ object Layout {
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("rows"))
       .orderBy(col("rows").desc).limit(topN)
+
+  /** Global 1-based positions in `orderCols` order WITHOUT a global
+    * sort — the range-partition/offset technique q_win_count and the
+    * epoch shuffle use, extracted as a reusable operator: range-
+    * partition on the order key, count per partition (tiny), derive
+    * each partition's offset from the counts, then local row_number +
+    * offset. No stage ever sorts the whole table in one task, and the
+    * result is independent of where the range boundaries land —
+    * PROVIDED `orderCols` is a total order (add a unique tiebreaker
+    * column if it is not; ties across a partition boundary would
+    * otherwise split arbitrarily).
+    *
+    * localCheckpoint (not persist) pins the sampled range boundaries
+    * so both passes see one layout; its blocks are reclaimed by the
+    * ContextCleaner once unreferenced.
+    */
+  def zipWithGlobalIndex(df: DataFrame, orderCols: Seq[Column],
+                         outCol: String = "pos"): DataFrame = {
+    val parts = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("__off"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(orderCols: _*)
+    parts.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, row_number().over(local).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
 }

@@ -384,6 +384,14 @@ object TextOps {
     */
   def knScorer(corpus: org.apache.spark.sql.DataFrame, textCol: String,
                discount: Double = 0.75): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val model = fitKnModel(corpus, textCol, discount)
+    (text: org.apache.spark.sql.Column) =>
+      graft.functions.KnFunctions.kn_bits(text, model)
+  }
+
+  /** The serving model behind [[knScorer]], exposed for persistence. */
+  def fitKnModel(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                 discount: Double = 0.75): graft.functions.KnModel = {
     val toks = corpus.select(tokens(col(textCol)).as("ts"))
     val uniRows = toks.select(explode(col("ts")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -409,11 +417,43 @@ object TextOps {
       n1p.merge(w1, 1L, (a, b) => a + b)
       n1m.merge(w2, 1L, (a, b) => a + b)
     }
-    val model = new graft.functions.KnModel(c1, c2, n1p, n1m,
+    new graft.functions.KnModel(c1, c2, n1p, n1m,
       nTypes = biRows.length.toLong, vocab = uniRows.length.toLong,
       discount = discount)
-    (text: org.apache.spark.sql.Column) =>
-      graft.functions.KnFunctions.kn_bits(text, model)
+  }
+
+  /** Persist a serving KN model as parquet (kind, k, v) — same
+    * train-once/score-many contract as the other model families.
+    */
+  def saveKnModel(spark: org.apache.spark.sql.SparkSession,
+                  m: graft.functions.KnModel, path: String): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows =
+      Seq(("meta", "nTypes", m.nTypes.toDouble), ("meta", "vocab", m.vocab.toDouble),
+        ("meta", "discount", m.discount)) ++
+      m.c1.asScala.map { case (k, v) => ("c1", k, v.doubleValue()) } ++
+      m.c2.asScala.map { case (k, v) => ("c2", k, v.doubleValue()) } ++
+      m.n1p.asScala.map { case (k, v) => ("n1p", k, v.doubleValue()) } ++
+      m.n1m.asScala.map { case (k, v) => ("n1m", k, v.doubleValue()) }
+    rows.toSeq.toDF("kind", "k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved serving KN model. */
+  def loadKnModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): graft.functions.KnModel = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def tbl(kind: String): java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      rows.foreach { case (k2, key, v) => if (k2 == kind) m.put(key, v.toLong) }
+      m
+    }
+    val meta = rows.collect { case ("meta", k, v) => k -> v }.toMap
+    new graft.functions.KnModel(tbl("c1"), tbl("c2"), tbl("n1p"), tbl("n1m"),
+      nTypes = meta("nTypes").toLong, vocab = meta("vocab").toLong,
+      discount = meta("discount"))
   }
 
   /** Order-3 interpolated Kneser-Ney perplexity — the full KenLM

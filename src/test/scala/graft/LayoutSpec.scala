@@ -115,4 +115,21 @@ class LayoutSpec extends SparkSuite {
     val top = Layout.keyHistogram(fact, col("k"), 1).first()
     assert(top.getLong(0) == 7L && top.getLong(1) == 900L)
   }
+
+  test("zipWithGlobalIndex equals a global sort's row_number at any partition count") {
+    import spark.implicits._
+    val data = new scala.util.Random(13).shuffle((1L to 5000L).toList)
+      .map(i => (i, s"v$i")).toDF("k", "v")
+    val want = data.orderBy(col("k")).collect().map(_.getLong(0)).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    for (parts <- Seq(3, 8)) {
+      val got = Layout.zipWithGlobalIndex(data.repartition(parts), Seq(col("k")))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("pos")).toMap
+      assert(got == want, s"at $parts input partitions")
+    }
+    // no single-partition global sort in the plan
+    val plan = Layout.zipWithGlobalIndex(data, Seq(col("k")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
 }

@@ -215,6 +215,25 @@ class TextOpsSpec extends SparkSuite {
         s"'zzz york' (${kn(novelYork)}) under KN — york has 6 distinct histories")
   }
 
+  test("kn model persistence: save/load round-trips and scores identically") {
+    import spark.implicits._
+    val corpus = Seq("a b a b", "b c a").toDF("text")
+    val m = TextOps.fitKnModel(corpus, "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn_m").toString
+    try {
+      TextOps.saveKnModel(spark, m, dir)
+      val back = TextOps.loadKnModel(spark, dir)
+      assert(back.nTypes == m.nTypes && back.vocab == m.vocab &&
+        back.discount == m.discount)
+      val texts = Seq("a b", "b z", "z z", "c a b").toDF("t")
+      val a1 = texts.select(graft.functions.KnFunctions.kn_bits(col("t"), m))
+        .collect().map(_.getDouble(0))
+      val a2 = texts.select(graft.functions.KnFunctions.kn_bits(col("t"), back))
+        .collect().map(_.getDouble(0))
+      assert(a1.toSeq == a2.toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("kn scorer: hand-computed backoff branches and agreement with the batch operator") {
     import spark.implicits._
     // model corpus "a b a b": uni a=2 b=2 (V=2); bi (a,b)=2 (b,a)=1
