@@ -106,9 +106,20 @@ object Pca {
     PcaModel(mean, comps, evals.take(kk), total, n)
   }
 
-  /** Centered projections onto the model's components (codegen). */
-  def project(vec: Column, model: PcaModel): Column =
-    PcaFunctions.pca_project(vec, model.mean, model.components)
+  /** Centered projections onto the model's components (codegen).
+    * `whiten = true` scales each component by 1/√λ so projections have
+    * unit variance per axis — the standard decorrelating transform
+    * before clustering or Euclidean ANN (components with λ ≤ 1e-12
+    * are left unscaled rather than exploding).
+    */
+  def project(vec: Column, model: PcaModel, whiten: Boolean = false): Column = {
+    val comps =
+      if (!whiten) model.components
+      else model.components.zip(model.eigenvalues).map { case (c, ev) =>
+        if (ev > 1e-12) c.map(_ / math.sqrt(ev)) else c
+      }
+    PcaFunctions.pca_project(vec, model.mean, comps)
+  }
 
   /** Squared rank-k reconstruction residual (codegen). */
   def residual(vec: Column, model: PcaModel): Column =

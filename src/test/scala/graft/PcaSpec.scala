@@ -91,6 +91,16 @@ class PcaSpec extends SparkSuite {
     assert(errs.max < 0.05, s"max pairwise distance error ${errs.max}")
   }
 
+  test("whitened projections have unit variance per component") {
+    val data = planted(1500)
+    val model = Pca.fit(data, "embedding", 2)
+    val pv = data.select(posexplode(Pca.project($"embedding", model, whiten = true))
+        .as(Seq("c", "p")))
+      .groupBy($"c").agg(var_pop($"p").as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    pv.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"variance $v"))
+  }
+
   test("model persistence: save/load round-trips the fit exactly") {
     val model = Pca.fit(planted(200), "embedding", 3)
     val dir = java.nio.file.Files.createTempDirectory("pca_idx").toString
