@@ -456,6 +456,63 @@ object TextOps {
       discount = meta("discount"))
   }
 
+  /** Order-3 serving model for [[graft.functions.Kn3Model]] — the
+    * trigram recursion collapsed to hash tables from a BOUNDED
+    * reference corpus (sampled, like every deployed LM; the batch
+    * operator below is the corpus-scale path). One pass builds the
+    * trigram stream; every collected table is n-gram-TYPE bounded.
+    */
+  def fitKn3Model(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                  discount: Double = 0.75): graft.functions.Kn3Model = {
+    val toks = corpus.select(tokens(col(textCol)).as("ts"))
+    val tri = toks.select(
+      explode(when(size(col("ts")) >= 3,
+        transform(sequence(lit(0), size(col("ts")) - 3),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2"),
+            element_at(col("ts"), i + 3).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+    def toMap(df: org.apache.spark.sql.DataFrame): java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      df.collect().foreach(r => m.put(r.getString(0), r.getLong(1)))
+      m
+    }
+    val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c")).cache()
+    try {
+      val c3 = toMap(triTypes.select(
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"), col("c")))
+      val c2h = toMap(tri.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")))
+      val n1pTop = toMap(triTypes.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")))
+      val n1pMid = toMap(triTypes.groupBy(col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c"))
+        .select(concat_ws(" ", col("w2"), col("w3")).as("k"), col("c")))
+      val n1pMidAll = toMap(triTypes.groupBy(col("w2"))
+        .agg(count(lit(1)).as("c")).select(col("w2").as("k"), col("c")))
+      val biTypes = toks.select(
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(0), size(col("ts")) - 2),
+            i => struct(element_at(col("ts"), i + 1).as("a"),
+              element_at(col("ts"), i + 2).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("g"))
+        .select(col("g.a"), col("g.b")).distinct().cache()
+      try {
+        val n1pW2 = toMap(biTypes.groupBy(col("a"))
+          .agg(count(lit(1)).as("c")).select(col("a").as("k"), col("c")))
+        val n1m = toMap(biTypes.groupBy(col("b"))
+          .agg(count(lit(1)).as("c")).select(col("b").as("k"), col("c")))
+        val nTypes = biTypes.count()
+        val vocab = toks.select(explode(col("ts")).as("w")).distinct().count()
+        new graft.functions.Kn3Model(c3, c2h, n1pTop, n1pMid, n1pMidAll,
+          n1pW2, n1m, nTypes, vocab, discount)
+      } finally biTypes.unpersist(blocking = false)
+    } finally triTypes.unpersist(blocking = false)
+  }
+
   /** Order-3 interpolated Kneser-Ney perplexity — the full KenLM
     * recursion (Chen & Goodman 1999 eq. 18): the top order discounts
     * raw trigram counts; the MIDDLE order uses continuation counts

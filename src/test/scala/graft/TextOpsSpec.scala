@@ -263,6 +263,34 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("kn_bits") && !plan.contains("Exchange"))
   }
 
+  test("kn3 serving scorer: hand-computed recursion including every backoff branch") {
+    import spark.implicits._
+    // model corpus "a b c a b c": tri types (a,b,c):2 (b,c,a):1 (c,a,b):1;
+    // bigram types (a,b)(b,c)(c,a) → nTypes=3, V=3; every Pcont = 1/3,
+    // Pcont(oov) = 1/9; all mid/top continuation counts = 1
+    val m = TextOps.fitKn3Model(Seq("a b c a b c").toDF("text"), "text")
+    // P2(c|b) = max(1−.75,0)/1 + .75·1·(1/3) = 0.5
+    assert(math.abs(m.prob2("b", "c") - 0.5) < 1e-12)
+    // full trigram: P3(c|a,b) = 1.25/2 + .75·(1/2)·0.5 = 0.8125
+    assert(math.abs(m.prob3("a", "b", "c") - 0.8125) < 1e-12)
+    // unseen trigram, seen history: P3 = λ·P2(z|b) = .375·(.75/9)
+    assert(math.abs(m.prob3("a", "b", "z") - 0.375 * (0.75 / 9.0)) < 1e-12)
+    // unseen history → order-2; unseen middle → continuation unigram
+    assert(math.abs(m.prob3("z", "b", "c") - 0.5) < 1e-12)
+    assert(math.abs(m.prob3("z", "z", "c") - 1.0 / 3.0) < 1e-12)
+    // the kernel column agrees with the batch operator on real docs
+    val docs = Tables(spark, sf, "documents").limit(80)
+    val m2 = TextOps.fitKn3Model(docs, "text")
+    val served = docs.select(col("doc_id"),
+        graft.functions.KnFunctions.kn3_bits(col("text"), m2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TextOps.lmPerplexityKN3(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    batch.foreach { case (id, b) =>
+      assert(math.abs(served(id) - b) < 1e-3, s"doc $id: served ${served(id)} vs batch $b")
+    }
+  }
+
   test("order-3 kneser-ney: typical text scores lower than scrambled; short docs drop") {
     import spark.implicits._
     val typical = (1L to 50L).map(i => (i, "the cat sat on the mat near the door"))
