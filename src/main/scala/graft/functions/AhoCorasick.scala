@@ -21,7 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * a pattern cannot overlap itself.
   */
 final class AcAutomaton(patternsIn: Seq[String]) extends Serializable {
-  val patterns: Array[String] = patternsIn.map(_.toLowerCase).distinct.sorted.toArray
+  // fold per-char exactly like the matching loop (NOT locale-default
+  // String.toLowerCase — a Turkish-locale JVM would fold 'I'→'ı' on
+  // one side only and such patterns would never match)
+  val patterns: Array[String] =
+    patternsIn.map(p => p.map(Character.toLowerCase)).distinct.sorted.toArray
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty), "patterns must be non-empty")
 
   // nodes as growable parallel structures; transitions in per-node maps

@@ -32,18 +32,23 @@ final class KnModel(
     ((if (h == null) 0L else h.longValue()) + 0.5) / (nTypes + 0.5 * vocab)
   }
 
-  /** P(w2|w1) with full backoff; always in (0, 1). */
+  /** P(w2|w1) with full backoff; always in (0, 1). A history that is
+    * in the unigram table but never starts a bigram (a word seen only
+    * document-finally in training) has no continuation mass at all —
+    * back off to the continuation probability, exactly as an unseen
+    * history does (Kn3Model guards the same case via den == 0).
+    */
   def prob(w1: String, w2: String): Double = {
     val h = c1.get(w1)
     val base = pcont(w2)
+    val conts = if (h == null) null else n1p.get(w1)
     val p =
-      if (h == null) base
+      if (h == null || conts == null) base
       else {
         val cHist = h.longValue().toDouble
         val cBi = c2.get(w1 + " " + w2)
         val seen = if (cBi == null) 0.0 else math.max(cBi.longValue() - discount, 0.0)
-        val conts = n1p.get(w1)
-        val lambda = if (conts == null) 0.0 else discount * conts.longValue() / cHist
+        val lambda = discount * conts.longValue() / cHist
         seen / cHist + lambda * base
       }
     math.min(p, 0.999999)

@@ -340,8 +340,13 @@ object Sketches {
     */
   def hllDistinct(item: Column, p: Int = 14): Column = {
     require(p >= 4 && p <= 18, s"hll precision $p outside [4,18]")
+    // hash only non-null inputs: xxhash64(null) is the (non-null) seed,
+    // which would count NULL as one extra distinct and diverge from
+    // count(DISTINCT) semantics; the null passes through `when` and is
+    // skipped by the aggregate's null check
+    import org.apache.spark.sql.functions.{when, xxhash64}
     ColumnBridge.column(HllAgg(
-      ColumnBridge.expression(org.apache.spark.sql.functions.xxhash64(item)), p)
+      ColumnBridge.expression(when(item.isNotNull, xxhash64(item))), p)
       .toAggregateExpression())
   }
 

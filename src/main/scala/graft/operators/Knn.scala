@@ -118,14 +118,16 @@ object Knn {
     val scored = joined
       .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
       .withColumn("same", col("n_label") === col("q_label"))
-    // max_by ignores rows whose ordering key is null, so the two
+    // min_by ignores rows whose ordering key is null, so the two
     // conditional keys rank each class independently in one aggregate;
-    // (cos, -n_id) reproduces rankTopK's desc-cos / asc-id tie-break
-    def key(cond: Column) = when(cond, struct(col("cos"), (-col("n_id")).as("t")))
+    // (-cos, n_id) reproduces rankTopK's desc-cos / asc-id tie-break
+    // for ANY orderable id type (negating the id instead would cast
+    // string ids to null and lose determinism among equal cosines)
+    def key(cond: Column) = when(cond, struct((-col("cos")).as("nc"), col("n_id")))
     scored.groupBy(col("q_id"))
       .agg(
-        max_by(struct(col("n_id"), col("cos")), key(col("same"))).as("p"),
-        max_by(struct(col("n_id"), col("cos")), key(!col("same"))).as("n"))
+        min_by(struct(col("n_id"), col("cos")), key(col("same"))).as("p"),
+        min_by(struct(col("n_id"), col("cos")), key(!col("same"))).as("n"))
       .where(col("p").isNotNull && col("n").isNotNull)
       .select(col("q_id"), col("p.n_id").as("pos_id"), col("p.cos").as("pos_cos"),
         col("n.n_id").as("neg_id"), col("n.cos").as("neg_cos"))

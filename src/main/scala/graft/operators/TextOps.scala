@@ -389,21 +389,48 @@ object TextOps {
       graft.functions.KnFunctions.kn_bits(text, model)
   }
 
-  /** The serving model behind [[knScorer]], exposed for persistence. */
+  /** Bounded-collect guard shared by the KN serving fits: the serving
+    * models are for BOUNDED reference corpora (every deployed LM
+    * trains on a sample), and this enforces that contract instead of
+    * documenting it — a fit over a web-scale corpus fails fast with
+    * guidance rather than silently materializing O(n-gram-types) in a
+    * driver HashMap. `limit(maxTypes+1)` bounds the collect itself, so
+    * even the failing path never pulls more than maxTypes+1 rows.
+    */
+  private def guardedCollect(df: org.apache.spark.sql.DataFrame,
+      maxTypes: Int, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxTypes + 1).collect()
+    require(rows.length <= maxTypes,
+      s"$what type table exceeds maxTypes=$maxTypes: the serving-model fit " +
+      "collects n-gram TYPE tables to the driver and is meant for a bounded " +
+      "reference corpus (fit on a sample, e.g. corpus.limit(...)); raise " +
+      "minCount/maxTypes, or use the batch operator lmPerplexityKN/KN3 for " +
+      "corpus-scale scoring")
+    rows
+  }
+
+  /** The serving model behind [[knScorer]], exposed for persistence.
+    * `minCount` prunes bigram types below the threshold before
+    * collection (the [[lmPerplexity]] precedent); `maxTypes` bounds
+    * each collected table and fails fast past it. Defaults preserve
+    * the historical behavior exactly.
+    */
   def fitKnModel(corpus: org.apache.spark.sql.DataFrame, textCol: String,
-                 discount: Double = 0.75): graft.functions.KnModel = {
+                 discount: Double = 0.75, minCount: Long = 1L,
+                 maxTypes: Int = 10000000): graft.functions.KnModel = {
     val toks = corpus.select(tokens(col(textCol)).as("ts"))
-    val uniRows = toks.select(explode(col("ts")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val biRows = toks.select(
+    val uniRows = guardedCollect(toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")), maxTypes, "fitKnModel: unigram")
+      .map(r => r.getString(0) -> r.getLong(1))
+    val biRows = guardedCollect(toks.select(
       explode(when(size(col("ts")) >= 2,
         transform(sequence(lit(0), size(col("ts")) - 2),
           i => concat_ws(" ", element_at(col("ts"), i + 1),
             element_at(col("ts"), i + 2))))
         .otherwise(array().cast("array<string>"))).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .where(col("c") >= minCount), maxTypes, "fitKnModel: bigram")
+      .map(r => r.getString(0) -> r.getLong(1))
     val c1 = new java.util.HashMap[String, java.lang.Long]()
     uniRows.foreach { case (w, c) => c1.put(w, c) }
     val c2 = new java.util.HashMap[String, java.lang.Long]()
@@ -460,10 +487,14 @@ object TextOps {
     * trigram recursion collapsed to hash tables from a BOUNDED
     * reference corpus (sampled, like every deployed LM; the batch
     * operator below is the corpus-scale path). One pass builds the
-    * trigram stream; every collected table is n-gram-TYPE bounded.
+    * trigram stream; every collected table is n-gram-TYPE bounded,
+    * `minCount` prunes rare trigram types, and `maxTypes` enforces the
+    * bounded-corpus contract (fails fast past the cap instead of
+    * silently materializing web-scale type tables on the driver).
     */
   def fitKn3Model(corpus: org.apache.spark.sql.DataFrame, textCol: String,
-                  discount: Double = 0.75): graft.functions.Kn3Model = {
+                  discount: Double = 0.75, minCount: Long = 1L,
+                  maxTypes: Int = 10000000): graft.functions.Kn3Model = {
     val toks = corpus.select(tokens(col(textCol)).as("ts"))
     val tri = toks.select(
       explode(when(size(col("ts")) >= 3,
@@ -473,26 +504,28 @@ object TextOps {
             element_at(col("ts"), i + 3).as("w3"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
-    def toMap(df: org.apache.spark.sql.DataFrame): java.util.HashMap[String, java.lang.Long] = {
+    def toMap(df: org.apache.spark.sql.DataFrame, what: String): java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long]()
-      df.collect().foreach(r => m.put(r.getString(0), r.getLong(1)))
+      guardedCollect(df, maxTypes, s"fitKn3Model: $what")
+        .foreach(r => m.put(r.getString(0), r.getLong(1)))
       m
     }
-    val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c")).cache()
+    val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).cache()
     try {
       val c3 = toMap(triTypes.select(
-        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"), col("c")))
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"), col("c")), "trigram")
       val c2h = toMap(tri.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
-        .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")), "bigram-history")
       val n1pTop = toMap(triTypes.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
-        .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")), "N1+(w1w2.)")
       val n1pMid = toMap(triTypes.groupBy(col("w2"), col("w3"))
         .agg(count(lit(1)).as("c"))
-        .select(concat_ws(" ", col("w2"), col("w3")).as("k"), col("c")))
+        .select(concat_ws(" ", col("w2"), col("w3")).as("k"), col("c")), "N1+(.w2w3)")
       val n1pMidAll = toMap(triTypes.groupBy(col("w2"))
-        .agg(count(lit(1)).as("c")).select(col("w2").as("k"), col("c")))
+        .agg(count(lit(1)).as("c")).select(col("w2").as("k"), col("c")), "N1+(.w2.)")
       val biTypes = toks.select(
         explode(when(size(col("ts")) >= 2,
           transform(sequence(lit(0), size(col("ts")) - 2),
@@ -502,9 +535,9 @@ object TextOps {
         .select(col("g.a"), col("g.b")).distinct().cache()
       try {
         val n1pW2 = toMap(biTypes.groupBy(col("a"))
-          .agg(count(lit(1)).as("c")).select(col("a").as("k"), col("c")))
+          .agg(count(lit(1)).as("c")).select(col("a").as("k"), col("c")), "N1+(w2.)")
         val n1m = toMap(biTypes.groupBy(col("b"))
-          .agg(count(lit(1)).as("c")).select(col("b").as("k"), col("c")))
+          .agg(count(lit(1)).as("c")).select(col("b").as("k"), col("c")), "N1+(.w3)")
         val nTypes = biTypes.count()
         val vocab = toks.select(explode(col("ts")).as("w")).distinct().count()
         new graft.functions.Kn3Model(c3, c2h, n1pTop, n1pMid, n1pMidAll,

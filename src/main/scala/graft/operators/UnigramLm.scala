@@ -27,8 +27,10 @@ import graft.functions.{UnigramFunctions, UnigramKernels}
   * table, never the corpus.
   *
   * Pruning: after each EM round the lowest-count non-character pieces
-  * are dropped (`shrinkFactor` per round) until `vocabSize` remains;
-  * single characters are never pruned, so segmentation stays total.
+  * are dropped (`shrinkFactor` per round), and a final prune truncates
+  * to exactly `vocabSize`; single characters are never pruned, so
+  * segmentation stays total (the returned size exceeds `vocabSize`
+  * only when the alphabet alone does).
   */
 object UnigramLm {
 
@@ -106,6 +108,22 @@ object UnigramLm {
         counts = withChars
         vocabNow = toLogp(counts)
         iter += 1
+      }
+      // final prune to exactly vocabSize (single characters always
+      // kept, so the count can exceed vocabSize only when the alphabet
+      // itself does) — the per-round shrinkFactor schedule converges
+      // gradually, and with few iterations or a large seed the last EM
+      // round can still hold more than vocabSize pieces
+      if (counts.size > vocabSize) {
+        val kept = counts.toSeq
+          .sortBy { case (p, c) => (-c, p) }
+          .iterator.zipWithIndex
+          .collect { case ((p, c), i) if i < vocabSize || p.length == 1 => (p, c) }
+          .toMap
+        counts = chars.foldLeft(kept) { (m, ch) =>
+          if (m.contains(ch)) m else m + (ch -> 1L)
+        }
+        vocabNow = toLogp(counts)
       }
       UnigramModel(vocabNow, maxPieceLen)
     } finally wordsDf.unpersist(blocking = false)

@@ -358,13 +358,15 @@ object PipelineQueries {
     // over a multi-pattern list — the blocklist/topic-tag primitive.
     // DuckDB replays substring counts per pattern (none of these
     // patterns self-overlaps, so overlap-inclusive AC counts equal
-    // replace-based counts) → FULL oracle.
+    // replace-based counts) → FULL oracle. The matched-pattern list
+    // is joined to a ';'-delimited scalar (both sides emit sorted
+    // pattern order) so the driver comparator can sort/hash the row.
     "q_text_keywords" -> ((s, d) => {
       val pats = Seq("hash", "join", "spark", "stream", "window")
       val tag = TextOps.keywordTag(col("text"), pats)
       docs(s, d).select(col("doc_id"),
         tag.getField("n_hits").as("n_hits"),
-        tag.getField("matched").as("matched"))
+        array_join(tag.getField("matched"), ";").as("matched"))
     }),
 
     // order-3 Kneser-Ney: the full KenLM recursion with continuation
@@ -874,10 +876,11 @@ object PipelineQueries {
         | FROM d)
         |SELECT doc_id,
         |  CAST(o_hash + o_join + o_spark + o_stream + o_window AS BIGINT) AS n_hits,
-        |  list_filter(['hash', 'join', 'spark', 'stream', 'window'],
-        |    p -> CASE p WHEN 'hash' THEN o_hash WHEN 'join' THEN o_join
-        |         WHEN 'spark' THEN o_spark WHEN 'stream' THEN o_stream
-        |         ELSE o_window END > 0) AS matched
+        |  array_to_string(
+        |    list_filter(['hash', 'join', 'spark', 'stream', 'window'],
+        |      p -> CASE p WHEN 'hash' THEN o_hash WHEN 'join' THEN o_join
+        |           WHEN 'spark' THEN o_spark WHEN 'stream' THEN o_stream
+        |           ELSE o_window END > 0), ';') AS matched
         |FROM o""".stripMargin,
     "q_text_perplexity_kn" ->
       """WITH toks AS (
