@@ -399,7 +399,9 @@ object TextOps {
     */
   private def guardedCollect(df: org.apache.spark.sql.DataFrame,
       maxTypes: Int, what: String): Array[org.apache.spark.sql.Row] = {
-    val rows = df.limit(maxTypes + 1).collect()
+    require(maxTypes > 0, s"$what: maxTypes must be positive, got $maxTypes")
+    val limit = math.min(maxTypes.toLong + 1L, Int.MaxValue.toLong).toInt
+    val rows = df.limit(limit).collect()
     require(rows.length <= maxTypes,
       s"$what type table exceeds maxTypes=$maxTypes: the serving-model fit " +
       "collects n-gram TYPE tables to the driver and is meant for a bounded " +
@@ -515,8 +517,13 @@ object TextOps {
     try {
       val c3 = toMap(triTypes.select(
         concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"), col("c")), "trigram")
-      val c2h = toMap(tri.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c"))
+      // history denominator from the PRUNED trigram types (sum of
+      // surviving counts per history), not the raw stream: with
+      // minCount > 1 the discount mass of pruned trigrams then
+      // redistributes consistently and P(w3|w1,w2) stays normalized;
+      // at the default minCount = 1 the two are identical
+      val c2h = toMap(triTypes.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).as("c"))
         .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("c")), "bigram-history")
       val n1pTop = toMap(triTypes.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))

@@ -109,20 +109,22 @@ object UnigramLm {
         vocabNow = toLogp(counts)
         iter += 1
       }
-      // final prune to exactly vocabSize (single characters always
-      // kept, so the count can exceed vocabSize only when the alphabet
-      // itself does) — the per-round shrinkFactor schedule converges
-      // gradually, and with few iterations or a large seed the last EM
-      // round can still hold more than vocabSize pieces
+      // final prune to exactly vocabSize: the alphabet is reserved
+      // FIRST (single characters are never pruned, so segmentation
+      // stays total), then the remaining vocabSize − |alphabet| slots
+      // fill with the top-count multi-char pieces — so the returned
+      // size exceeds vocabSize only when the alphabet alone does
       if (counts.size > vocabSize) {
-        val kept = counts.toSeq
-          .sortBy { case (p, c) => (-c, p) }
-          .iterator.zipWithIndex
-          .collect { case ((p, c), i) if i < vocabSize || p.length == 1 => (p, c) }
-          .toMap
-        counts = chars.foldLeft(kept) { (m, ch) =>
+        val charPieces = chars.foldLeft(
+            counts.filter { case (p, _) => p.length == 1 }) { (m, ch) =>
           if (m.contains(ch)) m else m + (ch -> 1L)
         }
+        val slots = math.max(0, vocabSize - charPieces.size)
+        val multi = counts.toSeq
+          .filter { case (p, _) => p.length > 1 }
+          .sortBy { case (p, c) => (-c, p) }
+          .take(slots)
+        counts = charPieces ++ multi
         vocabNow = toLogp(counts)
       }
       UnigramModel(vocabNow, maxPieceLen)

@@ -876,11 +876,11 @@ object PipelineQueries {
         | FROM d)
         |SELECT doc_id,
         |  CAST(o_hash + o_join + o_spark + o_stream + o_window AS BIGINT) AS n_hits,
-        |  array_to_string(
+        |  coalesce(array_to_string(
         |    list_filter(['hash', 'join', 'spark', 'stream', 'window'],
         |      p -> CASE p WHEN 'hash' THEN o_hash WHEN 'join' THEN o_join
         |           WHEN 'spark' THEN o_spark WHEN 'stream' THEN o_stream
-        |           ELSE o_window END > 0), ';') AS matched
+        |           ELSE o_window END > 0), ';'), '') AS matched
         |FROM o""".stripMargin,
     "q_text_perplexity_kn" ->
       """WITH toks AS (

@@ -62,4 +62,17 @@ class AhoCorasickSpec extends SparkSuite {
     intercept[Exception](
       spark.sql("SELECT keyword_tag(text, text) FROM docs_ac").collect())
   }
+
+  test("pattern folding is locale-independent (Turkish dotless-i regression)") {
+    // regression: locale-default String.toLowerCase on a Turkish JVM
+    // folds 'I'→'ı' on the pattern side only, so uppercase-I patterns
+    // would never match; per-char Character.toLowerCase is stable
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val ac = new AcAutomaton(Seq("HIGH RISK", "III"))
+      assert(ac.tag("a high risk clause, title iii")._1 == 2L)
+      assert(ac.patterns.toSeq == Seq("high risk", "iii"))
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

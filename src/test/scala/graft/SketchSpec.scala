@@ -185,4 +185,19 @@ class SketchSpec extends SparkSuite {
         s"$t: est $e vs exact $n")
     }
   }
+
+  test("hll skips nulls, matching count(DISTINCT) semantics exactly") {
+    // regression: xxhash64(null) is the non-null seed, so an unguarded
+    // hash would count NULL as one extra distinct value
+    val df = Seq(Some("a"), Some("b"), None, Some("a"), None, Some("c"))
+      .toDF("v")
+    val row = df.agg(
+      Sketches.hllDistinct($"v").as("est"),
+      countDistinct($"v").as("exact")).first()
+    assert(row.getLong(0) === 3L && row.getLong(1) === 3L)
+    // all-null input estimates zero, like count(DISTINCT)
+    val allNull = Seq[Option[String]](None, None).toDF("v")
+      .agg(Sketches.hllDistinct($"v")).first().getLong(0)
+    assert(allNull === 0L)
+  }
 }

@@ -291,6 +291,48 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("kn scorer: document-final-only history backs off to continuation probability") {
+    import spark.implicits._
+    // regression: 'b' is in the unigram table but never STARTS a bigram
+    // (no continuation mass at all) — the scorer must fall through to
+    // Pcont exactly as for an unseen history, never emit P = 0
+    val m = TextOps.fitKnModel(Seq("a b").toDF("text"), "text")
+    // nTypes=1, V=2 → Pcont(a) = 0.5/2 = 0.25
+    assert(math.abs(m.prob("b", "a") - 0.25) < 1e-12)
+    assert(m.prob("b", "z") > 0.0 && m.prob("b", "b") > 0.0)
+    val bits = Seq("a b a").toDF("t")
+      .select(graft.functions.KnFunctions.kn_bits(col("t"), m)).first().getDouble(0)
+    assert(java.lang.Double.isFinite(bits) && bits > 0.0)
+  }
+
+  test("serving fits fail fast past maxTypes; Int.MaxValue does not overflow") {
+    import spark.implicits._
+    val corpus = Seq("a b c d e f g h", "i j k l m n o p").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      TextOps.fitKnModel(corpus, "text", maxTypes = 3))
+    assert(e.getMessage.contains("maxTypes=3"))
+    intercept[IllegalArgumentException](
+      TextOps.fitKn3Model(corpus, "text", maxTypes = 3))
+    // regression: limit(maxTypes + 1) overflowed to a negative limit
+    val m = TextOps.fitKnModel(corpus, "text", maxTypes = Int.MaxValue)
+    assert(m.vocab == 16L)
+  }
+
+  test("kn3 minCount: history denominator sums only surviving trigram counts") {
+    import spark.implicits._
+    // history (a,b) has trigrams c:3 d:1; minCount=2 prunes d, and the
+    // denominator must shrink to 3 so discount mass redistributes —
+    // P(c|a,b) + backoff-to-others stays a proper distribution
+    val corpus = Seq("a b c", "a b c", "a b c", "a b d").toDF("text")
+    val m = TextOps.fitKn3Model(corpus, "text", minCount = 2L)
+    assert(m.c3.get("a b c").longValue() == 3L && m.c3.get("a b d") == null)
+    assert(m.c2h.get("a b").longValue() == 3L,
+      s"c2h must come from pruned types, got ${m.c2h.get("a b")}")
+    // and at the default minCount=1 the pruned and raw denominators agree
+    val m1 = TextOps.fitKn3Model(corpus, "text")
+    assert(m1.c2h.get("a b").longValue() == 4L)
+  }
+
   test("order-3 kneser-ney: typical text scores lower than scrambled; short docs drop") {
     import spark.implicits._
     val typical = (1L to 50L).map(i => (i, "the cat sat on the mat near the door"))

@@ -98,4 +98,20 @@ class UnigramLmSpec extends SparkSuite {
       assert(r.getDouble(1) > 0.0 && r.getInt(2) > 0)
     }
   }
+
+  test("final prune holds |vocab| ≤ vocabSize with the alphabet reserved first") {
+    // regression: the old prune kept top-vocabSize PLUS all single
+    // chars, so floor-count characters ranked below the cutoff pushed
+    // the vocab past vocabSize even with a small alphabet
+    val df = Tables(spark, sf, "documents").limit(60)
+    val vs = 80
+    val model = UnigramLm.train(df, "text", vocabSize = vs, iters = 2)
+    val pieces = model.pieces.map(_._1)
+    val alphabet = pieces.filter(_.length == 1).toSet
+    assert(alphabet.size < vs, s"fixture alphabet ${alphabet.size} must fit under $vs")
+    assert(pieces.size <= vs, s"vocab ${pieces.size} exceeds vocabSize $vs")
+    // totality: every character that appears in any piece is itself a piece
+    pieces.foreach(p => p.foreach(ch =>
+      assert(alphabet.contains(ch.toString), s"char '$ch' of piece '$p' pruned")))
+  }
 }
