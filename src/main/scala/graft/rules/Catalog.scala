@@ -88,9 +88,20 @@ object Catalog {
           case None => new StructType()
         }
       val tpe = props.getOrElse("type", "file").toLowerCase
-      val source = sourceFor(tpe, name, schema, props,
-        isTable = kind.equalsIgnoreCase("TABLE"))
-      StreamDef(name, source, isTable = kind.equalsIgnoreCase("TABLE"),
+      val isTable = kind.equalsIgnoreCase("TABLE")
+      val source0 = sourceFor(tpe, name, schema, props, isTable = isTable)
+      // lookup-table cache props (reference LookupConf, internal/topo/
+      // node/lookup_node.go:37-39): CACHE="true" wraps the source so
+      // the liveLookup re-resolve and point queries hit the backend at
+      // most once per CACHETTL; CACHEMISSINGKEY (default true) caches
+      // empty point-query results too
+      val source =
+        if (isTable && props.get("cache").exists(_.toBoolean))
+          TtlCachedSource(source0,
+            props.get("cachettl").map(Cron.parseDuration).getOrElse(600000L),
+            props.get("cachemissingkey").forall(_.toBoolean))
+        else source0
+      StreamDef(name, source, isTable = isTable,
         timestampCol = props.get("timestamp"),
         watermark = props.get("watermark"),
         typ = tpe, schema = schema)

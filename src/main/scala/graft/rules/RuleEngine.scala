@@ -232,7 +232,7 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
           b.createOrReplaceTempView(sname)
           tables.foreach(t =>
             catalog.get(t).get.source.batch(sess).createOrReplaceTempView(t))
-          sink.writeBatch(sess.sql(sql))
+          sink.deliver(sess.sql(sql))
         }
       val w2 = if (rule.triggerMs > 0)
         w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(rule.triggerMs))
@@ -332,7 +332,7 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
             (Some(obs), df.observe(obs, count(lit(1)).as("rows")), sink)
           case ((df, sink), _) => (None, df, sink)
         }
-        observed.foreach { case (_, df, sink) => sink.writeBatch(df) }
+        observed.foreach { case (_, df, sink) => sink.deliver(df) }
         slot.batches.incrementAndGet()
         observed.flatMap(_._1).headOption match {
           case Some(obs) =>

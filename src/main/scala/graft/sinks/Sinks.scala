@@ -47,6 +47,17 @@ trait Sink {
   /** One bounded result set (batch rule, or one micro-batch). */
   def writeBatch(df: DataFrame): Unit
 
+  /** Delivery entry point the engine calls: honors the reference's
+    * `omitIfEmpty` sink prop (internal/topo/node/transform_op.go:44,
+    * 131-137) — an empty result batch is dropped before the sink's
+    * action runs, so e.g. a windowed rule with no matches never POSTs
+    * an empty payload to a webhook. The emptiness probe is one
+    * take(1)-shaped job, paid only when the prop is set.
+    */
+  final def deliver(df: DataFrame): Unit =
+    if (options.getOrElse("omitIfEmpty", "false").toBoolean && df.isEmpty) ()
+    else writeBatch(df)
+
   /** Continuous delivery for a streaming rule: foreachBatch keeps the
     * per-sink logic identical in both modes.
     */
@@ -54,7 +65,7 @@ trait Sink {
                   triggerMs: Long = 0, checkpoint: Option[String] = None): StreamingQuery = {
     val w = df.writeStream.queryName(queryName)
       .outputMode(options.getOrElse("outputMode", "append"))
-      .foreachBatch((b: DataFrame, _: Long) => writeBatch(b))
+      .foreachBatch((b: DataFrame, _: Long) => deliver(b))
     val w2 = if (triggerMs > 0) w.trigger(Trigger.ProcessingTime(triggerMs)) else w
     checkpoint.fold(w2)(c => w2.option("checkpointLocation", c)).start()
   }
@@ -287,6 +298,15 @@ final case class ConnectorSink(kind: String, endpoint: String,
         options.getOrElse("delimiter", ","))
     }
     val batchSize = options.getOrElse("batchSize", "0").toInt
+    // reference sendSingle prop (internal/topo/node/transform_op.go:43,
+    // 146-160): true → one message per ROW (graft's default framing);
+    // false → the whole result batch as ONE json-array message, the
+    // reference's default. Whole-batch framing forces the batch to a
+    // single partition — correct for rule-sized window results, which
+    // is what the prop exists for; leave it unset for corpus-scale
+    // frames and the per-row/batchSize framing stays fully parallel.
+    val sendSingle = options.get("sendSingle").map(_.toBoolean)
+    val omitEmptyRows = options.getOrElse("omitIfEmpty", "false").toBoolean
     val compression = options.getOrElse("compression", "")
     val encryption = options.getOrElse("encryption", "")
     val (k, ep, opts) = (kind, endpoint, options) // don't capture `this` in the closure
@@ -305,7 +325,9 @@ final case class ConnectorSink(kind: String, endpoint: String,
         s"unsupported compression '$compression'")
     val binary = compression.nonEmpty || encryption.nonEmpty
 
-    out.select(payloadCol.cast("string").as("payload")).foreachPartition { (rows: Iterator[Row]) =>
+    val framed = out.select(payloadCol.cast("string").as("payload"))
+    val toPublish = if (sendSingle.contains(false)) framed.coalesce(1) else framed
+    toPublish.foreachPartition { (rows: Iterator[Row]) =>
       // broker-URL endpoints (tcp:// mqtt, ws://, redis://) get a REAL
       // per-partition publisher built ON THE EXECUTOR (the reference's
       // per-worker publisher shape, internal/io/mqtt/sink.go); anything
@@ -319,9 +341,19 @@ final case class ConnectorSink(kind: String, endpoint: String,
         if (graft.net.SinkTransports.supports(k, ep)) graft.net.SinkTransports.client(k, ep, opts)
         else ConnectorSink.client(k, ep)
       try {
-        val payloads = rows.map(_.getString(0))
+        val payloads0 = rows.map(_.getString(0))
+        // per-row omitIfEmpty (reference transform_op.go:148-151):
+        // a row that shaped to an empty object carries no content
+        val payloads =
+          if (omitEmptyRows) payloads0.filter(p => p.nonEmpty && p != "{}")
+          else payloads0
         val grouped =
-          if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
+          if (sendSingle.contains(false))
+            // one array message for the whole (single-partition) batch;
+            // [] still publishes unless omitIfEmpty dropped the batch
+            // upstream in Sink.deliver
+            Iterator.single(payloads.mkString("[", ",", "]"))
+          else if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
           else payloads
         if (binary)
           grouped.foreach { p =>

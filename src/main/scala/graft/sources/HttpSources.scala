@@ -159,7 +159,8 @@ final case class HttpPullSource(url: String, schema: StructType,
   * updates land in the very next batch — the same freshness contract.
   */
 final case class HttpLookupSource(url: String, schema: StructType,
-                                  options: Map[String, String] = Map.empty) extends Source {
+                                  options: Map[String, String] = Map.empty)
+    extends Source with LookupCapable {
   require(schema.nonEmpty, "http_pull lookup tables need declared columns")
   private val puller = HttpPullSource(url, schema, options = options)
 

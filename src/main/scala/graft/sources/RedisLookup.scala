@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
 final case class RedisLookupSource(server: String,
                                    dataType: String = "string",
                                    schema: StructType = new StructType(),
-                                   options: Map[String, String] = Map.empty) extends Source {
+                                   options: Map[String, String] = Map.empty)
+    extends Source with LookupCapable {
   require(Seq("string", "list").contains(dataType),
     s"redis lookup dataType must be string or list, got $dataType")
 

@@ -146,7 +146,8 @@ object MemoryHub {
   * event-time column `ts`.
   */
 final case class SimulatorSource(seedJson: Seq[String], intervalMs: Long = 1000,
-                                 schema: StructType, loop: Boolean = true) extends Source {
+                                 schema: StructType, loop: Boolean = true)
+    extends Source with LookupCapable {
   def batch(spark: SparkSession): DataFrame =
     spark.read.schema(schema).json(
       spark.createDataset(seedJson)(org.apache.spark.sql.Encoders.STRING))

@@ -218,7 +218,8 @@ final case class SqlSource(dburl: String, table: String,
   * prune columns server-side too).
   */
 final case class SqlLookupSource(dburl: String, table: String,
-                                 options: Map[String, String] = Map.empty) extends Source {
+                                 options: Map[String, String] = Map.empty)
+    extends Source with LookupCapable {
   SqlDialect.checkIdentifier(table)
 
   private val jdbcOpts = options.view.filterKeys(Set(

@@ -444,6 +444,125 @@ class RulesSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("lookup-table cache: CACHE props pull the backend once across micro-batches") {
+    import com.sun.net.httpserver.HttpServer
+    val pulls = new java.util.concurrent.atomic.AtomicInteger()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/dim", ex => {
+      pulls.incrementAndGet()
+      val b = """[{"key":"d1","site":"berlin"},{"key":"d2","site":"tokyo"}]""".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    val evDir = Files.createTempDirectory("graft_clk_ev")
+    val ckpt = Files.createTempDirectory("graft_clk_ck")
+    try {
+      writeJson(evDir, Seq("""{"device":"d1"}"""))
+      val eng = newEngine
+      eng.createStream(
+        s"""CREATE STREAM cev (device STRING) WITH
+           | (TYPE="file", FORMAT="json", DATASOURCE="${evDir.toString}")""".stripMargin)
+      eng.createStream(
+        s"""CREATE TABLE cdim (key STRING, site STRING) WITH
+           | (TYPE="http_pull", URL="http://127.0.0.1:${server.getAddress.getPort}/dim",
+           |  CACHE="true", CACHETTL="1h")""".stripMargin)
+      val cached = eng.catalog.get("cdim").get.source
+      assert(cached.isInstanceOf[graft.sources.TtlCachedSource],
+        s"CACHE prop must wrap the source, got ${cached.getClass}")
+      ConnectorSink.clear("rest", "clk/out")
+      eng.create(Rule("rcl",
+        "SELECT e.device, d.site FROM cev e JOIN cdim d ON e.device = d.key",
+        Seq(ConnectorSink("rest", "clk/out",
+          Map("dataTemplate" -> """{{device}}@{{site}}"""))),
+        streaming = true, checkpointDir = Some(ckpt.toString), liveLookup = true))
+      eng.start("rcl")
+      try {
+        eng.processAllAvailable("rcl")
+        Files.write(evDir.resolve("ev-1.json"), """{"device":"d2"}""".getBytes)
+        eng.processAllAvailable("rcl")
+        assert(ConnectorSink.sent("rest", "clk/out").toSet ==
+          Set("d1@berlin", "d2@tokyo"))
+        assert(pulls.get() == 1,
+          s"cached table must pull the endpoint once, pulled ${pulls.get()}")
+      } finally eng.stop("rcl")
+      // the same rule WITHOUT cache re-pulls every micro-batch — the
+      // freshness-vs-cost dial the reference's cache prop controls
+      pulls.set(0)
+      val ckpt2 = Files.createTempDirectory("graft_clk_ck2")
+      val eng2 = newEngine
+      eng2.createStream(
+        s"""CREATE STREAM cev2 (device STRING) WITH
+           | (TYPE="file", FORMAT="json", DATASOURCE="${evDir.toString}")""".stripMargin)
+      eng2.createStream(
+        s"""CREATE TABLE cdim2 (key STRING, site STRING) WITH
+           | (TYPE="http_pull", URL="http://127.0.0.1:${server.getAddress.getPort}/dim")""".stripMargin)
+      eng2.create(Rule("rcl2",
+        "SELECT e.device, d.site FROM cev2 e JOIN cdim2 d ON e.device = d.key",
+        Seq(NopSink()),
+        streaming = true, checkpointDir = Some(ckpt2.toString), liveLookup = true))
+      eng2.start("rcl2")
+      try {
+        eng2.processAllAvailable("rcl2")
+        Files.write(evDir.resolve("ev-2.json"), """{"device":"d1"}""".getBytes)
+        eng2.processAllAvailable("rcl2")
+        assert(pulls.get() >= 2,
+          s"uncached table must re-pull per micro-batch, pulled ${pulls.get()}")
+      } finally eng2.stop("rcl2")
+    } finally server.stop(0)
+  }
+
+  test("lookup cache: TTL expiry re-pulls; per-key cache honors cacheMissingKey") {
+    import graft.sources.{Source, TtlCachedSource}
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val fetched = new java.util.concurrent.atomic.AtomicInteger()
+    val inner = new Source {
+      def batch(s: SparkSession): DataFrame = {
+        fetched.incrementAndGet()
+        import s.implicits._
+        Seq(("d1", "berlin"), ("d2", "tokyo")).toDF("key", "site")
+      }
+      def stream(s: SparkSession): DataFrame =
+        throw new UnsupportedOperationException("table only")
+    }
+    val src = TtlCachedSource(inner, ttlMs = 60000L)
+    assert(src.batch(spark).count() == 2 && fetched.get() == 1)
+    assert(src.batch(spark).count() == 2 && fetched.get() == 1) // within TTL
+    src.invalidate()
+    assert(src.batch(spark).count() == 2 && fetched.get() == 2) // re-pull
+    // point queries ride the cached snapshot (no extra backend pull),
+    // and repeated keys are served from the per-key cache
+    val hit = src.lookup(spark, Seq("site"), Seq("key"), Seq("d2")).collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("tokyo") && fetched.get() == 2)
+    assert(src.lookup(spark, Seq("site"), Seq("key"), Seq("d2")).count() == 1)
+    // a missing key caches as empty by default (cacheMissingKey=true)…
+    assert(src.lookup(spark, Nil, Seq("key"), Seq("nope")).isEmpty)
+    assert(fetched.get() == 2)
+    // …and with cacheMissingKey=false a LookupCapable backend is
+    // re-queried for the same missing key every time
+    val kFetched = new java.util.concurrent.atomic.AtomicInteger()
+    val kInner = new Source with graft.sources.LookupCapable {
+      def batch(s: SparkSession): DataFrame = inner.batch(s)
+      def stream(s: SparkSession): DataFrame = inner.stream(s)
+      def lookup(s: SparkSession, fields: Seq[String],
+                 keys: Seq[String], values: Seq[Any]): DataFrame = {
+        kFetched.incrementAndGet()
+        import s.implicits._
+        Seq.empty[(String, String)].toDF("key", "site")
+      }
+    }
+    val noMiss = TtlCachedSource(kInner, ttlMs = 60000L, cacheMissingKey = false)
+    noMiss.lookup(spark, Nil, Seq("key"), Seq("zz"))
+    noMiss.lookup(spark, Nil, Seq("key"), Seq("zz"))
+    assert(kFetched.get() == 2, "missing key must not cache when cacheMissingKey=false")
+    val withMiss = TtlCachedSource(kInner, ttlMs = 60000L, cacheMissingKey = true)
+    kFetched.set(0)
+    withMiss.lookup(spark, Nil, Seq("key"), Seq("zz"))
+    withMiss.lookup(spark, Nil, Seq("key"), Seq("zz"))
+    assert(kFetched.get() == 1, "missing key must cache when cacheMissingKey=true")
+  }
+
   test("simulator lookup table: DATA rows join as a dimension; point lookup filters") {
     val eng = newEngine
     eng.createStream(

@@ -641,6 +641,41 @@ class SourcesSinksSpec extends SparkSuite {
       .map(_.trim).sorted.toSeq == Seq("0", "1", "2", "3"))
   }
 
+  test("omitIfEmpty suppresses delivery of empty batches entirely") {
+    // reference transform_op.go:44,131-137: a windowed rule whose batch
+    // came up empty must not POST an empty payload to a webhook
+    ConnectorSink.clear("rest", "api/omit")
+    val sink = ConnectorSink("rest", "api/omit",
+      Map("dataTemplate" -> """{{v}}""", "omitIfEmpty" -> "true"))
+    sink.deliver(spark.range(2).toDF("v"))
+    sink.deliver(spark.range(2).toDF("v").where(col("v") < 0)) // empty
+    assert(ConnectorSink.sent("rest", "api/omit").sorted == Vector("0", "1"))
+    // without the prop the empty batch still runs the sink's action
+    ConnectorSink.clear("rest", "api/noomit")
+    val plain = ConnectorSink("rest", "api/noomit", Map("sendSingle" -> "false"))
+    plain.deliver(spark.range(1).toDF("v").where(col("v") < 0))
+    assert(ConnectorSink.sent("rest", "api/noomit") == Vector("[]"))
+  }
+
+  test("sendSingle=false frames the whole batch as one array message") {
+    // reference transform_op.go:43,146-160: the reference's DEFAULT
+    // framing — N rows, one json-array publish
+    ConnectorSink.clear("rest", "api/single")
+    ConnectorSink("rest", "api/single",
+      Map("dataTemplate" -> """{{v}}""", "sendSingle" -> "false"))
+      .writeBatch(spark.range(4).toDF("v").repartition(4))
+    val sent = ConnectorSink.sent("rest", "api/single")
+    assert(sent.length == 1, s"expected one message, got $sent")
+    assert(sent.head.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim).sorted.toSeq == Seq("0", "1", "2", "3"))
+    // sendSingle=true keeps per-row framing: N rows → N messages
+    ConnectorSink.clear("rest", "api/perRow")
+    ConnectorSink("rest", "api/perRow",
+      Map("dataTemplate" -> """{{v}}""", "sendSingle" -> "true"))
+      .writeBatch(spark.range(3).toDF("v"))
+    assert(ConnectorSink.sent("rest", "api/perRow").sorted == Vector("0", "1", "2"))
+  }
+
   test("connector sink publishes from executors, no driver collect") {
     ConnectorSink.clear("mqtt", "topic/exec")
     // 1000 rows across 8 partitions: every row arrives exactly once,
