@@ -311,6 +311,21 @@ final class RuleApi(engine: RuleEngine) {
 
       case ("GET", List("rules", id, "explain")) =>
         ok(JsonMethods.compact(JString(engine.explain(id))))
+      // rule tracing (reference rest.go:216-217,247-249 + pkg/tracer):
+      // start/stop toggle capture; /trace/rule/{id} lists trace ids
+      // newest first; /trace/{id} returns the span tree
+      case ("POST", List("rules", id, "trace", "start")) =>
+        engine.traceStart(id); ok(s"""{"id":"$id","trace":"enabled"}""")
+      case ("POST", List("rules", id, "trace", "stop")) =>
+        engine.traceStop(id); ok(s"""{"id":"$id","trace":"disabled"}""")
+      case ("GET", List("trace", "rule", rid)) =>
+        ok(JsonMethods.compact(JArray(
+          engine.tracer.traceIds(rid).map(i => JString(i): JValue).toList)))
+      case ("GET", List("trace", tid)) =>
+        engine.tracer.traceJson(tid) match {
+          case Some(j) => ok(j)
+          case None => err(404, s"trace $tid is not found")
+        }
       case ("POST", List("rules", id, "restart")) =>
         // reference restartRule: stop if running, then start
         try engine.stop(id) catch { case _: IllegalStateException => () }

@@ -100,6 +100,41 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
   }
   private val slots = new java.util.concurrent.ConcurrentHashMap[String, Slot]()
 
+  /** Per-rule trace capture (reference POST /rules/{name}/trace/start
+    * surface). One session-level listener routes micro-batch progress
+    * events back to their owning rule by query-name prefix — query
+    * names are `${rule.id}_$i` (or `_r$attempt_$i` after a restart),
+    * so the longest matching rule id wins when ids nest.
+    */
+  val tracer = new RuleTracer()
+  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val name = String.valueOf(e.progress.name)
+      import scala.jdk.CollectionConverters._
+      slots.keySet().asScala.filter(id => name.startsWith(id + "_"))
+        .maxByOption(_.length).filter(tracer.isEnabled).foreach { id =>
+          tracer.record(id, RuleTracer.fromProgress(e.progress))
+        }
+    }
+  })
+
+  /** Enable tracing: snapshot the rule's Catalyst plan as the first
+    * trace, then capture every micro-batch / batch run until stop.
+    */
+  def traceStart(id: String): Unit = {
+    val rule = lookup(id).rule // 404s on unknown rule
+    tracer.enable(id)
+    val now = System.currentTimeMillis()
+    val plan = try explain(id) catch { case e: Exception => s"explain failed: ${e.getMessage}" }
+    tracer.record(id, TraceSpan("plan", now, 0L,
+      Map("sql" -> rule.sql, "explain" -> plan)))
+  }
+
+  def traceStop(id: String): Unit = { lookup(id); tracer.disable(id) }
+
   /** One shared daemon timer drives schedule windows for all rules. */
   private val timer = java.util.concurrent.Executors.newScheduledThreadPool(1, r => {
     val t = new Thread(r, "graft-rule-scheduler"); t.setDaemon(true); t
@@ -332,7 +367,19 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
             (Some(obs), df.observe(obs, count(lit(1)).as("rows")), sink)
           case ((df, sink), _) => (None, df, sink)
         }
-        observed.foreach { case (_, df, sink) => sink.deliver(df) }
+        val traceOn = tracer.isEnabled(rule.id)
+        val runStart = System.currentTimeMillis()
+        val sinkSpans = Seq.newBuilder[TraceSpan]
+        observed.foreach { case (_, df, sink) =>
+          val s0 = System.currentTimeMillis()
+          sink.deliver(df)
+          if (traceOn) sinkSpans += TraceSpan(
+            s"sink:${sink.getClass.getSimpleName}", s0,
+            System.currentTimeMillis() - s0)
+        }
+        if (traceOn) tracer.record(rule.id, TraceSpan(
+          "batch_run", runStart, System.currentTimeMillis() - runStart,
+          Map("rule" -> rule.id), sinkSpans.result()))
         slot.batches.incrementAndGet()
         observed.flatMap(_._1).headOption match {
           case Some(obs) =>

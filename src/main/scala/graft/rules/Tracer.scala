@@ -1,0 +1,121 @@
+package graft.rules
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** One timed span of a rule's execution; spans nest (the reference's
+  * OpenTelemetry span tree, pkg/tracer/model.go LocalSpan with
+  * ChildSpan nesting).
+  */
+final case class TraceSpan(name: String, startMs: Long, durationMs: Long,
+                           attributes: Map[String, String] = Map.empty,
+                           children: Seq[TraceSpan] = Nil) {
+  def toJson: JValue = JObject(
+    "name" -> JString(name),
+    "startMs" -> JLong(startMs),
+    "durationMs" -> JLong(durationMs),
+    "attributes" -> JObject(attributes.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "children" -> JArray(children.map(_.toJson).toList))
+}
+
+/** One captured trace: a span tree for one unit of rule work (a
+  * micro-batch, a batch run, or the plan snapshot taken at
+  * trace/start).
+  */
+final case class RuleTrace(id: String, ruleId: String, startMs: Long,
+                           root: TraceSpan) {
+  def toJson: JValue = JObject(
+    "id" -> JString(id),
+    "ruleId" -> JString(ruleId),
+    "startMs" -> JLong(startMs),
+    "root" -> root.toJson)
+}
+
+/** Per-rule trace capture behind the reference's tracing surface
+  * (internal/server/rest.go:216-217,247-249 — POST /rules/{name}/
+  * trace/start|stop, GET /trace/{id}, GET /trace/rule/{ruleID};
+  * storage shape from pkg/tracer/manager.go LocalSpanMemoryStorage):
+  * when tracing is enabled for a rule, the engine records span trees
+  * — the Catalyst plan snapshot at enable time, then one trace per
+  * micro-batch (built from Structured Streaming's QueryProgress
+  * timing breakdown) or per batch run — into a bounded FIFO ring.
+  *
+  * Scale note: the ring holds span metadata only (names, durations,
+  * row counts — never data rows), so capacity × span size is a few
+  * hundred KB on the driver regardless of corpus size; the oldest
+  * trace evicts when `capacity` is reached, exactly like the
+  * reference's bounded in-memory span storage.
+  */
+final class RuleTracer(capacity: Int = 256) {
+  require(capacity > 0, "tracer capacity must be positive")
+
+  private val enabled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  // insertion-ordered so eviction drops the oldest trace first
+  private val traces = new java.util.LinkedHashMap[String, RuleTrace]() {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, RuleTrace]): Boolean = size() > capacity
+  }
+
+  def enable(ruleId: String): Unit = enabled.add(ruleId)
+  def disable(ruleId: String): Unit = enabled.remove(ruleId)
+  def isEnabled(ruleId: String): Boolean = enabled.contains(ruleId)
+
+  /** Record a span tree for the rule; returns the new trace id. */
+  def record(ruleId: String, root: TraceSpan): String = {
+    val id = s"$ruleId-${seq.incrementAndGet()}"
+    traces.synchronized {
+      traces.put(id, RuleTrace(id, ruleId, root.startMs, root))
+    }
+    id
+  }
+
+  def trace(id: String): Option[RuleTrace] =
+    traces.synchronized(Option(traces.get(id)))
+
+  /** Trace ids recorded for a rule, newest first (reference
+    * GetTraceByRuleID with its limit parameter; limit <= 0 = all).
+    */
+  def traceIds(ruleId: String, limit: Int = 0): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val all = traces.synchronized(traces.keySet().asScala.toSeq)
+      .filter(id => trace(id).exists(_.ruleId == ruleId)).reverse
+    if (limit > 0) all.take(limit) else all
+  }
+
+  def traceJson(id: String): Option[String] =
+    trace(id).map(t => JsonMethods.compact(JsonMethods.render(t.toJson)))
+}
+
+object RuleTracer {
+  /** Span tree from one Structured Streaming micro-batch progress:
+    * the root carries batch id / row counts, its children are Spark's
+    * own phase timing breakdown (addBatch, getBatch, queryPlanning,
+    * walCommit, …) plus one span per source with its offsets.
+    */
+  def fromProgress(p: org.apache.spark.sql.streaming.StreamingQueryProgress): TraceSpan = {
+    import scala.jdk.CollectionConverters._
+    val start =
+      try java.time.Instant.parse(p.timestamp).toEpochMilli
+      catch { case _: Exception => System.currentTimeMillis() }
+    val total = Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue()).getOrElse(0L)
+    val phases = p.durationMs.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
+      TraceSpan(s"phase:$k", start, v.longValue())
+    }
+    val sources = p.sources.toSeq.map { s =>
+      TraceSpan(s"source", start, 0L, Map(
+        "description" -> String.valueOf(s.description),
+        "numInputRows" -> s.numInputRows.toString,
+        "startOffset" -> String.valueOf(s.startOffset),
+        "endOffset" -> String.valueOf(s.endOffset)))
+    }
+    TraceSpan("microbatch", start, total, Map(
+      "batchId" -> p.batchId.toString,
+      "query" -> String.valueOf(p.name),
+      "numInputRows" -> p.numInputRows.toString,
+      "sink" -> String.valueOf(p.sink.description)),
+      phases ++ sources)
+  }
+}

@@ -171,6 +171,75 @@ class RuleApiSpec extends SparkSuite {
     assert(a.handle("PATCH", "/rules")._1 == 404)
   }
 
+  test("rule tracing: start -> run -> retrieve spans -> stop (batch rule)") {
+    val dir = Files.createTempDirectory("graft_trc_in")
+    Files.write(dir.resolve("a.json"), """{"x":1}
+{"x":5}""".getBytes)
+    val eng = new RuleEngine(spark)
+    val a = new RuleApi(eng)
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM trc_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    MemoryHub.drop("trc_out")
+    a.handle("POST", "/rules",
+      """{"id":"r_trc","sql":"SELECT x FROM trc_in","actions":[{"memory":{"topic":"trc_out"}}]}""")
+    // tracing an unknown rule 404s; starting capture snapshots the plan
+    assert(a.handle("POST", "/rules/nope/trace/start")._1 == 404)
+    assert(a.handle("POST", "/rules/r_trc/trace/start")._1 == 200)
+    assert(a.handle("POST", "/rules/r_trc/start")._1 == 200)
+    val (cl, idsJson) = a.handle("GET", "/trace/rule/r_trc")
+    assert(cl == 200)
+    val ids = org.json4s.jackson.JsonMethods.parse(idsJson) match {
+      case org.json4s.JArray(xs) => xs.collect { case org.json4s.JString(s) => s }
+      case other => fail(s"expected id array, got $other")
+    }
+    // newest first: the batch run, then the plan snapshot from start
+    assert(ids.size == 2, s"expected plan + batch_run traces, got $ids")
+    val (ct, runJson) = a.handle("GET", s"/trace/${ids.head}")
+    assert(ct == 200 && runJson.contains("\"batch_run\"") &&
+      runJson.contains("sink:MemorySink"), s"run trace: $runJson")
+    val planJson = a.handle("GET", s"/trace/${ids.last}")._2
+    assert(planJson.contains("\"plan\"") && planJson.contains("Physical Plan"))
+    assert(a.handle("GET", "/trace/zzz-1")._1 == 404)
+    // stop halts capture: another run records nothing new
+    assert(a.handle("POST", "/rules/r_trc/trace/stop")._1 == 200)
+    a.handle("POST", "/rules/r_trc/start")
+    assert(org.json4s.jackson.JsonMethods.parse(
+      a.handle("GET", "/trace/rule/r_trc")._2).children.size == 2)
+  }
+
+  test("streaming rule tracing captures micro-batch progress spans") {
+    val dir = Files.createTempDirectory("graft_strc_in")
+    val ckpt = Files.createTempDirectory("graft_strc_ck")
+    Files.write(dir.resolve("a.json"), """{"x":7}""".getBytes)
+    val eng = new RuleEngine(spark)
+    val a = new RuleApi(eng)
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM strc_in (x BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    MemoryHub.drop("strc_out")
+    a.handle("POST", "/rules",
+      s"""{"id":"r_strc","sql":"SELECT x FROM strc_in","streaming":true,
+         | "options":{"checkpoint":"$ckpt"},
+         | "actions":[{"memory":{"topic":"strc_out"}}]}""".stripMargin)
+    assert(a.handle("POST", "/rules/r_strc/trace/start")._1 == 200)
+    assert(a.handle("POST", "/rules/r_strc/start")._1 == 200)
+    try {
+      eng.processAllAvailable("r_strc")
+      // progress events deliver async on the listener bus — poll
+      val deadline = System.currentTimeMillis() + 15000
+      var ids = eng.tracer.traceIds("r_strc")
+      while (ids.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); ids = eng.tracer.traceIds("r_strc")
+      }
+      assert(ids.size >= 2, s"expected plan + microbatch traces, got $ids")
+      val mb = eng.tracer.trace(ids.head).get
+      assert(mb.root.name == "microbatch" &&
+        mb.root.attributes("query").startsWith("r_strc_"))
+      assert(mb.root.children.exists(_.name == "phase:addBatch"),
+        s"missing phase spans: ${mb.root.children.map(_.name)}")
+      assert(mb.root.children.exists(_.name == "source"))
+    } finally a.handle("POST", "/rules/r_strc/stop")
+  }
+
   test("export captures definitions; import restores them on a fresh engine") {
     val dir = Files.createTempDirectory("graft_exp_in")
     Files.write(dir.resolve("a.json"), """{"x":4}""".getBytes)
