@@ -26,9 +26,24 @@ trait Sink {
 
   /** Apply common sink features to the outgoing frame. */
   protected def shaped(df: DataFrame): DataFrame = {
-    val projected = options.get("fields") match {
-      case Some(fs) => df.select(fs.split(",").map(f => col(f.trim)).toIndexedSeq: _*)
+    require(!(options.contains("fields") && options.contains("excludeFields")),
+      "field and excludeFields cannot both be set") // reference transform_op.go:57
+    // dataField (reference transform/template.go:44-61): the sink sends
+    // only this field's content — a struct column expands to its own
+    // fields (the reference's nested-map case), a scalar sends as-is
+    val based = options.get("dataField") match {
+      case Some(f) => df.schema(f.trim).dataType match {
+        case _: org.apache.spark.sql.types.StructType => df.select(col(f.trim + ".*"))
+        case _ => df.select(col(f.trim))
+      }
       case None => df
+    }
+    val projected = options.get("fields") match {
+      case Some(fs) => based.select(fs.split(",").map(f => col(f.trim)).toIndexedSeq: _*)
+      case None => options.get("excludeFields") match {
+        case Some(xs) => based.drop(xs.split(",").map(_.trim).toIndexedSeq: _*)
+        case None => based
+      }
     }
     options.get("dataTemplate") match {
       case Some(tpl) =>

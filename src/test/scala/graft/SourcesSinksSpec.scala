@@ -641,6 +641,30 @@ class SourcesSinksSpec extends SparkSuite {
       .map(_.trim).sorted.toSeq == Seq("0", "1", "2", "3"))
   }
 
+  test("dataField and excludeFields shape the outgoing payload") {
+    // dataField: only the named field's content is sent (a struct
+    // expands to its own fields — reference transform/template.go:44)
+    ConnectorSink.clear("rest", "api/datafield")
+    val df = spark.range(1).toDF("v")
+      .select(struct(lit("d9").as("device"), lit(21L).as("temp")).as("meta"),
+        col("v"))
+    ConnectorSink("rest", "api/datafield", Map("dataField" -> "meta"))
+      .writeBatch(df)
+    assert(ConnectorSink.sent("rest", "api/datafield") ==
+      Vector("""{"device":"d9","temp":21}"""))
+    // excludeFields drops the listed columns
+    ConnectorSink.clear("rest", "api/exclude")
+    ConnectorSink("rest", "api/exclude", Map("excludeFields" -> "v"))
+      .writeBatch(spark.range(1).toDF("v").select(col("v"), lit("x").as("s")))
+    assert(ConnectorSink.sent("rest", "api/exclude") == Vector("""{"s":"x"}"""))
+    // both set is the reference's config error
+    intercept[IllegalArgumentException] {
+      ConnectorSink("rest", "api/conflict",
+        Map("fields" -> "v", "excludeFields" -> "s"))
+        .writeBatch(spark.range(1).toDF("v"))
+    }
+  }
+
   test("omitIfEmpty suppresses delivery of empty batches entirely") {
     // reference transform_op.go:44,131-137: a windowed rule whose batch
     // came up empty must not POST an empty payload to a webhook
