@@ -89,18 +89,7 @@ object Catalog {
         }
       val tpe = props.getOrElse("type", "file").toLowerCase
       val isTable = kind.equalsIgnoreCase("TABLE")
-      val source0 = sourceFor(tpe, name, schema, props, isTable = isTable)
-      // lookup-table cache props (reference LookupConf, internal/topo/
-      // node/lookup_node.go:37-39): CACHE="true" wraps the source so
-      // the liveLookup re-resolve and point queries hit the backend at
-      // most once per CACHETTL; CACHEMISSINGKEY (default true) caches
-      // empty point-query results too
-      val source =
-        if (isTable && props.get("cache").exists(_.toBoolean))
-          TtlCachedSource(source0,
-            props.get("cachettl").map(Cron.parseDuration).getOrElse(600000L),
-            props.get("cachemissingkey").forall(_.toBoolean))
-        else source0
+      val source = sourceFor(tpe, name, schema, props, isTable = isTable)
       StreamDef(name, source, isTable = isTable,
         timestampCol = props.get("timestamp"),
         watermark = props.get("watermark"),
@@ -115,6 +104,22 @@ object Catalog {
     */
   def sourceFor(tpe: String, name: String, schema: StructType,
                 props: Map[String, String], isTable: Boolean = false): Source = {
+    val inner = sourceFor0(tpe, name, schema, props, isTable)
+    // lookup-table cache props (reference LookupConf, internal/topo/
+    // node/lookup_node.go:37-39): CACHE="true" wraps the source so the
+    // liveLookup re-resolve and point queries hit the backend at most
+    // once per CACHETTL; CACHEMISSINGKEY (default true) caches empty
+    // point-query results too. Wrapped here so TABLE DDL and graph-API
+    // inline table nodes both get it.
+    if (isTable && props.get("cache").exists(_.toBoolean))
+      TtlCachedSource(inner,
+        props.get("cachettl").map(Cron.parseDuration).getOrElse(600000L),
+        props.get("cachemissingkey").forall(_.toBoolean))
+    else inner
+  }
+
+  private def sourceFor0(tpe: String, name: String, schema: StructType,
+                         props: Map[String, String], isTable: Boolean): Source = {
     val fmt = props.getOrElse("format", "json").toLowerCase
     val ds = props.getOrElse("datasource", name)
     val declared = if (schema.isEmpty) None else Some(schema)
