@@ -122,4 +122,51 @@ object Search {
       round(score, 4)
     }
   }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse the sparse [[bm25]] ranking with a dense
+    * cosine ranking of the same corpus,
+    * rrf(d) = Σ_rankings 1/(rrfK + rank_d) — the standard first-stage
+    * retriever for RAG and quality-driven curation (lexical recall
+    * catches exact terminology, semantic recall catches paraphrase;
+    * the rank-space fusion needs no score calibration between the
+    * two).
+    *
+    * Scale shape: each side reduces to its top-`poolK` candidates
+    * through Spark's TakeOrdered (per-partition top-k then a
+    * driver-side merge of K·partitions rows — NO global sort at any
+    * corpus size); the dense side is one map-only projection with the
+    * query vector as a broadcast literal; the rank windows and the
+    * full-outer fuse then run over two ≤poolK-row frames, bounded by
+    * construction. Both ranks order by the ROUNDED score (then id),
+    * matching the oracle's tie-break exactly.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String],
+                embs: DataFrame, embIdCol: String, embCol: String,
+                queryVec: Seq[Float], rrfK: Int = 60, poolK: Int = 100,
+                topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(poolK > 0 && topK > 0 && rrfK >= 0, "hybridRrf: bad parameters")
+    val lexPool = bm25(docs, idCol, textCol, terms)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(poolK)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+    val qv = typedlit(queryVec).cast("array<float>")
+    val densePool = embs
+      .select(col(embIdCol).as("doc_id"),
+        round(Knn.cosine(col(embCol), qv), 5).as("cos"))
+      .orderBy(desc("cos"), col("doc_id")).limit(poolK)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(desc("cos"), col("doc_id"))))
+    lexPool.select(col("doc_id"), col("lex_rank"))
+      .join(densePool.select(col("doc_id"), col("dense_rank")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id")).limit(topK)
+  }
 }

@@ -535,6 +535,20 @@ object PipelineQueries {
       Search.bm25(docs(s, d), "doc_id", "text",
         Seq("join", "window", "hash"))),
 
+    // Reciprocal-rank-fusion hybrid retrieval: the bm25 query above
+    // fused with a dense cosine ranking (query vector = embedding 0 —
+    // a bounded single-row collect, replayable by DuckDB). Each side
+    // reduces to a TakeOrdered pool first, so fusion never sorts the
+    // corpus. FULL oracle: DuckDB replays both rankings and the
+    // 1/(60+rank) sum exactly.
+    "q_search_hybrid" -> ((s, d) => {
+      val e = emb(s, d)
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Search.hybridRrf(docs(s, d), "doc_id", "text",
+        Seq("join", "window", "hash"), e, "vec_id", "embedding", qv)
+    }),
+
     // DSIR importance scoring (Xie et al. 2023): target = the English
     // slice, raw = everything; hashed-unigram log-likelihood ratio per
     // doc. Bucket weights are a 256-entry broadcast map literal, so
@@ -1125,6 +1139,37 @@ object PipelineQueries {
         |  count(*) AS n_terms_hit
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_search_hybrid" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS ts FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM toks),
+        |m AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, unnest(ts) AS term
+        |  FROM toks),
+        |mq AS (SELECT * FROM m WHERE term IN ('join', 'window', 'hash')),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM mq GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |  FROM mq GROUP BY 1, 2),
+        |bm AS (SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |    * (tf.tf * 2.2)
+        |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS bm25
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY tf.doc_id),
+        |lexpool AS (SELECT doc_id, lex_rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |    AS lex_rank FROM bm) WHERE lex_rank <= 100),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dense AS (SELECT vec_id AS doc_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(qv AS DOUBLE[]) FROM q)), 5) AS cos FROM embeddings),
+        |densepool AS (SELECT doc_id, dense_rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+        |    AS dense_rank FROM dense) WHERE dense_rank <= 100)
+        |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+        |  round(coalesce(1.0/(60 + l.lex_rank), 0) + coalesce(1.0/(60 + d.dense_rank), 0), 6) AS rrf
+        |FROM lexpool l FULL JOIN densepool d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_text_langscores" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks

@@ -81,4 +81,38 @@ class SearchSpec extends SparkSuite {
     // terms present in every doc get weight exactly 0
     assert(out.where(col("df") === n && col("tfidf") =!= 0.0).count() == 0)
   }
+
+  test("hybridRrf: rank fusion math, both-sides boost, and no corpus-wide sort") {
+    import spark.implicits._
+    // doc 1 is top of BOTH rankings (all three query terms, incl. the
+    // two rare high-idf ones); doc 2 lexical-only; doc 3 dense-only
+    val docs = Seq((1L, "join window hash"), (2L, "join join"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1f, 0f)), // the query vector row
+      (1L, Array(0.9f, 0.1f)), (2L, Array(-1f, 0f)), (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Search.hybridRrf(docs, "doc_id", "text",
+      Seq("join", "window", "hash"), embs, "vec_id", "embedding",
+      Seq(1f, 0f), rrfK = 60, poolK = 10, topK = 10)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 1: lex_rank 1 (three hits) and dense rank behind vec 0 itself
+    val (l1, d1, rrf1) = rows(1L)
+    assert(l1.contains(1))
+    // rrf is rounded to 6 dp in the operator (oracle-hash stability)
+    assert(math.abs(rrf1 - (1.0 / (60 + l1.get.asInstanceOf[Int].toDouble) +
+      1.0 / (60 + d1.get.asInstanceOf[Int].toDouble))) < 1e-6)
+    // doc appearing in both rankings beats single-ranking docs here
+    assert(rrf1 > rows(2L)._3 && rrf1 > rows(3L)._3)
+    // a doc with no bm25 match still surfaces through the dense side
+    assert(rows(3L)._1.isEmpty && rows(3L)._2.nonEmpty)
+    // scale property: candidate pools come from TakeOrdered (per-
+    // partition top-k), never a corpus-wide Sort+Exchange
+    val plan = Search.hybridRrf(Tables(spark, sf, "documents"), "doc_id",
+        "text", Seq("join"), Tables(spark, sf, "embeddings"), "vec_id",
+        "embedding", Seq.fill(16)(0.1f))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
 }
