@@ -486,4 +486,40 @@ object Knn {
         .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)),
       PqFunctions.pq_lut_score(col("q_lut"), col("codes"), n2), k)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus miner): for every source item its
+    * best target match, scored by the RATIO margin
+    * cos(x,y) / (½·(avgₖ(x→tgt) + avgₖ(y→src))) — normalizing by each
+    * side's local neighborhood density kills the hubness failure of
+    * raw-cosine thresholding. Pairs with margin ≥ `threshold` are the
+    * mined bitext; this is the standard MT-training-data construction
+    * and equally the cross-corpus alignment step of multimodal /
+    * multilingual curation.
+    *
+    * Scale shape: both k-NN passes are [[bruteForceTopK]] probes-
+    * broadcast scans (at corpus scale swap the neighbor lists for the
+    * [[ivfTopK]] path — the margin arithmetic is independent of how
+    * the lists were produced); the avgₖ tables are one row per item
+    * and join back keyed on the ids; nothing is all-pairs beyond the
+    * neighbor search itself. Cosines round to 5 dp BEFORE averaging
+    * and the margin to 5 dp before thresholding, so the construction
+    * replays bit-stably in the oracle.
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame,
+                   idCol: String, vecCol: String, k: Int = 4,
+                   threshold: Double = 1.0): DataFrame = {
+    val fwd = bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false)
+    val bwd = bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false)
+    val avgFwd = fwd.groupBy(col("q_id").as("src_id"))
+      .agg(avg(col("cos")).as("a_src"))
+    val avgBwd = bwd.groupBy(col("q_id").as("tgt_id"))
+      .agg(avg(col("cos")).as("a_tgt"))
+    val cand = fwd.where(col("rank") === 1)
+      .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"), col("cos"))
+    val margin = round(col("cos") / (lit(0.5) * (col("a_src") + col("a_tgt"))), 5)
+    cand.join(avgFwd, Seq("src_id")).join(avgBwd, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos"), margin.as("margin"))
+      .where(col("margin") >= threshold)
+  }
 }

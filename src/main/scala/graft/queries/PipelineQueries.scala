@@ -165,6 +165,18 @@ object PipelineQueries {
       Knn.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
     }),
 
+    // margin-based bitext mining (Artetxe & Schwenk 2019): the first
+    // 100 vectors as the "source language", the rest as the "target";
+    // best target match per source scored by the ratio margin over
+    // both sides' k-NN neighborhood averages. DuckDB replays the
+    // whole construction → FULL oracle.
+    "q_knn_bitext" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.marginMining(e.where(col("vec_id") < 100),
+        e.where(col("vec_id") >= 100), "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+    }),
+
     // contrastive-training triplets: nearest same-label item as the
     // positive, nearest different-label item as the hard negative —
     // the classes rank separately, so a label-clustered corpus still
@@ -1359,6 +1371,24 @@ object PipelineQueries {
         |  n.n_id AS neg_id, n.cos AS neg_cos
         |FROM best p JOIN best n USING (q_id)
         |WHERE p.rk = 1 AND p.same AND n.rk = 1 AND NOT n.same""".stripMargin,
+    "q_knn_bitext" ->
+      """WITH src AS (SELECT vec_id AS s_id, embedding AS sv FROM embeddings WHERE vec_id < 100),
+        |tgt AS (SELECT vec_id AS t_id, embedding AS tv FROM embeddings WHERE vec_id >= 100),
+        |pairs AS (SELECT s_id, t_id,
+        |  round(list_cosine_similarity(CAST(sv AS DOUBLE[]),
+        |    CAST(tv AS DOUBLE[])), 5) AS cos
+        |  FROM src CROSS JOIN tgt),
+        |fwdr AS (SELECT s_id, t_id, cos,
+        |  row_number() OVER (PARTITION BY s_id ORDER BY cos DESC, t_id) AS r FROM pairs),
+        |afwd AS (SELECT s_id, avg(cos) AS a_src FROM fwdr WHERE r <= 4 GROUP BY 1),
+        |bwdr AS (SELECT t_id, s_id, cos,
+        |  row_number() OVER (PARTITION BY t_id ORDER BY cos DESC, s_id) AS r FROM pairs),
+        |abwd AS (SELECT t_id, avg(cos) AS a_tgt FROM bwdr WHERE r <= 4 GROUP BY 1),
+        |cand AS (SELECT s_id, t_id, cos FROM fwdr WHERE r = 1)
+        |SELECT c.s_id AS src_id, c.t_id AS tgt_id, c.cos,
+        |  round(c.cos / (0.5 * (a.a_src + b.a_tgt)), 5) AS margin
+        |FROM cand c JOIN afwd a USING (s_id) JOIN abwd b ON c.t_id = b.t_id
+        |WHERE round(c.cos / (0.5 * (a.a_src + b.a_tgt)), 5) >= 1.0""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |sims AS (

@@ -327,4 +327,32 @@ class KnnSpec extends SparkSuite {
       assert(r.getDouble(4) < 0.1, "negative comes from another cluster")
     }
   }
+
+  test("margin mining: true pair beats hub despite lower raw cosine; threshold filters") {
+    import spark.implicits._
+    // src 1 has a genuine translation (tgt 10, cos≈1) in a sparse
+    // neighborhood; src 2 sits in a dense "hub" region where EVERY
+    // target is similar — raw cosine would accept both, the margin
+    // keeps only the genuine pair
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val src = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, v(0.99, 0.14)),                       // src 1's true match
+      (11L, v(0.5, -0.87)), (12L, v(0.4, -0.92)), // far from src 1
+      (20L, v(0.1, 0.995)), (21L, v(0.12, 0.993)),// the hub: all ≈ src 2
+      (22L, v(0.09, 0.996)), (23L, v(0.11, 0.994)))
+      .toDF("vec_id", "embedding")
+    val all = Knn.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = 0.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // both sources matched into the right target region
+    assert(all(1L)._1 == 10L && Set(20L, 21L, 22L, 23L).contains(all(2L)._1))
+    // the sparse-neighborhood true pair carries a clearly higher margin
+    assert(all(1L)._2 > all(2L)._2 + 0.1,
+      s"true pair margin ${all(1L)._2} must beat hub margin ${all(2L)._2}")
+    // thresholding between the two margins keeps only the true pair
+    val kept = Knn.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = (all(1L)._2 + all(2L)._2) / 2).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
