@@ -207,6 +207,19 @@ class RuleApiSpec extends SparkSuite {
       a.handle("GET", "/trace/rule/r_trc")._2).children.size == 2)
   }
 
+  test("tracer ring evicts oldest traces at capacity; ids stay retrievable newest-first") {
+    val t = new graft.rules.RuleTracer(capacity = 3)
+    t.enable("r")
+    val ids = (1 to 5).map(i =>
+      t.record("r", graft.rules.TraceSpan(s"span$i", i.toLong, 1L)))
+    // ring holds only the newest 3; evicted ids 404
+    assert(t.trace(ids(0)).isEmpty && t.trace(ids(1)).isEmpty)
+    assert(t.traceIds("r") == ids.drop(2).reverse)
+    assert(t.trace(ids(4)).get.root.name == "span5")
+    // limit truncates from the newest end (the reference's ?limit=)
+    assert(t.traceIds("r", limit = 1) == Seq(ids(4)))
+  }
+
   test("streaming rule tracing captures micro-batch progress spans") {
     val dir = Files.createTempDirectory("graft_strc_in")
     val ckpt = Files.createTempDirectory("graft_strc_ck")
