@@ -510,13 +510,20 @@ object Knn {
                    idCol: String, vecCol: String, k: Int = 4,
                    threshold: Double = 1.0): DataFrame = {
     val fwd = bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false)
-    val bwd = bruteForceTopK(tgt, src, idCol, vecCol, k, excludeSelf = false)
+    val cand = fwd.where(col("rank") === 1)
+      .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"), col("cos"))
+    // only the ≤|src| rank-1 candidate targets need a backward
+    // average — semi-join tgt down to them BEFORE the backward pass,
+    // so its probe broadcast and scan are |candidates|-bounded rather
+    // than |tgt|-sized (the margin values are identical)
+    val candTgt = tgt.join(
+      broadcast(cand.select(col("tgt_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val bwd = bruteForceTopK(candTgt, src, idCol, vecCol, k, excludeSelf = false)
     val avgFwd = fwd.groupBy(col("q_id").as("src_id"))
       .agg(avg(col("cos")).as("a_src"))
     val avgBwd = bwd.groupBy(col("q_id").as("tgt_id"))
       .agg(avg(col("cos")).as("a_tgt"))
-    val cand = fwd.where(col("rank") === 1)
-      .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"), col("cos"))
     val margin = round(col("cos") / (lit(0.5) * (col("a_src") + col("a_tgt"))), 5)
     cand.join(avgFwd, Seq("src_id")).join(avgBwd, Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("cos"), margin.as("margin"))

@@ -110,11 +110,14 @@ object Catalog {
     // liveLookup re-resolve and point queries hit the backend at most
     // once per CACHETTL; CACHEMISSINGKEY (default true) caches empty
     // point-query results too. Wrapped here so TABLE DDL and graph-API
-    // inline table nodes both get it.
-    if (isTable && props.get("cache").exists(_.toBoolean))
+    // inline table nodes both get it — DDL props arrive lowercased by
+    // parseWith but graph-node JSON keys keep their camelCase, so the
+    // cache keys are matched case-insensitively
+    val lower = props.map { case (k, v) => k.toLowerCase -> v }
+    if (isTable && lower.get("cache").exists(_.toBoolean))
       TtlCachedSource(inner,
-        props.get("cachettl").map(Cron.parseDuration).getOrElse(600000L),
-        props.get("cachemissingkey").forall(_.toBoolean))
+        lower.get("cachettl").map(Cron.parseDuration).getOrElse(600000L),
+        lower.get("cachemissingkey").forall(_.toBoolean))
     else inner
   }
 

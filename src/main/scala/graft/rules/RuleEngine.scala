@@ -107,25 +107,43 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     * so the longest matching rule id wins when ids nest.
     */
   val tracer = new RuleTracer()
-  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-    import org.apache.spark.sql.streaming.StreamingQueryListener._
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      val name = String.valueOf(e.progress.name)
-      import scala.jdk.CollectionConverters._
-      slots.keySet().asScala.filter(id => name.startsWith(id + "_"))
-        .maxByOption(_.length).filter(tracer.isEnabled).foreach { id =>
-          tracer.record(id, RuleTracer.fromProgress(e.progress))
-        }
+  // the listener registers on the SHARED session lazily at the first
+  // traceStart — an engine that never traces adds nothing to the
+  // session's listener bus — and detaches in close(), so discarded
+  // engines are not retained by the bus
+  private val progressListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val name = String.valueOf(e.progress.name)
+        import scala.jdk.CollectionConverters._
+        slots.keySet().asScala.filter(id => name.startsWith(id + "_"))
+          .maxByOption(_.length).filter(tracer.isEnabled).foreach { id =>
+            tracer.record(id, RuleTracer.fromProgress(e.progress))
+          }
+      }
     }
-  })
+  private val listenerAttached = new java.util.concurrent.atomic.AtomicBoolean()
+
+  /** Detach the engine's session-level hooks (the progress listener)
+    * and stop the schedule timer. Call when discarding an engine that
+    * shares a long-lived SparkSession.
+    */
+  def close(): Unit = {
+    if (listenerAttached.compareAndSet(true, false))
+      spark.streams.removeListener(progressListener)
+    timer.shutdown()
+  }
 
   /** Enable tracing: snapshot the rule's Catalyst plan as the first
     * trace, then capture every micro-batch / batch run until stop.
     */
   def traceStart(id: String): Unit = {
     val rule = lookup(id).rule // 404s on unknown rule
+    if (listenerAttached.compareAndSet(false, true))
+      spark.streams.addListener(progressListener)
     tracer.enable(id)
     val now = System.currentTimeMillis()
     val plan = try explain(id) catch { case e: Exception => s"explain failed: ${e.getMessage}" }

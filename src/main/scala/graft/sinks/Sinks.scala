@@ -363,12 +363,19 @@ final case class ConnectorSink(kind: String, endpoint: String,
           if (omitEmptyRows) payloads0.filter(p => p.nonEmpty && p != "{}")
           else payloads0
         val grouped =
-          if (sendSingle.contains(false))
+          if (sendSingle.contains(false)) {
             // one array message for the whole (single-partition) batch;
-            // [] still publishes unless omitIfEmpty dropped the batch
-            // upstream in Sink.deliver
-            Iterator.single(payloads.mkString("[", ",", "]"))
-          else if (batchSize > 1) payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
+            // [] still publishes UNLESS omitIfEmpty is set — a batch
+            // whose rows all shaped to empty payloads is exactly the
+            // empty delivery that prop suppresses
+            val ps = payloads.toSeq
+            if (omitEmptyRows && ps.isEmpty) Iterator.empty
+            else Iterator.single(ps.mkString("[", ",", "]"))
+          }
+          // explicit sendSingle=true wins over batchSize: per-row
+          // framing is what the prop means (transform_op.go:146-160)
+          else if (batchSize > 1 && !sendSingle.contains(true))
+            payloads.grouped(batchSize).map(_.mkString("[", ",", "]"))
           else payloads
         if (binary)
           grouped.foreach { p =>

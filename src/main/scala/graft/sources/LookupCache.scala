@@ -10,9 +10,23 @@ import org.apache.spark.storage.StorageLevel
   * `values`, prune to `fields` — the reference's Lookup contract
   * (internal/pkg/def: LookupSource.Lookup).
   */
-trait LookupCapable {
+trait LookupCapable { this: Source =>
   def lookup(spark: SparkSession, fields: Seq[String],
              keys: Seq[String], values: Seq[Any]): DataFrame
+
+  /** Default point-query: equality-filter the bounded [[Source.batch]]
+    * read, prune to `fields` — shared so the filter/prune semantics
+    * cannot drift between the sources that lookup this way.
+    */
+  protected def lookupByFilter(spark: SparkSession, fields: Seq[String],
+                               keys: Seq[String], values: Seq[Any]): DataFrame = {
+    require(keys.length == values.length, "keys/values length mismatch")
+    val filtered = keys.zip(values).foldLeft(batch(spark)) {
+      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    }
+    if (fields.isEmpty) filtered
+    else filtered.select(fields.map(col).toIndexedSeq: _*)
+  }
 }
 
 /** TTL cache for lookup tables (reference LookupConf
@@ -85,15 +99,23 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
 
   // ---- per-key layer --------------------------------------------
   private case class KeyEntry(at: Long, schema: StructType, rows: Seq[Row])
-  private val keyCache =
-    new java.util.concurrent.ConcurrentHashMap[String, KeyEntry]()
+  // bounded FIFO (the RuleTracer ring pattern): a long-running rule
+  // doing point lookups over a high-cardinality key stream must not
+  // grow driver heap without bound - eldest entries evict at capacity
+  private val keyCache = new java.util.LinkedHashMap[String, KeyEntry]() {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, KeyEntry]): Boolean =
+      size() > TtlCachedSource.MaxKeyEntries
+  }
 
   def lookup(spark: SparkSession, fields: Seq[String],
              keys: Seq[String], values: Seq[Any]): DataFrame = {
+    // NUL-separated so multi-key value lists cannot collide by plain
+    // concatenation: ("ab","c") and ("a","bc") stay distinct keys
     val cacheKey = fields.mkString(",") + "|" + keys.mkString(",") + "|" +
-      values.map(String.valueOf).mkString("")
+      values.map(String.valueOf).mkString("\u0000")
     val now = System.currentTimeMillis()
-    val hit = keyCache.get(cacheKey)
+    val hit = keyCache.synchronized(keyCache.get(cacheKey))
     if (hit != null && !expired(hit.at, now))
       return spark.createDataFrame(
         spark.sparkContext.parallelize(hit.rows, 1), hit.schema)
@@ -103,15 +125,19 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
         // any table source becomes lookup-capable through the wrapper:
         // point queries filter the TTL-cached snapshot (one backend
         // pull per TTL window, shared by every key)
-        val filtered = keys.zip(values).foldLeft(batch(spark)) {
-          case (df, (k, v)) => df.filter(col(k) === lit(v))
-        }
-        if (fields.isEmpty) filtered
-        else filtered.select(fields.map(col).toIndexedSeq: _*)
+        lookupByFilter(spark, fields, keys, values)
     }
     val rows = fresh.collect().toSeq
     if (rows.nonEmpty || cacheMissingKey)
-      keyCache.put(cacheKey, KeyEntry(now, fresh.schema, rows))
+      keyCache.synchronized(
+        keyCache.put(cacheKey, KeyEntry(now, fresh.schema, rows)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fresh.schema)
   }
+}
+
+object TtlCachedSource {
+  /** Per-key cache capacity - point results are per-key dimension
+    * rows, so this bounds driver heap at a few MB worst-case.
+    */
+  @volatile var MaxKeyEntries: Int = 10000
 }

@@ -561,6 +561,13 @@ class RulesSpec extends SparkSuite {
     withMiss.lookup(spark, Nil, Seq("key"), Seq("zz"))
     withMiss.lookup(spark, Nil, Seq("key"), Seq("zz"))
     assert(kFetched.get() == 1, "missing key must cache when cacheMissingKey=true")
+    // multi-key value lists with equal concatenations are DISTINCT
+    // cache keys (("ab","c") vs ("a","bc") must not share an entry)
+    kFetched.set(0)
+    val two = TtlCachedSource(kInner, ttlMs = 60000L)
+    two.lookup(spark, Nil, Seq("k1", "k2"), Seq("ab", "c"))
+    two.lookup(spark, Nil, Seq("k1", "k2"), Seq("a", "bc"))
+    assert(kFetched.get() == 2, "concatenation-colliding values must miss the cache")
   }
 
   test("simulator lookup table: DATA rows join as a dimension; point lookup filters") {

@@ -692,12 +692,23 @@ class SourcesSinksSpec extends SparkSuite {
     assert(sent.length == 1, s"expected one message, got $sent")
     assert(sent.head.stripPrefix("[").stripSuffix("]")
       .split(",").map(_.trim).sorted.toSeq == Seq("0", "1", "2", "3"))
-    // sendSingle=true keeps per-row framing: N rows → N messages
+    // sendSingle=true keeps per-row framing: N rows → N messages —
+    // and wins over a conflicting batchSize (per-row is what the
+    // prop means)
     ConnectorSink.clear("rest", "api/perRow")
     ConnectorSink("rest", "api/perRow",
-      Map("dataTemplate" -> """{{v}}""", "sendSingle" -> "true"))
+      Map("dataTemplate" -> """{{v}}""", "sendSingle" -> "true",
+        "batchSize" -> "2"))
       .writeBatch(spark.range(3).toDF("v"))
     assert(ConnectorSink.sent("rest", "api/perRow").sorted == Vector("0", "1", "2"))
+    // omitIfEmpty + sendSingle=false: rows that all shape to empty
+    // payloads produce NO message (not "[]")
+    ConnectorSink.clear("rest", "api/allempty")
+    ConnectorSink("rest", "api/allempty",
+      Map("dataTemplate" -> "", "sendSingle" -> "false",
+        "omitIfEmpty" -> "true"))
+      .writeBatch(spark.range(2).toDF("v"))
+    assert(ConnectorSink.sent("rest", "api/allempty").isEmpty)
   }
 
   test("connector sink publishes from executors, no driver collect") {
