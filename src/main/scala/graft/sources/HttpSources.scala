@@ -173,13 +173,8 @@ final case class HttpLookupSource(url: String, schema: StructType,
     * lookupJoin semantics mean for a SQL join.)
     */
   def lookup(spark: SparkSession, fields: Seq[String],
-             keys: Seq[String], values: Seq[Any]): DataFrame = {
-    require(keys.length == values.length, "keys/values length mismatch")
-    val filtered = keys.zip(values).foldLeft(batch(spark)) {
-      case (df, (k, v)) => df.filter(col(k) === lit(v))
-    }
-    if (fields.isEmpty) filtered else filtered.select(fields.map(col).toIndexedSeq: _*)
-  }
+             keys: Seq[String], values: Seq[Any]): DataFrame =
+    lookupByFilter(spark, fields, keys, values)
 
   def stream(spark: SparkSession): DataFrame =
     throw new UnsupportedOperationException(

@@ -160,13 +160,8 @@ final case class SimulatorSource(seedJson: Seq[String], intervalMs: Long = 1000,
     * means.
     */
   def lookup(spark: SparkSession, fields: Seq[String],
-             keys: Seq[String], values: Seq[Any]): DataFrame = {
-    require(keys.length == values.length, "keys/values length mismatch")
-    val filtered = keys.zip(values).foldLeft(batch(spark)) {
-      case (df, (k, v)) => df.filter(col(k) === lit(v))
-    }
-    if (fields.isEmpty) filtered else filtered.select(fields.map(col).toIndexedSeq: _*)
-  }
+             keys: Seq[String], values: Seq[Any]): DataFrame =
+    lookupByFilter(spark, fields, keys, values)
 
   def stream(spark: SparkSession): DataFrame = {
     val n = seedJson.size
