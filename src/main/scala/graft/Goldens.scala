@@ -39,6 +39,7 @@ object Goldens {
     "q_knn_ivf" -> (Set("n_id"), 2),
     "q_quality_classifier" -> (Set.empty[String], 2),
     "q_knn_lsh" -> (Set.empty[String], 6),
+    "q_knn_mmr" -> (Set.empty[String], 4),
     "q_knn_ivfpq" -> (Set("n_id"), 2),
     "q_knn_pq" -> (Set("n_id"), 2),
     "q_knn_quant" -> (Set.empty[String], 6),
@@ -69,6 +70,7 @@ object Goldens {
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
       "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
+      "q_knn_mmr" -> "ff400a5f90990b61eedc2a75d9c7ad95b54792fdc8bbfa5806a304bd0e4e896b",
       "q_knn_ivfpq" -> "485ffb4402dda77da2bb8a347eb1114fad9d882058328d5a0fabcc7c84011f74",
       "q_knn_pq" -> "59cc477111c21f80e66f255af50c42b218ef8b0088ea87da30da9375d382efcd",
       "q_knn_quant" -> "a24ad23ab36c619a4cfdea6f512bac32251a2dbfcf60ca339e833279007a9b6f",
@@ -96,6 +98,7 @@ object Goldens {
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
       "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",
+      "q_knn_mmr" -> "13ed6841904ea3eacf4bfc28db4d367acfee20c7b6952362893d6a02952d9fc2",
       "q_knn_ivfpq" -> "bdd318eefed452678c5ad188bc5c30ac52dacf9de0cdb196e6f8101d068e5ed4",
       "q_knn_pq" -> "e7956c578083a7844e253a56c85c355c44d3caae64afe938b279c0d070e802b0",
       "q_knn_quant" -> "10a065f42868de4b12f65e66a0517fbab6eeadb9b3d4f01a6a2bbe08890c1177",

@@ -529,4 +529,64 @@ object Knn {
       .select(col("src_id"), col("tgt_id"), col("cos"), margin.as("margin"))
       .where(col("margin") >= threshold)
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998): greedily pick `k` items maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — the diversity-
+    * aware re-rank that keeps a retrieval pool or an eval set from
+    * filling up with near-duplicates of its best hit (the selection
+    * complement of the dedup family: instead of removing near-dups,
+    * never pick them).
+    *
+    * Scale shape: the candidate pool reduces to top-`poolK` by
+    * relevance through TakeOrdered (no global sort), and the greedy
+    * loop — inherently sequential — runs on the driver over that
+    * BOUNDED pool (k·poolK cosines on poolK-row state; the IVF
+    * centroid-pull precedent). Relevance rounds to 5 dp before
+    * selection and ties break by id, so the selection is
+    * deterministic at any partition layout.
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double = 0.7,
+                poolK: Int = 200): DataFrame = {
+    require(k > 0 && poolK >= k && lambda >= 0 && lambda <= 1,
+      "mmrSelect: need k > 0, poolK >= k, lambda in [0,1]")
+    val spark = candidates.sparkSession
+    val pool = candidates
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"),
+        round(col(relCol).cast("double"), 5).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(poolK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Int)]()
+    val picked = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < math.min(k, pool.length)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.length) {
+        val (_, v, rel) = remaining(i)
+        val maxSim = if (picked.isEmpty) 0.0 else picked.map(cos(v, _)).max
+        val s = lambda * rel - (1.0 - lambda) * maxSim
+        // strict > with remaining in (rel desc, id) order = ties break
+        // toward higher relevance then lower id — deterministic
+        if (s > bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      val (id, v, rel) = remaining.remove(best)
+      picked += v
+      selected += ((id, rel,
+        math.rint(bestScore * 100000).toDouble / 100000, selected.length + 1))
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("id", "rel", "mmr_score", "rank")
+      .select(col("id").as(idCol), col("rel"), col("mmr_score"), col("rank"))
+  }
 }

@@ -177,6 +177,22 @@ object PipelineQueries {
         k = 4, threshold = 1.0)
     }),
 
+    // MMR diversified selection (Carbonell & Goldstein 1998): top-25
+    // most-relevant-yet-diverse items for the vec-0 query — relevance
+    // is broadcast-literal cosine, the greedy loop runs on the
+    // TakeOrdered-bounded pool. Iterative selection has no SQL
+    // replay → rows-only golden (the q_dedup_cluster precedent).
+    "q_knn_mmr" -> ((s, d) => {
+      val e = emb(s, d)
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val cands = e.select(col("vec_id"), col("embedding"),
+        graft.operators.Knn.cosine(col("embedding"),
+          typedlit(qv).cast("array<float>")).as("rel"))
+      Knn.mmrSelect(cands, "vec_id", "embedding", "rel",
+        k = 25, lambda = 0.7, poolK = 200)
+    }),
+
     // contrastive-training triplets: nearest same-label item as the
     // positive, nearest different-label item as the hard negative —
     // the classes rank separately, so a label-clustered corpus still

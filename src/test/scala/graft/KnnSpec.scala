@@ -328,6 +328,28 @@ class KnnSpec extends SparkSuite {
     }
   }
 
+  test("mmr selection: near-duplicate of the top hit loses its slot to a diverse item") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // 1 and 2 are near-identical high-relevance items; 3 is less
+    // relevant but orthogonal — MMR at λ=0.5 picks 1 then 3, demoting
+    // the duplicate 2; pure relevance order would pick 1 then 2
+    val cands = Seq(
+      (1L, v(1, 0), 0.95), (2L, v(0.999, 0.04), 0.94), (3L, v(0, 1), 0.60))
+      .toDF("vec_id", "embedding", "rel")
+    val out = Knn.mmrSelect(cands, "vec_id", "embedding", "rel",
+      k = 2, lambda = 0.5, poolK = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (3L, 2)), s"got ${out.toSeq}")
+    // at λ=1 MMR degenerates to pure relevance order
+    val rel = Knn.mmrSelect(cands, "vec_id", "embedding", "rel",
+      k = 3, lambda = 1.0, poolK = 10).collect().map(_.getLong(0))
+    assert(rel.toSeq == Seq(1L, 2L, 3L))
+    // k larger than the pool returns the whole pool
+    assert(Knn.mmrSelect(cands, "vec_id", "embedding", "rel",
+      k = 3, lambda = 0.5, poolK = 10).count() == 3)
+  }
+
   test("margin mining: true pair beats hub despite lower raw cosine; threshold filters") {
     import spark.implicits._
     // src 1 has a genuine translation (tgt 10, cos≈1) in a sparse
