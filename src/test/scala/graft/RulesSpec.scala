@@ -568,6 +568,17 @@ class RulesSpec extends SparkSuite {
     two.lookup(spark, Nil, Seq("k1", "k2"), Seq("ab", "c"))
     two.lookup(spark, Nil, Seq("k1", "k2"), Seq("a", "bc"))
     assert(kFetched.get() == 2, "concatenation-colliding values must miss the cache")
+    // concurrent micro-batches over one table: 8 racing batch() calls
+    // still pull the backend exactly once
+    fetched.set(0)
+    val shared = TtlCachedSource(inner, ttlMs = 60000L)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence(Seq.fill(8)(Future(shared.batch(spark).count()))), 60.seconds)
+    assert(counts.forall(_ == 2L) && fetched.get() == 1,
+      s"8 concurrent batch() calls must share one fetch, got ${fetched.get()}")
   }
 
   test("simulator lookup table: DATA rows join as a dimension; point lookup filters") {
