@@ -552,41 +552,78 @@ object Knn {
     require(k > 0 && poolK >= k && lambda >= 0 && lambda <= 1,
       "mmrSelect: need k > 0, poolK >= k, lambda in [0,1]")
     val spark = candidates.sparkSession
-    val pool = candidates
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("v"),
+    // id stays its ORIGINAL type (string doc ids work like everywhere
+    // else in this family); NaN/null relevance rows are dropped —
+    // NaN sorts above every finite value under desc and would both
+    // displace real candidates and break the max comparisons
+    val poolRows = candidates
+      .select(col(idCol), col(vecCol).cast("array<float>").as("v"),
         round(col(relCol).cast("double"), 5).as("rel"))
-      .orderBy(col("rel").desc, col("id")).limit(poolK)
+      .where(col("rel").isNotNull && !isnan(col("rel")))
+      .orderBy(col("rel").desc, col(idCol)).limit(poolK)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    val n = poolRows.length
+    val ids = poolRows.map(_.get(0))
+    val rels = poolRows.map(_.getDouble(2))
+    // unit-normalize once; cosine thereafter is a plain dot product
+    val vecs = poolRows.map { r =>
+      val a = r.getSeq[Float](1).toArray
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+      val norm = math.sqrt(s)
+      if (norm == 0) new Array[Double](a.length)
+      else a.map(_ / norm)
     }
-    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Int)]()
-    val picked = scala.collection.mutable.ArrayBuffer[Array[Float]]()
-    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
-    while (selected.length < math.min(k, pool.length)) {
+    val dim = if (n > 0) vecs(0).length else 0
+    require(vecs.forall(_.length == dim),
+      "mmrSelect: embedding dimensions differ within the pool")
+    @inline def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // incremental greedy: maxSim(i) tracks each candidate's best
+    // similarity to the selected set and only updates against the
+    // NEWEST pick — k·poolK dot products total, not k²·poolK
+    val maxSim = new Array[Double](n)
+    val taken = new Array[Boolean](n)
+    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    var pickedCount = 0
+    val target = math.min(k, n)
+    while (pickedCount < target) {
       var best = -1; var bestScore = Double.NegativeInfinity
       var i = 0
-      while (i < remaining.length) {
-        val (_, v, rel) = remaining(i)
-        val maxSim = if (picked.isEmpty) 0.0 else picked.map(cos(v, _)).max
-        val s = lambda * rel - (1.0 - lambda) * maxSim
-        // strict > with remaining in (rel desc, id) order = ties break
-        // toward higher relevance then lower id — deterministic
-        if (s > bestScore) { bestScore = s; best = i }
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambda * rels(i) - (1.0 - lambda) * maxSim(i)
+          // strict > with candidates in (rel desc, id) order = ties
+          // break toward higher relevance then lower id — deterministic
+          if (s > bestScore) { bestScore = s; best = i }
+        }
         i += 1
       }
-      val (id, v, rel) = remaining.remove(best)
-      picked += v
-      selected += ((id, rel,
-        math.rint(bestScore * 100000).toDouble / 100000, selected.length + 1))
+      taken(best) = true
+      out += org.apache.spark.sql.Row(ids(best), rels(best),
+        math.rint(bestScore * 100000).toDouble / 100000, pickedCount + 1)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val sim = dot(vecs(i), vecs(best))
+          if (sim > maxSim(i)) maxSim(i) = sim
+        }
+        i += 1
+      }
+      pickedCount += 1
     }
-    import spark.implicits._
-    selected.toSeq.toDF("id", "rel", "mmr_score", "rank")
-      .select(col("id").as(idCol), col("rel"), col("mmr_score"), col("rank"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      candidates.schema(idCol).copy(name = idCol),
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1), schema)
   }
 }

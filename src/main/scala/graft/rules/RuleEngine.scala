@@ -125,15 +125,32 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
           }
       }
     }
-  private val listenerAttached = new java.util.concurrent.atomic.AtomicBoolean()
+  // one monitor orders attach vs close: a bare CAS pair can interleave
+  // as close-between-CAS-and-addListener, leaving the listener attached
+  // with the flag false — permanently unremovable
+  private val listenerLock = new Object
+  private var listenerAttached = false
+  private var engineClosed = false
+
+  private def attachListenerOnce(): Unit = listenerLock.synchronized {
+    if (!engineClosed && !listenerAttached) {
+      spark.streams.addListener(progressListener)
+      listenerAttached = true
+    }
+  }
 
   /** Detach the engine's session-level hooks (the progress listener)
     * and stop the schedule timer. Call when discarding an engine that
     * shares a long-lived SparkSession.
     */
   def close(): Unit = {
-    if (listenerAttached.compareAndSet(true, false))
-      spark.streams.removeListener(progressListener)
+    listenerLock.synchronized {
+      engineClosed = true
+      if (listenerAttached) {
+        spark.streams.removeListener(progressListener)
+        listenerAttached = false
+      }
+    }
     timer.shutdown()
   }
 
@@ -142,8 +159,7 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     */
   def traceStart(id: String): Unit = {
     val rule = lookup(id).rule // 404s on unknown rule
-    if (listenerAttached.compareAndSet(false, true))
-      spark.streams.addListener(progressListener)
+    attachListenerOnce()
     tracer.enable(id)
     val now = System.currentTimeMillis()
     val plan = try explain(id) catch { case e: Exception => s"explain failed: ${e.getMessage}" }

@@ -94,7 +94,10 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
   /** Drop both cache layers; the next access re-pulls. */
   def invalidate(): Unit = synchronized {
     if (snapRdd != null) { snapRdd.unpersist(blocking = false); snapRdd = null }
-    keyCache.clear()
+    // the key cache has its own monitor (lookup() holds it, not
+    // `this`) — clear under THAT lock or a racing put corrupts the
+    // non-thread-safe LinkedHashMap
+    keyCache.synchronized(keyCache.clear())
   }
 
   // ---- per-key layer --------------------------------------------

@@ -348,6 +348,16 @@ class KnnSpec extends SparkSuite {
     // k larger than the pool returns the whole pool
     assert(Knn.mmrSelect(cands, "vec_id", "embedding", "rel",
       k = 3, lambda = 0.5, poolK = 10).count() == 3)
+    // id type passes through untouched (string ids work, like the
+    // rest of the Knn family) and NaN/null relevance rows drop out
+    // instead of poisoning the pool
+    val strCands = Seq(
+      ("a", v(1, 0), 0.9), ("b", v(0, 1), 0.5),
+      ("bad", v(1, 1), Double.NaN))
+      .toDF("doc_id", "embedding", "rel")
+    val strOut = Knn.mmrSelect(strCands, "doc_id", "embedding", "rel",
+      k = 3, lambda = 0.5, poolK = 10).collect()
+    assert(strOut.map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
   test("margin mining: true pair beats hub despite lower raw cosine; threshold filters") {
