@@ -105,7 +105,20 @@ final class RuleApi(engine: RuleEngine) {
   }
 
   def handle(method: String, path: String, body: String = ""): (Int, String) = try {
-    val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
+    // optional query string ("?limit=5") — parsed here so every
+    // transport (HTTP frontend, tests, batch/req) gets it uniformly
+    val (rawPath, query) = path.indexOf('?') match {
+      case -1 => (path, Map.empty[String, String])
+      case i => (path.substring(0, i),
+        path.substring(i + 1).split('&').toSeq.filter(_.nonEmpty).map { kv =>
+          kv.indexOf('=') match {
+            case -1 => kv -> ""
+            case j => kv.substring(0, j) ->
+              java.net.URLDecoder.decode(kv.substring(j + 1), "UTF-8")
+          }
+        }.toMap)
+    }
+    val parts = rawPath.stripPrefix("/").stripSuffix("/").split("/").toList
     (method.toUpperCase, parts) match {
       case ("POST", List("streams")) =>
         val sql = (JsonMethods.parse(body) \ "sql") match {
@@ -319,8 +332,10 @@ final class RuleApi(engine: RuleEngine) {
       case ("POST", List("rules", id, "trace", "stop")) =>
         engine.traceStop(id); ok(s"""{"id":"$id","trace":"disabled"}""")
       case ("GET", List("trace", "rule", rid)) =>
+        // reference getTraceIDByRuleID honors ?limit=N (newest first)
+        val limit = query.get("limit").flatMap(_.toIntOption).getOrElse(0)
         ok(JsonMethods.compact(JArray(
-          engine.tracer.traceIds(rid).map(i => JString(i): JValue).toList)))
+          engine.tracer.traceIds(rid, limit).map(i => JString(i): JValue).toList)))
       case ("GET", List("trace", tid)) =>
         engine.tracer.traceJson(tid) match {
           case Some(j) => ok(j)

@@ -70,8 +70,12 @@ object RuleServer {
           return
         }
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        // forward the query string — handle() parses it (?limit= on
+        // the trace listing, per the reference's REST surface)
+        val pathWithQuery = Option(ex.getRequestURI.getRawQuery)
+          .fold(path)(q => s"$path?$q")
         val (status, json) =
-          try api.handle(ex.getRequestMethod, path, body)
+          try api.handle(ex.getRequestMethod, pathWithQuery, body)
           catch { case e: Exception => (500, s"""{"error":"${e.getMessage}"}""") }
         val bytes = json.getBytes(StandardCharsets.UTF_8)
         // the prometheus exposition is text, everything else is JSON

@@ -200,6 +200,9 @@ class RuleApiSpec extends SparkSuite {
     val planJson = a.handle("GET", s"/trace/${ids.last}")._2
     assert(planJson.contains("\"plan\"") && planJson.contains("Physical Plan"))
     assert(a.handle("GET", "/trace/zzz-1")._1 == 404)
+    // ?limit=1 truncates from the newest end (the reference's param)
+    assert(org.json4s.jackson.JsonMethods.parse(
+      a.handle("GET", "/trace/rule/r_trc?limit=1")._2).children.size == 1)
     // stop halts capture: another run records nothing new
     assert(a.handle("POST", "/rules/r_trc/trace/stop")._1 == 200)
     a.handle("POST", "/rules/r_trc/start")
