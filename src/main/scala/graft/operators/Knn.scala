@@ -559,7 +559,7 @@ object Knn {
     val poolRows = candidates
       .select(col(idCol), col(vecCol).cast("array<float>").as("v"),
         round(col(relCol).cast("double"), 5).as("rel"))
-      .where(col("rel").isNotNull && !isnan(col("rel")))
+      .where(col("rel").isNotNull && !isnan(col("rel")) && col("v").isNotNull)
       .orderBy(col("rel").desc, col(idCol)).limit(poolK)
       .collect()
     val n = poolRows.length
@@ -584,8 +584,13 @@ object Knn {
     }
     // incremental greedy: maxSim(i) tracks each candidate's best
     // similarity to the selected set and only updates against the
-    // NEWEST pick — k·poolK dot products total, not k²·poolK
-    val maxSim = new Array[Double](n)
+    // NEWEST pick — k·poolK dot products total, not k²·poolK.
+    // Initialized to -inf so an all-negative neighborhood keeps its
+    // anti-similarity BONUS exactly as Carbonell-Goldstein write the
+    // formula (a 0 floor would drop it); the first pick has no
+    // selected set, so its diversity term is defined as 0 (pure
+    // relevance — the standard first step).
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val taken = new Array[Boolean](n)
     val out = Seq.newBuilder[org.apache.spark.sql.Row]
     var pickedCount = 0
@@ -595,7 +600,9 @@ object Knn {
       var i = 0
       while (i < n) {
         if (!taken(i)) {
-          val s = lambda * rels(i) - (1.0 - lambda) * maxSim(i)
+          val s =
+            if (pickedCount == 0) lambda * rels(i)
+            else lambda * rels(i) - (1.0 - lambda) * maxSim(i)
           // strict > with candidates in (rel desc, id) order = ties
           // break toward higher relevance then lower id — deterministic
           if (s > bestScore) { bestScore = s; best = i }

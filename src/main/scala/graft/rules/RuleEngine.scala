@@ -102,11 +102,18 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
 
   /** Per-rule trace capture (reference POST /rules/{name}/trace/start
     * surface). One session-level listener routes micro-batch progress
-    * events back to their owning rule by query-name prefix — query
-    * names are `${rule.id}_$i` (or `_r$attempt_$i` after a restart),
-    * so the longest matching rule id wins when ids nest.
+    * events back to their owning rule through an explicit
+    * queryName → ruleId map populated at launch — prefix-matching the
+    * rule id against query names misroutes when ids nest (rule "a"
+    * restarted runs query "a_r2_0", which also prefix-matches a rule
+    * literally named "a_r2").
     */
   val tracer = new RuleTracer()
+  private val queryOwner =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ownedQueryName(ruleId: String, name: String): String = {
+    queryOwner.put(name, ruleId); name
+  }
   // the listener registers on the SHARED session lazily at the first
   // traceStart — an engine that never traces adds nothing to the
   // session's listener bus — and detaches in close(), so discarded
@@ -118,11 +125,9 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val name = String.valueOf(e.progress.name)
-        import scala.jdk.CollectionConverters._
-        slots.keySet().asScala.filter(id => name.startsWith(id + "_"))
-          .maxByOption(_.length).filter(tracer.isEnabled).foreach { id =>
-            tracer.record(id, RuleTracer.fromProgress(e.progress))
-          }
+        Option(queryOwner.get(name)).filter(tracer.isEnabled).foreach { id =>
+          tracer.record(id, RuleTracer.fromProgress(e.progress))
+        }
       }
     }
   // one monitor orders attach vs close: a bare CAS pair can interleave
@@ -293,7 +298,7 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     }
     val sql = sparkSql(rule, referenced)
     rule.sinks.zipWithIndex.map { case (sink, i) =>
-      val w = withWm.writeStream.queryName(s"${rule.id}_$i")
+      val w = withWm.writeStream.queryName(ownedQueryName(rule.id, s"${rule.id}_$i"))
         .foreachBatch { (b: DataFrame, _: Long) =>
           // micro-batches run in a cloned session — register and plan
           // there, not in the outer session's catalog
@@ -383,8 +388,8 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
       val outputs: Seq[(DataFrame, Sink)] = planOutputs(rule)
       if (rule.streaming) {
         slot.queries = outputs.zipWithIndex.map { case ((df, sink), i) =>
-          sink.writeStream(df, s"${rule.id}_$i", rule.triggerMs,
-            rule.checkpointDir.map(c => s"$c/$i"))
+          sink.writeStream(df, ownedQueryName(rule.id, s"${rule.id}_$i"),
+            rule.triggerMs, rule.checkpointDir.map(c => s"$c/$i"))
         }
         if (rule.restart.attempts > 0) monitor(slot, rule)
       } else {
@@ -471,8 +476,9 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
                 slot.queries =
                   if (rule.liveLookup) launchLiveLookup(slot, rule)
                   else planOutputs(rule).zipWithIndex.map { case ((df, sink), i) =>
-                    sink.writeStream(df, s"${rule.id}_r${attempt}_$i", rule.triggerMs,
-                      rule.checkpointDir.map(c => s"$c/$i"))
+                    sink.writeStream(df,
+                      ownedQueryName(rule.id, s"${rule.id}_r${attempt}_$i"),
+                      rule.triggerMs, rule.checkpointDir.map(c => s"$c/$i"))
                   }
                 slot.state = RuleState.Running
               } catch { case e: Exception =>
@@ -496,6 +502,9 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
     slot.queries.foreach(_.stop())
     slot.queries = Nil
     slot.state = RuleState.Stopped
+    // retire this rule's query-name routes (restarts mint new names,
+    // so without cleanup the map grows one entry per launch forever)
+    queryOwner.entrySet().removeIf(e => e.getValue == id)
   }
 
   def delete(id: String): Unit = {

@@ -79,8 +79,10 @@ final class RuleTracer(capacity: Int = 256) {
     */
   def traceIds(ruleId: String, limit: Int = 0): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val all = traces.synchronized(traces.keySet().asScala.toSeq)
-      .filter(id => trace(id).exists(_.ruleId == ruleId)).reverse
+    // one snapshot under one lock; filtering outside (the previous
+    // per-id re-lock inside the filter was O(n²) lock acquisitions)
+    val all = traces.synchronized(traces.values().asScala.toVector)
+      .filter(_.ruleId == ruleId).map(_.id).reverse
     if (limit > 0) all.take(limit) else all
   }
 

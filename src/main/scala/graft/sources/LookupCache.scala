@@ -62,6 +62,12 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
   @transient private var snapAt = 0L
   @transient private var snapSchema: StructType = _
   @transient private var snapRdd: org.apache.spark.rdd.RDD[Row] = _
+  // the generation BEFORE the current snapshot: kept persisted for one
+  // extra TTL window so a micro-batch job still reading it when a
+  // refresh lands doesn't lose its blocks (an eager unpersist would
+  // force recomputation through the inner source's lineage — re-pulling
+  // the backend mid-job and yielding rows inconsistent within a batch)
+  @transient private var prevRdd: org.apache.spark.rdd.RDD[Row] = _
 
   /** Backend fetches performed (tests assert cache effectiveness). */
   val fetches = new java.util.concurrent.atomic.AtomicLong()
@@ -72,7 +78,10 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
   def batch(spark: SparkSession): DataFrame = synchronized {
     val now = System.currentTimeMillis()
     if (snapRdd == null || expired(snapAt, now)) {
-      val old = snapRdd
+      // retire the generation before last; the immediately-previous
+      // snapshot survives one more TTL window for in-flight readers
+      if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
+      prevRdd = snapRdd
       val df = inner.batch(spark)
       fetches.incrementAndGet()
       snapSchema = df.schema
@@ -81,7 +90,6 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
       // lazily inside some later micro-batch's job
       snapRdd.count()
       snapAt = now
-      if (old != null) old.unpersist(blocking = false)
     }
     // plan-only rebuild: the cached RDD is context-level, so it wraps
     // into any (cloned) session the engine plans a micro-batch in
@@ -94,6 +102,7 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
   /** Drop both cache layers; the next access re-pulls. */
   def invalidate(): Unit = synchronized {
     if (snapRdd != null) { snapRdd.unpersist(blocking = false); snapRdd = null }
+    if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
     // the key cache has its own monitor (lookup() holds it, not
     // `this`) — clear under THAT lock or a racing put corrupts the
     // non-thread-safe LinkedHashMap
@@ -113,10 +122,13 @@ final case class TtlCachedSource(inner: Source, ttlMs: Long,
 
   def lookup(spark: SparkSession, fields: Seq[String],
              keys: Seq[String], values: Seq[Any]): DataFrame = {
-    // NUL-separated so multi-key value lists cannot collide by plain
-    // concatenation: ("ab","c") and ("a","bc") stay distinct keys
-    val cacheKey = fields.mkString(",") + "|" + keys.mkString(",") + "|" +
-      values.map(String.valueOf).mkString("\u0000")
+    // every segment NUL-separates its elements AND carries its length,
+    // so neither in-list commas (Seq("a,b") vs Seq("a","b")) nor
+    // cross-segment shifts can make two distinct lookups share a key
+    def seg(xs: Seq[String]): String =
+      xs.length + ":" + xs.mkString("\u0000")
+    val cacheKey = seg(fields) + "\u0001" + seg(keys) + "\u0001" +
+      seg(values.map(String.valueOf))
     val now = System.currentTimeMillis()
     val hit = keyCache.synchronized(keyCache.get(cacheKey))
     if (hit != null && !expired(hit.at, now))
