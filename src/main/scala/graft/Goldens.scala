@@ -30,11 +30,9 @@ object Goldens {
     "q_distinct_hll" -> (Set.empty[String], 6),
     "q_embed_pca" -> (Set.empty[String], 4),
     "q_dedup_jaccard" -> (Set.empty[String], 6),
-    "q_dedup_keepbest" -> (Set.empty[String], 6),
     "q_dedup_minhash" -> (Set.empty[String], 6),
     "q_dedup_simhash" -> (Set.empty[String], 6),
     "q_fn_geohash" -> (Set.empty[String], 6),
-    "q_sample_coreset" -> (Set.empty[String], 6),
     "q_fn_hash2" -> (Set.empty[String], 6),
     "q_knn_ivf" -> (Set("n_id"), 2),
     "q_quality_classifier" -> (Set.empty[String], 2),
@@ -49,7 +47,6 @@ object Goldens {
     "q_text_bpe" -> (Set.empty[String], 6),
     "q_text_normalize" -> (Set.empty[String], 6),
     "q_text_unigram" -> (Set.empty[String], 2),
-    "q_text_fuzzy_decontam" -> (Set.empty[String], 6),
     "q_text_fingerprint" -> (Set.empty[String], 6),
     "q_text_langid" -> (Set.empty[String], 6))
 
@@ -61,12 +58,10 @@ object Goldens {
       "q_distinct_hll" -> "9508329dd7bbe0612017d26db7e2579620bc632c326df851d33b343e9c8b05a2",
       "q_embed_pca" -> "d8286925037ec2fdd8d552166e9ed19d28e838689d80ec975dc9192b422d336b",
       "q_quality_classifier" -> "cc8015558429448c8816ba3ff7c0b282ee1c0cb1af867daaf5ebbef6383fa32b",
-      "q_dedup_keepbest" -> "13ce2fc3e414db7d5eb634313b6c078be6f0128912fdb944a31e5d74077b7aee",
       "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
       "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
       "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
-      "q_sample_coreset" -> "1d9df47806e88c08b0eaf3844312743057f01a6f04fc76e030546e793c4edb06",
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
       "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
@@ -80,7 +75,6 @@ object Goldens {
       "q_text_bpe" -> "1fcc44b4a00e32e91010aeb6f5a97d5ed42b5124887b45d37b68a42f7d8bcf21",
       "q_text_normalize" -> "78634513bdfd972a26e2f01e3230c1232d5f05999995f73f08a00c66071ec3ef",
       "q_text_unigram" -> "621f273fecb785ee866d9ce36fe2ec705a32013424a2b91649ab74e2e70953cc",
-      "q_text_fuzzy_decontam" -> "fd915656e2c3ed540451bd6740db8bc6a242244a3def1dc740d983b29cddc161",
       "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
       "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
     "sf0.01" -> Map(
@@ -89,12 +83,10 @@ object Goldens {
       "q_distinct_hll" -> "a9baf50ace10a8efce5086149293408f75f694ce9de3ddc9cfe7dcae31193f6b",
       "q_embed_pca" -> "65388c42dc9fb6b6e52df3bad283dd716b3a6c810d984cc9e2fb99462dbd4afd",
       "q_quality_classifier" -> "abb46a5f693cf7cb695b183e2d9285949f985fa569b80f0a99abc8f1452a3ca6",
-      "q_dedup_keepbest" -> "7bcb7b3cb475639081abf3ae7bde13a3f242eb02fd62e37aa9296af925571d0b",
       "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
       "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
       "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
-      "q_sample_coreset" -> "fda0326ae1b3511b461c5c8bf5ef04380042930709aa56f9ba0cf68dff1e2f36",
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
       "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",
@@ -108,7 +100,6 @@ object Goldens {
       "q_text_bpe" -> "0e73b4f61f1398eabee81cb7cf7c55a9784de1c7190a02533fdec0f7b931ae78",
       "q_text_normalize" -> "ea1caea3414abe42ddfd760fcbca186038574ad2284e19aa5c83193298bb4e4a",
       "q_text_unigram" -> "587cf47c71ff267f7ad5dce4ccff9d0dcc6cd1a3d33b4e51d3bd8f4f712a1df9",
-      "q_text_fuzzy_decontam" -> "f49d8381c425f83b91b37914c71f9b4d7024e105b751bbbf9ac9a60d5ce61b3c",
       "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371",
       "q_text_langid" -> "c065812a8a5c81b67285f9fe1bf5d146110d566fc2f7470c5670e386ec8a3cb9"))
 

@@ -44,6 +44,24 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** [[MinHashSigExpr]]'s oracle-replayable twin (md5 + LCG mod 2³¹−1,
+  * see TextHashing.portableMinhashSig) — same codegen shape, one call
+  * into the kernel per row.
+  */
+case class PortableMinhashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.portableMinhashSig(input.asInstanceOf[UTF8String].toString, n, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashing.portableMinhashSig($c.toString(), $n, $k))")
+  override protected def withNewChildInternal(newChild: Expression): PortableMinhashSigExpr =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -88,6 +106,8 @@ object TextHashFunctions {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
   def minhash_sig(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), n, k))
+  def portable_minhash_sig(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(PortableMinhashSigExpr(ColumnBridge.expression(text), n, k))
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
   def doc_fingerprint(text: Column, n: Int): Column =

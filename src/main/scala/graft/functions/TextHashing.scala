@@ -129,6 +129,85 @@ object TextHashing {
     sig
   }
 
+  // ---- portable (oracle-replayable) MinHash ----------------------
+  // The splitmix64 family above is the fast path; this family trades a
+  // little speed for EXACT SQL replayability: shingle hash = the first
+  // 60 bits of md5(shingle string) reduced mod P, permuted by k LCGs
+  // (aᵢ·h + bᵢ) mod P with P = 2³¹−1 — every step is md5 + BIGINT
+  // arithmetic that DuckDB evaluates bit-identically, so minhash LSH
+  // queries built on it carry a FULL DuckDB oracle instead of a
+  // rows-only golden.
+
+  /** Modulus of the portable LCG hash family (2³¹−1, Mersenne prime —
+    * products a·h stay under 2⁶² so both JVM Long and DuckDB BIGINT
+    * arithmetic are exact with no overflow).
+    */
+  val portableP: Long = 2147483647L
+
+  /** Deterministic LCG coefficients (aᵢ ∈ [1, P−1], bᵢ ∈ [0, P−1]);
+    * the oracle SQL inlines exactly these values as a VALUES table.
+    */
+  def portableSeeds(k: Int): IndexedSeq[(Long, Long)] = {
+    require(k <= maxSeeds, s"k must be <= $maxSeeds")
+    (0 until k).map { i =>
+      val a = (mix64(0xA5EED0L + i) & Long.MaxValue) % (portableP - 1) + 1
+      val b = (mix64(0xB5EED0L + i) & Long.MaxValue) % portableP
+      (a, b)
+    }
+  }
+  private val portableA: Array[Long] = portableSeeds(maxSeeds).map(_._1).toArray
+  private val portableB: Array[Long] = portableSeeds(maxSeeds).map(_._2).toArray
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** k-element portable MinHash signature: position i holds
+    * min over shingles s of (aᵢ·h₀(s) + bᵢ) mod P where h₀ = the first
+    * 15 hex chars of md5(s) mod P; all-Long.MaxValue sentinel when the
+    * document has fewer than n tokens (mirrors [[minhashSig]]).
+    */
+  def portableMinhashSig(text: String, n: Int, k: Int): Array[Long] = {
+    require(k <= maxSeeds, s"k must be <= $maxSeeds")
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val toks = tokensOf(text)
+    if (toks.length < n) return sig
+    val m = toks.length - n + 1
+    val md = md5Local.get()
+    val bases = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      val h0 = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+      bases(i) = h0 % portableP
+      i += 1
+    }
+    var s = 0
+    while (s < k) {
+      val a = portableA(s); val b = portableB(s)
+      var best = Long.MaxValue
+      var t = 0
+      while (t < m) {
+        val v = (a * bases(t) + b) % portableP
+        if (v < best) best = v
+        t += 1
+      }
+      sig(s) = best
+      s += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over (all, non-distinct) token hashes: bit i of the
     * result is set iff Σ_tokens (bit i set ? +1 : -1) > 0.
     */

@@ -159,6 +159,94 @@ object Dedup {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** [[minhashSignature]]'s oracle-replayable twin: md5-based shingle
+    * hash + LCG permutations mod 2³¹−1 (TextHashing.portableMinhashSig)
+    * — every step replays bit-identically in DuckDB SQL, so LSH
+    * pipelines built on it get a FULL oracle instead of a rows-only
+    * golden. Same codegen shape and cost class as the fast path.
+    */
+  def portableMinhashSignature(text: Column, n: Int, k: Int): Column =
+    portable_minhash_sig(text, n, k)
+
+  /** Per-band (band, raw r-slice) structs — the portable counterpart
+    * of [[bandBucketArray]]: the join key is the band's VALUE slice
+    * rather than its murmur hash, so the bucketing arithmetic itself
+    * is SQL-replayable (grouping by raw values ≡ grouping by an
+    * injective hash of them).
+    */
+  private def bandValsArray(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band"), slice(sig, j * r + 1, lit(r)).as("bv")))
+
+  /** [[minhashPairs]] over the portable hash family, with the band
+    * bucket keyed on raw signature slices. est_jaccard rounds to 5 dp
+    * (m/k with k=32 terminates at 5 decimals — no half-way rounding
+    * case for the oracle to disagree on). Scale shape is identical to
+    * [[minhashPairs]]: signature-only shuffles, capped buckets.
+    */
+  def minhashPairsPortable(docs: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, k: Int = 32, bands: Int = 16,
+                           maxBucket: Int = 64,
+                           minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      portableMinhashSignature(col(textCol), n, k).as("sig"))
+      .localCheckpoint(true)
+
+    val buckets = sigs.where(hasShingles(col("sig")))
+      .select(col("id"), explode(bandValsArray(col("sig"), bands, r)).as("bk"))
+      .select(col("bk.band"), col("bk.bv"), col("id"))
+
+    val pairs = buckets
+      .groupBy(col("band"), col("bv"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+      .withColumn("est_jaccard",
+        graft.functions.VectorFunctions.sig_agree(col("sa"), col("sb"))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 5).as("est_jaccard"))
+  }
+
+  /** [[minhashContaminated]] over the portable hash family — same
+    * broadcast-the-eval-side scale shape, FULL-oracle arithmetic.
+    */
+  def minhashContaminatedPortable(corpus: DataFrame, evalSet: DataFrame,
+                                  textCol: String, idCol: String,
+                                  n: Int = 3, k: Int = 32, bands: Int = 16,
+                                  minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def withBuckets(df: DataFrame, outId: String, sigName: String): DataFrame =
+      df.select(col(idCol).as(outId),
+          portableMinhashSignature(col(textCol), n, k).as(sigName))
+        .where(hasShingles(col(sigName))) // sentinel docs match nothing
+        .select(col(outId), col(sigName),
+          explode(bandValsArray(col(sigName), bands, r)).as("bk"))
+        .select(col(outId), col(sigName), col("bk.band"), col("bk.bv"))
+    val c = withBuckets(corpus, "doc_id", "sc")
+    val e = withBuckets(evalSet, "eval_id", "se")
+    c.join(broadcast(e), Seq("band", "bv"))
+      .select(col("doc_id"), col("eval_id"), col("sc"), col("se"))
+      .dropDuplicates("doc_id", "eval_id")
+      .withColumn("est_jaccard",
+        graft.functions.VectorFunctions.sig_agree(col("sc"), col("se"))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_id"), col("eval_id"),
+        round(col("est_jaccard"), 5).as("est_jaccard"))
+  }
+
   /** 64-bit SimHash over token hashes: bit i of the result is the sign
     * of Σ_tokens (bit i set ? +1 : -1). Codegen kernel
     * (graft.functions.SimHash64Expr).

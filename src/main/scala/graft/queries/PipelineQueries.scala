@@ -506,7 +506,10 @@ object PipelineQueries {
     // FUZZY decontamination: corpus docs whose minhash signature
     // near-collides with a benchmark doc — catches lightly-edited
     // leakage the exact 8-gram overlap misses. Eight paraphrase-ish
-    // copies of eval docs are planted. Rows-only golden (minhash).
+    // copies of eval docs are planted. FULL oracle: the portable
+    // hash family (md5 shingle hash + LCG permutations mod 2³¹−1)
+    // replays every signature, band collision, and agreement count
+    // bit-identically in DuckDB.
     "q_text_fuzzy_decontam" -> ((s, d) => {
       val all = docs(s, d)
       val evalSet = all.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
@@ -514,7 +517,7 @@ object PipelineQueries {
         .unionByName(evalSet.where(col("doc_id") < 8).select(
           (col("doc_id") + 400000).as("doc_id"),
           concat(col("text"), lit(" lightly edited tail appended")).as("text")))
-      Dedup.minhashContaminated(corpus, evalSet, "text", "doc_id",
+      Dedup.minhashContaminatedPortable(corpus, evalSet, "text", "doc_id",
         minEstJaccard = 0.5)
         .orderBy(col("doc_id"), col("eval_id"))
     }),
@@ -639,7 +642,9 @@ object PipelineQueries {
     // the k lowest-hash members. Downsampling that preserves coverage
     // of embedding space instead of density — the cluster-balanced
     // selection step of SemDeDup-style curation. One shuffle on the
-    // bucket; rows-only golden (hyperplane dots have no SQL replay).
+    // bucket. FULL oracle: the xorshift hyperplane constants inline
+    // into the SQL, and the left-assoc double dot product replays
+    // bit-identically (IEEE arithmetic is order-deterministic).
     "q_sample_coreset" -> ((s, d) => {
       val planes = Knn.hyperplanes(bits = 6, dim = 64)
       val pri = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
@@ -717,14 +722,15 @@ object PipelineQueries {
 
     // Keep-BEST fuzzy dedup: minhash near-dup clusters, highest
     // quality score survives (the planted suffix copies score lower
-    // than their originals, so originals win). Rows-only golden —
-    // clustering rides the minhash signatures.
+    // than their originals, so originals win). FULL oracle: portable
+    // minhash pairs replay in SQL, connected components replay as a
+    // recursive min-label closure, rep selection as a window.
     "q_dedup_keepbest" -> ((s, d) => {
       val planted = withPlanted(docs(s, d))
       val scored = planted.select(col("doc_id"),
         round(TextOps.qualityScore(col("text")), 6).as("quality"))
       Dedup.keepBest(scored,
-        Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.5)
+        Dedup.minhashPairsPortable(planted, "text", "doc_id", minEstJaccard = 0.5)
           .select(col("a"), col("b")),
         "doc_id", "quality")
         .orderBy(col("id"))
@@ -780,7 +786,114 @@ object PipelineQueries {
     })
   )
 
+  /** VALUES-table literal of the portable-minhash LCG coefficients —
+    * the oracle permutes with EXACTLY the kernel's constants
+    * (TextHashing.portableSeeds), inlined at SQL-build time.
+    */
+  private def portableSeedsValues(k: Int): String =
+    graft.functions.TextHashing.portableSeeds(k).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** DuckDB replay of TextHashing.portableMinhashSig (n=3, k=32) over
+    * a relation `rel(id, text)`: a CTE chain suffixed `tag` ending in
+    * sv$tag(id, sv) where sv is the 32-element signature list.
+    * Shingle-less docs produce no rows (they match nothing — the
+    * sentinel-signature filter on the Spark side).
+    */
+  private def portableSigCtes(rel: String, tag: String): String =
+    s"""tok$tag AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0) AS toks FROM $rel),
+       |sh$tag AS (SELECT id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tok$tag),
+       |h$tag AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hb
+       |  FROM sh$tag),
+       |sig$tag AS (SELECT id, i, min((a * hb + b) % 2147483647) AS v
+       |  FROM h$tag CROSS JOIN (VALUES ${portableSeedsValues(32)}) AS seeds(i, a, b)
+       |  GROUP BY id, i),
+       |sv$tag AS (SELECT id, array_agg(v ORDER BY i) AS sv FROM sig$tag GROUP BY id)""".stripMargin
+
+  /** The q_sample_coreset hyperplane dot products as explicit
+    * left-associated sums with the xorshift-generated constants
+    * inlined — double arithmetic is IEEE-deterministic, so DuckDB's
+    * evaluation order (left-assoc chain, float element promoted to
+    * double) reproduces the LshBucketExpr kernel's loop bit-for-bit.
+    */
+  private def coresetDots: String = {
+    val planes = graft.operators.Knn.hyperplanes(bits = 6, dim = 64)
+    planes.zipWithIndex.map { case (p, i) =>
+      "(" + p.zipWithIndex.map { case (c, j) =>
+        s"embedding[${j + 1}]*($c)"
+      }.mkString(" + ") + s") AS d$i"
+    }.mkString(",\n  ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_fuzzy_decontam" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id AS id, text FROM base WHERE doc_id < 20),
+         |corpus AS (
+         |  SELECT doc_id AS id, text FROM base WHERE doc_id >= 20
+         |  UNION ALL
+         |  SELECT id + 400000, text || ' lightly edited tail appended'
+         |  FROM ev WHERE id < 8),
+         |${portableSigCtes("corpus", "c")},
+         |${portableSigCtes("ev", "e")}
+         |SELECT c.id AS doc_id, e.id AS eval_id,
+         |  round(len(list_filter(range(1, 33), i -> c.sv[i] = e.sv[i])) / 32.0, 5)
+         |    AS est_jaccard
+         |FROM svc c CROSS JOIN sve e
+         |WHERE len(list_filter(range(1, 17),
+         |    j -> c.sv[2*j-1] = e.sv[2*j-1] AND c.sv[2*j] = e.sv[2*j])) > 0
+         |  AND len(list_filter(range(1, 33), i -> c.sv[i] = e.sv[i])) / 32.0 >= 0.5
+         |ORDER BY doc_id, eval_id""".stripMargin,
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' appended near duplicate suffix'
+         |  FROM documents WHERE doc_id < 25),
+         |qt AS (SELECT id, text,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM corpus),
+         |scored AS (SELECT id, ${qualitySql} AS score FROM qt),
+         |${portableSigCtes("corpus", "c")},
+         |bk AS (SELECT id, j AS band, sv[2*j-1] AS v1, sv[2*j] AS v2
+         |  FROM svc CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+         |    (9),(10),(11),(12),(13),(14),(15),(16)) AS bands(j)),
+         |g AS (SELECT band, v1, v2, list_slice(list_sort(array_agg(id)), 1, 64) AS ids
+         |  FROM bk GROUP BY band, v1, v2 HAVING count(*) > 1),
+         |e1 AS (SELECT band, v1, v2, unnest(ids) AS id FROM g),
+         |prs AS (SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM e1 x JOIN e1 y
+         |  ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.id < y.id),
+         |cand AS (SELECT p.a, p.b FROM prs p
+         |  JOIN svc sa ON sa.id = p.a JOIN svc sb ON sb.id = p.b
+         |  WHERE len(list_filter(range(1, 33), i -> sa.sv[i] = sb.sv[i])) / 32.0 >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM cand
+         |  UNION SELECT b, a FROM cand),
+         |walk(node, m) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.m = e.src),
+         |lbl AS (SELECT node AS id, min(m) AS cluster FROM walk GROUP BY node)
+         |SELECT s.id, coalesce(l.cluster, s.id) AS cluster, s.score,
+         |  row_number() OVER (PARTITION BY coalesce(l.cluster, s.id)
+         |    ORDER BY s.score DESC, s.id) = 1 AS keep
+         |FROM scored s LEFT JOIN lbl l USING (id)
+         |ORDER BY id""".stripMargin,
+    "q_sample_coreset" ->
+      s"""WITH d AS (SELECT vec_id, $coresetDots FROM embeddings),
+         |b AS (SELECT vec_id,
+         |  (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END)
+         |  + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END) + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END)
+         |    AS bucket,
+         |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS pri
+         |  FROM d),
+         |r AS (SELECT bucket, vec_id, pri,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY pri, vec_id) AS rk FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rk AS BIGINT) AS rk, vec_id
+         |FROM r WHERE rk <= 8""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -372,4 +372,56 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"semantic dedup must join on the cell id, not cross:\n$plan")
   }
+
+  test("portable minhash kernel matches an independent reimplementation") {
+    // recompute one signature by hand with JDK md5 + the published
+    // seed formula — pins the bit layout (first 15 hex chars = 60
+    // bits) and the LCG arithmetic the DuckDB oracle replays
+    val text = "The Quick  brown fox\njumps over the lazy dog today"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val p = graft.functions.TextHashing.portableP
+    val bases = (0 to toks.length - 3).map { i =>
+      val hex = md.digest(toks.slice(i, i + 3).mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % p
+    }
+    val expected = graft.functions.TextHashing.portableSeeds(32).map {
+      case (a, b) => bases.map(h => (a * h + b) % p).min
+    }
+    val got = graft.functions.TextHashing.portableMinhashSig(text, 3, 32)
+    assert(got.toSeq == expected.toSeq)
+    // sub-shingle-length docs carry the all-MaxValue sentinel
+    assert(graft.functions.TextHashing.portableMinhashSig("one two", 3, 32)
+      .forall(_ == Long.MaxValue))
+  }
+
+  test("portable minhash LSH recovers planted near-duplicates") {
+    val pairs = Dedup.minhashPairsPortable(planted, "text", "doc_id",
+      minEstJaccard = 0.5).cache()
+    val hits = pairs.where(col("b") === col("a") + 100000).count()
+    assert(hits >= 16, s"recovered only $hits of 20 planted near-dup pairs")
+    assert(pairs.where(col("b") === col("a") + 100000)
+      .agg(min("est_jaccard")).first().getDouble(0) >= 0.5)
+    pairs.unpersist()
+  }
+
+  test("portable fuzzy decontamination flags planted near-copies; short docs match nothing") {
+    val all = Tables(spark, sf, "documents")
+    val evalSet = all.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val corpus = all.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+      .unionByName(evalSet.where(col("doc_id") < 8).select(
+        (col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" lightly edited tail appended")).as("text")))
+      .unionByName(spark.createDataFrame(Seq((900000L, "hi"))).toDF("doc_id", "text"))
+    val hits = Dedup.minhashContaminatedPortable(corpus, evalSet, "text", "doc_id",
+      minEstJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0L until 8L).foreach { i =>
+      assert(hits.exists(h => h._1 == i + 400000 && h._2 == i),
+        s"planted near-copy of eval doc $i not flagged")
+    }
+    assert(hits.forall(_._3 >= 0.5))
+    assert(!hits.exists(_._1 == 900000L), "sentinel doc must match nothing")
+  }
 }
