@@ -141,6 +141,115 @@ object Search {
     * construction. Both ranks order by the ROUNDED score (then id),
     * matching the oracle's tie-break exactly.
     */
+  /** The map-only arrival-scoring stage shared by [[hybridRrfStream]]
+    * (and plan-pinned in SearchSpec on a batch frame): per row, the
+    * bm25Scorer score against the static reference statistics, a
+    * does-any-query-term-match flag (the batch [[bm25]] ranks ONLY
+    * matching docs, so a matching doc whose score rounds to 0.0 must
+    * still enter the lexical pool), and the dense cosine against the
+    * broadcast query vector. Join-free, state-free, zero exchanges.
+    */
+  private[graft] def hybridArrivalScores(arrivals: DataFrame,
+                                         scorer: Column => Column,
+                                         idCol: String, textCol: String,
+                                         embCol: String, terms: Seq[String],
+                                         queryVec: Seq[Float]): DataFrame = {
+    val qset = typedlit(terms.map(_.toLowerCase).distinct)
+    val qv = typedlit(queryVec).cast("array<float>")
+    arrivals.select(
+      col(idCol).cast("long").as("doc_id"),
+      scorer(col(textCol)).as("bm25"),
+      (size(array_intersect(toks(col(textCol)), qset)) > 0).as("hit"),
+      round(Knn.cosine(col(embCol), qv), 5).as("cos"))
+  }
+
+  /** Generation counter + the two bounded score pools of
+    * [[hybridRrfStream]]'s per-query state.
+    */
+  private[graft] case class HybridPools(gen: Long,
+                                        lex: Seq[(Long, Double)],
+                                        dense: Seq[(Long, Double)])
+
+  /** Streaming twin of [[hybridRrf]] — the serving/indexing side of
+    * RAG retrieval: documents (carrying their embeddings) ARRIVE as a
+    * stream while the reciprocal-rank-fused top-k for a fixed query
+    * is maintained incrementally; after every micro-batch the operator
+    * emits the current ranking (tagged with a `gen` counter, so the
+    * newest generation is the live result). With `refCorpus` equal to
+    * the final arrival set, the last emission matches [[hybridRrf]]
+    * row-for-row (StreamingSpec pins it per rank).
+    *
+    * Scale shape: scoring is the join-free [[hybridArrivalScores]]
+    * projection — the corpus is NEVER shuffled; each partition then
+    * pre-reduces to its local top-`poolK` per side through two bounded
+    * heaps, so the single-group state regroup moves ≤ 2·poolK rows per
+    * partition regardless of micro-batch size, and the driver state is
+    * two poolK-bounded pools (corpus-size independent). Re-arrivals of
+    * an id keep their best score.
+    */
+  def hybridRrfStream(arrivals: DataFrame, refCorpus: DataFrame,
+                      idCol: String, textCol: String, embCol: String,
+                      terms: Seq[String], queryVec: Seq[Float],
+                      rrfK: Int = 60, poolK: Int = 100,
+                      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(poolK > 0 && topK > 0 && rrfK >= 0, "hybridRrfStream: bad parameters")
+    val session = arrivals.sparkSession
+    import session.implicits._
+    val scorer = bm25Scorer(refCorpus, textCol, terms)
+    val scored = hybridArrivalScores(arrivals, scorer, idCol, textCol,
+      embCol, terms, queryVec)
+      .as[(Long, Double, Boolean, Double)]
+
+    // partition-local bounded top-k (two heaps, worst-on-top): the
+    // state regroup must not move a whole micro-batch
+    val pruned = scored.mapPartitions {
+      (it: Iterator[(Long, Double, Boolean, Double)]) =>
+        // max of ((-score, id)) = the WORST row — dequeue evicts it
+        def heap(by: ((Long, Double, Boolean, Double)) => Double) =
+          scala.collection.mutable.PriorityQueue
+            .empty[(Long, Double, Boolean, Double)](
+              Ordering.by((r: (Long, Double, Boolean, Double)) => (-by(r), r._1)))
+        val lexH = heap(_._2); val denseH = heap(_._4)
+        it.foreach { r =>
+          if (r._3) { lexH.enqueue(r); if (lexH.size > poolK) lexH.dequeue() }
+          denseH.enqueue(r); if (denseH.size > poolK) denseH.dequeue()
+        }
+        (lexH.toSeq ++ denseH.toSeq).distinct.iterator
+    }
+
+    def topPool(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      xs.groupBy(_._1).map { case (id, ss) => (id, ss.map(_._2).max) }.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(poolK)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    pruned.groupByKey(_ => 0)
+      .flatMapGroupsWithState[HybridPools,
+        (Long, Long, Option[Int], Option[Int], Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (_, rows, state: GroupState[HybridPools]) =>
+        val prev = state.getOption.getOrElse(HybridPools(0L, Nil, Nil))
+        val batch = rows.toSeq
+        val lex = topPool(prev.lex ++
+          batch.collect { case (id, s, true, _) => (id, s) })
+        val dense = topPool(prev.dense ++
+          batch.map { case (id, _, _, c) => (id, c) })
+        val gen = prev.gen + 1
+        state.update(HybridPools(gen, lex, dense))
+        val lexRank = lex.iterator.zipWithIndex
+          .map { case ((id, _), i) => id -> (i + 1) }.toMap
+        val denseRank = dense.iterator.zipWithIndex
+          .map { case ((id, _), i) => id -> (i + 1) }.toMap
+        (lexRank.keySet ++ denseRank.keySet).toSeq.map { id =>
+          val lr = lexRank.get(id); val dr = denseRank.get(id)
+          val rrf = round6(lr.map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+            dr.map(r => 1.0 / (rrfK + r)).getOrElse(0.0))
+          (gen, id, lr, dr, rrf)
+        }.sortBy { case (_, id, _, _, rrf) => (-rrf, id) }.take(topK).iterator
+      }
+      .toDF("gen", "doc_id", "lex_rank", "dense_rank", "rrf")
+  }
+
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
                 terms: Seq[String],
                 embs: DataFrame, embIdCol: String, embCol: String,

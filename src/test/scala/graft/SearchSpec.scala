@@ -115,4 +115,19 @@ class SearchSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
+
+  test("hybrid stream scoring stage is map-only: zero exchanges before the state regroup") {
+    val docs = Tables(spark, sf, "documents")
+    val emb = Tables(spark, sf, "embeddings")
+    val joined = docs.select(col("doc_id"), col("text")).join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .localCheckpoint(true) // isolate the scoring stage from the fixture join
+    val terms = Seq("join", "window", "hash")
+    val scorer = Search.bm25Scorer(docs, "text", terms)
+    val plan = Search.hybridArrivalScores(joined, scorer, "doc_id", "text",
+        "embedding", terms, Seq.fill(64)(0.1f))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"arrival scoring must stay a map-only projection (corpus never shuffles):\n$plan")
+  }
 }

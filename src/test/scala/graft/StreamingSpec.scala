@@ -182,6 +182,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hybrid retrieval equals batch hybridRrf per rank across micro-batches") {
+    import graft.operators.Search
+    val docsDf = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val joined = docsDf.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val rows = joined.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2).toArray))
+    val terms = Seq("join", "window", "hash")
+    val qvec = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ms = MemoryStream[(Long, String, Array[Float])]
+    val out = Search.hybridRrfStream(
+      ms.toDS().toDF("doc_id", "text", "embedding"),
+      docsDf, "doc_id", "text", "embedding", terms, qvec)
+    val q = out.writeStream.format("memory").queryName("hybrid_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a.toSeq); q.processAllAvailable()
+      ms.addData(b.toSeq); q.processAllAvailable()
+      val t = spark.table("hybrid_out")
+      val maxGen = t.agg(max("gen")).head().getLong(0)
+      assert(maxGen == 2L, "one emission generation per micro-batch")
+      def fmt(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+        .sortBy(x => (-x._4, x._1))
+      val got = fmt(t.where(col("gen") === maxGen))
+      val want = fmt(Search.hybridRrf(docsDf, "doc_id", "text", terms,
+        emb, "vec_id", "embedding", qvec))
+      assert(got.toSeq == want.toSeq,
+        s"final stream emission must equal batch hybridRrf:\n${got.toSeq}\nvs\n${want.toSeq}")
+      // the mid-stream emission ranks only what had arrived: every id
+      // is from the first half, and the live result (gen 2) differs
+      // (reference stats stay fixed; the pool grew)
+      val half = fmt(t.where(col("gen") === 1L))
+      val halfIds = a.map(_._1).toSet
+      assert(half.nonEmpty && half.forall(r => halfIds.contains(r._1)),
+        "generation 1 must rank only first-half arrivals")
+    } finally q.stop()
+  }
+
   test("streaming quality gate (gopher + pii + bpe count) equals the batch projection") {
     import graft.operators.{Bpe, TextOps}
     val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
