@@ -497,19 +497,33 @@ object Knn {
     * and equally the cross-corpus alignment step of multimodal /
     * multilingual curation.
     *
-    * Scale shape: both k-NN passes are [[bruteForceTopK]] probes-
-    * broadcast scans (at corpus scale swap the neighbor lists for the
-    * [[ivfTopK]] path — the margin arithmetic is independent of how
-    * the lists were produced); the avgₖ tables are one row per item
-    * and join back keyed on the ids; nothing is all-pairs beyond the
-    * neighbor search itself. Cosines round to 5 dp BEFORE averaging
-    * and the margin to 5 dp before thresholding, so the construction
-    * replays bit-stably in the oracle.
+    * Scale shape: by default both k-NN passes are [[bruteForceTopK]]
+    * probes-broadcast scans; pass `cents` (a trained IVF centroid
+    * table, [[trainIvfCentroids]]/[[loadIvfIndex]]) to run both
+    * passes through [[ivfTopKWith]] instead — each query then scans
+    * only its `probes` probed cells, never the whole corpus, which is
+    * the corpus-scale path (the margin arithmetic is independent of
+    * how the neighbor lists were produced; with probes = cells the
+    * two variants are identical, KnnSpec-pinned). The avgₖ tables are
+    * one row per item and join back keyed on the ids; nothing is
+    * all-pairs beyond the neighbor search itself. Cosines round to
+    * 5 dp BEFORE averaging and the margin to 5 dp before
+    * thresholding, so the construction replays bit-stably in the
+    * oracle.
     */
   def marginMining(src: DataFrame, tgt: DataFrame,
                    idCol: String, vecCol: String, k: Int = 4,
-                   threshold: Double = 1.0): DataFrame = {
-    val fwd = bruteForceTopK(src, tgt, idCol, vecCol, k, excludeSelf = false)
+                   threshold: Double = 1.0,
+                   cents: Option[Array[Array[Double]]] = None,
+                   probes: Int = 4): DataFrame = {
+    def topK(queries: DataFrame, corpus: DataFrame): DataFrame = cents match {
+      case Some(ct) =>
+        ivfTopKWith(ct, queries, corpus, idCol, vecCol, k, probes,
+          excludeSelf = false)
+      case None =>
+        bruteForceTopK(queries, corpus, idCol, vecCol, k, excludeSelf = false)
+    }
+    val fwd = topK(src, tgt)
     val cand = fwd.where(col("rank") === 1)
       .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"), col("cos"))
     // only the ≤|src| rank-1 candidate targets need a backward
@@ -519,7 +533,7 @@ object Knn {
     val candTgt = tgt.join(
       broadcast(cand.select(col("tgt_id").as(idCol)).distinct()),
       Seq(idCol), "left_semi")
-    val bwd = bruteForceTopK(candTgt, src, idCol, vecCol, k, excludeSelf = false)
+    val bwd = topK(candTgt, src)
     val avgFwd = fwd.groupBy(col("q_id").as("src_id"))
       .agg(avg(col("cos")).as("a_src"))
     val avgBwd = bwd.groupBy(col("q_id").as("tgt_id"))

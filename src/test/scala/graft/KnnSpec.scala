@@ -387,4 +387,36 @@ class KnnSpec extends SparkSuite {
       k = 3, threshold = (all(1L)._2 + all(2L)._2) / 2).collect()
     assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("margin mining IVF path equals brute at full probes and prunes the per-query scan") {
+    val emb = Tables(spark, sf, "embeddings")
+    val src = emb.where(col("vec_id") < 20)
+    val tgt = emb.where(col("vec_id") >= 20)
+    val cents = Knn.trainIvfCentroids(tgt, "vec_id", "embedding", cells = 4)
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val brute = fmt(Knn.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = 0.0))
+    // probes = cells ⇒ every cell probed ⇒ the IVF candidate set IS the
+    // corpus, so the wiring must reproduce brute exactly
+    val ivfFull = Knn.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = 0.0, cents = Some(cents), probes = 4)
+    assert(fmt(ivfFull) == brute,
+      "IVF margin mining at full probes must equal the brute-force variant")
+    assert(brute.nonEmpty)
+    // scale pin: the brute path compares every query against the whole
+    // corpus through a BroadcastNestedLoopJoin; the IVF path must
+    // replace it with cell-keyed hash joins (per-query scan pruned to
+    // the probed cells) — no nested-loop anywhere in the plan
+    val plan = ivfFull.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF path must not scan the corpus per query:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected cell-keyed joins:\n$plan")
+    // reduced probes stay a valid mining (subset semantics: rank-1
+    // neighbors found within probed cells; margins still computed)
+    val ivfPruned = Knn.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, threshold = 0.0, cents = Some(cents), probes = 2)
+    assert(fmt(ivfPruned).nonEmpty)
+  }
 }
