@@ -32,6 +32,10 @@ final class RuleApi(engine: RuleEngine) {
   private[rules] val trials = new TrialManager(engine)
   private val basicConfig = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var lastImport = """{"streams":0,"rules":0,"errors":[]}"""
+  /** Saved /metadata conf groups (manager-UI property presets). */
+  private val confStore = new ConfStore
+  /** Remote-collector config accepted by POST /tracer. */
+  @volatile private var tracerConfig = "{}"
 
   private def configJson: String = {
     val tz = Option(basicConfig.get("timezone"))
@@ -328,7 +332,19 @@ final class RuleApi(engine: RuleEngine) {
       // start/stop toggle capture; /trace/rule/{id} lists trace ids
       // newest first; /trace/{id} returns the span tree
       case ("POST", List("rules", id, "trace", "start")) =>
-        engine.traceStart(id); ok(s"""{"id":"$id","trace":"enabled"}""")
+        // optional body {"strategy": "always"|"head", "limit": N}
+        // (reference rest.go:905: head sampling vs capture-everything)
+        val j = if (body.trim.isEmpty) JNothing else JsonMethods.parse(body)
+        val strategy = (j \ "strategy") match {
+          case JString(s) => s.toLowerCase; case _ => "always"
+        }
+        val headLimit = (j \ "limit") match {
+          case JInt(n) => n.toInt; case JLong(n) => n.toInt; case _ => 10
+        }
+        if (strategy != "always" && strategy != "head")
+          return err(400, s"unknown trace strategy '$strategy' (want always|head)")
+        engine.traceStart(id, strategy, headLimit)
+        ok(s"""{"id":"$id","trace":"enabled","strategy":"$strategy"}""")
       case ("POST", List("rules", id, "trace", "stop")) =>
         engine.traceStop(id); ok(s"""{"id":"$id","trace":"disabled"}""")
       case ("GET", List("trace", "rule", rid)) =>
@@ -341,6 +357,66 @@ final class RuleApi(engine: RuleEngine) {
           case Some(j) => ok(j)
           case None => err(404, s"trace $tid is not found")
         }
+      // remote-collector configuration (reference rest.go:249 POST
+      // /tracer): graft has no OpenTelemetry exporter wired, so the
+      // config is validated + stored for an exporter to read — the
+      // endpoint exists, accepts the reference's body, and reads back
+      case ("POST", List("tracer")) =>
+        JsonMethods.parse(body) match {
+          case o: JObject => tracerConfig = JsonMethods.compact(o); ok(tracerConfig)
+          case _ => err(400, "tracer config must be a JSON object")
+        }
+      case ("GET", List("tracer")) => ok(tracerConfig)
+
+      // ---- /metadata/* (reference internal/server/meta_init.go:47-67:
+      // the manager-UI discovery surface) — graft's own registries
+      case ("GET", List("metadata", "functions")) =>
+        ok(Metadata.namesJson(Metadata.functionNames))
+      case ("GET", List("metadata", "operators")) =>
+        ok(Metadata.namesJson(Metadata.operators))
+      case ("GET", List("metadata", "sources")) =>
+        ok(Metadata.listJson(Metadata.sources))
+      case ("GET", List("metadata", "sinks")) =>
+        ok(Metadata.listJson(Metadata.sinks))
+      case ("GET", List("metadata", "connections")) =>
+        ok(Metadata.listJson(Metadata.connections))
+      case ("GET", List("metadata", "sources", "yaml", name)) =>
+        if (Metadata.sources.exists(_.name == name)) ok(confStore.document(s"sources/$name"))
+        else err(404, s"source $name is not found")
+      case ("GET", List("metadata", "sinks", "yaml", name)) =>
+        if (Metadata.sinks.exists(_.name == name)) ok(confStore.document(s"sinks/$name"))
+        else err(404, s"sink $name is not found")
+      case ("GET", List("metadata", "connections", "yaml", name)) =>
+        if (Metadata.connections.exists(_.name == name)) ok(confStore.document(s"connections/$name"))
+        else err(404, s"connection $name is not found")
+      case ("GET", List("metadata", "sources", name)) =>
+        Metadata.detailJson(Metadata.sources, name)
+          .map(ok).getOrElse(err(404, s"source $name is not found"))
+      case ("GET", List("metadata", "sinks", name)) =>
+        Metadata.detailJson(Metadata.sinks, name, Metadata.commonSinkProperties)
+          .map(ok).getOrElse(err(404, s"sink $name is not found"))
+      case ("GET", List("metadata", "connections", name)) =>
+        Metadata.detailJson(Metadata.connections, name)
+          .map(ok).getOrElse(err(404, s"connection $name is not found"))
+      case ("PUT", List("metadata", kind @ ("sources" | "sinks" | "connections"),
+          name, "confKeys", confKey)) =>
+        val known = kind match {
+          case "sources" => Metadata.sources.exists(_.name == name)
+          case "sinks" => Metadata.sinks.exists(_.name == name)
+          case _ => Metadata.connections.exists(_.name == name)
+        }
+        if (!known) return err(404, s"${kind.dropRight(1)} $name is not found")
+        JsonMethods.parse(body) match {
+          case o: JObject =>
+            confStore.put(s"$kind/$name", confKey, JsonMethods.compact(o))
+            ok(s"""{"confKey":${JsonMethods.compact(JString(confKey))}}""")
+          case _ => err(400, "conf group must be a JSON object")
+        }
+      case ("DELETE", List("metadata", kind @ ("sources" | "sinks" | "connections"),
+          name, "confKeys", confKey)) =>
+        if (confStore.delete(s"$kind/$name", confKey))
+          ok(s"""{"deleted":${JsonMethods.compact(JString(confKey))}}""")
+        else err(404, s"confKey $confKey is not found")
       case ("POST", List("rules", id, "restart")) =>
         // reference restartRule: stop if running, then start
         try engine.stop(id) catch { case _: IllegalStateException => () }

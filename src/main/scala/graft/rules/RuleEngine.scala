@@ -160,12 +160,15 @@ final class RuleEngine(spark: SparkSession, val catalog: Catalog = new Catalog) 
   }
 
   /** Enable tracing: snapshot the rule's Catalyst plan as the first
-    * trace, then capture every micro-batch / batch run until stop.
+    * trace, then capture micro-batch / batch runs until stop —
+    * every one under the default "always" strategy, only the first
+    * `headLimit` under "head" (reference rest.go:905 head sampling).
     */
-  def traceStart(id: String): Unit = {
+  def traceStart(id: String, strategy: String = "always",
+                 headLimit: Int = 10): Unit = {
     val rule = lookup(id).rule // 404s on unknown rule
     attachListenerOnce()
-    tracer.enable(id)
+    tracer.enable(id, strategy, headLimit)
     val now = System.currentTimeMillis()
     val plan = try explain(id) catch { case e: Exception => s"explain failed: ${e.getMessage}" }
     tracer.record(id, TraceSpan("plan", now, 0L,

@@ -51,6 +51,11 @@ final class RuleTracer(capacity: Int = 256) {
   require(capacity > 0, "tracer capacity must be positive")
 
   private val enabled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // rules tracing under the "head" strategy: remaining capture budget
+  // (reference rest.go:905 strategy field — head sampling captures the
+  // first N units of work per enable, "always" captures every one)
+  private val headBudget = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
   private val seq = new java.util.concurrent.atomic.AtomicLong()
   // insertion-ordered so eviction drops the oldest trace first
   private val traces = new java.util.LinkedHashMap[String, RuleTrace]() {
@@ -58,17 +63,38 @@ final class RuleTracer(capacity: Int = 256) {
         e: java.util.Map.Entry[String, RuleTrace]): Boolean = size() > capacity
   }
 
-  def enable(ruleId: String): Unit = enabled.add(ruleId)
-  def disable(ruleId: String): Unit = enabled.remove(ruleId)
+  /** Enable capture. strategy "always" (default) records every unit of
+    * work until stop; "head" records only the first `headLimit` traces
+    * of this enable (the plan snapshot counts), then goes quiet — the
+    * knob for tracing a busy rule without drowning the ring.
+    */
+  def enable(ruleId: String, strategy: String = "always",
+             headLimit: Int = 10): Unit = {
+    strategy match {
+      case "head" => headBudget.put(ruleId,
+        new java.util.concurrent.atomic.AtomicInteger(math.max(1, headLimit)))
+      case "always" => headBudget.remove(ruleId)
+      case other => throw new IllegalArgumentException(
+        s"unknown trace strategy '$other' (want always|head)")
+    }
+    enabled.add(ruleId)
+  }
+  def disable(ruleId: String): Unit = {
+    enabled.remove(ruleId); headBudget.remove(ruleId)
+  }
   def isEnabled(ruleId: String): Boolean = enabled.contains(ruleId)
 
-  /** Record a span tree for the rule; returns the new trace id. */
-  def record(ruleId: String, root: TraceSpan): String = {
+  /** Record a span tree for the rule; returns the new trace id, or
+    * None when a head-strategy budget is exhausted (nothing stored).
+    */
+  def record(ruleId: String, root: TraceSpan): Option[String] = {
+    val budget = headBudget.get(ruleId)
+    if (budget != null && budget.decrementAndGet() < 0) return None
     val id = s"$ruleId-${seq.incrementAndGet()}"
     traces.synchronized {
       traces.put(id, RuleTrace(id, ruleId, root.startMs, root))
     }
-    id
+    Some(id)
   }
 
   def trace(id: String): Option[RuleTrace] =

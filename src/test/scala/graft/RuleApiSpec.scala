@@ -214,7 +214,7 @@ class RuleApiSpec extends SparkSuite {
     val t = new graft.rules.RuleTracer(capacity = 3)
     t.enable("r")
     val ids = (1 to 5).map(i =>
-      t.record("r", graft.rules.TraceSpan(s"span$i", i.toLong, 1L)))
+      t.record("r", graft.rules.TraceSpan(s"span$i", i.toLong, 1L)).get)
     // ring holds only the newest 3; evicted ids 404
     assert(t.trace(ids(0)).isEmpty && t.trace(ids(1)).isEmpty)
     assert(t.traceIds("r") == ids.drop(2).reverse)
@@ -730,5 +730,93 @@ class RuleApiSpec extends SparkSuite {
       && topo.contains("\"sink_0\""))
     assert(a.handle("GET", "/rules/ghost/topo")._1 == 404)
     a.handle("DELETE", "/rules/r_all")
+  }
+
+  test("/metadata/* serves the engine's own registries; unknown names 404") {
+    val a = api
+    // function inventory: the codegen builder table + special forms
+    val (cf, fns) = a.handle("GET", "/metadata/functions")
+    assert(cf == 200 && fns.contains("\"bitand\"") && fns.contains("\"keyword_tag\""))
+    // graph-rule operator nodes
+    val (co, ops) = a.handle("GET", "/metadata/operators")
+    assert(co == 200 && ops.contains("\"window\"") && ops.contains("\"join\""))
+    // source list + detail: lookup capability and DDL props advertised
+    val (cs, srcs) = a.handle("GET", "/metadata/sources")
+    assert(cs == 200 && srcs.contains("\"http_pull\"") && srcs.contains("\"nexmark\""))
+    val (cd, sqlSrc) = a.handle("GET", "/metadata/sources/sql")
+    assert(cd == 200 && sqlSrc.contains("\"lookup\":true")
+      && sqlSrc.contains("\"dburl\"") && sqlSrc.contains("\"cachettl\""))
+    assert(a.handle("GET", "/metadata/sources/ghost")._1 == 404)
+    // sink list + detail: per-kind props plus the shared shaping props
+    val (ck, sinks) = a.handle("GET", "/metadata/sinks")
+    assert(ck == 200 && sinks.contains("\"influx2\"") && sinks.contains("\"rest\""))
+    val (ce, mqttSink) = a.handle("GET", "/metadata/sinks/mqtt")
+    assert(ce == 200 && mqttSink.contains("\"topic\"")
+      && mqttSink.contains("\"sendSingle\"") && mqttSink.contains("\"omitIfEmpty\""))
+    assert(a.handle("GET", "/metadata/sinks/ghost")._1 == 404)
+    // connections
+    val (cc, conns) = a.handle("GET", "/metadata/connections")
+    assert(cc == 200 && conns.contains("\"kafka\""))
+    assert(a.handle("GET", "/metadata/connections/mqtt")._2.contains("\"server\""))
+    assert(a.handle("GET", "/metadata/connections/ghost")._1 == 404)
+  }
+
+  test("/metadata confKeys: PUT groups read back from the yaml document, DELETE removes") {
+    val a = api
+    // empty document for a known source; 404 for an unknown one
+    assert(a.handle("GET", "/metadata/sources/yaml/mqtt")._2 == "{}")
+    assert(a.handle("GET", "/metadata/sources/yaml/ghost")._1 == 404)
+    // save two conf groups, read the combined document
+    assert(a.handle("PUT", "/metadata/sources/mqtt/confKeys/broker1",
+      """{"server":"tcp://b1:1883","qos":1}""")._1 == 200)
+    assert(a.handle("PUT", "/metadata/sources/mqtt/confKeys/broker2",
+      """{"server":"tcp://b2:1883"}""")._1 == 200)
+    val doc = a.handle("GET", "/metadata/sources/yaml/mqtt")._2
+    assert(doc.contains("\"broker1\"") && doc.contains("tcp://b2:1883"))
+    // groups are per component type: the sink document is untouched
+    assert(a.handle("GET", "/metadata/sinks/yaml/mqtt")._2 == "{}")
+    // PUT on an unknown component 404s; non-object body 400s
+    assert(a.handle("PUT", "/metadata/sources/ghost/confKeys/k", "{}")._1 == 404)
+    assert(a.handle("PUT", "/metadata/sources/mqtt/confKeys/bad", "[1]")._1 == 400)
+    // delete one group; the other survives; double delete 404s
+    assert(a.handle("DELETE", "/metadata/sources/mqtt/confKeys/broker1")._1 == 200)
+    val doc2 = a.handle("GET", "/metadata/sources/yaml/mqtt")._2
+    assert(!doc2.contains("broker1") && doc2.contains("broker2"))
+    assert(a.handle("DELETE", "/metadata/sources/mqtt/confKeys/broker1")._1 == 404)
+  }
+
+  test("trace strategy: head captures only the first N units; always is unlimited; POST /tracer stores config") {
+    val a = api
+    val dir = Files.createTempDirectory("graft_hstrat_in")
+    Files.write(dir.resolve("a.json"), """{"v":1}""".getBytes)
+    a.handle("POST", "/streams",
+      s"""{"sql": "CREATE STREAM hstrat_s (v BIGINT) WITH (TYPE=\\"file\\", FORMAT=\\"json\\", DATASOURCE=\\"$dir\\")"}""")
+    a.handle("POST", "/rules",
+      """{"id":"r_hd","sql":"SELECT v FROM hstrat_s","actions":[{"nop":{}}]}""")
+    // head strategy, limit 2: the plan snapshot consumes one slot, the
+    // first batch run the second; later runs record nothing
+    assert(a.handle("POST", "/rules/r_hd/trace/start",
+      """{"strategy":"head","limit":2}""")._2.contains("\"strategy\":\"head\""))
+    (1 to 3).foreach(_ => a.handle("POST", "/rules/r_hd/start"))
+    val headIds = org.json4s.jackson.JsonMethods.parse(
+      a.handle("GET", "/trace/rule/r_hd")._2).children.size
+    assert(headIds == 2, s"head(2) must cap the capture at 2 traces, got $headIds")
+    // restart tracing under always: every run records
+    a.handle("POST", "/rules/r_hd/trace/stop")
+    assert(a.handle("POST", "/rules/r_hd/trace/start")._2.contains("\"strategy\":\"always\""))
+    (1 to 3).foreach(_ => a.handle("POST", "/rules/r_hd/start"))
+    val alwaysIds = org.json4s.jackson.JsonMethods.parse(
+      a.handle("GET", "/trace/rule/r_hd")._2).children.size
+    assert(alwaysIds == 2 + 4, s"always must record plan + every run, got $alwaysIds")
+    // bad strategy 400s
+    assert(a.handle("POST", "/rules/r_hd/trace/start",
+      """{"strategy":"tail"}""")._1 == 400)
+    // collector config round-trips
+    assert(a.handle("GET", "/tracer")._2 == "{}")
+    val cfg = """{"serviceName":"graft","collectorUrl":"grpc://otel:4317"}"""
+    assert(a.handle("POST", "/tracer", cfg)._1 == 200)
+    assert(a.handle("GET", "/tracer")._2.contains("otel:4317"))
+    assert(a.handle("POST", "/tracer", "[1,2]")._1 == 400)
+    a.handle("DELETE", "/rules/r_hd")
   }
 }
