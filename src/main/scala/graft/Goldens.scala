@@ -36,7 +36,6 @@ object Goldens {
     "q_fn_hash2" -> (Set.empty[String], 6),
     "q_knn_ivf" -> (Set("n_id"), 2),
     "q_quality_classifier" -> (Set.empty[String], 2),
-    "q_knn_lsh" -> (Set.empty[String], 6),
     "q_knn_mmr" -> (Set.empty[String], 4),
     "q_knn_ivfpq" -> (Set("n_id"), 2),
     "q_knn_pq" -> (Set("n_id"), 2),
@@ -47,8 +46,7 @@ object Goldens {
     "q_text_bpe" -> (Set.empty[String], 6),
     "q_text_normalize" -> (Set.empty[String], 6),
     "q_text_unigram" -> (Set.empty[String], 2),
-    "q_text_fingerprint" -> (Set.empty[String], 6),
-    "q_text_langid" -> (Set.empty[String], 6))
+    "q_text_fingerprint" -> (Set.empty[String], 6))
 
   /** Expected fingerprints per scale factor (testdata dir basename). */
   val expected: Map[String, Map[String, String]] = Map(
@@ -64,7 +62,6 @@ object Goldens {
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
-      "q_knn_lsh" -> "15d3f14a54931f91b511eeca3566052a96e97b228430ee1aa88e9ff033668373",
       "q_knn_mmr" -> "ff400a5f90990b61eedc2a75d9c7ad95b54792fdc8bbfa5806a304bd0e4e896b",
       "q_knn_ivfpq" -> "485ffb4402dda77da2bb8a347eb1114fad9d882058328d5a0fabcc7c84011f74",
       "q_knn_pq" -> "59cc477111c21f80e66f255af50c42b218ef8b0088ea87da30da9375d382efcd",
@@ -75,8 +72,7 @@ object Goldens {
       "q_text_bpe" -> "1fcc44b4a00e32e91010aeb6f5a97d5ed42b5124887b45d37b68a42f7d8bcf21",
       "q_text_normalize" -> "78634513bdfd972a26e2f01e3230c1232d5f05999995f73f08a00c66071ec3ef",
       "q_text_unigram" -> "621f273fecb785ee866d9ce36fe2ec705a32013424a2b91649ab74e2e70953cc",
-      "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288",
-      "q_text_langid" -> "1861de835d563bfc8bc76edbcd085a01bbe1c52edb7b86d8fe638e9b8122ce50"),
+      "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288"),
     "sf0.01" -> Map(
       "q_curation_e2e" -> "35bdaeadabf66f60cfe9b4130475d56d15fb5a64a0332085cbb80fcda6efdfe9",
       "q_dedup_cluster" -> "ec9fd05fc076b06768f72c64040294c9f308418dcc58a55ac842d6c2edd94cc6",
@@ -89,7 +85,6 @@ object Goldens {
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",
-      "q_knn_lsh" -> "e78f76bbc19b785a0422c2693357763dc179f45efe40b98f33299b5da54109a4",
       "q_knn_mmr" -> "13ed6841904ea3eacf4bfc28db4d367acfee20c7b6952362893d6a02952d9fc2",
       "q_knn_ivfpq" -> "bdd318eefed452678c5ad188bc5c30ac52dacf9de0cdb196e6f8101d068e5ed4",
       "q_knn_pq" -> "e7956c578083a7844e253a56c85c355c44d3caae64afe938b279c0d070e802b0",
@@ -100,8 +95,7 @@ object Goldens {
       "q_text_bpe" -> "0e73b4f61f1398eabee81cb7cf7c55a9784de1c7190a02533fdec0f7b931ae78",
       "q_text_normalize" -> "ea1caea3414abe42ddfd760fcbca186038574ad2284e19aa5c83193298bb4e4a",
       "q_text_unigram" -> "587cf47c71ff267f7ad5dce4ccff9d0dcc6cd1a3d33b4e51d3bd8f4f712a1df9",
-      "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371",
-      "q_text_langid" -> "c065812a8a5c81b67285f9fe1bf5d146110d566fc2f7470c5670e386ec8a3cb9"))
+      "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371"))
 
   def fingerprint(df: DataFrame, exclude: Set[String] = Set.empty,
                   doubleDp: Int = 6): String = {

@@ -812,22 +812,90 @@ object PipelineQueries {
        |  GROUP BY id, i),
        |sv$tag AS (SELECT id, array_agg(v ORDER BY i) AS sv FROM sig$tag GROUP BY id)""".stripMargin
 
-  /** The q_sample_coreset hyperplane dot products as explicit
-    * left-associated sums with the xorshift-generated constants
-    * inlined — double arithmetic is IEEE-deterministic, so DuckDB's
-    * evaluation order (left-assoc chain, float element promoted to
-    * double) reproduces the LshBucketExpr kernel's loop bit-for-bit.
+  /** Hyperplane dot products as explicit left-associated sums with
+    * the xorshift-generated constants inlined — double arithmetic is
+    * IEEE-deterministic, so DuckDB's evaluation order (left-assoc
+    * chain, float element promoted to double) reproduces the
+    * LshBucketExpr kernel's loop bit-for-bit. One `$prefix$i` column
+    * per plane.
     */
-  private def coresetDots: String = {
-    val planes = graft.operators.Knn.hyperplanes(bits = 6, dim = 64)
+  private def planeDots(planes: Array[Array[Double]], prefix: String): String =
     planes.zipWithIndex.map { case (p, i) =>
       "(" + p.zipWithIndex.map { case (c, j) =>
         s"embedding[${j + 1}]*($c)"
-      }.mkString(" + ") + s") AS d$i"
+      }.mkString(" + ") + s") AS $prefix$i"
     }.mkString(",\n  ")
-  }
+
+  /** Sign-bit bucket from the `$prefix$i` dot columns (bit i set iff
+    * dot_i >= 0) — the SQL twin of VectorKernels.lshBucket.
+    */
+  private def bucketExpr(prefix: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN $prefix$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  private def coresetDots: String =
+    planeDots(graft.operators.Knn.hyperplanes(bits = 6, dim = 64), "d")
 
   val oracle: Map[String, String] = Map(
+    "q_text_langid" -> {
+      val hitCols = graft.operators.TextOps.stopwords.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, x -> list_contains([$lst], x))) AS h_$lang"
+        }.mkString(",\n  ")
+      // the kernel scans languages in sorted order taking >= — the
+      // LAST max wins, so the CASE checks lexicographically-greatest
+      // first; 'und' only when no language hits at all
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |h AS (SELECT doc_id, toks,
+         |  $hitCols
+         |  FROM t),
+         |m AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS mx FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN mx = 0 THEN 'und'
+         |       WHEN h_zh = mx THEN 'zh'
+         |       WHEN h_fr = mx THEN 'fr'
+         |       WHEN h_es = mx THEN 'es'
+         |       WHEN h_en = mx THEN 'en'
+         |       ELSE 'de' END AS lang_pred,
+         |  round(CASE WHEN len(toks) > 0
+         |    THEN h_en / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS en_ratio
+         |FROM m""".stripMargin
+    },
+    "q_knn_lsh" -> {
+      // the four tables' plane constants inline (seed + 7919·t — the
+      // exact lshTopK derivation); bucket arithmetic and the 5-dp
+      // cosine replay are both engine-exact
+      val dots = (0 until 4).map(t => planeDots(
+        graft.operators.Knn.hyperplanes(bits = 6, dim = 64, seed = 42L + 7919L * t),
+        s"d${t}_")).mkString(",\n  ")
+      val buckets = (0 until 4).map(t =>
+        s"(${bucketExpr(s"d${t}_", 6)}) AS bkt$t").mkString(",\n  ")
+      s"""WITH d AS (SELECT vec_id, embedding, $dots FROM embeddings),
+         |b AS (SELECT vec_id, embedding, $buckets FROM d),
+         |c AS (SELECT t.tbl,
+         |  CASE t.tbl WHEN 0 THEN bkt0 WHEN 1 THEN bkt1 WHEN 2 THEN bkt2 ELSE bkt3 END AS bucket,
+         |  vec_id AS n_id FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(tbl)),
+         |q AS (SELECT b.vec_id AS q_id, t.tbl,
+         |  unnest([CASE t.tbl WHEN 0 THEN bkt0 WHEN 1 THEN bkt1 WHEN 2 THEN bkt2 ELSE bkt3 END,
+         |    xor(CASE t.tbl WHEN 0 THEN bkt0 WHEN 1 THEN bkt1 WHEN 2 THEN bkt2 ELSE bkt3 END, 1)]) AS bucket
+         |  FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(tbl)
+         |  WHERE b.vec_id < 10),
+         |j AS (SELECT DISTINCT q.q_id, c.n_id
+         |  FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE q.q_id <> c.n_id),
+         |scored AS (SELECT j.q_id, j.n_id,
+         |  round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |    CAST(ne.embedding AS DOUBLE[])), 5) AS cos
+         |  FROM j JOIN embeddings qe ON qe.vec_id = j.q_id
+         |         JOIN embeddings ne ON ne.vec_id = j.n_id)
+         |SELECT q_id, n_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
     "q_text_fuzzy_decontam" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |ev AS (SELECT doc_id AS id, text FROM base WHERE doc_id < 20),
