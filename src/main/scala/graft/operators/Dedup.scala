@@ -400,6 +400,89 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the O(log²)-round alternative to
+    * [[clusters]]' label propagation, whose round count is the graph
+    * DIAMETER. Near-dup graphs are mostly small cliques where either
+    * algorithm converges in 2–3 rounds, but a 100 TB pair list can
+    * carry long transitive chains (crawl-date series, version
+    * histories) where diameter-bound hopping is the bottleneck; star
+    * contraction halves chain length every alternation. Output
+    * contract is identical: (id, cluster), cluster = minimum member id.
+    *
+    * Scale shape per alternation: two groupBy shuffles on node id over
+    * the EDGE set (never the corpus) plus the joins back — the same
+    * per-round cost class as label propagation; the win is the round
+    * count. Each alternation's edge set is localCheckpoint'd (flat
+    * lineage, the [[clusters]] pattern). Convergence is detected by a
+    * (count, order-free hash-xor) fingerprint of the canonical edge
+    * set staying fixed across one full alternation — at the paper's
+    * fixpoint both transforms are the identity; `maxIter` caps
+    * pathological graphs, and a fingerprint collision (≈2⁻⁶⁴) can only
+    * end the loop one alternation early, never corrupt labels already
+    * derived from real edges.
+    */
+  def clustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.persist(lvl)
+    val nodes = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id")))
+      .distinct().localCheckpoint(true)
+    // canonical undirected edge set: u < v, no self-loops, distinct
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    var edges = canon(p.select(col("a").as("u"), col("b").as("v")))
+      .localCheckpoint(true)
+    p.unpersist()
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      // xor-fold, not sum: the edges are distinct, xor is order-free,
+      // and it cannot overflow under ANSI arithmetic
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = fingerprint(edges)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (iter < maxIter && !converged) {
+      // large-star: every neighbor LARGER than u re-links to the
+      // minimum of u's closed neighborhood — detaches high-degree
+      // nodes' big ends in one round instead of one hop at a time
+      val und = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = canon(und.join(lsMin, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star: every smaller-or-equal neighbor (and the node
+      // itself) links to the minimum smaller neighbor
+      val dir = ls.select(greatest(col("u"), col("v")).as("h"),
+        least(col("u"), col("v")).as("l"))
+      val ssMin = dir.groupBy(col("h")).agg(min(col("l")).as("m"))
+      val joined = dir.join(ssMin, "h")
+      val ss = canon(joined.select(col("l").as("u"), col("m").as("v"))
+          .unionByName(joined.select(col("h").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val cur = fingerprint(ss)
+      converged = cur == prev
+      prev = cur
+      edges = ss
+      iter += 1
+    }
+    // at the fixpoint every component is a star rooted at its minimum:
+    // canonical edges are (root, leaf), so each leaf's label is the min
+    // u over its edges; roots and isolated nodes label themselves
+    val leafLab = edges.groupBy(col("v").as("id"))
+      .agg(min(col("u")).as("cluster"))
+    nodes.join(leafLab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** Exact dedup by content hash: one row per distinct content with the
     * kept (minimum) id and the duplicate count. Partial-agg friendly —
     * the only shuffle key is the 256-bit digest.

@@ -106,6 +106,57 @@ class DedupSpec extends SparkSuite {
       s"all chain members must collapse to cluster 1, got $cl")
   }
 
+  test("clustersStar agrees with label propagation on the planted pair graph") {
+    val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.5)
+      .select(col("a"), col("b")).cache()
+    val lp = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.clustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == lp, "star contraction labels diverge from label propagation")
+    pairs.unpersist()
+  }
+
+  test("clustersStar agrees with label propagation on an adversarial random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph over 400 nodes: many
+    // components, chains, and a high-degree hub — the shapes that
+    // stress both algorithms differently
+    val edges = (0L until 300L).map { i =>
+      val a = (i * 2654435761L) % 400L
+      val b = (i * 40503L + 7L) % 400L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).toDF("a", "b")
+    val lp = Dedup.clusters(edges, maxIter = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.clustersStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == lp, "star contraction labels diverge on the random graph")
+  }
+
+  test("clustersStar collapses a long chain in far fewer than diameter rounds") {
+    import spark.implicits._
+    // path 1-2-...-64: diameter 63. Label propagation needs 63 rounds
+    // (clusters' maxIter=20 default would NOT converge here); star
+    // contraction halves chain length per alternation and finishes
+    // inside its default cap.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val cl = Dedup.clustersStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size == 64 && cl.values.forall(_ == 1L),
+      s"chain must collapse to cluster 1, got ${cl.values.toSet}")
+  }
+
+  test("clustersStar handles empty and single-pair inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.clustersStar(empty).count() == 0)
+    val one = Seq((7L, 3L)).toDF("a", "b")
+    val cl = Dedup.clustersStar(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(3L -> 3L, 7L -> 3L))
+  }
+
   test("no self-pairs and a < b ordering") {
     val pairs = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
     assert(pairs.where(col("a") >= col("b")).count() == 0)
