@@ -26,12 +26,8 @@ object Goldens {
   /** query → (columns to exclude, decimal places for doubles). */
   val rowsOnly: Map[String, (Set[String], Int)] = Map(
     "q_curation_e2e" -> (Set.empty[String], 2),
-    "q_dedup_cluster" -> (Set.empty[String], 6),
     "q_distinct_hll" -> (Set.empty[String], 6),
     "q_embed_pca" -> (Set.empty[String], 4),
-    "q_dedup_jaccard" -> (Set.empty[String], 6),
-    "q_dedup_minhash" -> (Set.empty[String], 6),
-    "q_dedup_simhash" -> (Set.empty[String], 6),
     "q_fn_geohash" -> (Set.empty[String], 6),
     "q_fn_hash2" -> (Set.empty[String], 6),
     "q_knn_ivf" -> (Set("n_id"), 2),
@@ -52,13 +48,9 @@ object Goldens {
   val expected: Map[String, Map[String, String]] = Map(
     "sf0.001" -> Map(
       "q_curation_e2e" -> "882e677cc75288dfb256bd7a959222154c8f1dd5b7a1881680c29cbe9998ee32",
-      "q_dedup_cluster" -> "bdd4017b76dc73cb5f57e39cc06503efc2e37cbc7721785afd4dadea4bd53528",
       "q_distinct_hll" -> "9508329dd7bbe0612017d26db7e2579620bc632c326df851d33b343e9c8b05a2",
       "q_embed_pca" -> "d8286925037ec2fdd8d552166e9ed19d28e838689d80ec975dc9192b422d336b",
       "q_quality_classifier" -> "cc8015558429448c8816ba3ff7c0b282ee1c0cb1af867daaf5ebbef6383fa32b",
-      "q_dedup_jaccard" -> "5613d1883e611e76557aa8d2433499dcf9c22769df938796e082cc3bf8088594",
-      "q_dedup_minhash" -> "303f98299c5f6b21b0f12ef3ce2866819065e834f114f33952cee13a849f51a7",
-      "q_dedup_simhash" -> "1ab099d8f3abc3fdea8e3964465ab2f62836ac601d1b8b6eb077c02f57679497",
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
       "q_fn_hash2" -> "7ae2178b1cb47e76360ecdde0be3e7cb4f0c1723ee978747cbbab879851b511d",
       "q_knn_ivf" -> "730e5d226d844e2e0b269a98b47068de59f2c2696741f61051c5497414eb09ac",
@@ -75,13 +67,9 @@ object Goldens {
       "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288"),
     "sf0.01" -> Map(
       "q_curation_e2e" -> "35bdaeadabf66f60cfe9b4130475d56d15fb5a64a0332085cbb80fcda6efdfe9",
-      "q_dedup_cluster" -> "ec9fd05fc076b06768f72c64040294c9f308418dcc58a55ac842d6c2edd94cc6",
       "q_distinct_hll" -> "a9baf50ace10a8efce5086149293408f75f694ce9de3ddc9cfe7dcae31193f6b",
       "q_embed_pca" -> "65388c42dc9fb6b6e52df3bad283dd716b3a6c810d984cc9e2fb99462dbd4afd",
       "q_quality_classifier" -> "abb46a5f693cf7cb695b183e2d9285949f985fa569b80f0a99abc8f1452a3ca6",
-      "q_dedup_jaccard" -> "5aa2ee14839209c9764455ec58341022fa8f36c8ce3f84778fd04cc9ccb47ed2",
-      "q_dedup_minhash" -> "0f74728fd045ad853a2d400a56c062b720868e1945b56d62f895b74d8f51ad95",
-      "q_dedup_simhash" -> "8255cd59d13c0b77cc76f083c541ebe03970484233b47740302e40a679e94ad5",
       "q_fn_geohash" -> "89157d7f5fc46fb4de3662aa1973c0893ef062ad32cd4cb1e023ba895a1974ff",
       "q_fn_hash2" -> "167e0ebddf1bb5ad966b875aede15b1b0378f4e6833f673ff8e589d6ac2fb962",
       "q_knn_ivf" -> "ee734872291048fe9facc6411a6d8216e23ade6c9a7a33139925fec99196691c",

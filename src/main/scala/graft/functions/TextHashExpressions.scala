@@ -74,6 +74,21 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** [[SimHash64Expr]]'s oracle-replayable twin (md5-derived token
+  * hashes, see TextHashing.portableSimhash64) — same codegen shape.
+  */
+case class PortableSimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.portableSimhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.portableSimhash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash64Expr =
+    copy(child = newChild)
+}
+
 case class FingerprintExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -110,6 +125,8 @@ object TextHashFunctions {
     ColumnBridge.column(PortableMinhashSigExpr(ColumnBridge.expression(text), n, k))
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+  def portable_simhash64(text: Column): Column =
+    ColumnBridge.column(PortableSimHash64Expr(ColumnBridge.expression(text)))
   def doc_fingerprint(text: Column, n: Int): Column =
     ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(text), n))
   def lang_id(text: Column): Column =

@@ -233,6 +233,39 @@ object TextHashing {
     out
   }
 
+  /** [[simhash64]]'s oracle-replayable twin: token hash = the first 16
+    * hex chars of md5(token) read as an unsigned 64-bit value (DuckDB:
+    * ('0x' || substr(md5(t), 1, 16))::UBIGINT), sign-summed per bit
+    * over the NON-distinct token stream, bit set iff the sum is
+    * strictly positive. Zero-token documents hash to 0 — callers that
+    * pair on the signature must exclude them (a shared all-zeros
+    * bucket is both semantically wrong and a scale hazard).
+    */
+  def portableSimhash64(text: String): Long = {
+    val toks = tokensOf(text)
+    if (toks.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    val md = md5Local.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
   /** Language-ID stopword tables: token hashes of each language's top
     * function words (must stay in sync with
     * graft.operators.TextOps.stopwords — DedupSpec pins equivalence).

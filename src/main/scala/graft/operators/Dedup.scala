@@ -265,6 +265,21 @@ object Dedup {
     sigPairs(docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
       maxHamming, maxBucket)
 
+  /** [[simhashPairs]] over the portable (md5-derived, DuckDB-
+    * replayable) token-hash family. Zero-token documents are excluded
+    * before pairing: their signature is the all-zeros sentinel, and a
+    * shared zero bucket would pair every empty doc with every other —
+    * the same sentinel discipline as [[minhashPairsPortable]]'s
+    * hasShingles filter. Scale shape identical to [[simhashPairs]]:
+    * only (id, 64-bit sig) ever shuffles, capped per-chunk buckets.
+    */
+  def simhashPairsPortable(docs: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3, maxBucket: Int = 64): DataFrame =
+    sigPairs(docs
+        .where(TextOps.tokenCount(col(textCol)) > 0)
+        .select(col(idCol).as("id"), portable_simhash64(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
+
   /** Near-dup pairs for ANY 64-bit signature table (id, sig) via the
     * 16-bit chunk blocking above — shared by text simhash and image
     * dHash dedup (the signature source is the only difference).

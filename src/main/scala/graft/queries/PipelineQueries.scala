@@ -64,13 +64,22 @@ object PipelineQueries {
           .select((col("doc_id") + 200000).as("doc_id"), col("text"))),
         "text", "doc_id")),
 
+    // near-dup candidate pairs over the portable minhash family — the
+    // band/est arithmetic replays in DuckDB → FULL oracle. The
+    // internal-hash [[Dedup.minhashPairs]] kernel keeps its DedupSpec
+    // planted-recovery specs and still feeds the decontam queries.
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairs(withPlanted(docs(s, d)), "text", "doc_id",
-        n = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+      Dedup.minhashPairsPortable(withPlanted(docs(s, d)), "text", "doc_id",
+        n = 3, k = 32, bands = 16, minEstJaccard = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // simhash near-dup pairs over the portable token-hash family — the
+    // per-bit sign sums, 16-bit chunk blocking, and hamming filter all
+    // replay in DuckDB → FULL oracle. The internal-hash
+    // [[Dedup.simhashPairs]] kernel keeps its DedupSpec specs and
+    // still backs the image dHash path via [[Dedup.sigPairs]].
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(withPlanted(docs(s, d)), "text", "doc_id", maxHamming = 3)
+      Dedup.simhashPairsPortable(withPlanted(docs(s, d)), "text", "doc_id", maxHamming = 3)
         .orderBy(col("a"), col("b"))),
 
     // incremental dedup: new-batch rows not already in the corpus,
@@ -86,19 +95,29 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // exact n-gram Jaccard verification of portable-minhash candidate
+    // pairs. jaccardVerify intersects 64-bit shingle HASHES; set
+    // cardinalities equal the string-shingle sets the oracle intersects
+    // (injective up to ~2⁻⁶⁴ collisions) → FULL oracle.
     "q_dedup_jaccard" -> ((s, d) => {
       val planted = withPlanted(docs(s, d))
       Dedup.jaccardVerify(
-        Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
+        Dedup.minhashPairsPortable(planted, "text", "doc_id", minEstJaccard = 0.3)
           .select(col("a"), col("b")),
         planted, "text", "doc_id", n = 3, minJaccard = 0.5)
         .orderBy(col("a"), col("b"))
     }),
 
+    // transitive near-dup clusters over the portable pair graph,
+    // labeled by large-star/small-star contraction
+    // ([[Dedup.clustersStar]] — O(log²) rounds vs label propagation's
+    // diameter bound). DuckDB replays the components as a recursive
+    // min-label closure → FULL oracle; [[Dedup.clusters]] keeps its
+    // DedupSpec agreement + planted-graph specs.
     "q_dedup_cluster" -> ((s, d) => {
       val planted = withPlanted(docs(s, d))
-      Dedup.clusters(
-        Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.5)
+      Dedup.clustersStar(
+        Dedup.minhashPairsPortable(planted, "text", "doc_id", minEstJaccard = 0.5)
           .select(col("a"), col("b")))
         .orderBy(col("id"))
     }),
@@ -812,6 +831,36 @@ object PipelineQueries {
        |  GROUP BY id, i),
        |sv$tag AS (SELECT id, array_agg(v ORDER BY i) AS sv FROM sig$tag GROUP BY id)""".stripMargin
 
+  /** DuckDB replay of [[Dedup.minhashPairsPortable]]'s candidate
+    * pipeline over the sv$tag signature CTE (k=32, 16 bands of 2 rows,
+    * buckets sorted and capped at 64 ids): ends in cand$tag(a, b, est)
+    * with est the unrounded agreement fraction, filtered at $minEst.
+    */
+  private def portablePairCtes(tag: String, minEst: Double): String =
+    s"""bk$tag AS (SELECT id, j AS band, sv[2*j-1] AS v1, sv[2*j] AS v2
+       |  FROM sv$tag CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+       |    (9),(10),(11),(12),(13),(14),(15),(16)) AS bands$tag(j)),
+       |g$tag AS (SELECT band, v1, v2, list_slice(list_sort(array_agg(id)), 1, 64) AS ids
+       |  FROM bk$tag GROUP BY band, v1, v2 HAVING count(*) > 1),
+       |e1$tag AS (SELECT band, v1, v2, unnest(ids) AS id FROM g$tag),
+       |prs$tag AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM e1$tag x JOIN e1$tag y
+       |  ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.id < y.id),
+       |cand$tag AS (SELECT p.a, p.b,
+       |    len(list_filter(range(1, 33), i -> sa.sv[i] = sb.sv[i])) / 32.0 AS est
+       |  FROM prs$tag p
+       |  JOIN sv$tag sa ON sa.id = p.a JOIN sv$tag sb ON sb.id = p.b
+       |  WHERE len(list_filter(range(1, 33), i -> sa.sv[i] = sb.sv[i])) / 32.0 >= $minEst)""".stripMargin
+
+  /** The planted near-dup corpus ([[withPlanted]]) as a CTE body:
+    * documents plus a suffixed copy of doc_id < 25 at +100000. */
+  private val plantedCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' appended near duplicate suffix'
+      |  FROM documents WHERE doc_id < 25)""".stripMargin
+
   /** Hyperplane dot products as explicit left-associated sums with
     * the xorshift-generated constants inlined — double arithmetic is
     * IEEE-deterministic, so DuckDB's evaluation order (left-assoc
@@ -914,31 +963,70 @@ object PipelineQueries {
          |    j -> c.sv[2*j-1] = e.sv[2*j-1] AND c.sv[2*j] = e.sv[2*j])) > 0
          |  AND len(list_filter(range(1, 33), i -> c.sv[i] = e.sv[i])) / 32.0 >= 0.5
          |ORDER BY doc_id, eval_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $plantedCorpusSql,
+         |${portableSigCtes("corpus", "c")},
+         |${portablePairCtes("c", 0.5)}
+         |SELECT a, b, round(est, 5) AS est_jaccard FROM candc
+         |ORDER BY a, b""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH $plantedCorpusSql,
+         |${portableSigCtes("corpus", "c")},
+         |${portablePairCtes("c", 0.3)},
+         |jset AS (SELECT id, list_distinct(array_agg(s)) AS sh FROM shc GROUP BY id),
+         |jv AS (SELECT p.a, p.b,
+         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+         |  FROM candc p JOIN jset sa ON sa.id = p.a JOIN jset sb ON sb.id = p.b)
+         |SELECT a, b, round(jac, 4) AS jaccard FROM jv WHERE jac >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $plantedCorpusSql,
+         |${portableSigCtes("corpus", "c")},
+         |${portablePairCtes("c", 0.5)},
+         |edges AS (SELECT a AS src, b AS dst FROM candc
+         |  UNION SELECT b, a FROM candc),
+         |walk(node, m) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.m = e.src)
+         |SELECT node AS id, min(m) AS cluster FROM walk GROUP BY node
+         |ORDER BY id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $plantedCorpusSql,
+         |tk AS (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS toks FROM corpus),
+         |th AS (SELECT id, ('0x' || substr(md5(t.t), 1, 16))::UBIGINT AS h
+         |  FROM tk, unnest(toks) AS t(t) WHERE len(toks) > 0),
+         |bits AS (SELECT id, i,
+         |    CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM th CROSS JOIN range(0, 64) r(i) GROUP BY id, i),
+         |sv AS (SELECT id, array_agg(b ORDER BY i) AS bv FROM bits GROUP BY id),
+         |ck AS (SELECT id, j AS chunk,
+         |    list_sum(list_transform(range(1, 17), t -> bv[16*j+t] * (1::BIGINT << (t-1)))) AS cv
+         |  FROM sv CROSS JOIN (VALUES (0),(1),(2),(3)) AS cj(j)),
+         |g AS (SELECT chunk, cv, list_slice(list_sort(array_agg(id)), 1, 64) AS ids
+         |  FROM ck GROUP BY chunk, cv HAVING count(*) > 1),
+         |e1 AS (SELECT chunk, cv, unnest(ids) AS id FROM g),
+         |prs AS (SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM e1 x JOIN e1 y
+         |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.id < y.id),
+         |ham AS (SELECT p.a, p.b,
+         |    len(list_filter(range(1, 65), i -> sa.bv[i] <> sb.bv[i])) AS hm
+         |  FROM prs p JOIN sv sa ON sa.id = p.a JOIN sv sb ON sb.id = p.b)
+         |SELECT a, b, CAST(hm AS INT) AS hamming FROM ham WHERE hm <= 3
+         |ORDER BY a, b""".stripMargin,
     "q_dedup_keepbest" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id AS id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000, text || ' appended near duplicate suffix'
-         |  FROM documents WHERE doc_id < 25),
+      s"""WITH RECURSIVE $plantedCorpusSql,
          |qt AS (SELECT id, text,
          |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
          |  FROM corpus),
          |scored AS (SELECT id, ${qualitySql} AS score FROM qt),
          |${portableSigCtes("corpus", "c")},
-         |bk AS (SELECT id, j AS band, sv[2*j-1] AS v1, sv[2*j] AS v2
-         |  FROM svc CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
-         |    (9),(10),(11),(12),(13),(14),(15),(16)) AS bands(j)),
-         |g AS (SELECT band, v1, v2, list_slice(list_sort(array_agg(id)), 1, 64) AS ids
-         |  FROM bk GROUP BY band, v1, v2 HAVING count(*) > 1),
-         |e1 AS (SELECT band, v1, v2, unnest(ids) AS id FROM g),
-         |prs AS (SELECT DISTINCT x.id AS a, y.id AS b
-         |  FROM e1 x JOIN e1 y
-         |  ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.id < y.id),
-         |cand AS (SELECT p.a, p.b FROM prs p
-         |  JOIN svc sa ON sa.id = p.a JOIN svc sb ON sb.id = p.b
-         |  WHERE len(list_filter(range(1, 33), i -> sa.sv[i] = sb.sv[i])) / 32.0 >= 0.5),
-         |edges AS (SELECT a AS src, b AS dst FROM cand
-         |  UNION SELECT b, a FROM cand),
+         |${portablePairCtes("c", 0.5)},
+         |edges AS (SELECT a AS src, b AS dst FROM candc
+         |  UNION SELECT b, a FROM candc),
          |walk(node, m) AS (
          |  SELECT src, dst FROM edges
          |  UNION

@@ -62,6 +62,44 @@ class DedupSpec extends SparkSuite {
     assert(pairs.where(col("hamming") > 8).count() == 0)
   }
 
+  test("portable simhash kernel matches an independent reimplementation") {
+    // recompute by hand with JDK md5: token hash = first 16 hex chars
+    // of md5(token) as an unsigned 64-bit value, per-bit sign sums
+    // over the NON-distinct token stream, bit set iff strictly
+    // positive — pins exactly the arithmetic the DuckDB oracle replays
+    val text = "The Quick  brown fox\njumps over the lazy dog the the"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    for (t <- toks) {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseUnsignedLong(hex.take(16), 16)
+      for (i <- 0 until 64)
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+    }
+    var expected = 0L
+    for (i <- 0 until 64) if (counts(i) > 0) expected |= (1L << i)
+    assert(graft.functions.TextHashing.portableSimhash64(text) == expected)
+    // zero-token docs carry the all-zeros sentinel
+    assert(graft.functions.TextHashing.portableSimhash64("  \n\t ") == 0L)
+  }
+
+  test("portable simhash recovers planted near-duplicates; zero-token docs pair with nothing") {
+    val withEmpty = planted.unionByName(
+      spark.createDataFrame(Seq((700000L, "   "), (700001L, ""), (700002L, "\t\n")))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairsPortable(withEmpty, "text", "doc_id",
+      maxHamming = 8).cache()
+    val hits = pairs.where(col("b") === col("a") + 100000).count()
+    assert(hits >= 14, s"recovered only $hits of 20 planted simhash pairs")
+    assert(pairs.where(col("hamming") > 8).count() == 0)
+    // the three zero-token docs share the all-zeros signature; the
+    // sentinel filter must keep them out of the pair universe entirely
+    assert(pairs.where(col("a") >= 700000 || col("b") >= 700000).count() == 0,
+      "zero-token docs must not pair")
+    pairs.unpersist()
+  }
+
   test("jaccard verify: planted pairs score high, filter respects threshold") {
     val cand = Dedup.minhashPairs(planted, "text", "doc_id", minEstJaccard = 0.3)
       .select(col("a"), col("b"))
