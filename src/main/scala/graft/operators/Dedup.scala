@@ -498,6 +498,27 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Corpus snapshot diff for incremental training-data refresh: full
+    * outer join of two corpus versions on id, classifying every id as
+    * 'added' (v2 only), 'removed' (v1 only), 'changed' (both, content
+    * hash differs) or 'unchanged'. The payload that shuffles is
+    * (id, 32-byte sha-256 digest) — the text never moves, so the diff
+    * of a 100 TB corpus moves only id+digest per side; at scale both
+    * snapshots written bucketed by id make the join co-located.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("id"),
+        sha2(col(textCol).cast("binary"), 256).as(s"h$tag"))
+    hashed(v1, "1").join(hashed(v2, "2"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Exact dedup by content hash: one row per distinct content with the
     * kept (minimum) id and the duplicate count. Partial-agg friendly —
     * the only shuffle key is the 256-bit digest.

@@ -278,4 +278,64 @@ object Search {
           .as("rrf"))
       .orderBy(desc("rrf"), col("doc_id")).limit(topK)
   }
+
+  /** Retrieval-quality evaluation: per-query recall@k, MRR@k and
+    * (binary-gain) nDCG@k of a ranked run against a relevance table —
+    * the measurement half of the retrieval family (TREC-style; see
+    * Manning et al., IIR ch. 8). `runs` holds (qid, doc, rank ≥ 1)
+    * rows — e.g. [[hybridRrf]] or Knn top-k output — and `qrels` holds
+    * (qid, doc) judged-relevant pairs.
+    *
+    * DCG discounts 1/log₂(rank+1) are computed ONCE on the driver and
+    * inlined as a literal array into the plan — the DuckDB oracle
+    * inlines the same doubles, so the replay is bit-identical without
+    * trusting two engines' transcendental log to agree at the last
+    * ulp. Queries with no judged-relevant docs report recall/mrr/ndcg
+    * 0 (present in the output, not dropped).
+    *
+    * Scale shape: the run is already ≤k rows per query; qrels
+    * aggregate to ONE row per query (n_rel + the capped ideal-DCG)
+    * before the join, so both join sides are query-bounded — the
+    * corpus never appears. Metric arithmetic is map-side; one
+    * qid-keyed aggregation each for the run and the qrels.
+    */
+  def evalRetrieval(runs: DataFrame, qrels: DataFrame, k: Int,
+                    qidCol: String = "qid", docCol: String = "doc_id",
+                    rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "evalRetrieval: k must be positive")
+    val disc: Seq[Double] =
+      (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val discLit = typedlit(disc)
+    val q = qrels.select(col(qidCol).as("qid"), col(docCol).as("doc_id"))
+      .distinct()
+    // one row per judged query: total relevant + ideal DCG (the best
+    // k ranks filled with relevant docs)
+    val perQrel = q.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_rel"))
+      .withColumn("idcg", aggregate(
+        slice(discLit, lit(1), least(col("n_rel"), lit(k)).cast("int")),
+        lit(0.0), (acc, x) => acc + x))
+    val hits = runs
+      .select(col(qidCol).as("qid"), col(docCol).as("doc_id"),
+        col(rankCol).cast("int").as("rank"))
+      .where(col("rank") <= k)
+      .join(q.withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(when(col("rel").isNotNull, 1)).as("hits"),
+        min(when(col("rel").isNotNull, col("rank"))).as("first_rel"),
+        sum(when(col("rel").isNotNull,
+          element_at(discLit, col("rank"))).otherwise(lit(0.0))).as("dcg"))
+    perQrel.join(hits, Seq("qid"), "full_outer")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(when(col("n_rel").isNull || col("n_rel") === 0, 0.0)
+          .otherwise(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_rel").cast("double")), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        round(when(col("idcg").isNull || col("idcg") === 0.0, 0.0)
+          .otherwise(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 6)
+          .as("ndcg"))
+  }
 }

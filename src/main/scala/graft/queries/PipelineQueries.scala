@@ -122,6 +122,22 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // corpus snapshot diff (incremental training-data refresh): v2
+    // deletes every doc_id % 7 == 0, edits every doc_id % 5 == 0
+    // survivor, and adds 15 new docs. One id-keyed digest join — the
+    // oracle compares text directly (equivalent to the sha-256
+    // compare). FULL oracle.
+    "q_corpus_diff" -> ((s, d) => {
+      val v1 = docs(s, d)
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") < 15)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(v1, v2, "doc_id", "text").orderBy(col("id"))
+    }),
+
     // SemDeDup (cluster-then-compare) over embeddings with planted
     // exact clones: two clone generations of vec_id < 20. Identical
     // vectors land in the same k-means cell by construction, and the
@@ -599,6 +615,26 @@ object PipelineQueries {
         Seq("join", "window", "hash"), e, "vec_id", "embedding", qv)
     }),
 
+    // retrieval-quality evaluation (TREC-style): brute-force cosine
+    // top-10 runs for the first 10 vectors, judged-relevant = the
+    // same-label corpus items; per-query recall@10 / MRR@10 / binary
+    // nDCG@10. The run replays via list_cosine_similarity and the DCG
+    // discounts are the same driver-inlined doubles → FULL oracle.
+    "q_search_eval" -> ((s, d) => {
+      val e = emb(s, d)
+      val runs = Knn.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 10)
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("ql"))
+      val qrels = qs.join(
+          e.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("ql") && col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"))
+      Search.evalRetrieval(
+        runs.select(col("q_id").as("qid"), col("n_id").as("doc_id"), col("rank")),
+        qrels, k = 10).orderBy(col("qid"))
+    }),
+
     // DSIR importance scoring (Xie et al. 2023): target = the English
     // slice, raw = everything; hashed-unigram log-likelihood ratio per
     // doc. Bucket weights are a 256-entry broadcast map literal, so
@@ -852,6 +888,15 @@ object PipelineQueries {
        |  JOIN sv$tag sa ON sa.id = p.a JOIN sv$tag sb ON sb.id = p.b
        |  WHERE len(list_filter(range(1, 33), i -> sa.sv[i] = sb.sv[i])) / 32.0 >= $minEst)""".stripMargin
 
+  /** DCG discount VALUES rows (rank, 1/log₂(rank+1)) — THE SAME
+    * doubles [[Search.evalRetrieval]] inlines into the Spark plan
+    * (Double.toString round-trips exactly, so DuckDB parses back the
+    * identical bit pattern — no cross-engine transcendental trust).
+    */
+  private def discValues(k: Int): String =
+    (1 to k).map(r => s"($r, ${1.0 / (math.log(r + 1.0) / math.log(2.0))})")
+      .mkString(", ")
+
   /** The planted near-dup corpus ([[withPlanted]]) as a CTE body:
     * documents plus a suffixed copy of doc_id < 25 at +100000. */
   private val plantedCorpusSql: String =
@@ -1050,6 +1095,59 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY bucket ORDER BY pri, vec_id) AS rk FROM b)
          |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rk AS BIGINT) AS rk, vec_id
          |FROM r WHERE rk <= 8""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id AS id, text FROM documents),
+        |v2 AS (
+        |  SELECT id, CASE WHEN id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM v1 WHERE id % 7 <> 0
+        |  UNION ALL
+        |  SELECT id + 900000, text FROM v1 WHERE id < 15)
+        |SELECT coalesce(a.id, b.id) AS id,
+        |  CASE WHEN a.id IS NULL THEN 'added'
+        |       WHEN b.id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id
+        |ORDER BY id""".stripMargin,
+    "q_search_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         |sims AS (
+         |  SELECT q.q_id AS qid, c.vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])), 5) AS cos
+         |  FROM q CROSS JOIN embeddings c WHERE q.q_id <> c.vec_id),
+         |run AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS INT) AS rank
+         |    FROM sims) WHERE rank <= 10),
+         |qrels AS (SELECT ql.vec_id AS qid, e.vec_id AS doc_id
+         |  FROM embeddings ql JOIN embeddings e
+         |    ON e.label = ql.label AND e.vec_id <> ql.vec_id
+         |  WHERE ql.vec_id < 10),
+         |disc(r, dv) AS (VALUES ${discValues(10)}),
+         |pq AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+         |pqi AS (SELECT qid, n_rel,
+         |    (SELECT sum(dv) FROM disc WHERE r <= least(n_rel, 10)) AS idcg
+         |  FROM pq),
+         |h AS (SELECT r.qid,
+         |    count(qr.doc_id) AS hits,
+         |    min(CASE WHEN qr.doc_id IS NOT NULL THEN r.rank END) AS first_rel,
+         |    sum(CASE WHEN qr.doc_id IS NOT NULL THEN d.dv ELSE 0.0::DOUBLE END) AS dcg
+         |  FROM run r
+         |  LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+         |  JOIN disc d ON d.r = r.rank
+         |  GROUP BY r.qid)
+         |SELECT coalesce(p.qid, h.qid) AS qid,
+         |  coalesce(p.n_rel, 0) AS n_rel,
+         |  coalesce(h.hits, 0) AS hits,
+         |  round(CASE WHEN p.n_rel IS NULL OR p.n_rel = 0 THEN 0.0::DOUBLE
+         |    ELSE coalesce(h.hits, 0) * 1.0::DOUBLE / p.n_rel END, 6) AS recall,
+         |  round(coalesce(1.0::DOUBLE / h.first_rel, 0.0::DOUBLE), 6) AS mrr,
+         |  round(CASE WHEN p.idcg IS NULL OR p.idcg = 0.0 THEN 0.0::DOUBLE
+         |    ELSE coalesce(h.dcg, 0.0::DOUBLE) / p.idcg END, 6) AS ndcg
+         |FROM pqi p FULL OUTER JOIN h ON h.qid = p.qid
+         |ORDER BY qid""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
