@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Content fingerprints for the queries the DuckDB oracle can't check
   * (SURVEY §2's declared rows-only set: hash functions DuckDB lacks,
-  * recall-/clustering-shaped dedup + ANN output, langid, fingerprint,
+  * recall-/clustering-shaped dedup + ANN output,
   * the multimodal stub). Verify compares each against the recorded
   * golden and emits `golden_match` per query, so silent semantic drift
   * is caught even where no SQL oracle exists.
@@ -41,8 +41,7 @@ object Goldens {
     "q_quantiles_tdigest" -> (Set.empty[String], 2),
     "q_text_bpe" -> (Set.empty[String], 6),
     "q_text_normalize" -> (Set.empty[String], 6),
-    "q_text_unigram" -> (Set.empty[String], 2),
-    "q_text_fingerprint" -> (Set.empty[String], 6))
+    "q_text_unigram" -> (Set.empty[String], 2))
 
   /** Expected fingerprints per scale factor (testdata dir basename). */
   val expected: Map[String, Map[String, String]] = Map(
@@ -63,8 +62,7 @@ object Goldens {
       "q_quantiles_tdigest" -> "04a2a1e116af883684fc8eb62a505d74f085bc67ba5d635f9ded0dbf8eecd743",
       "q_text_bpe" -> "1fcc44b4a00e32e91010aeb6f5a97d5ed42b5124887b45d37b68a42f7d8bcf21",
       "q_text_normalize" -> "78634513bdfd972a26e2f01e3230c1232d5f05999995f73f08a00c66071ec3ef",
-      "q_text_unigram" -> "621f273fecb785ee866d9ce36fe2ec705a32013424a2b91649ab74e2e70953cc",
-      "q_text_fingerprint" -> "0fb9b7bbbe7d5a69e4b33a2122c513aeab871be9c43a867d214809beff7b9288"),
+      "q_text_unigram" -> "621f273fecb785ee866d9ce36fe2ec705a32013424a2b91649ab74e2e70953cc"),
     "sf0.01" -> Map(
       "q_curation_e2e" -> "35bdaeadabf66f60cfe9b4130475d56d15fb5a64a0332085cbb80fcda6efdfe9",
       "q_distinct_hll" -> "a9baf50ace10a8efce5086149293408f75f694ce9de3ddc9cfe7dcae31193f6b",
@@ -82,8 +80,7 @@ object Goldens {
       "q_quantiles_tdigest" -> "e62c6416537c663b20585ea55eb7467ad2e734333a05ac3d54f938ab00b5b987",
       "q_text_bpe" -> "0e73b4f61f1398eabee81cb7cf7c55a9784de1c7190a02533fdec0f7b931ae78",
       "q_text_normalize" -> "ea1caea3414abe42ddfd760fcbca186038574ad2284e19aa5c83193298bb4e4a",
-      "q_text_unigram" -> "587cf47c71ff267f7ad5dce4ccff9d0dcc6cd1a3d33b4e51d3bd8f4f712a1df9",
-      "q_text_fingerprint" -> "47dc89a6d4d0adeed28472fd2aa35bd9466c04d1f100d7d46a2e18406b2b0371"))
+      "q_text_unigram" -> "587cf47c71ff267f7ad5dce4ccff9d0dcc6cd1a3d33b4e51d3bd8f4f712a1df9"))
 
   def fingerprint(df: DataFrame, exclude: Set[String] = Set.empty,
                   doubleDp: Int = 6): String = {

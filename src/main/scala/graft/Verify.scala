@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs just those
+    // queries (the driver never sets it, so its runs stay exhaustive)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,7 +49,9 @@ object Verify {
     // drift is caught there too → golden_match.json per query
     val sfName = Paths.get(sfDir).getFileName.toString
     Goldens.expected.get(sfName).filter(_.nonEmpty).foreach { golden =>
-      val entries = Goldens.rowsOnly.toSeq.sortBy(_._1).map { case (name, (exclude, dp)) =>
+      val entries = Goldens.rowsOnly.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, (exclude, dp)) =>
         val entry =
           try {
             val fp = Goldens.fingerprint(SparkEntry.queries(name)(spark, sfDir), exclude, dp)

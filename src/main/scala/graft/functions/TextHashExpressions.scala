@@ -101,6 +101,23 @@ case class FingerprintExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** [[FingerprintExpr]]'s oracle-replayable twin (md5-derived shingle
+  * base hashes mod 2³¹−1, see TextHashing.portableFingerprintMin) —
+  * same codegen shape.
+  */
+case class PortableFingerprintExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_doc_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.portableFingerprintMin(input.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.portableFingerprintMin($c.toString(), $n)")
+  override protected def withNewChildInternal(newChild: Expression): PortableFingerprintExpr =
+    copy(child = newChild)
+}
+
 case class LangIdExpr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -129,6 +146,8 @@ object TextHashFunctions {
     ColumnBridge.column(PortableSimHash64Expr(ColumnBridge.expression(text)))
   def doc_fingerprint(text: Column, n: Int): Column =
     ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(text), n))
+  def portable_doc_fingerprint(text: Column, n: Int): Column =
+    ColumnBridge.column(PortableFingerprintExpr(ColumnBridge.expression(text), n))
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 }

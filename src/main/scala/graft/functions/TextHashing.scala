@@ -163,6 +163,42 @@ object TextHashing {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** First 15 hex chars of md5(s) reduced mod P — the base hash h₀ the
+    * whole portable family permutes. DuckDB replay:
+    * ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647.
+    */
+  @inline private def md5Base(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+    val h0 = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+    h0 % portableP
+  }
+
+  /** Portable base hashes of the word n-gram shingles (non-distinct,
+    * document order): h₀ of each space-joined lower-cased shingle.
+    * Empty when the document has fewer than n tokens.
+    */
+  def portableShingleBases(text: String, n: Int): Array[Long] = {
+    val toks = tokensOf(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val md = md5Local.get()
+    val bases = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      bases(i) = md5Base(md, sb.toString)
+      i += 1
+    }
+    bases
+  }
+
   /** k-element portable MinHash signature: position i holds
     * min over shingles s of (aᵢ·h₀(s) + bᵢ) mod P where h₀ = the first
     * 15 hex chars of md5(s) mod P; all-Long.MaxValue sentinel when the
@@ -172,26 +208,9 @@ object TextHashing {
     require(k <= maxSeeds, s"k must be <= $maxSeeds")
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    val toks = tokensOf(text)
-    if (toks.length < n) return sig
-    val m = toks.length - n + 1
-    val md = md5Local.get()
-    val bases = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
-      val h0 = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
-        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
-        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-        ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
-      bases(i) = h0 % portableP
-      i += 1
-    }
+    val bases = portableShingleBases(text, n)
+    if (bases.isEmpty) return sig
+    val m = bases.length
     var s = 0
     while (s < k) {
       val a = portableA(s); val b = portableB(s)
@@ -323,5 +342,20 @@ object TextHashing {
       while (i < text.length) { h = (h ^ text.charAt(i)) * 0x100000001B3L; i += 1 }
       mix64(h)
     } else sh(0) // sorted ascending — head is the minimum
+  }
+
+  /** [[fingerprintMin]]'s oracle-replayable twin: minimum portable
+    * shingle base hash (min-sampling over md5-derived h₀ values);
+    * h₀ of the RAW text when the document is shorter than one shingle.
+    * DuckDB replay: coalesce(min per-shingle, whole-text fallback) —
+    * every step is md5 + BIGINT arithmetic.
+    */
+  def portableFingerprintMin(text: String, n: Int): Long = {
+    val bases = portableShingleBases(text, n)
+    if (bases.isEmpty) return md5Base(md5Local.get(), text)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < bases.length) { if (bases(i) < best) best = bases(i); i += 1 }
+    best
   }
 }

@@ -106,6 +106,14 @@ object TextOps {
   def fingerprint(text: Column, n: Int = 5): Column =
     graft.functions.TextHashFunctions.doc_fingerprint(text, n)
 
+  /** [[fingerprint]]'s oracle-replayable twin (md5-derived shingle base
+    * hashes mod 2³¹−1) — same min-sampling semantics, every step
+    * replayable as DuckDB md5 + BIGINT arithmetic. The query surface
+    * uses this family; production keeps the faster splitmix64 kernel.
+    */
+  def fingerprintPortable(text: Column, n: Int = 5): Column =
+    graft.functions.TextHashFunctions.portable_doc_fingerprint(text, n)
+
   // ---- PII scrubbing (training-corpus redaction pass) ----
   // Regexes stay in the Java∩RE2 common subset so the DuckDB oracle
   // runs the exact same patterns.

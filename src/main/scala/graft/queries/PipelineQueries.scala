@@ -344,11 +344,16 @@ object PipelineQueries {
         TextOps.stopwords.keys.toSeq.sorted.map(l =>
           round(TextOps.stopwordRatio(col("text"), l), 6).as(s"r_$l")): _*)),
 
+    // document fingerprint (min-sampled shingle hash) over the
+    // portable md5 family — FULL oracle (min per doc of the md5-derived
+    // base hashes, whole-text fallback for sub-shingle docs); the
+    // production path keeps the faster splitmix64 kernel
+    // (TextOps.fingerprint, pinned by TextOpsSpec invariances).
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fp"),
-        TextOps.fingerprint(col("text"), n = 8).as("fp8"))),
+        TextOps.fingerprintPortable(col("text")).as("fp"),
+        TextOps.fingerprintPortable(col("text"), n = 8).as("fp8"))),
 
     // ---- multimodal plumbing (stub decoder, real batch shape) ----
     "q_multimodal" -> ((s, d) => Multimodal.features(s, docs(s, d))),
@@ -957,6 +962,30 @@ object PipelineQueries {
          |  round(CASE WHEN len(toks) > 0
          |    THEN h_en / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS en_ratio
          |FROM m""".stripMargin
+    },
+    "q_text_fingerprint" -> {
+      // min-sampled portable fingerprint: per-doc minimum of the
+      // md5-derived shingle base hashes (the portable family's h₀),
+      // whole-text h₀ fallback for docs shorter than one shingle —
+      // exactly TextHashing.portableFingerprintMin at n=5 and n=8
+      def shingleExpr(n: Int): String =
+        (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+          .mkString(" || ' ' || ")
+      def fpCtes(n: Int, tag: String): String =
+        s"""sh$tag AS (SELECT id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+           |    i -> ${shingleExpr(n)})) AS s FROM tok),
+           |f$tag AS (SELECT id,
+           |  min(('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS fp
+           |  FROM sh$tag GROUP BY id)""".stripMargin
+      s"""WITH tok AS (SELECT doc_id AS id, text,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |${fpCtes(5, "5")},
+         |${fpCtes(8, "8")}
+         |SELECT t.id AS doc_id,
+         |  coalesce(f5.fp, ('0x' || substr(md5(t.text), 1, 15))::BIGINT % 2147483647) AS fp,
+         |  coalesce(f8.fp, ('0x' || substr(md5(t.text), 1, 15))::BIGINT % 2147483647) AS fp8
+         |FROM tok t LEFT JOIN f5 ON f5.id = t.id LEFT JOIN f8 ON f8.id = t.id""".stripMargin
     },
     "q_knn_lsh" -> {
       // the four tables' plane constants inline (seed + 7919·t — the

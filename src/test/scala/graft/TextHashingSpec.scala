@@ -81,6 +81,33 @@ class TextHashingSpec extends AnyFunSuite {
     assert(short != TextHashing.fingerprintMin("one three", 5))
   }
 
+  test("portableFingerprintMin: min of portable shingle bases; md5 text fallback") {
+    val doc = "one two three four five six seven"
+    val fp = TextHashing.portableFingerprintMin(doc, 5)
+    assert(fp == TextHashing.portableShingleBases(doc, 5).min)
+    assert(fp >= 0 && fp < TextHashing.portableP)
+    // shorter than one shingle → md5 of the raw text, deterministic
+    val short = TextHashing.portableFingerprintMin("one two", 5)
+    assert(short == TextHashing.portableFingerprintMin("one two", 5))
+    assert(short != TextHashing.portableFingerprintMin("one three", 5))
+    assert(short >= 0 && short < TextHashing.portableP)
+  }
+
+  test("portableShingleBases: document order, non-distinct, matches minhash front half") {
+    val doc = "a b c a b c a b c"
+    val bases = TextHashing.portableShingleBases(doc, 3)
+    assert(bases.length == 7) // 9 tokens → 7 trigram shingles, repeats kept
+    assert(bases(0) == bases(3) && bases(0) == bases(6)) // 'a b c' repeats
+    // the minhash signature is reproduced by permuting these bases
+    val sig = TextHashing.portableMinhashSig(doc, 3, 8)
+    val seeds = TextHashing.portableSeeds(8)
+    for (i <- 0 until 8) {
+      val (a, b) = seeds(i)
+      val want = bases.map(h => (a * h + b) % TextHashing.portableP).min
+      assert(sig(i) == want, s"position $i")
+    }
+  }
+
   test("langId kernel: obvious languages, und fallback") {
     assert(TextHashing.langId("the cat sat on the mat and it is that") == "en")
     assert(TextHashing.langId("el que la y en un es por los") == "es")
