@@ -138,6 +138,60 @@ object PipelineQueries {
       Dedup.corpusDiff(v1, v2, "doc_id", "text").orderBy(col("id"))
     }),
 
+    // incremental corpus refresh E2E — the production loop a monthly
+    // crawl refresh runs, composing four already-verified operators:
+    // corpusDiff classifies v2 vs v1 (digests only shuffle); the
+    // added/changed DELTA (broadcast-small by refresh nature) selects
+    // v2's candidate slice map-side; a token hygiene gate filters it;
+    // bloomNewDocs strips content already in v1 (two v1 scans, zero v1
+    // shuffles — catches docs that moved ids); carried rows are v1
+    // anti-joined against the broadcast delta (v1 text never
+    // shuffles); the merged corpus gets exportShards' deterministic
+    // content-addressed shard (portable md5 form here; production
+    // writes via Layout.exportShards with the xxhash kernel).
+    // Planted v2: id%7==0 removed; id%5==0 edited; 15 re-added copies
+    // (bloom-filtered as dups); 15 genuinely-new docs, a third of them
+    // too short for the hygiene gate. FULL oracle: every stage is an
+    // id/text join, a length filter, or md5 arithmetic.
+    "q_refresh_e2e" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") < 15)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+        .unionByName(v1.where(col("doc_id") >= 15 && col("doc_id") < 30)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("tiny new doc"))
+              .otherwise(concat(col("text"),
+                lit(" fresh crawl content for the monthly refresh")))
+              .as("text")))
+      // the delta is refresh-bounded (small) and fans out into four
+      // consumer branches — materialize it once (eager localCheckpoint,
+      // the clusters pattern) so the digest-diff subtree isn't
+      // replicated per branch (4 extra corpus digest passes otherwise)
+      val delta = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+        .where(col("status") =!= "unchanged").localCheckpoint(true)
+      val candidates = v2.join(
+        broadcast(delta.where(col("status").isin("added", "changed"))),
+        v2("doc_id") === delta("id"))
+        .select(v2("doc_id"), v2("text"))
+      val gated = candidates.where(TextOps.tokenCount(col("text")) >= 12)
+        .localCheckpoint(true) // ditto: three branches inside bloomNewDocs
+      val fresh = Dedup.bloomNewDocs(v1, gated, "text", expectedItems = 100000)
+      val carried = v1.join(
+        broadcast(delta.where(col("status").isin("removed", "changed"))),
+        v1("doc_id") === delta("id"), "left_anti")
+      carried.select(col("doc_id"), col("text"), lit("carried").as("origin"))
+        .unionByName(fresh.select(col("doc_id"), col("text"),
+          lit("refreshed").as("origin")))
+        .select(col("doc_id"), col("origin"),
+          pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+            lit(8L)).as("shard"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     // SemDeDup (cluster-then-compare) over embeddings with planted
     // exact clones: two clone generations of vec_id < 20. Identical
     // vectors land in the same k-means cell by construction, and the
@@ -1138,6 +1192,42 @@ object PipelineQueries {
         |       ELSE 'unchanged' END AS status
         |FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id
         |ORDER BY id""".stripMargin,
+    "q_refresh_e2e" ->
+      """WITH v1 AS (SELECT doc_id AS id, text FROM documents),
+        |v2 AS (
+        |  SELECT id, CASE WHEN id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM v1 WHERE id % 7 <> 0
+        |  UNION ALL
+        |  SELECT id + 900000, text FROM v1 WHERE id < 15
+        |  UNION ALL
+        |  SELECT id + 800000,
+        |    CASE WHEN id % 3 = 0 THEN 'tiny new doc'
+        |         ELSE text || ' fresh crawl content for the monthly refresh' END
+        |  FROM v1 WHERE id >= 15 AND id < 30),
+        |diff AS (SELECT coalesce(a.id, b.id) AS id,
+        |  CASE WHEN a.id IS NULL THEN 'added'
+        |       WHEN b.id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id),
+        |cand AS (SELECT v2.id, v2.text FROM v2
+        |  JOIN diff ON diff.id = v2.id AND diff.status IN ('added', 'changed')),
+        |gated AS (SELECT * FROM cand
+        |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) >= 12),
+        |fresh AS (SELECT g.id, g.text FROM gated g
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.text = g.text)),
+        |carried AS (SELECT v1.id, v1.text FROM v1
+        |  WHERE v1.id NOT IN (SELECT id FROM diff
+        |                      WHERE status IN ('removed', 'changed'))),
+        |merged AS (
+        |  SELECT id, text, 'carried' AS origin FROM carried
+        |  UNION ALL
+        |  SELECT id, text, 'refreshed' AS origin FROM fresh)
+        |SELECT id AS doc_id, origin,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 8 AS shard,
+        |  md5(text) AS text_md5
+        |FROM merged""".stripMargin,
     "q_search_eval" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |sims AS (

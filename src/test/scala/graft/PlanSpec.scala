@@ -81,6 +81,18 @@ class PlanSpec extends SparkSuite {
       s"corpus side must not sort-merge:\n$s")
   }
 
+  test("refresh e2e: delta joins broadcast; only the digest diff sort-merges") {
+    val s = planOf("q_refresh_e2e")
+    // the added/changed delta selects v2's slice and anti-joins v1
+    // via broadcast — the corpus text columns never enter a shuffle;
+    // the single allowed SortMergeJoin is corpusDiff's full-outer
+    // digest join, whose shuffle payload is (id, 32-byte sha-256)
+    val smj = s.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
+    assert(smj <= 1, s"only the digest diff may sort-merge (got $smj):\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"delta joins must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("sequence packing windows per shard, not one global sort") {
     val s = planOf("q_pack_sequences")
     // a window with an empty partition spec would funnel 100 TB through
