@@ -519,6 +519,31 @@ object Dedup {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Streaming twin of [[corpusDiff]] — the serving half of a corpus
+    * refresh: v2 documents ARRIVE as a stream and each is classified
+    * against the static v1 snapshot the moment it lands — 'added' (id
+    * absent from v1), 'changed' (id present, digest differs) or
+    * 'unchanged'. 'removed' is inherently a batch verdict (a stream
+    * cannot observe absence) — run [[corpusDiff]] once the v2 snapshot
+    * closes. Stream-static LEFT OUTER join on id against v1's
+    * (id, 32-byte digest) projection: stateless (no watermark, append
+    * mode), and the static side should be a pre-materialized digest
+    * table bucketed by id at scale so each micro-batch probes, not
+    * re-derives, it — the v1 text itself is never read per batch.
+    */
+  def corpusDiffStream(v1: DataFrame, stream: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val v1h = v1.select(col(idCol).as("id"),
+      sha2(col(textCol).cast("binary"), 256).as("h1"))
+    stream.select(col(idCol).as("id"),
+        sha2(col(textCol).cast("binary"), 256).as("h2"))
+      .join(v1h, Seq("id"), "left")
+      .select(col("id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Exact dedup by content hash: one row per distinct content with the
     * kept (minimum) id and the duplicate count. Partial-agg friendly —
     * the only shuffle key is the 256-bit digest.

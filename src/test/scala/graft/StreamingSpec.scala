@@ -81,6 +81,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus diff == batch corpusDiff on the arriving slice, across batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val v1 = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // q_corpus_diff's planted v2: deletions, edits, and re-added copies
+    val v2 = v1.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.where(col("doc_id") < 15)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    val rows = v2.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val out = Dedup.corpusDiffStream(v1, ms.toDS().toDF("doc_id", "text"),
+      "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("diff_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      val afterOne = spark.table("diff_out").count()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("diff_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      // batch corpusDiff restricted to ids the stream can observe
+      // ('removed' is a closed-snapshot verdict, not a stream one)
+      val want = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+        .where(col("status") =!= "removed")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.sameElements(want), s"streaming ${got.length} != batch ${want.length}")
+      assert(afterOne > 0 && afterOne < got.length) // genuinely incremental
+      assert(got.count(_._2 == "added") == 15)
+      assert(got.exists(_._2 == "changed") && got.exists(_._2 == "unchanged"))
+    } finally q.stop()
+  }
+
   test("streaming paragraph strip == batch op across micro-batches; saturated docs vanish") {
     import graft.operators.TextOps
     val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
