@@ -280,6 +280,96 @@ object Knn {
     spark.read.parquet(path).orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** Incremental IVF maintenance after a corpus refresh — the
+    * operational step between this ANN stack and a production vector
+    * store. Appending vectors to a built index is free here (the cell
+    * is a pure function of vector + centroid table, so new rows just
+    * assign to existing cells at write time), but growth is rarely
+    * uniform: a crawl refresh lands a dense new topic in one cell and
+    * every probe of it degrades toward brute force. This SPLITS the
+    * cells the growth has made oversized (> `splitFactor` × the mean
+    * occupancy) by a cell-local 2-means re-fit, keeping every other
+    * centroid FROZEN — existing cell assignments outside the split
+    * cells stay valid, so the refreshed index ships as: unchanged
+    * slots + each split cell's first child in place + second children
+    * appended. No full retrain, no global reshuffle of the corpus;
+    * only split cells' rows need cell re-assignment on the next write.
+    *
+    * Scale shape: one pass for the occupancy histogram (cells-bounded
+    * agg), then `iters` passes over ONLY the oversized cells' slice
+    * (at scale a cell-pruned scan of the cell-partitioned corpus —
+    * kilobytes of child centroids broadcast, the slice never
+    * shuffles; the seed pick is the only per-cell window, over the
+    * slice). Returns the refreshed centroid table; callers re-save
+    * with [[saveIvfIndex]].
+    */
+  def refreshIvfCentroids(cents: Array[Array[Double]], grown: DataFrame,
+                          idCol: String, vecCol: String,
+                          splitFactor: Double = 4.0,
+                          iters: Int = 2): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val assigned = grown.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
+    val hist = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val meanOcc = hist.values.sum.toDouble / cents.length
+    val oversized = hist.filter { case (_, n) => n > splitFactor * meanOcc && n >= 2 }
+      .keys.toSeq.sorted
+    if (oversized.isEmpty) return cents
+
+    // the oversized slice feeds iters+1 jobs — materialize it once
+    val slice = assigned.where(col("cell").isin(oversized: _*))
+      .localCheckpoint(true)
+    // deterministic seeds: the 2 smallest-id-hash vectors of each cell
+    // (the trainIvfCentroids seeding rule, applied per cell)
+    val w = Window.partitionBy(col("cell")).orderBy(xxhash64(col("id")), col("id"))
+    val seedRows = slice.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).select(col("cell"), col("rn"), col("v"))
+      .collect()
+    var children: Map[Int, Array[Array[Double]]] = oversized.map { c =>
+      val s = seedRows.filter(_.getInt(0) == c).sortBy(_.getInt(1))
+        .map(r => normalize(r.getSeq[Float](2).map(_.toDouble).toArray))
+      c -> Array(s(0), s(1))
+    }.toMap
+
+    val spark = grown.sparkSession
+    import spark.implicits._
+    for (_ <- 1 to iters) {
+      val childDf = children.toSeq.sortBy(_._1)
+        .map { case (c, arr) => (c, arr(0).toSeq, arr(1).toSeq) }
+        .toDF("cell", "ca", "cb")
+      val means = slice.join(broadcast(childDf), Seq("cell"))
+        .select(col("cell"),
+          when(cosine(col("v"), col("ca")) >= cosine(col("v"), col("cb")),
+            lit(0)).otherwise(lit(1)).as("child"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("child"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      children = children.map { case (c, prev) =>
+        val mine = means.filter(_.getInt(0) == c)
+        c -> Array(0, 1).map { ch =>
+          val rows = mine.filter(_.getInt(1) == ch)
+          if (rows.isEmpty) prev(ch) // empty child keeps its seed
+          else {
+            val v = new Array[Double](rows.map(_.getInt(2)).max + 1)
+            rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+            normalize(v)
+          }
+        }
+      }
+    }
+    // unchanged slots keep their index; split slots take child 0 in
+    // place; child 1s append in cell order
+    val out = cents.clone().toBuffer
+    oversized.foreach(c => out(c) = children(c)(0))
+    oversized.foreach(c => out += children(c)(1))
+    out.toArray
+  }
+
   /** Persist trained PQ codebooks as parquet (subspace, entry, values). */
   def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
                       cb: Array[Array[Array[Double]]], path: String): Unit = {

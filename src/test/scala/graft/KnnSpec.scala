@@ -242,6 +242,55 @@ class KnnSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF refresh: balanced growth keeps the table; skewed growth splits the hot cell") {
+    import graft.functions.VectorFunctions
+    val base = emb.where(col("vec_id") >= 100)
+    val cents = Knn.trainIvfCentroids(base, "vec_id", "embedding", cells = 8)
+    // balanced: no cell above the split threshold — frozen table back
+    assert(Knn.refreshIvfCentroids(cents, base, "vec_id", "embedding") eq cents)
+
+    // skewed: a dense new topic lands 10 clone generations of the
+    // hottest cell's members — that one cell grows ~4×
+    val assigned = base.select(col("vec_id"), col("embedding"),
+      VectorFunctions.ivf_cell(col("embedding"), cents).as("cell"))
+    val hot = assigned.groupBy(col("cell")).count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    val donors = assigned.where(col("cell") === hot)
+      .orderBy(col("vec_id")).limit(30).select(col("vec_id"), col("embedding"))
+    val grown = (1 to 10).map(g =>
+        donors.select((col("vec_id") + g * 100000).as("vec_id"), col("embedding"),
+          lit(s"clone$g").as("label")))
+      .foldLeft(base)(_ unionByName _)
+
+    val cents2 = Knn.refreshIvfCentroids(cents, grown, "vec_id", "embedding",
+      splitFactor = 3.0)
+    assert(cents2.length > cents.length, "hot cell should have split")
+    // frozen slots: every non-split original centroid is bit-identical
+    val unchanged = cents.indices.count(i => cents2(i).sameElements(cents(i)))
+    assert(unchanged >= cents.length - 2, s"only split slots may move ($unchanged)")
+    cents2.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+
+    // appended-index recall ≡ full-retrain recall on the grown corpus
+    val q = grown.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val exact = Knn.bruteForceTopK(q, grown, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    def recallOf(table: Array[Array[Double]]): Double = {
+      val approx = Knn.ivfTopKWith(table, q, grown, "vec_id", "embedding",
+        k = 10, probes = 3).select("q_id", "n_id")
+      approx.intersect(exact).count().toDouble / exact.count()
+    }
+    val retrained = Knn.trainIvfCentroids(grown, "vec_id", "embedding",
+      cells = cents2.length)
+    val rRefreshed = recallOf(cents2)
+    val rRetrained = recallOf(retrained)
+    assert(rRefreshed >= rRetrained - 0.1,
+      s"refreshed recall $rRefreshed vs retrained $rRetrained")
+    assert(rRefreshed >= 0.5, s"refreshed recall $rRefreshed below floor")
+  }
+
   test("int8 quantization: cosine error is small, payload is 1 byte/dim") {
     import graft.functions.VectorFunctions._
     val pairs = emb.where(col("vec_id") < 30).alias("a")
