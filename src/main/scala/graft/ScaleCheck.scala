@@ -30,9 +30,11 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     names.foreach { name =>
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val rows = df.count() // result cardinality — superlinear growth here explains superlinear time
       df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
       // after execution the adaptive plan is final — walk it, counting
       // the physical operators that matter at scale
       val planStr = df.queryExecution.executedPlan match {
@@ -40,7 +42,7 @@ object ScaleCheck {
         case p => p.toString
       }
       def count(marker: String): Int = planStr.sliding(marker.length).count(_ == marker)
-      println(s"== $name rows=$rows")
+      println(f"== $name rows=$rows secs=$secs%.1f (build+count+noop-write)")
       println(s"   broadcastHashJoin=${count("BroadcastHashJoin")} " +
         s"sortMergeJoin=${count("SortMergeJoin")} shuffledHashJoin=${count("ShuffledHashJoin")} " +
         s"exchanges=${count("Exchange hashpartitioning") + count("Exchange rangepartitioning")} " +

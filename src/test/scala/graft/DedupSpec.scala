@@ -185,6 +185,23 @@ class DedupSpec extends SparkSuite {
       s"chain must collapse to cluster 1, got ${cl.values.toSet}")
   }
 
+  test("label propagation's cap truncates the chain that star contraction solves") {
+    import spark.implicits._
+    // the motivating case: diameter 199 ≫ any practical label-prop
+    // round cap. Star converges inside its default 30 alternations;
+    // a 10-round label-prop cap leaves distant nodes mislabeled.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.clustersStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 200 && star.values.forall(_ == 1L),
+      s"star must fully collapse the chain, got ${star.values.toSet}")
+    val truncated = Dedup.clusters(chain, maxIter = 10)
+      .where(col("cluster") =!= 1L).count()
+    assert(truncated > 0,
+      "a 10-round label-prop cap must truncate a diameter-199 chain — " +
+        "if this passes, the motivating case for clustersStar is gone")
+  }
+
   test("clustersStar handles empty and single-pair inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
