@@ -530,18 +530,23 @@ object Dedup {
     * mode), and the static side should be a pre-materialized digest
     * table bucketed by id at scale so each micro-batch probes, not
     * re-derives, it — the v1 text itself is never read per batch.
+    *
+    * Output = the arriving row's columns + `status`, so the verdict
+    * composes downstream without a (stream-unfriendly) re-join —
+    * filter to added/changed and feed [[bloomNewDocsStream]] and the
+    * stream IS the refresh pipeline's serving half (pinned in
+    * StreamingSpec).
     */
   def corpusDiffStream(v1: DataFrame, stream: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
-    val v1h = v1.select(col(idCol).as("id"),
-      sha2(col(textCol).cast("binary"), 256).as("h1"))
-    stream.select(col(idCol).as("id"),
-        sha2(col(textCol).cast("binary"), 256).as("h2"))
-      .join(v1h, Seq("id"), "left")
-      .select(col("id"),
-        when(col("h1").isNull, lit("added"))
-          .when(col("h1") =!= col("h2"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
+    val v1h = v1.select(col(idCol).as("__id"),
+      sha2(col(textCol).cast("binary"), 256).as("__h1"))
+    stream.withColumn("__h2", sha2(col(textCol).cast("binary"), 256))
+      .join(v1h, col(idCol) === col("__id"), "left")
+      .select(stream.columns.map(col) :+
+        when(col("__h1").isNull, lit("added"))
+          .when(col("__h1") =!= col("__h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
   }
 
   /** Exact dedup by content hash: one row per distinct content with the

@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSuite {
       ms.addData(first.toSeq); q.processAllAvailable()
       val afterOne = spark.table("diff_out").count()
       ms.addData(second.toSeq); q.processAllAvailable()
-      val got = spark.table("diff_out")
+      val got = spark.table("diff_out").select(col("doc_id"), col("status"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted
       // batch corpusDiff restricted to ids the stream can observe
       // ('removed' is a closed-snapshot verdict, not a stream one)
@@ -114,6 +114,47 @@ class StreamingSpec extends SparkSuite {
       assert(afterOne > 0 && afterOne < got.length) // genuinely incremental
       assert(got.count(_._2 == "added") == 15)
       assert(got.exists(_._2 == "changed") && got.exists(_._2 == "unchanged"))
+    } finally q.stop()
+  }
+
+  test("streaming refresh serving: diff-classify then bloom-dedup composes == batch loop") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val v1 = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // arriving v2: edits (new content, must pass) and re-added copies
+    // of v1 content under fresh ids (must be bloom-dropped as dups)
+    val v2 = v1.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.where(col("doc_id") < 15)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    val rows = v2.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    // the serving pipeline: classify against v1, keep the delta,
+    // strip content v1 already has — no re-join anywhere
+    val classified = Dedup.corpusDiffStream(v1, ms.toDS().toDF("doc_id", "text"),
+      "doc_id", "text")
+    val delta = classified.where(col("status").isin("added", "changed")).drop("status")
+    val out = Dedup.bloomNewDocsStream(v1, delta, "text", expectedItems = 10000)
+    val q = out.writeStream.format("memory").queryName("refresh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("refresh_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      // batch loop: diff delta -> v2 slice -> bloomNewDocs
+      val deltaIds = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+        .where(col("status").isin("added", "changed")).select(col("id"))
+      val batchDelta = v2.join(deltaIds, v2("doc_id") === deltaIds("id"))
+        .select(v2("doc_id"), v2("text"))
+      val want = Dedup.bloomNewDocs(v1, batchDelta, "text", expectedItems = 10000)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want), s"streaming ${got.length} != batch ${want.length}")
+      assert(got.nonEmpty && !got.exists(_ >= 900000),
+        "re-added v1 copies must be bloom-dropped; edited docs must pass")
     } finally q.stop()
   }
 
