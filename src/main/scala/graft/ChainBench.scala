@@ -41,10 +41,12 @@ object ChainBench {
     val lpSecs = (System.nanoTime() - t1) / 1e9
     val lpProjected = lpSecs / lpCap * (n - 1)
 
-    println(f"""{"chain_n":$n,"star_secs":$starSecs%.1f,"star_mislabeled":$starWrong,""" +
-      f""""labelprop_cap":$lpCap,"labelprop_capped_secs":$lpSecs%.1f,""" +
-      f""""labelprop_mislabeled_at_cap":$lpWrong,""" +
-      f""""labelprop_projected_full_secs":$lpProjected%.1f}""")
+    // Locale.ROOT: f"" is locale-sensitive (decimal comma → bad JSON)
+    def d1(x: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, x)
+    println(s"""{"chain_n":$n,"star_secs":${d1(starSecs)},"star_mislabeled":$starWrong,""" +
+      s""""labelprop_cap":$lpCap,"labelprop_capped_secs":${d1(lpSecs)},""" +
+      s""""labelprop_mislabeled_at_cap":$lpWrong,""" +
+      s""""labelprop_projected_full_secs":${d1(lpProjected)}}""")
     spark.stop()
   }
 }

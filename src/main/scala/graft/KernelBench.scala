@@ -35,16 +35,29 @@ object KernelBench {
     })
 
     import graft.operators.Dedup
+    // untimed warm-up: the first pipeline otherwise pays JVM/codegen/
+    // parquet-footer startup and the comparison order would bias it
+    Dedup.minhashPairs(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    // k pinned EQUAL on both minhash paths (the operators' defaults
+    // differ: internal k=64, portable k=32 — comparing those would
+    // measure signature length, not kernel cost); k=32 matches what
+    // the oracle-backed query surface runs
     val out = Seq(
-      "minhash_internal" -> time(() =>
+      "minhash_internal_k32" -> time(() =>
+        Dedup.minhashPairs(docs, "text", "doc_id", k = 32, minEstJaccard = 0.5)),
+      "minhash_portable_k32" -> time(() =>
+        Dedup.minhashPairsPortable(docs, "text", "doc_id", k = 32, minEstJaccard = 0.5)),
+      "minhash_internal_k64_default" -> time(() =>
         Dedup.minhashPairs(docs, "text", "doc_id", minEstJaccard = 0.5)),
-      "minhash_portable" -> time(() =>
-        Dedup.minhashPairsPortable(docs, "text", "doc_id", minEstJaccard = 0.5)),
       "simhash_internal" -> time(() =>
         Dedup.simhashPairs(docs, "text", "doc_id")),
       "simhash_portable" -> time(() =>
         Dedup.simhashPairsPortable(docs, "text", "doc_id")))
-    println(out.map { case (k, v) => f""""$k":$v%.2f""" }
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and would
+    // print a decimal COMMA on non-English JVMs — invalid JSON
+    println(out.map { case (k, v) =>
+        s""""$k":${"%.2f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString(s"""{"sfDir":"$sfDir",""", ",", "}"))
     spark.stop()
   }

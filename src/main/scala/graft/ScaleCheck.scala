@@ -42,7 +42,8 @@ object ScaleCheck {
         case p => p.toString
       }
       def count(marker: String): Int = planStr.sliding(marker.length).count(_ == marker)
-      println(f"== $name rows=$rows secs=$secs%.1f (build+count+noop-write)")
+      println("== " + name + " rows=" + rows + " secs=" +
+        "%.1f".formatLocal(java.util.Locale.ROOT, secs) + " (build+count+noop-write)")
       println(s"   broadcastHashJoin=${count("BroadcastHashJoin")} " +
         s"sortMergeJoin=${count("SortMergeJoin")} shuffledHashJoin=${count("ShuffledHashJoin")} " +
         s"exchanges=${count("Exchange hashpartitioning") + count("Exchange rangepartitioning")} " +

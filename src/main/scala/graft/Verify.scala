@@ -20,6 +20,15 @@ object Verify {
     // queries (the driver never sets it, so its runs stay exhaustive)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY names not in queries " +
+          s"(typo?): ${unknown.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"[verify] FILTERED run: ${names.size - unknown.size} " +
+        s"of ${SparkEntry.queries.size} queries — outDir will hold a PARTIAL " +
+        "result set; don't point the driver (or check.py baselines) at it")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

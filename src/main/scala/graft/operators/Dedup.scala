@@ -545,6 +545,10 @@ object Dedup {
       .join(v1h, col(idCol) === col("__id"), "left")
       .select(stream.columns.map(col) :+
         when(col("__h1").isNull, lit("added"))
+          // null arriving text = a tombstone: the id exists in v1 but
+          // carries no content — same verdict order as the batch
+          // operator (h2 null → 'removed'), keeping twin parity
+          .when(col("__h2").isNull, lit("removed"))
           .when(col("__h1") =!= col("__h2"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"): _*)
   }

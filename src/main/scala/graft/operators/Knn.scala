@@ -160,13 +160,19 @@ object Knn {
     * cells × dim doubles ever reach the driver — corpus-size
     * independent, so the same code trains on 100 TB.
     */
+  /** L2 normalization — ONE convention for centroid scaling, shared by
+    * the IVF trainer and the incremental refresher so their centroid
+    * tables stay interchangeable.
+    */
+  private def l2Normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         cells: Int, iters: Int = 1): Array[Array[Double]] = {
     def normalized(rows: Seq[Array[Double]]): Array[Array[Double]] =
-      rows.map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0) v else v.map(_ / n)
-      }.toArray
+      rows.map(l2Normalize).toArray
 
     val seedRows = corpus
       .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
@@ -307,10 +313,11 @@ object Knn {
                           idCol: String, vecCol: String,
                           splitFactor: Double = 4.0,
                           iters: Int = 2): Array[Array[Double]] = {
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
+    // two corpus passes by design: the histogram pass and (only when a
+    // split triggers) the oversized-slice pass re-derive the codegen
+    // cell assignment rather than materialize a corpus-scale
+    // checkpoint — at scale the corpus sits cell-partitioned on disk,
+    // making the second pass a pruned scan of just the hot cells
     val assigned = grown.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.ivf_cell(col(vecCol), cents).as("cell"))
     val hist = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -331,7 +338,7 @@ object Knn {
       .collect()
     var children: Map[Int, Array[Array[Double]]] = oversized.map { c =>
       val s = seedRows.filter(_.getInt(0) == c).sortBy(_.getInt(1))
-        .map(r => normalize(r.getSeq[Float](2).map(_.toDouble).toArray))
+        .map(r => l2Normalize(r.getSeq[Float](2).map(_.toDouble).toArray))
       c -> Array(s(0), s(1))
     }.toMap
 
@@ -357,7 +364,7 @@ object Knn {
           else {
             val v = new Array[Double](rows.map(_.getInt(2)).max + 1)
             rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
-            normalize(v)
+            l2Normalize(v)
           }
         }
       }

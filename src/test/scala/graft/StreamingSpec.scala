@@ -81,17 +81,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("streaming corpus diff == batch corpusDiff on the arriving slice, across batches") {
-    import graft.operators.Dedup
-    import org.apache.spark.sql.functions.{col, concat, lit, when}
-    val v1 = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
-    // q_corpus_diff's planted v2: deletions, edits, and re-added copies
-    val v2 = v1.where(col("doc_id") % 7 =!= 0)
+  /** The q_corpus_diff planted v2 snapshot (deletions at id%7, edits
+    * at id%5, re-added copies of id<15 at +900000) — ONE builder for
+    * both corpus-diff streaming tests so the stream==batch pins can't
+    * drift onto differently-planted corpora. (The PipelineQueries
+    * copies stay inline by design: each query body must mirror its
+    * oracle SQL self-containedly.)
+    */
+  private def plantedV2(v1: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v1.where(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
           .otherwise(col("text")).as("text"))
       .unionByName(v1.where(col("doc_id") < 15)
         .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+
+  test("streaming corpus diff == batch corpusDiff on the arriving slice, across batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val v1 = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // one null-text TOMBSTONE for an id the planted v2 dropped: both
+    // engines must call it 'removed' (batch: h2 null; stream: __h2
+    // null before the =!= compare, which would otherwise null out)
+    val v2 = plantedV2(v1).unionByName(
+      Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val rows = v2.collect().map(r => (r.getLong(0), r.getString(1)))
     val ms = MemoryStream[(Long, String)]
     val out = Dedup.corpusDiffStream(v1, ms.toDS().toDF("doc_id", "text"),
@@ -106,29 +119,27 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("diff_out").select(col("doc_id"), col("status"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted
       // batch corpusDiff restricted to ids the stream can observe
-      // ('removed' is a closed-snapshot verdict, not a stream one)
+      // (absence-derived 'removed' is a closed-snapshot verdict; the
+      // arriving tombstone's 'removed' must match)
+      val arriving = v2.select(col("doc_id").as("id")).distinct()
       val want = Dedup.corpusDiff(v1, v2, "doc_id", "text")
-        .where(col("status") =!= "removed")
+        .join(arriving, Seq("id"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted
       assert(got.sameElements(want), s"streaming ${got.length} != batch ${want.length}")
       assert(afterOne > 0 && afterOne < got.length) // genuinely incremental
       assert(got.count(_._2 == "added") == 15)
+      assert(got.contains((7L, "removed")), "tombstone must classify 'removed'")
       assert(got.exists(_._2 == "changed") && got.exists(_._2 == "unchanged"))
     } finally q.stop()
   }
 
   test("streaming refresh serving: diff-classify then bloom-dedup composes == batch loop") {
     import graft.operators.Dedup
-    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import org.apache.spark.sql.functions.col
     val v1 = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
     // arriving v2: edits (new content, must pass) and re-added copies
     // of v1 content under fresh ids (must be bloom-dropped as dups)
-    val v2 = v1.where(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
-          .otherwise(col("text")).as("text"))
-      .unionByName(v1.where(col("doc_id") < 15)
-        .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    val v2 = plantedV2(v1)
     val rows = v2.collect().map(r => (r.getLong(0), r.getString(1)))
     val ms = MemoryStream[(Long, String)]
     // the serving pipeline: classify against v1, keep the delta,
