@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID (stopword
@@ -96,6 +96,51 @@ object TextOps {
       lit(0.2) * lenOk +
       lit(0.1) * wordLenOk +
       lit(0.1) * (lit(1.0) - least(punctRatio(text) * 10, lit(1.0))), 6)
+  }
+
+  /** Precision/recall threshold sweep — the calibration step between
+    * a scored corpus and an actual filter cutoff: for each threshold
+    * tᵢ = i/steps, how many documents a `score >= tᵢ` filter keeps and
+    * what precision/recall/F1 it achieves against `labelCol` (a binary
+    * reference judgment: a labeled sample, a rule oracle, an existing
+    * production filter). Returns one row per threshold:
+    * (threshold, pred_pos, tp, precision, recall, f1).
+    *
+    * Scale shape: ONE partial-agg pass over the corpus folds scores
+    * into ≤`steps` bucket rows (bucket = ⌊score·steps⌋ clamped); all
+    * cumulative/ratio arithmetic then runs on that tiny table
+    * (threshold × bucket triangle join, ≤ steps² rows) — no corpus
+    * sort, no second scan, no collect. Empty-filter convention:
+    * precision at a threshold keeping nothing is 1.0 (vacuous truth),
+    * recall 0.0 with no positives.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+              steps: Int = 20): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val b = scored.select(
+        least(floor(col(scoreCol) * steps), lit(steps - 1)).cast("int").as("bucket"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val th = scored.sparkSession.range(steps)
+      .select(col("id").cast("int").as("i"))
+    val cum = th.join(broadcast(b), col("bucket") >= col("i"), "left")
+      .groupBy(col("i"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("pred_pos"),
+        coalesce(sum(col("pos")), lit(0L)).as("tp"))
+    val totals = b.agg(coalesce(sum(col("pos")), lit(0L)).as("p_all"))
+    val prec = when(col("pred_pos") > 0,
+      col("tp").cast("double") / col("pred_pos")).otherwise(lit(1.0))
+    val rec = when(col("p_all") > 0,
+      col("tp").cast("double") / col("p_all")).otherwise(lit(0.0))
+    cum.crossJoin(broadcast(totals))
+      .select(
+        round(col("i").cast("double") / steps, 6).as("threshold"),
+        col("pred_pos"), col("tp"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(lit(0.0)), 6).as("f1"))
   }
 
   /** Document fingerprint: min-sampled rolling hash over word 5-gram

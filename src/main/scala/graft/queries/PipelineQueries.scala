@@ -341,6 +341,18 @@ object PipelineQueries {
         round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextOps.qualityScore(col("text")).as("quality"))),
 
+    // PR-curve threshold sweep: calibrate the quality-filter cutoff
+    // against a rule-oracle label (stopword-rich docs). One bucket
+    // partial-agg over the corpus, then tiny-table cumulative
+    // arithmetic — FULL oracle (every step is integer counting over
+    // engine-identical doubles).
+    "q_quality_prcurve" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        TextOps.qualityScore(col("text")).as("score"),
+        (TextOps.stopwordRatio(col("text")) > 0.08).as("y"))
+      TextOps.prCurve(scored, "score", "y", steps = 20)
+    }),
+
     // fastText-style quality classifier end-to-end, in the reference-
     // vs-garbage shape the GPT-3/LLaMA data filters use: the corpus
     // itself is the positive class, a deterministic corruption of it
@@ -1307,6 +1319,32 @@ object PipelineQueries {
         |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
         |  ${qualitySql} AS quality
         |FROM t""".stripMargin,
+    "q_quality_prcurve" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT ${qualitySql} AS score,
+        |  CASE WHEN (CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) > 0.08
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM t),
+        |b AS (SELECT CAST(least(floor(score * 20), 19) AS INT) AS bucket,
+        |    count(*) AS n, sum(y) AS pos FROM s GROUP BY 1),
+        |th AS (SELECT CAST(range AS INT) AS i FROM range(0, 20)),
+        |cum AS (SELECT i, CAST(coalesce(sum(n), 0) AS BIGINT) AS pred_pos,
+        |    CAST(coalesce(sum(pos), 0) AS BIGINT) AS tp
+        |  FROM th LEFT JOIN b ON b.bucket >= th.i GROUP BY i),
+        |tot AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS p_all FROM b),
+        |pr AS (SELECT i, pred_pos, tp,
+        |    CASE WHEN pred_pos > 0 THEN tp / CAST(pred_pos AS DOUBLE) ELSE 1.0 END AS p,
+        |    CASE WHEN p_all > 0 THEN tp / CAST(p_all AS DOUBLE) ELSE 0.0 END AS r
+        |  FROM cum CROSS JOIN tot)
+        |SELECT round(i / 20.0, 6) AS threshold, pred_pos, tp,
+        |  round(p, 6) AS "precision", round(r, 6) AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+        |FROM pr""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

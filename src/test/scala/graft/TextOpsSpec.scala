@@ -27,6 +27,32 @@ class TextOpsSpec extends SparkSuite {
     assert(qClean > qJunk + 0.3, s"clean=$qClean junk=$qJunk")
   }
 
+  test("prCurve: hand-computed sweep; clamping and empty conventions") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // buckets at steps=4: 0.9→3, 0.8→3, 0.6→2, 0.2→0; positives = 2
+    val scored = Seq((0.9, true), (0.8, false), (0.6, true), (0.2, false))
+      .toDF("score", "y")
+    val rows = TextOps.prCurve(scored, "score", "y", steps = 4)
+      .orderBy(col("threshold")).collect()
+    assert(rows.length == 4)
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getLong(1) == 4 &&
+      rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 0.5 &&
+      rows(0).getDouble(4) == 1.0 && rows(0).getDouble(5) == 0.666667)
+    assert(rows(1).getLong(1) == 3 && rows(1).getDouble(3) == 0.666667 &&
+      rows(1).getDouble(5) == 0.8)
+    assert(rows(3).getLong(1) == 2 && rows(3).getLong(2) == 1 &&
+      rows(3).getDouble(3) == 0.5 && rows(3).getDouble(4) == 0.5 &&
+      rows(3).getDouble(5) == 0.5)
+    // all-negative corpus: recall 0 everywhere by convention, and a
+    // score of exactly 1.0 clamps into the top bucket (never drops)
+    val neg = Seq((1.0, false)).toDF("score", "y")
+    val nr = TextOps.prCurve(neg, "score", "y", steps = 4)
+      .orderBy(col("threshold")).collect()
+    assert(nr.forall(_.getDouble(4) == 0.0))
+    assert(nr.last.getLong(1) == 1)
+  }
+
   test("token counts: bpe proxy >= whitespace tokens on punctuated text") {
     val df = spark.sql("SELECT 'hello, world! it''s 42 degrees.' AS text")
     val r = df.select(TextOps.tokenCount(col("text")).as("ws"),
