@@ -143,6 +143,54 @@ object TextOps {
           .otherwise(lit(0.0)), 6).as("f1"))
   }
 
+  /** Calibration (reliability-diagram) table for a probabilistic
+    * score: per score bin — count, mean predicted score, empirical
+    * positive rate, and their absolute gap (the per-bin term of
+    * expected calibration error; ECE = Σ n·gap / Σ n downstream).
+    * Same scale shape as [[prCurve]]: ONE partial-agg pass folding the
+    * corpus into ≤`bins` rows; scores outside [0,1) clamp into the
+    * edge bins.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    scored.select(
+        greatest(least(floor(col(scoreCol) * bins), lit(bins - 1)), lit(0))
+          .cast("int").as("bin"),
+        col(scoreCol).as("s"), col(labelCol).cast("int").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("s")), 6).as("mean_score"),
+        round(avg(col("y")), 6).as("frac_pos"))
+      .select(
+        round(col("bin").cast("double") / bins, 6).as("bin_lo"),
+        col("n"), col("mean_score"), col("frac_pos"),
+        round(abs(col("mean_score") - col("frac_pos")), 6).as("gap"))
+  }
+
+  /** Deterministic train/validation/test split assignment: a pure
+    * function of the id (md5 bucket over 10⁶), so membership is
+    * stable across runs, re-exports, and engines — a grown corpus
+    * keeps every old document in its old split, and no shuffle or
+    * state is needed to assign it. `weights` are (name, weight) in
+    * priority order; they are normalized, so (train 0.8, val 0.1,
+    * test 0.1) and (8, 1, 1) are the same split.
+    */
+  def splitAssign(id: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(conv(substring(md5(concat(lit("split:"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long"), lit(1000000L))
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * 1000000L))
+    // last branch is the otherwise — no row can fall through
+    weights.init.zip(cuts.init).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (els, ((name, _), cut)) =>
+        when(bucket < cut, lit(name)).otherwise(els)
+      }
+  }
+
   /** Document fingerprint: min-sampled rolling hash over word 5-gram
     * shingles (winnowing-style). Two documents sharing long runs of
     * text collide with high probability; robust to reordering of

@@ -353,6 +353,26 @@ object PipelineQueries {
       TextOps.prCurve(scored, "score", "y", steps = 20)
     }),
 
+    // calibration / reliability diagram of the quality score against
+    // the same rule label — one bucket partial-agg; FULL oracle.
+    "q_quality_calibration" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        TextOps.qualityScore(col("text")).as("score"),
+        (TextOps.stopwordRatio(col("text")) > 0.08).as("y"))
+      TextOps.calibration(scored, "score", "y", bins = 10)
+    }),
+
+    // deterministic 80/10/10 split assignment (md5 id bucket — stable
+    // across runs/engines/corpus growth), audited as per-split,
+    // per-language counts. FULL oracle.
+    "q_split_assign" -> ((s, d) =>
+      docs(s, d).select(
+          TextOps.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+          col("lang"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // fastText-style quality classifier end-to-end, in the reference-
     // vs-garbage shape the GPT-3/LLaMA data filters use: the corpus
     // itself is the positive class, a deterministic corruption of it
@@ -1345,6 +1365,34 @@ object PipelineQueries {
         |  round(p, 6) AS "precision", round(r, 6) AS recall,
         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
         |FROM pr""".stripMargin,
+    "q_quality_calibration" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT ${qualitySql} AS score,
+        |  CASE WHEN (CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) > 0.08
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM t),
+        |g AS (SELECT CAST(greatest(least(floor(score * 10), 9), 0) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(score), 6) AS mean_score,
+        |    round(avg(y), 6) AS frac_pos
+        |  FROM s GROUP BY 1)
+        |SELECT round(bin / 10.0, 6) AS bin_lo, n, mean_score, frac_pos,
+        |  round(abs(mean_score - frac_pos), 6) AS gap
+        |FROM g""".stripMargin,
+    "q_split_assign" ->
+      """WITH a AS (SELECT
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split, lang
+        |  FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 1000000 AS b, lang
+        |        FROM documents))
+        |SELECT split, lang, count(*) AS n_docs FROM a GROUP BY 1, 2""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -53,6 +53,48 @@ class TextOpsSpec extends SparkSuite {
     assert(nr.last.getLong(1) == 1)
   }
 
+  test("calibration: hand-computed bins; out-of-range scores clamp") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // bin at bins=2: 0.1→0, 0.9→1, 1.2 clamps→1, -0.3 clamps→0
+    val scored = Seq((0.1, false), (0.9, true), (1.2, true), (-0.3, false))
+      .toDF("score", "y")
+    val rows = TextOps.calibration(scored, "score", "y", bins = 2)
+      .orderBy(col("bin_lo")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getLong(1) == 2 &&
+      rows(0).getDouble(2) == -0.1 && rows(0).getDouble(3) == 0.0 &&
+      rows(0).getDouble(4) == 0.1)
+    assert(rows(1).getDouble(0) == 0.5 && rows(1).getLong(1) == 2 &&
+      rows(1).getDouble(2) == 1.05 && rows(1).getDouble(3) == 1.0 &&
+      rows(1).getDouble(4) == 0.05)
+  }
+
+  test("splitAssign: deterministic, partitioned, weight-normalized, ~proportional") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val ids = spark.range(10000).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = ids.select(TextOps.splitAssign(col("id"), w).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // total partition
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 200, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 150, counts.toString)
+    // unnormalized weights give the identical split (8:1:1 == .8:.1:.1)
+    val c2 = ids.select(TextOps.splitAssign(col("id"),
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 == counts)
+    // membership is stable: a grown corpus keeps old ids in old splits
+    val small = spark.range(100).toDF("id")
+      .select(col("id"), TextOps.splitAssign(col("id"), w).as("s"))
+    val grown = spark.range(10000).toDF("id")
+      .select(col("id"), TextOps.splitAssign(col("id"), w).as("s"))
+      .where(col("id") < 100)
+    assert(small.exceptAll(grown).isEmpty && grown.exceptAll(small).isEmpty)
+  }
+
   test("token counts: bpe proxy >= whitespace tokens on punctuated text") {
     val df = spark.sql("SELECT 'hello, world! it''s 42 degrees.' AS text")
     val r = df.select(TextOps.tokenCount(col("text")).as("ws"),
