@@ -117,11 +117,15 @@ object TextOps {
   def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
               steps: Int = 20): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    // the bucket table feeds two branches (cumulative + totals) —
+    // materialize its ≤steps rows once so the corpus is scanned
+    // exactly once no matter how many actions read the result
     val b = scored.select(
         least(floor(col(scoreCol) * steps), lit(steps - 1)).cast("int").as("bucket"),
         col(labelCol).cast("int").as("y"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true)
     val th = scored.sparkSession.range(steps)
       .select(col("id").cast("int").as("i"))
     val cum = th.join(broadcast(b), col("bucket") >= col("i"), "left")
