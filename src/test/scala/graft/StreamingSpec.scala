@@ -169,6 +169,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality-calibration monitor converges to the batch table") {
+    // live calibration drift of a quality filter on an incoming
+    // stream: the SAME TextOps.calibration operator applied to a
+    // streaming frame (its bucket agg is algebraic, so update-mode
+    // per-bin rows converge to the batch table once all data arrived)
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val docsDf = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    def scoredOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      TextOps.qualityScore(col("text")).as("score"),
+      (TextOps.stopwordRatio(col("text")) > 0.08).as("y"))
+    val ms = MemoryStream[(Long, String)]
+    val out = TextOps.calibration(scoredOf(ms.toDS().toDF("doc_id", "text")),
+      "score", "y", bins = 10)
+    val q = out.writeStream.format("memory").queryName("calib_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      // update mode re-emits refined rows per bin — the LAST emission
+      // per bin is the live table; it must equal the batch operator
+      import spark.implicits._
+      val got = spark.table("calib_out")
+        .withColumn("emit", org.apache.spark.sql.functions
+          .monotonically_increasing_id())
+        .orderBy(col("emit"))
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap // later emissions overwrite earlier per bin_lo
+      val want = TextOps.calibration(scoredOf(docsDf), "score", "y", bins = 10)
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      assert(got == want, s"live table $got != batch $want")
+    } finally q.stop()
+  }
+
   test("streaming paragraph strip == batch op across micro-batches; saturated docs vanish") {
     import graft.operators.TextOps
     val all = graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
