@@ -108,6 +108,45 @@ class TextHashingSpec extends AnyFunSuite {
     }
   }
 
+  test("portable kernel properties: md5 cross-check, invariances, superset monotonicity") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val word = Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, Gen.alphaNumChar).map(_.mkString))
+    val doc = Gen.choose(0, 30).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // independent reimplementation of the base hash: parse the first 15
+    // md5 hex chars as a number instead of the kernel's byte twiddling
+    def refBase(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.take(15), 16) % TextHashing.portableP).toLong
+    }
+    val prop = Prop.forAll(doc, word) { (text, extra) =>
+      val toks = TextHashing.tokensOf(text)
+      val bases = TextHashing.portableShingleBases(text, 3)
+      val refOk = bases.sameElements(
+        (0 until math.max(0, toks.length - 2))
+          .map(i => refBase(toks.slice(i, i + 3).mkString(" "))))
+      val rangeOk = bases.forall(b => b >= 0 && b < TextHashing.portableP)
+      // tokenization invariances hold once the doc has a real shingle
+      // (below that the whole-text fallback hashes the raw string)
+      val invOk = toks.length < 3 || {
+        val mangled = "  " + text.replace(" ", " \t ") + "\n"
+        TextHashing.portableFingerprintMin(mangled, 3) ==
+          TextHashing.portableFingerprintMin(text, 3) &&
+        TextHashing.portableFingerprintMin(text.toUpperCase, 3) ==
+          TextHashing.portableFingerprintMin(text, 3)
+      }
+      // appending text only ADDS shingles: every signature position is
+      // a min, so it can only decrease or stay
+      val before = TextHashing.portableMinhashSig(text, 3, 16)
+      val after = TextHashing.portableMinhashSig(text + " " + extra + " " + extra, 3, 16)
+      val monoOk = before.zip(after).forall { case (b, a) => a <= b }
+      refOk && rangeOk && invOk && monoOk
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("langId kernel: obvious languages, und fallback") {
     assert(TextHashing.langId("the cat sat on the mat and it is that") == "en")
     assert(TextHashing.langId("el que la y en un es por los") == "es")
