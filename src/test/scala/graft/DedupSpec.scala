@@ -202,6 +202,24 @@ class DedupSpec extends SparkSuite {
         "if this passes, the motivating case for clustersStar is gone")
   }
 
+  test("corpusDiff edges: empty sides, identical corpora, null text") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(Dedup.corpusDiff(a, empty, "id", "text")) ==
+      Map(1L -> "removed", 2L -> "removed"))
+    assert(m(Dedup.corpusDiff(empty, a, "id", "text")) ==
+      Map(1L -> "added", 2L -> "added"))
+    assert(m(Dedup.corpusDiff(a, a, "id", "text")) ==
+      Map(1L -> "unchanged", 2L -> "unchanged"))
+    // a nulled-out v2 row digests to null → 'removed' (tombstone)
+    val tomb = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(m(Dedup.corpusDiff(a, tomb, "id", "text")) ==
+      Map(1L -> "unchanged", 2L -> "removed"))
+  }
+
   test("clustersStar handles empty and single-pair inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -248,6 +248,9 @@ class KnnSpec extends SparkSuite {
     val cents = Knn.trainIvfCentroids(base, "vec_id", "embedding", cells = 8)
     // balanced: no cell above the split threshold — frozen table back
     assert(Knn.refreshIvfCentroids(cents, base, "vec_id", "embedding") eq cents)
+    // empty refresh batch: nothing to histogram, frozen table back
+    assert(Knn.refreshIvfCentroids(cents, base.where(lit(false)),
+      "vec_id", "embedding") eq cents)
 
     // skewed: a dense new topic lands 10 clone generations of the
     // hottest cell's members — that one cell grows ~4×

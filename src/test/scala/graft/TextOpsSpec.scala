@@ -95,6 +95,18 @@ class TextOpsSpec extends SparkSuite {
     assert(small.exceptAll(grown).isEmpty && grown.exceptAll(small).isEmpty)
   }
 
+  test("prCurve and calibration on an empty frame: conventions hold") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val empty = Seq.empty[(Double, Boolean)].toDF("score", "y")
+    val pr = TextOps.prCurve(empty, "score", "y", steps = 5)
+      .orderBy(col("threshold")).collect()
+    assert(pr.length == 5)
+    assert(pr.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0))
+    assert(TextOps.calibration(empty, "score", "y").collect().isEmpty)
+  }
+
   test("token counts: bpe proxy >= whitespace tokens on punctuated text") {
     val df = spark.sql("SELECT 'hello, world! it''s 42 degrees.' AS text")
     val r = df.select(TextOps.tokenCount(col("text")).as("ws"),
