@@ -452,6 +452,72 @@ object Knn {
       cosine(col("q_vec"), col("n_vec")), k)
   }
 
+  /** Recall/selectivity sweep for LSH bucket-prefix lengths — the
+    * tuning curve an operator reads before fixing an ANN config: for
+    * each prefix length b (the first b of `bits` hyperplane signs),
+    * candidates are corpus items sharing the query's b-bit prefix;
+    * the sweep reports, per b, the mean candidate-set size (scan cost)
+    * and mean recall@k against the exact brute-force top-k. Longer
+    * prefixes scan less and recall less — this makes the trade
+    * measurable instead of guessed.
+    *
+    * Scale shape: per level, ONE corpus scan computing the bucket
+    * map-side, one hash join against the broadcast query prefixes,
+    * and a per-query window on the (pruned) candidate set — the
+    * corpus never shuffles. Truth is one brute pass (broadcast
+    * queries). `levels.size` is small (≤4); it is an EVAL op — at
+    * 100 TB run it over a sampled corpus slice, then apply the chosen
+    * config corpus-wide. Returns (prefix_bits, n_queries,
+    * avg_candidates, mean_recall) — one row per level.
+    */
+  def recallCurve(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  bits: Int = 8, levels: Seq[Int] = Seq(2, 4, 6, 8),
+                  seed: Long = 42L, dim: Int = 64): DataFrame = {
+    require(levels.nonEmpty && levels.forall(b => b >= 1 && b <= bits),
+      s"levels must be within [1, $bits], got $levels")
+    val planes = hyperplanes(bits, dim, seed)
+    val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("q_id").as("t_qid"), col("n_id").as("t_nid"))
+    val qIds = queries.select(col(idCol).as("q_id"))
+    val perLevel = levels.map { b =>
+      val shift = bits - b
+      val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        shiftright(lshBucket(col(vecCol), planes), shift).as("pfx"))
+      val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        shiftright(lshBucket(col(vecCol), planes), shift).as("pfx"))
+      val wSort = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val wAll = Window.partitionBy(col("q_id"))
+      // rank and candidate count share the q_id partitioning — one
+      // shuffle; n_cand rides every row so the top-k cut keeps it
+      val topk = c.join(broadcast(q), Seq("pfx"))
+        .where(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
+        .withColumn("rank", row_number().over(wSort))
+        .withColumn("n_cand", count(lit(1)).over(wAll))
+        .where(col("rank") <= k)
+      val perQ = topk
+        .join(broadcast(truth),
+          col("q_id") === col("t_qid") && col("n_id") === col("t_nid"), "left")
+        .groupBy(col("q_id"))
+        .agg(max(col("n_cand")).as("n_cand"),
+          sum(when(col("t_nid").isNotNull, 1).otherwise(0)).as("hits"))
+      // left join from the query universe: a query with an empty
+      // candidate set is a recall-0 data point, not a dropped row
+      qIds.join(perQ, Seq("q_id"), "left")
+        .agg(
+          count(lit(1)).cast("long").as("n_queries"),
+          round(avg(coalesce(col("n_cand"), lit(0L)).cast("double")), 6)
+            .as("avg_candidates"),
+          round(avg(coalesce(col("hits"), lit(0L)).cast("double") / k), 6)
+            .as("mean_recall"))
+        .select(lit(b).as("prefix_bits"), col("n_queries"),
+          col("avg_candidates"), col("mean_recall"))
+    }
+    perLevel.reduce(_ unionByName _).orderBy(col("prefix_bits"))
+  }
+
   /** Train product-quantization sub-codebooks (Jégou et al. 2011):
     * per subspace, L2 k-means over the corpus's normalized
     * sub-vectors. One corpus scan per Lloyd iteration covers ALL m

@@ -172,6 +172,79 @@ object TextOps {
         round(abs(col("mean_score") - col("frac_pos")), 6).as("gap"))
   }
 
+  /** Grouped ROC AUC of a score against a binary label, via the
+    * Mann-Whitney rank statistic (AUC = P(score⁺ > score⁻), ties at
+    * ½): ascending ranks within each group with average rank over
+    * ties, then AUC = (Σ₊ rank − P(P+1)/2) / (P·N). The
+    * threshold-free companion of [[prCurve]] — one number per group
+    * for "does this quality score separate good from bad here",
+    * comparable across sources/languages/snapshots. Groups with a
+    * single class return null AUC (undefined, not 0).
+    *
+    * Scale shape: one shuffle on the group key, one in-group sort by
+    * score (WindowExec, spill-capable), then a partial-agg'd fold to
+    * one row per group. Exact AUC *needs* the rank, so the in-group
+    * sort is the semantic cost — for a full-corpus sweep at 100 TB
+    * either score a sampled eval slice (the usual practice: AUC is a
+    * statistic, not a per-doc artifact) or accept the sort spill; the
+    * bucket-approximate alternative is `prCurve` + trapezoid, which
+    * folds map-side. Returns (group, n_pos, n_neg, auc).
+    */
+  def rocAuc(scored: DataFrame, groupCol: String, scoreCol: String,
+             labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("g")).orderBy(col("s"))
+    val wTie = Window.partitionBy(col("g"), col("s"))
+    val ranked = scored.select(
+        col(groupCol).as("g"), col(scoreCol).as("s"),
+        col(labelCol).cast("int").as("y"))
+      .withColumn("rmin", rank().over(wRank))
+      // average rank over ties keeps AUC exact under duplicate scores
+      .withColumn("ar", col("rmin") + (count(lit(1)).over(wTie) - 1) / 2.0)
+    ranked.groupBy(col("g"))
+      .agg(
+        sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"),
+        sum(when(col("y") === 1, col("ar"))).as("rps"))
+      .select(
+        col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("rps") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg"))), 6).as("auc"))
+  }
+
+  /** Token-budget mixture selection — the unit of LLM data mixing is
+    * TOKENS, not rows (DoReMi / LLaMA-style recipes allocate a token
+    * budget per domain): within each group, documents are taken
+    * greedily in (score desc, id asc) order while the running token
+    * sum stays within that group's budget. Deterministic — the
+    * ordering key is a total order, so the kept set is a pure
+    * function of (corpus, budgets). The row-based companions are
+    * `q_sample_mixture` / `q_sample_temperature`; this is the
+    * budgeted realization that actually lands a target token count.
+    *
+    * Scale shape: `budgets` is one row per group and broadcasts; the
+    * corpus shuffles ONCE on the group key into a spill-capable
+    * running-sum window. For a huge group, pre-gate with an
+    * approximate per-group score threshold (approx_percentile at
+    * ~budget/mean_tokens rank) so only near-cut candidates reach the
+    * exact window — the deterministic key makes the gated result
+    * identical. Returns (id, group, tokens, score, cum_tokens).
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, groupCol: String,
+                        tokensCol: String, scoreCol: String,
+                        budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(budgets), Seq(groupCol))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .where(col("cum_tokens") <= col("budget"))
+      .select(col(idCol), col(groupCol), col(tokensCol), col(scoreCol),
+        col("cum_tokens"))
+  }
+
   /** Deterministic train/validation/test split assignment: a pure
     * function of the id (md5 bucket over 10⁶), so membership is
     * stable across runs, re-exports, and engines — a grown corpus

@@ -306,6 +306,17 @@ object PipelineQueries {
         k = 10, bits = 6, tables = 4, probes = 1)
     }),
 
+    // LSH recall/selectivity sweep: for prefix lengths 2/4/6/8 of one
+    // 8-bit hyperplane signature, mean candidate-set size vs mean
+    // recall@10 against the brute-force truth — the measured curve an
+    // operator reads before fixing the ANN config. FULL oracle (the
+    // plane constants inline; prefix = integer division).
+    "q_knn_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.recallCurve(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, bits = 8, levels = Seq(2, 4, 6, 8))
+    }),
+
     // int8-quantized brute top-k (4× smaller scan payload; recall vs
     // the float baseline pinned in KnnSpec) — rows-only + golden
     "q_knn_quant" -> ((s, d) => {
@@ -360,6 +371,19 @@ object PipelineQueries {
         TextOps.qualityScore(col("text")).as("score"),
         (TextOps.stopwordRatio(col("text")) > 0.08).as("y"))
       TextOps.calibration(scored, "score", "y", bins = 10)
+    }),
+
+    // grouped ROC AUC of the quality score against the same rule
+    // label — the threshold-free separability number per source,
+    // completing the calibration family (prCurve → threshold choice,
+    // calibration → probability trust, AUC → ranking power). One
+    // shuffle on source + in-group sort; FULL oracle (average ranks
+    // are exact multiples of 0.5, so every summation order agrees).
+    "q_quality_auc" -> ((s, d) => {
+      val scored = docs(s, d).select(col("source"),
+        TextOps.qualityScore(col("text")).as("score"),
+        (TextOps.stopwordRatio(col("text")) > 0.08).as("y"))
+      TextOps.rocAuc(scored, "source", "score", "y")
     }),
 
     // deterministic 80/10/10 split assignment (md5 id bucket — stable
@@ -783,6 +807,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("bucket"))
     }),
 
+    // token-budget mixture selection: per source, greedily keep the
+    // best-quality documents until HALF the source's token mass is
+    // spent — the budgeted (token-denominated) realization of data
+    // mixing; q_sample_mixture/q_sample_temperature are its row-based
+    // companions. Budgets broadcast (one row per source); the corpus
+    // shuffles once into the running-sum window. FULL oracle: the
+    // greedy order is (round-6 quality desc, id) — a total order both
+    // engines sort identically — and the running sum is BIGINT-exact.
+    "q_sample_token_budget" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val budgets = tok.groupBy(col("source"))
+        .agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+      TextOps.tokenBudgetSample(tok, "doc_id", "source",
+        "n_tokens", "quality", budgets)
+    }),
+
     // embedding-diversity coreset: per LSH bucket (a pure function of
     // the vector — no trained state, bit-stable at any layout) keep
     // the k lowest-hash members. Downsampling that preserves coverage
@@ -1105,6 +1147,53 @@ object PipelineQueries {
          |    ORDER BY cos DESC, n_id) AS INT) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin
     },
+    "q_knn_recall" -> {
+      // one 8-bit signature (seed 42); prefix-b candidates = same
+      // high-b bits = integer division of the bucket — the SQL twin
+      // of recallCurve's shiftright
+      val dots = planeDots(
+        graft.operators.Knn.hyperplanes(bits = 8, dim = 64, seed = 42L), "r")
+      val bkt = (0 until 8).map(i =>
+        s"(CASE WHEN r$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val levels = Seq(2, 4, 6, 8)
+      val lvlCtes = levels.map { b =>
+        val div = 1L << (8 - b)
+        s"""lvl$b AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+           |      CAST(c.embedding AS DOUBLE[])), 5) AS cos,
+           |    count(*) OVER (PARTITION BY q.vec_id) AS n_cand
+           |  FROM bt q JOIN bt c ON (q.bkt // $div) = (c.bkt // $div)
+           |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |top$b AS (SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS rnk FROM lvl$b) WHERE rnk <= 10),
+           |perq$b AS (SELECT t.q_id, max(t.n_cand) AS n_cand,
+           |    sum(CASE WHEN tr.n_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+           |  FROM top$b t LEFT JOIN truth tr
+           |    ON tr.q_id = t.q_id AND tr.n_id = t.n_id
+           |  GROUP BY t.q_id),
+           |agg$b AS (SELECT $b AS prefix_bits,
+           |    CAST(count(*) AS BIGINT) AS n_queries,
+           |    round(avg(coalesce(p.n_cand, 0)), 6) AS avg_candidates,
+           |    round(avg(coalesce(p.hits, 0) / 10.0), 6) AS mean_recall
+           |  FROM qids q LEFT JOIN perq$b p ON p.q_id = q.q_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT vec_id, embedding, $dots FROM embeddings),
+         |bt AS (SELECT vec_id, embedding, ($bkt) AS bkt FROM d),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |        CAST(c.embedding AS DOUBLE[])), 5) DESC, c.vec_id) AS rnk
+         |  FROM embeddings q CROSS JOIN embeddings c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rnk <= 10),
+         |qids AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+         |$lvlCtes
+         |SELECT * FROM agg2 UNION ALL SELECT * FROM agg4
+         |UNION ALL SELECT * FROM agg6 UNION ALL SELECT * FROM agg8
+         |ORDER BY prefix_bits""".stripMargin
+    },
     "q_text_fuzzy_decontam" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |ev AS (SELECT doc_id AS id, text FROM base WHERE doc_id < 20),
@@ -1384,6 +1473,48 @@ object PipelineQueries {
         |SELECT round(bin / 10.0, 6) AS bin_lo, n, mean_score, frac_pos,
         |  round(abs(mean_score - frac_pos), 6) AS gap
         |FROM g""".stripMargin,
+    "q_sample_token_budget" ->
+      raw"""WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ${qualitySql} AS quality
+        |  FROM t),
+        |b AS (SELECT source, CAST(floor(sum(n_tokens) / 2) AS BIGINT) AS budget
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT s.doc_id, s.source, s.n_tokens, s.quality, b.budget,
+        |    CAST(sum(s.n_tokens) OVER (PARTITION BY s.source
+        |      ORDER BY s.quality DESC, s.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM s JOIN b ON b.source = s.source)
+        |SELECT doc_id, source, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= budget""".stripMargin,
+    "q_quality_auc" ->
+      raw"""WITH t AS (SELECT source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT source, ${qualitySql} AS score,
+        |  CASE WHEN (CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) > 0.08
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM t),
+        |r AS (SELECT source, y,
+        |    rank() OVER (PARTITION BY source ORDER BY score) AS rmin,
+        |    count(*) OVER (PARTITION BY source, score) AS ties
+        |  FROM s),
+        |a AS (SELECT source, y, rmin + (ties - 1) / 2.0 AS ar FROM r)
+        |SELECT source,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+        |  round(CASE WHEN sum(y) > 0 AND count(*) - sum(y) > 0
+        |    THEN (sum(CASE WHEN y = 1 THEN ar END)
+        |          - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2.0)
+        |      / (CAST(sum(y) AS DOUBLE) * (count(*) - sum(y)))
+        |    END, 6) AS auc
+        |FROM a GROUP BY source""".stripMargin,
     "q_split_assign" ->
       """WITH a AS (SELECT
         |  CASE WHEN b < 800000 THEN 'train'

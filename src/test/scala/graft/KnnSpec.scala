@@ -440,6 +440,46 @@ class KnnSpec extends SparkSuite {
     assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("recallCurve: one row per level, shrinking candidate sets, mid level replicated from trusted primitives") {
+    val q = emb.where(col("vec_id") < 10)
+    val rows = Knn.recallCurve(q, emb, "vec_id", "embedding", k = 10,
+      bits = 8, levels = Seq(2, 4, 6, 8)).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 6, 8))
+    assert(rows.forall(_.getLong(1) == 10))
+    val cands = rows.map(_.getDouble(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"longer prefixes must prune candidates: ${cands.toSeq}")
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // independent replication of the b=4 row: per query, candidates =
+    // same 4-bit prefix (computed with the already-pinned lshBucket),
+    // approx top-k = bruteForceTopK over JUST that candidate set, hits
+    // counted against the global brute truth
+    val planes = Knn.hyperplanes(bits = 8, dim = 64, seed = 42L)
+    val withPfx = emb.select(col("vec_id"), col("embedding"),
+      shiftright(Knn.lshBucket(col("embedding"), planes), 4).as("pfx")).cache()
+    val truth = Knn.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qRows = withPfx.where(col("vec_id") < 10)
+      .select("vec_id", "pfx").collect()
+    var totHits = 0.0
+    var totCand = 0.0
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val cand = withPfx.where(col("pfx") === r.getLong(1) && col("vec_id") =!= qid)
+      totCand += cand.count().toDouble
+      val top = Knn.bruteForceTopK(withPfx.where(col("vec_id") === qid), cand,
+        "vec_id", "embedding", k = 10).select("q_id", "n_id").collect()
+      totHits += top.count(x => truth((x.getLong(0), x.getLong(1))))
+    }
+    withPfx.unpersist()
+    val lvl4 = rows.find(_.getInt(0) == 4).get
+    assert(math.abs(lvl4.getDouble(2) - totCand / 10) < 1e-6,
+      s"avg_candidates ${lvl4.getDouble(2)} != ${totCand / 10}")
+    assert(math.abs(lvl4.getDouble(3) - totHits / 100) < 1e-6,
+      s"mean_recall ${lvl4.getDouble(3)} != ${totHits / 100}")
+  }
+
   test("margin mining IVF path equals brute at full probes and prunes the per-query scan") {
     val emb = Tables(spark, sf, "embeddings")
     val src = emb.where(col("vec_id") < 20)

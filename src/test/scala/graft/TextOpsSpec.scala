@@ -107,6 +107,53 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.calibration(empty, "score", "y").collect().isEmpty)
   }
 
+  test("rocAuc: hand-computed groups — separation, tie averaging, single-class null") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val scored = Seq(
+      // perfect separation → 1.0
+      ("a", 0.9, true), ("a", 0.8, true), ("a", 0.3, false), ("a", 0.1, false),
+      // 3 of 4 pos/neg pairs ordered correctly → 0.75
+      ("d", 0.8, true), ("d", 0.4, true), ("d", 0.6, false), ("d", 0.2, false),
+      // a pos/neg tie at 0.5 counts 1/2 → (2 + 1.5)/4 = 0.875
+      ("t", 0.9, true), ("t", 0.5, true), ("t", 0.5, false), ("t", 0.1, false),
+      // single class → AUC undefined (null), counts still reported
+      ("c", 0.7, true), ("c", 0.6, true)
+    ).toDF("source", "score", "y")
+    val rows = TextOps.rocAuc(scored, "source", "score", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "d", "t", "c"))
+    assert(rows("a").getDouble(3) == 1.0)
+    assert(rows("d").getDouble(3) == 0.75)
+    assert(rows("t").getDouble(3) == 0.875)
+    assert(rows("c").isNullAt(3) &&
+      rows("c").getLong(1) == 2 && rows("c").getLong(2) == 0)
+    assert(rows("a").getLong(1) == 2 && rows("a").getLong(2) == 2)
+  }
+
+  test("tokenBudgetSample: greedy (score desc, id) prefix per group, budget never exceeded") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docsDf = Seq(
+      (1L, "g1", 4L, 0.9), (2L, "g1", 5L, 0.8),
+      (3L, "g1", 3L, 0.7), (4L, "g1", 2L, 0.6),
+      (10L, "g2", 6L, 0.5), (11L, "g2", 6L, 0.5), (12L, "g2", 6L, 0.5),
+      (20L, "g3", 1L, 0.1)
+    ).toDF("id", "grp", "tok", "sc")
+    val budgets = Seq(("g1", 10L), ("g2", 12L)).toDF("grp", "budget")
+    val out = TextOps.tokenBudgetSample(docsDf, "id", "grp", "tok", "sc", budgets)
+    val kept = out.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // g1: 1 (cum 4), 2 (cum 9); 3 would reach 12 > 10, and the running
+    // sum is monotone so everything after the first overflow drops too
+    // — the kept set is a true prefix of the greedy order.
+    // g2: score ties break by id — 10 (cum 6), 11 (cum 12 = budget,
+    // kept); 12 overflows. g3: no budget row → dropped entirely.
+    assert(kept == Map(1L -> 4L, 2L -> 9L, 10L -> 6L, 11L -> 12L))
+    // the budgets side must broadcast — no sort-merge join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("token counts: bpe proxy >= whitespace tokens on punctuated text") {
     val df = spark.sql("SELECT 'hello, world! it''s 42 degrees.' AS text")
     val r = df.select(TextOps.tokenCount(col("text")).as("ws"),
