@@ -505,7 +505,8 @@ object Knn {
           sum(when(col("t_nid").isNotNull, 1).otherwise(0)).as("hits"))
       // left join from the query universe: a query with an empty
       // candidate set is a recall-0 data point, not a dropped row
-      qIds.join(perQ, Seq("q_id"), "left")
+      // (perQ is ≤|queries| rows — broadcast, don't sort-merge)
+      qIds.join(broadcast(perQ), Seq("q_id"), "left")
         .agg(
           count(lit(1)).cast("long").as("n_queries"),
           round(avg(coalesce(col("n_cand"), lit(0L)).cast("double")), 6)
