@@ -114,4 +114,91 @@ object Layout {
       .withColumn(outCol, row_number().over(local).cast("long") + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** Map a value onto a `bits`-bit grid coordinate given its column
+    * min/max: ⌊(x−lo)·(2ᵇ−1) / max(hi−lo, 1)⌋. Pure double→floor
+    * arithmetic — deterministic and engine-replayable (the products
+    * stay integer-valued below 2⁵³, so the only rounding is the one
+    * IEEE division both engines perform identically).
+    */
+  def zorderGrid(x: Column, lo: Column, hi: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"grid bits must be in [1,31], got $bits")
+    val gmax = (1L << bits) - 1
+    floor(((x - lo).cast("double") * gmax.toDouble) /
+      greatest((hi - lo).cast("double"), lit(1.0))).cast("long")
+  }
+
+  /** Z-order (Morton) value: interleave the bits of the grid
+    * coordinates — bit i of coordinate c lands at position i·n + c —
+    * so rows close in EVERY dimension get close z-values. THE
+    * multi-column clustering key for data skipping at scale: sort or
+    * range-partition by it before a parquet write and the row-group
+    * min/max stats prune predicates on ANY prefix-correlated subset
+    * of the columns, not just the leading sort column. Plain shifted
+    * sums of disjoint bits — whole-stage codegen, no UDF.
+    */
+  def zValue(grids: Seq[Column], bits: Int): Column = {
+    val n = grids.size
+    require(n >= 1, "zValue needs at least one coordinate")
+    require(bits * n <= 62, s"bits*cols must fit a long, got $bits*$n")
+    val terms = for { i <- 0 until bits; c <- grids.indices }
+      yield shiftright(grids(c), i).bitwiseAND(lit(1L)) * lit(1L << (i * n + c))
+    terms.reduce(_ + _)
+  }
+
+  /** Locality audit of a z-order layout: bucket rows by the top
+    * `bucketBits` of their z-value and report, per bucket, the row
+    * count and each clustering column's min/max — the spans a parquet
+    * row-group footer would carry, i.e. the data-skipping evidence.
+    * Narrow per-bucket spans (vs the global range) mean a predicate
+    * on any clustered column prunes most buckets.
+    *
+    * Plan: one stats agg (tiny, broadcast back), one map-side
+    * zval/bucket projection, one partial-agg'd shuffle on the bucket
+    * id — the fact table is scanned twice and shuffled only as
+    * ≤2^bucketBits aggregate rows.
+    */
+  def zorderAudit(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                  bucketBits: Int = 4): DataFrame = {
+    require(cols.nonEmpty && bucketBits >= 1 && bucketBits <= bits * cols.size)
+    val stats = df.agg(
+      min(col(cols.head)).as(s"lo_${cols.head}"),
+      (max(col(cols.head)).as(s"hi_${cols.head}") +:
+        cols.tail.flatMap(c =>
+          Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))): _*)
+    val grids = cols.map(c =>
+      zorderGrid(col(c), col(s"lo_$c"), col(s"hi_$c"), bits))
+    df.crossJoin(broadcast(stats))
+      .withColumn("z_bucket",
+        shiftright(zValue(grids, bits), bits * cols.size - bucketBits))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+  }
+
+  /** Physically cluster a frame by its z-value: range-partition on
+    * the z key (so files cover disjoint z ranges) and sort within
+    * each partition — the layout to write before serving multi-column
+    * range predicates at 100 TB. The z columns' min/max come from one
+    * stats pass; the clustering itself is the one range shuffle such
+    * a rewrite fundamentally needs.
+    */
+  def zorderCluster(df: DataFrame, cols: Seq[String], bits: Int = 16,
+                    partitions: Int = 0): DataFrame = {
+    val stats = df.agg(
+      min(col(cols.head)).as(s"lo_${cols.head}"),
+      (max(col(cols.head)).as(s"hi_${cols.head}") +:
+        cols.tail.flatMap(c =>
+          Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))): _*)
+    val grids = cols.map(c =>
+      zorderGrid(col(c), col(s"lo_$c"), col(s"hi_$c"), bits))
+    val withZ = df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(grids, bits))
+      .drop(cols.flatMap(c => Seq(s"lo_$c", s"hi_$c")): _*)
+    val parted =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
 }

@@ -60,7 +60,20 @@ object ExportQueries {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
-    })
+    }),
+
+    // z-order (Morton) locality audit over the two lineitem part/supp
+    // keys: bucket rows by the top 4 bits of their interleaved 8-bit
+    // grid coordinates and report each bucket's per-column min/max —
+    // the row-group spans a z-clustered parquet write would carry,
+    // i.e. the multi-column data-skipping evidence. One tiny stats
+    // agg broadcast back + one partial-agg'd bucket shuffle; FULL
+    // oracle (grid floor-division and bit interleave are
+    // engine-exact integer/IEEE arithmetic).
+    "q_layout_zorder" -> ((s, d) =>
+      graft.operators.Layout.zorderAudit(
+        Tables(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), bits = 8, bucketBits = 4))
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +94,26 @@ object ExportQueries {
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rk
         |  FROM p)
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+    "q_layout_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((gp >> $i) & 1) * ${1L << (2 * i)}",
+        s"((gs >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH s AS (SELECT
+         |    min(l_partkey) AS lo_p, max(l_partkey) AS hi_p,
+         |    min(l_suppkey) AS lo_s, max(l_suppkey) AS hi_s
+         |  FROM lineitem),
+         |g AS (SELECT l_partkey, l_suppkey,
+         |    CAST(floor((CAST(l_partkey - lo_p AS DOUBLE) * 255.0)
+         |      / greatest(CAST(hi_p - lo_p AS DOUBLE), 1.0)) AS BIGINT) AS gp,
+         |    CAST(floor((CAST(l_suppkey - lo_s AS DOUBLE) * 255.0)
+         |      / greatest(CAST(hi_s - lo_s AS DOUBLE), 1.0)) AS BIGINT) AS gs
+         |  FROM lineitem CROSS JOIN s),
+         |z AS (SELECT l_partkey, l_suppkey, ($terms) AS zval FROM g)
+         |SELECT (zval >> 12) AS z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,
+         |  min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max
+         |FROM z GROUP BY 1""".stripMargin
+    }
   )
 }

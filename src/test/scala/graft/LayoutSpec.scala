@@ -132,4 +132,79 @@ class LayoutSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
   }
+
+  test("zValue: hand-computed Morton codes; bit positions disjoint and complete") {
+    import spark.implicits._
+    // x=3 (011), y=5 (101) at 3 bits: interleaved z = y2 x2 y1 x1 y0 x0
+    // = 1 0 0 1 1 1 = 32 + 4 + 2 + 1 = 39
+    val row = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z")).first()
+    assert(row.getLong(0) == 39L, s"got ${row.getLong(0)}")
+    // exhaustiveness: over the full 4-bit × 4-bit grid the z values
+    // are a bijection onto [0, 256)
+    val grid = spark.range(16).toDF("x")
+      .crossJoin(spark.range(16).toDF("y"))
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4).as("z"))
+    assert(grid.distinct().count() == 256)
+    assert(grid.agg(min("z"), max("z")).first() ==
+      org.apache.spark.sql.Row(0L, 255L))
+  }
+
+  test("zorderAudit: correlated data yields narrow per-bucket spans; ranges clamp") {
+    import spark.implicits._
+    // two perfectly correlated columns: a z-bucket covers ~1/16 of
+    // BOTH ranges, so every bucket span must be far below the global
+    val n = 4096L
+    val data = spark.range(n).toDF("a").withColumn("b", col("a") * 3 + 7)
+    val audit = Layout.zorderAudit(data, Seq("a", "b"),
+      bits = 8, bucketBits = 4).collect()
+    // perfect correlation → identical grid coords → only the 4
+    // "diagonal" buckets (b-bit == a-bit in the interleave) occur;
+    // each covers one quarter of BOTH ranges
+    assert(audit.length == 4, audit.mkString(","))
+    assert(audit.map(_.getLong(1)).sum == n)
+    audit.foreach { r =>
+      val spanA = r.getLong(3) - r.getLong(2)
+      val spanB = r.getLong(5) - r.getLong(4)
+      // quarter boundaries land on grid-cell edges (255 cells over a
+      // 4096 range → ~16.06 values/cell), so allow one cell of slack
+      assert(spanA <= n / 4 + 17 && spanB <= 3 * (n / 4 + 17),
+        s"bucket ${r.getLong(0)} spans a=$spanA b=$spanB — not clustered")
+    }
+    // constant column (hi == lo): the greatest(span, 1) clamp keeps
+    // the grid at 0 instead of dividing by zero
+    val const = spark.range(100).toDF("a").withColumn("b", lit(42L))
+    val one = Layout.zorderAudit(const, Seq("a", "b"), bits = 4, bucketBits = 2)
+      .agg(sum("n_rows")).first().getLong(0)
+    assert(one == 100L)
+  }
+
+  test("zorderCluster: lossless, and files cover disjoint z ranges") {
+    import spark.implicits._
+    val data = spark.range(2048).toDF("a")
+      .withColumn("b", pmod(col("a") * 37, lit(2048L)))
+    val clustered = Layout.zorderCluster(data, Seq("a", "b"),
+      bits = 8, partitions = 8)
+    // same multiset of rows, helper columns dropped
+    assert(clustered.columns.toSeq == Seq("a", "b"))
+    assert(clustered.exceptAll(data).isEmpty && data.exceptAll(clustered).isEmpty)
+    // each output partition holds a contiguous z range: partition
+    // max < next partition's min (range partitioning on __z)
+    val zb = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min(Layout.zValue(Seq(
+          Layout.zorderGrid(col("a"), lit(0L), lit(2047L), 8),
+          Layout.zorderGrid(col("b"), lit(0L), lit(2047L), 8)), 8)).as("zmin"),
+        max(Layout.zValue(Seq(
+          Layout.zorderGrid(col("a"), lit(0L), lit(2047L), 8),
+          Layout.zorderGrid(col("b"), lit(0L), lit(2047L), 8)), 8)).as("zmax"))
+      .orderBy("pid").collect()
+    zb.sliding(2).foreach {
+      case Array(p, q) =>
+        assert(p.getLong(2) <= q.getLong(1),
+          s"partitions ${p.getInt(0)} and ${q.getInt(0)} overlap in z")
+      case _ => ()
+    }
+  }
 }
