@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a TABLE: d hash rows × w buckets of counts —
+  * the bounded-size frequency summary for corpora whose key
+  * cardinality dwarfs memory (reference sibling of the SpaceSaving
+  * top-k and HLL sketches in functions/Sketches.scala; Cormode &
+  * Muthukrishnan 2005). Estimates overcount, never undercount:
+  * est(k) = min over rows of the bucket count, so
+  * true ≤ est ≤ true + εN with ε = e/w at confidence 1 − (1/e)^d.
+  *
+  * Sketch-as-a-table is deliberately Spark-shaped:
+  *   - build: the corpus explodes d× map-side and partial-aggregates
+  *     into ≤ d·w rows — the ONLY shuffle payload is the sketch
+  *     itself, never the corpus;
+  *   - merge: counts add (union + re-aggregate) — shard sketches on
+  *     1000 executors, merge the tiny tables;
+  *   - estimate: the sketch broadcast-joins the probe keys.
+  *
+  * Hashes are the md5-prefix construction every sampler here uses —
+  * deterministic across engines, so the whole pipeline replays in SQL
+  * (q_sketch_cms carries the FULL oracle).
+  */
+object Cms {
+
+  /** Bucket of `key` in hash row r — PORTABLE kernel: first 8 md5 hex
+    * digits of "cms{r}:{key}", mod w; replays in DuckDB SQL (the
+    * query surface / oracle path).
+    */
+  def bucket(key: Column, r: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$r:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(w.toLong))
+
+  /** Production kernel: xxhash64-seeded bucket — one codegen'd hash
+    * per (row, r) instead of an md5 over a built string; same sketch
+    * semantics, not SQL-replayable. The dedup family's dual-kernel
+    * convention (portable for the oracle surface, fast for scale).
+    */
+  def bucketFast(key: Column, r: Int, w: Int): Column =
+    pmod(xxhash64(lit(r), key), lit(w.toLong))
+
+  private def probeStructs(key: Column, d: Int, w: Int,
+                           portable: Boolean): Column =
+    explode(array((0 until d).map { r =>
+      val b = if (portable) bucket(key, r, w) else bucketFast(key, r, w)
+      struct(lit(r).as("r"), b.as("b"))
+    }: _*))
+
+  /** Build the sketch: one row per occupied (hash row, bucket) with
+    * its count — at most d·w rows regardless of corpus size.
+    */
+  def build(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 256,
+            portable: Boolean = true): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.select(probeStructs(col(keyCol), d, w, portable).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two sketches built with the same (d, w): counts add. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of each probe key: min over hash
+    * rows of the bucket count (0 when a bucket is unoccupied). The
+    * sketch side is ≤ d·w rows and broadcasts.
+    */
+  def estimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
+               d: Int = 4, w: Int = 256,
+               portable: Boolean = true): DataFrame =
+    keys.select(col(keyCol), probeStructs(col(keyCol), d, w, portable).as("rb"))
+      .select(col(keyCol), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

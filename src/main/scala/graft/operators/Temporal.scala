@@ -143,4 +143,57 @@ object Temporal {
       .select((probeCols.map(p(_)) ++ buildCols.map(b(_)) :+
         b("_rj_bt").as("_rj_matched_t")): _*)
   }
+
+  /** Ordered-stage funnel (the product-analytics conversion query):
+    * per user, anchor at the FIRST stage-1 event, then each later
+    * stage matches its earliest event STRICTLY after the previous
+    * stage's match and within `windowUs` of the anchor. Greedy
+    * earliest-match is exact under a fixed anchor (taking the
+    * earliest tₖ maximizes the time left for stage k+1); the
+    * first-anchor convention is the one funnel dashboards use and is
+    * stated here so the number has one meaning. Returns one row per
+    * stage: (stage, event_type, n_users, conv_rate vs stage 1).
+    *
+    * Scale shape: stage k is ONE filtered scan of the events table
+    * (predicate pushed to parquet) hash-joined on the user key
+    * against the (shrinking) frontier of users still in the funnel,
+    * then a partial-agg'd min — k stages, k scans, k user-key
+    * shuffles of FILTERED slices; no per-user sort, no window over
+    * the raw event stream, no state beyond one timestamp per reached
+    * stage. The final per-stage counts fold to `stages.size` rows.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String],
+             windowUs: Long): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.size == stages.size, "duplicate funnel stage")
+    require(windowUs > 0, "windowUs must be positive")
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("ts"), col(typeCol).as("et"))
+    val s1 = ev.where(col("et") === stages.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("t1"))
+    val frontiers = stages.tail.zipWithIndex.scanLeft(s1) {
+      case (prev, (stage, i)) =>
+        val k = i + 2
+        val carried = (1 until k).map(j => col(s"t$j"))
+        ev.where(col("et") === stage)
+          .join(prev, Seq("u"))
+          .where(col("ts") > col(s"t${k - 1}") &&
+            col("ts") <= col("t1") + windowUs)
+          .groupBy((col("u") +: carried): _*)
+          .agg(min(col("ts")).as(s"t$k"))
+    }
+    val counts = frontiers.zip(stages).zipWithIndex.map {
+      case ((f, stage), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = frontiers.head.agg(count(lit(1)).as("n1"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round(when(col("n1") > 0,
+          col("n_users").cast("double") / col("n1")).otherwise(lit(0.0)), 6)
+          .as("conv_rate"))
+  }
 }

@@ -71,6 +71,25 @@ object SketchQueries {
         .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
         .limit(20)
+    }),
+
+    // count-min sketch over the lineitem part keys (d=4 hash rows ×
+    // w=256 buckets — the sketch table is ≤1024 rows whatever the
+    // corpus size), point-estimated for the 20 smallest keys next to
+    // their exact counts: est ≥ true always (CMS never undercounts;
+    // SketchSpec pins the property corpus-wide). Build shuffles only
+    // the sketch, estimate broadcast-joins it. FULL oracle — the
+    // md5-prefix hashes replay in SQL.
+    "q_sketch_cms" -> ((s, d) => {
+      import graft.operators.Cms
+      val li = Tables(s, d, "lineitem").select(col("l_partkey"))
+      val sketch = Cms.build(li, "l_partkey", d = 4, w = 256)
+      val probes = li.where(col("l_partkey") <= 20).distinct()
+      val exact = li.where(col("l_partkey") <= 20)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_true"))
+      Cms.estimate(probes, "l_partkey", sketch, d = 4, w = 256)
+        .join(broadcast(exact), Seq("l_partkey"))
+        .select(col("l_partkey"), col("est"), col("n_true"))
     })
   )
 
@@ -92,6 +111,24 @@ object SketchQueries {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
         |  FROM w WHERE len(w) >= 3)
         |SELECT gram, count(*) AS cnt FROM g
-        |GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+    "q_sketch_cms" ->
+      """WITH rows4 AS (SELECT r FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+        |rb AS (SELECT r,
+        |    ('0x' || substr(md5('cms' || r || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 256 AS b
+        |  FROM lineitem CROSS JOIN rows4),
+        |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 20),
+        |pb AS (SELECT p.l_partkey, rows4.r,
+        |    ('0x' || substr(md5('cms' || rows4.r || ':' || CAST(p.l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 256 AS b
+        |  FROM probes p CROSS JOIN rows4),
+        |est AS (SELECT pb.l_partkey, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+        |  FROM pb LEFT JOIN sk ON sk.r = pb.r AND sk.b = pb.b GROUP BY 1),
+        |ex AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_true FROM lineitem
+        |  WHERE l_partkey <= 20 GROUP BY 1)
+        |SELECT e.l_partkey, e.est, ex.n_true
+        |FROM est e JOIN ex ON ex.l_partkey = e.l_partkey""".stripMargin
   )
 }

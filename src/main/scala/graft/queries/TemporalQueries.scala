@@ -71,7 +71,17 @@ object TemporalQueries {
         .select(col("event_id"),
           coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
           coalesce(col("sum_nearby"), lit(0.0)).as("sum_nearby"))
-    })
+    }),
+
+    // ordered-stage conversion funnel view → click → purchase within
+    // 7 days of the user's FIRST view: per stage, how many users got
+    // there and the conversion rate vs stage 1. Stage k = one
+    // pushdown-filtered scan joined on user against the shrinking
+    // frontier — no per-user sort, no event-stream window. FULL
+    // oracle (greedy earliest-match over epoch-µs longs).
+    "q_funnel" -> ((s, d) =>
+      Temporal.funnel(ev(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 7L * 86400 * 1000000))
   )
 
   val oracle: Map[String, String] = Map(
@@ -116,6 +126,30 @@ object TemporalQueries {
         |  AND c.ts BETWEEN e.ts - INTERVAL 2 HOUR
         |              AND e.ts + INTERVAL 2 HOUR
         |WHERE e.event_type = 'error'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE et = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE e.et = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + 604800000000
+        |  GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE e.et = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + 604800000000
+        |  GROUP BY e.u, s2.t1, s2.t2),
+        |n AS (
+        |  SELECT 1 AS stage, 'view' AS event_type,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+        |SELECT stage, event_type, n_users,
+        |  round(CASE WHEN (SELECT count(*) FROM s1) > 0
+        |    THEN n_users / CAST((SELECT count(*) FROM s1) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS conv_rate
+        |FROM n""".stripMargin
   )
 }

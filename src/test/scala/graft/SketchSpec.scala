@@ -200,4 +200,35 @@ class SketchSpec extends SparkSuite {
       .agg(Sketches.hllDistinct($"v")).first().getLong(0)
     assert(allNull === 0L)
   }
+
+  test("count-min sketch: bounded, mass-preserving, never undercounts; merge == whole") {
+    import graft.operators.Cms
+    // 50 distinct keys with skewed counts (key i appears i times)
+    val df = (1 to 50).flatMap(i => Seq.fill(i)(s"k$i")).toDF("k")
+    val n = df.count()
+    val sk = Cms.build(df, "k", d = 4, w = 64)
+    assert(sk.count() <= 4L * 64)
+    // every hash row carries the full mass
+    val mass = sk.groupBy($"r").agg(sum($"cnt").as("m")).collect()
+    assert(mass.length == 4 && mass.forall(_.getLong(1) == n))
+    // the CMS guarantee, corpus-wide: est >= true for EVERY key
+    val est = Cms.estimate(df.distinct(), "k", sk, d = 4, w = 64)
+    val exact = df.groupBy($"k").agg(count(lit(1)).as("n_true"))
+    val joined = est.join(exact, Seq("k"))
+    assert(joined.where($"est" < $"n_true").count() == 0)
+    // at this load factor (50 keys, 4x64 buckets) most keys are exact
+    assert(joined.where($"est" === $"n_true").count() >= 40)
+    // shard-and-merge equals building over the whole corpus
+    val Array(a, b) = df.randomSplit(Array(0.5, 0.5), seed = 7)
+    val merged = Cms.merge(Cms.build(a, "k", 4, 64), Cms.build(b, "k", 4, 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    // the production xxhash kernel satisfies the same guarantees
+    val skF = Cms.build(df, "k", d = 4, w = 64, portable = false)
+    assert(skF.groupBy($"r").agg(sum($"cnt").as("m")).collect()
+      .forall(_.getLong(1) == n))
+    val estF = Cms.estimate(df.distinct(), "k", skF, d = 4, w = 64, portable = false)
+    assert(estF.join(exact, Seq("k")).where($"est" < $"n_true").count() == 0)
+  }
 }

@@ -123,4 +123,39 @@ class TemporalSpec extends SparkSuite {
       .groupBy($"id", $"b_id").count().where($"count" > 1).count()
     assert(out === 0L)
   }
+
+  test("funnel: first-anchor greedy semantics, window cutoff, strict order") {
+    import graft.operators.Temporal
+    // u1: A@10 B@20 C@30            → full funnel
+    // u2: A@10 C@20 B@30            → C precedes B: depth 2 only
+    // u3: A@10 B@200                → B outside the 100 s window
+    // u4: B@5 C@6                   → no anchor, not in the funnel
+    // u5: A@10 B@10                 → B not STRICTLY after A
+    // u6: A@50 A@10 B@105           → anchor = FIRST A (10); 105 ≤ 110 ok
+    val rows = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      (2L, 10L, "A"), (2L, 20L, "C"), (2L, 30L, "B"),
+      (3L, 10L, "A"), (3L, 200L, "B"),
+      (4L, 5L, "B"), (4L, 6L, "C"),
+      (5L, 10L, "A"), (5L, 10L, "B"),
+      (6L, 50L, "A"), (6L, 10L, "A"), (6L, 105L, "B")
+    ).map { case (u, t, e) => (u, new java.sql.Timestamp(t * 1000L), e) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(rows, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"), windowUs = 100L * 1000000).orderBy("stage").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "A", 5L), (2, "B", 3L), (3, "C", 1L)), out.mkString(","))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.6, 0.2))
+  }
+
+  test("funnel: empty stage-1 cohort yields zero rates, not a division error") {
+    import graft.operators.Temporal
+    val rows = Seq((1L, 10L, "B"))
+      .map { case (u, t, e) => (u, new java.sql.Timestamp(t * 1000L), e) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(rows, "user_id", "ts", "event_type",
+      Seq("A", "B"), windowUs = 1000000L).orderBy("stage").collect()
+    assert(out.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((0L, 0.0), (0L, 0.0)))
+  }
 }
