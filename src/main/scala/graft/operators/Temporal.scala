@@ -196,4 +196,46 @@ object Temporal {
           col("n_users").cast("double") / col("n1")).otherwise(lit(0.0)), 6)
           .as("conv_rate"))
   }
+
+  /** Cohort retention (the funnel's longitudinal sibling): users
+    * cohorted by the time bucket of their FIRST `anchorType` event;
+    * for each elapsed-time offset k < maxBuckets, the fraction of the
+    * cohort with ANY event in [anchor + k·bucket, anchor + (k+1)·
+    * bucket). Offset 0 is 1.0 by construction (the anchor event
+    * itself) — the sanity row dashboards keep. Returns
+    * (cohort, offset, n_active, retention); `cohort` is the absolute
+    * bucket index (⌊anchor µs / bucketUs⌋ — stable across runs and
+    * corpus growth, unlike a dense rank).
+    *
+    * Scale shape: one filtered scan folds the anchors (user-keyed
+    * partial agg); the events scan joins them on the user key (the
+    * one corpus-sized shuffle, already the events table's natural
+    * partitioning) and partial-aggregates to distinct (user, cohort,
+    * offset) then to ≤ cohorts×maxBuckets rows; cohort sizes
+    * broadcast back. No per-user sort, no window.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, anchorType: String,
+                bucketUs: Long, maxBuckets: Int): DataFrame = {
+    require(bucketUs > 0 && maxBuckets >= 1)
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("ts"), col(typeCol).as("et"))
+    val anchors = ev.where(col("et") === anchorType)
+      .groupBy(col("u")).agg(min(col("ts")).as("t0"))
+    val sizes = anchors
+      .groupBy(floor(col("t0") / bucketUs).as("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val active = ev.join(anchors, Seq("u"))
+      .where(col("ts") >= col("t0") &&
+        col("ts") < col("t0") + bucketUs * maxBuckets)
+      .select(col("u"), floor(col("t0") / bucketUs).as("cohort"),
+        floor((col("ts") - col("t0")) / bucketUs).as("offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+  }
 }

@@ -81,7 +81,16 @@ object TemporalQueries {
     // oracle (greedy earliest-match over epoch-µs longs).
     "q_funnel" -> ((s, d) =>
       Temporal.funnel(ev(s, d), "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"), windowUs = 7L * 86400 * 1000000))
+        Seq("view", "click", "purchase"), windowUs = 7L * 86400 * 1000000)),
+
+    // cohort retention: users cohorted by the week of their first
+    // signup; per elapsed week 0-3, the fraction of the cohort with
+    // any event that week. One user-keyed shuffle join + bounded
+    // aggregates; cohort sizes broadcast. FULL oracle.
+    "q_retention" -> ((s, d) =>
+      Temporal.retention(ev(s, d), "user_id", "ts", "event_type",
+        anchorType = "signup", bucketUs = 7L * 86400 * 1000000,
+        maxBuckets = 4))
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +159,23 @@ object TemporalQueries {
         |  round(CASE WHEN (SELECT count(*) FROM s1) > 0
         |    THEN n_users / CAST((SELECT count(*) FROM s1) AS DOUBLE)
         |    ELSE 0.0 END, 6) AS conv_rate
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS et
+        |  FROM events),
+        |a AS (SELECT u, min(ts) AS t0 FROM e WHERE et = 'signup' GROUP BY u),
+        |sz AS (SELECT CAST(floor(t0 / 604800000000) AS BIGINT) AS cohort,
+        |    count(*) AS n_cohort
+        |  FROM a GROUP BY 1),
+        |act AS (SELECT DISTINCT e.u,
+        |    CAST(floor(a.t0 / 604800000000) AS BIGINT) AS cohort,
+        |    CAST(floor((e.ts - a.t0) / 604800000000) AS BIGINT) AS "offset"
+        |  FROM e JOIN a ON e.u = a.u
+        |  WHERE e.ts >= a.t0 AND e.ts < a.t0 + 604800000000 * 4),
+        |n AS (SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY 1, 2)
+        |SELECT n.cohort, n."offset", n.n_active,
+        |  round(n.n_active / CAST(sz.n_cohort AS DOUBLE), 6) AS retention
+        |FROM n JOIN sz ON sz.cohort = n.cohort""".stripMargin
   )
 }

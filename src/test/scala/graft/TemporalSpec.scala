@@ -148,6 +148,32 @@ class TemporalSpec extends SparkSuite {
     assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.6, 0.2))
   }
 
+  test("retention: cohorted by first anchor, offset buckets, pre-anchor and beyond-horizon excluded") {
+    import graft.operators.Temporal
+    // bucket = 10 s, maxBuckets = 3
+    // u1: signup@5  (cohort 0), activity at 12 (offset 0), 27 (offset 2),
+    //     40 (offset 3 — beyond the horizon, dropped)
+    // u2: signup@15 (cohort 1), activity at 24 (offset 0), 26 (offset 1)
+    // u3: signup@8  (cohort 0), a PRE-anchor view@2 (dropped) and nothing after
+    // u4: no signup — not cohorted at all
+    val rows = Seq(
+      (1L, 5L, "signup"), (1L, 12L, "view"), (1L, 27L, "view"), (1L, 40L, "view"),
+      (2L, 15L, "signup"), (2L, 24L, "view"), (2L, 26L, "view"),
+      (3L, 8L, "signup"), (3L, 2L, "view"),
+      (4L, 3L, "view")
+    ).map { case (u, t, e) => (u, new java.sql.Timestamp(t * 1000L), e) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Temporal.retention(rows, "user_id", "ts", "event_type",
+        "signup", bucketUs = 10L * 1000000, maxBuckets = 3)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 1.0),   // anchors themselves: offset 0 is full
+      (0L, 2L, 1L, 0.5),   // only u1 came back in week 2
+      (1L, 0L, 1L, 1.0),
+      (1L, 1L, 1L, 1.0)), out.mkString(","))
+  }
+
   test("funnel: empty stage-1 cohort yields zero rates, not a division error") {
     import graft.operators.Temporal
     val rows = Seq((1L, 10L, "B"))
