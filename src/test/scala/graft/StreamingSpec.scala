@@ -554,6 +554,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: per-stage user counts equal the batch funnel on real events") {
+    import graft.operators.Temporal
+    val stages = Seq("view", "click", "purchase")
+    val windowUs = 7L * 86400 * 1000000
+    val events = Tables(spark, sf, "events")
+    // event-time-ordered delivery (the documented contract), 3 chunks
+    val evs = events
+      .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type")
+      .orderBy("tsm").collect()
+      .map(r => FunnelEvt(r.getLong(0), r.getLong(1), r.getString(2)))
+    val ms = MemoryStream[FunnelEvt]
+    val q = FunnelStream.streaming(ms.toDS(), stages, windowUs)
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val third = evs.length / 3
+      ms.addData(evs.take(third)); q.processAllAvailable()
+      ms.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      ms.addData(evs.drop(2 * third)); q.processAllAvailable()
+      val gotCounts = spark.table("funnel_hits")
+        .groupBy("stage").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = Temporal.funnel(events, "user_id", "ts", "event_type",
+          stages, windowUs).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(gotCounts == batch, s"stream=$gotCounts batch=$batch")
+      // a hit row fires at most once per (user, stage)
+      val dup = spark.table("funnel_hits").groupBy("user", "stage")
+        .count().where($"count" > 1).count()
+      assert(dup == 0)
+    } finally q.stop()
+  }
+
   test("analytic state streaming equals batch window functions across batches") {
     val evs = Seq(
       AnEvt(1L, 1000L, 10.0, "view"), AnEvt(1L, 2000L, 20.0, "view"),
