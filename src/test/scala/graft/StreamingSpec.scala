@@ -587,6 +587,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming retention: per-(cohort, offset) counts equal the batch table on real events") {
+    import graft.operators.Temporal
+    val bucketUs = 7L * 86400 * 1000000
+    val events = Tables(spark, sf, "events")
+    val evs = events
+      .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type")
+      .orderBy("tsm").collect()
+      .map(r => FunnelEvt(r.getLong(0), r.getLong(1), r.getString(2)))
+    val ms = MemoryStream[FunnelEvt]
+    val q = RetentionStream.streaming(ms.toDS(), "signup", bucketUs, maxBuckets = 4)
+      .writeStream.format("memory").queryName("ret_hits")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val third = evs.length / 3
+      ms.addData(evs.take(third)); q.processAllAvailable()
+      ms.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      ms.addData(evs.drop(2 * third)); q.processAllAvailable()
+      val got = spark.table("ret_hits").groupBy("cohort", "offset")
+        .count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Temporal.retention(events, "user_id", "ts", "event_type",
+          "signup", bucketUs, maxBuckets = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      // at most one hit per (user, cohort, offset)
+      val dup = spark.table("ret_hits").groupBy("user", "cohort", "offset")
+        .count().where($"count" > 1).count()
+      assert(dup == 0)
+    } finally q.stop()
+  }
+
   test("analytic state streaming equals batch window functions across batches") {
     val evs = Seq(
       AnEvt(1L, 1000L, 10.0, "view"), AnEvt(1L, 2000L, 20.0, "view"),
