@@ -144,6 +144,60 @@ object Temporal {
         b("_rj_bt").as("_rj_matched_t")): _*)
   }
 
+  /** Interval-overlap join: all (left, right) pairs with the same
+    * `key` whose half-open time intervals [start, end) overlap —
+    * rangeJoin's two-sided sibling (point-in-range is the special
+    * case of a zero-length left interval). Emits each pair's overlap
+    * length alongside the selected columns.
+    *
+    * Scale design: both sides explode to the fixed-`grainUs` buckets
+    * their interval covers and meet in an EQUI-join on (key, bucket)
+    * — never a nested loop. A pair overlapping many shared buckets
+    * is emitted exactly ONCE without any dedup shuffle: only the
+    * bucket containing max(lStart, rStart) — a point both intervals
+    * cover iff they overlap — reports the pair (the classic
+    * interval-join ownership trick). Choose `grainUs` near the
+    * typical interval length: cost per row = interval/grain bucket
+    * replicas; the residual overlap predicate handles the boundaries.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   grainUs: Long,
+                   leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    require(grainUs > 0, "grainUs must be positive")
+    require(leftCols.intersect(rightCols).isEmpty,
+      "left/right column collision — rename before intervalJoin")
+    // empty intervals can match nothing and would flip sequence()
+    // into descending order — drop them before the explode
+    val l = left
+      .withColumn("_ij_ls", unix_micros(col(lStart)))
+      .withColumn("_ij_le", unix_micros(col(lEnd)))
+      .where(col("_ij_le") > col("_ij_ls"))
+      .withColumn("_ij_bucket", explode(sequence(
+        floor(col("_ij_ls") / grainUs), floor((col("_ij_le") - 1) / grainUs))))
+      .select((Seq(col(key).as("_ij_key"), col("_ij_bucket"),
+        col("_ij_ls"), col("_ij_le")) ++ leftCols.map(col)): _*)
+    val r = right
+      .withColumn("_ij_rs", unix_micros(col(rStart)))
+      .withColumn("_ij_re", unix_micros(col(rEnd)))
+      .where(col("_ij_re") > col("_ij_rs"))
+      .withColumn("_ij_bucket", explode(sequence(
+        floor(col("_ij_rs") / grainUs), floor((col("_ij_re") - 1) / grainUs))))
+      .select((Seq(col(key).as("_ij_rkey"), col("_ij_bucket").as("_ij_rbucket"),
+        col("_ij_rs"), col("_ij_re")) ++ rightCols.map(col)): _*)
+    l.join(r,
+        col("_ij_key") === col("_ij_rkey") &&
+          col("_ij_bucket") === col("_ij_rbucket") &&
+          col("_ij_ls") < col("_ij_re") && col("_ij_rs") < col("_ij_le") &&
+          col("_ij_bucket") ===
+            floor(greatest(col("_ij_ls"), col("_ij_rs")) / grainUs))
+      .select((Seq(col("_ij_key").as(key)) ++ leftCols.map(col) ++
+        rightCols.map(col) :+
+        (least(col("_ij_le"), col("_ij_re")) -
+          greatest(col("_ij_ls"), col("_ij_rs"))).as("overlap_us")): _*)
+  }
+
   /** Ordered-stage funnel (the product-analytics conversion query):
     * per user, anchor at the FIRST stage-1 event, then each later
     * stage matches its earliest event STRICTLY after the previous

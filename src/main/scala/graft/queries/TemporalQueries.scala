@@ -83,6 +83,26 @@ object TemporalQueries {
       Temporal.funnel(ev(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), windowUs = 7L * 86400 * 1000000)),
 
+    // interval-overlap join: per user, error episodes [ts, ts+2h)
+    // overlapping purchase sessions [ts, ts+2h) — incident-impact
+    // attribution. Equi-join on (user, 2h bucket) with the max-start
+    // ownership emit (each pair exactly once, no dedup shuffle).
+    // FULL oracle (plain inequality join replays it).
+    "q_join_interval" -> ((s, d) => {
+      val e = ev(s, d)
+      val twoH = expr("INTERVAL 2 HOURS")
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("l_eid"),
+          col("ts").as("l_s"), (col("ts") + twoH).as("l_e"))
+      val buys = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("r_eid"),
+          col("ts").as("r_s"), (col("ts") + twoH).as("r_e"))
+      Temporal.intervalJoin(errors, buys, key = "user_id",
+        lStart = "l_s", lEnd = "l_e", rStart = "r_s", rEnd = "r_e",
+        grainUs = 7200L * 1000000,
+        leftCols = Seq("l_eid"), rightCols = Seq("r_eid"))
+    }),
+
     // cohort retention: users cohorted by the week of their first
     // signup; per elapsed week 0-3, the fraction of the cohort with
     // any event that week. One user-keyed shuffle join + bounded
@@ -160,6 +180,17 @@ object TemporalQueries {
         |    THEN n_users / CAST((SELECT count(*) FROM s1) AS DOUBLE)
         |    ELSE 0.0 END, 6) AS conv_rate
         |FROM n""".stripMargin,
+    "q_join_interval" ->
+      """WITH er AS (SELECT user_id, event_id AS l_eid, epoch_us(ts) AS ls,
+        |    epoch_us(ts) + 7200000000 AS le
+        |  FROM events WHERE event_type = 'error'),
+        |pu AS (SELECT user_id, event_id AS r_eid, epoch_us(ts) AS rs,
+        |    epoch_us(ts) + 7200000000 AS re
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT er.user_id, l_eid, r_eid,
+        |  least(le, re) - greatest(ls, rs) AS overlap_us
+        |FROM er JOIN pu ON pu.user_id = er.user_id
+        |  AND er.ls < pu.re AND pu.rs < er.le""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS et
         |  FROM events),

@@ -148,6 +148,34 @@ class TemporalSpec extends SparkSuite {
     assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.6, 0.2))
   }
 
+  test("interval join: exact pairs, one emission across shared buckets, half-open edges") {
+    import graft.operators.Temporal
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // grain 10 s. L1 [0,25) x R1 [5,35): 3 shared buckets, ONE row.
+    // L2 [40,50) x R2 [50,60): touching, half-open -> NO match.
+    // L3 [100,200) contains R3 [150,160): one row, overlap 10 s.
+    // key 9 vs key 8: never match.
+    val left = Seq(
+      (1L, 10L, 0L, 25L), (1L, 11L, 40L, 50L),
+      (2L, 12L, 100L, 200L), (9L, 13L, 0L, 100L)
+    ).map { case (k, id, s, e) => (k, id, ts(s), ts(e)) }
+      .toDF("k", "l_id", "l_s", "l_e")
+    val right = Seq(
+      (1L, 20L, 5L, 35L), (1L, 21L, 50L, 60L),
+      (2L, 22L, 150L, 160L), (8L, 23L, 0L, 100L)
+    ).map { case (k, id, s, e) => (k, id, ts(s), ts(e)) }
+      .toDF("k", "r_id", "r_s", "r_e")
+    val out = Temporal.intervalJoin(left, right, key = "k",
+        lStart = "l_s", lEnd = "l_e", rStart = "r_s", rEnd = "r_e",
+        grainUs = 10L * 1000000,
+        leftCols = Seq("l_id"), rightCols = Seq("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set(
+      (1L, 10L, 20L, 20L * 1000000),
+      (2L, 12L, 22L, 10L * 1000000)), out.mkString(","))
+    assert(out.length == 2, "each overlapping pair must be emitted exactly once")
+  }
+
   test("retention: cohorted by first anchor, offset buckets, pre-anchor and beyond-horizon excluded") {
     import graft.operators.Temporal
     // bucket = 10 s, maxBuckets = 3
