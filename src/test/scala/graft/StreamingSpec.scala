@@ -587,6 +587,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnel stream state survives a checkpointed restart") {
+    import graft.operators.Temporal
+    val stages = Seq("view", "click", "purchase")
+    val windowUs = 7L * 86400 * 1000000
+    val events = Tables(spark, sf, "events")
+    val evs = events
+      .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type")
+      .orderBy("tsm").collect()
+      .map(r => FunnelEvt(r.getLong(0), r.getLong(1), r.getString(2)))
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ck").toString
+    val ms = MemoryStream[FunnelEvt]
+    val half = evs.length / 2
+    // the memory sink refuses checkpoint recovery — collect hits via
+    // foreachBatch (recovery-capable) into a shared buffer instead
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[FunnelHit]()
+    def start() = FunnelStream.streaming(ms.toDS(), stages, windowUs)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+        b.collect().foreach(hits.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try { ms.addData(evs.take(half)); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the same checkpoint: the state store must carry
+    // every user's funnel progress, or stage-1 hits re-emit and the
+    // totals inflate past the batch reference
+    val q2 = start()
+    try {
+      ms.addData(evs.drop(half)); q2.processAllAvailable()
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(hits)
+        .asScala.groupBy(_.stage).view.mapValues(_.size.toLong).toMap
+      val batch = Temporal.funnel(events, "user_id", "ts", "event_type",
+          stages, windowUs).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got == batch, s"after restart: stream=$got batch=$batch")
+    } finally q2.stop()
+  }
+
   test("streaming retention: per-(cohort, offset) counts equal the batch table on real events") {
     import graft.operators.Temporal
     val bucketUs = 7L * 86400 * 1000000
