@@ -25,13 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Cms {
 
-  /** Bucket of `key` in hash row r — PORTABLE kernel: first 8 md5 hex
-    * digits of "cms{r}:{key}", mod w; replays in DuckDB SQL (the
-    * query surface / oracle path).
+  /** Bucket of `key` in hash row r — PORTABLE kernel: hex digits
+    * [8r+1, 8r+8] of ONE md5 of "cms:{key}", mod w. A single md5
+    * yields 128 bits = four independent 32-bit slices, so all d ≤ 4
+    * rows cost one hash per key (a 4× cut over hashing per row) and
+    * each slice still replays in DuckDB SQL (the query surface /
+    * oracle path).
     */
   def bucket(key: Column, r: Int, w: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"cms$r:"), key.cast("string"))), 1, 8),
-      16, 10).cast("long"), lit(w.toLong))
+    bucketOfHex(md5(concat(lit("cms:"), key.cast("string"))), r, w)
+
+  private def bucketOfHex(hex: Column, r: Int, w: Int): Column =
+    pmod(conv(substring(hex, 1 + 8 * r, 8), 16, 10).cast("long"), lit(w.toLong))
 
   /** Production kernel: xxhash64-seeded bucket — one codegen'd hash
     * per (row, r) instead of an md5 over a built string; same sketch
@@ -42,11 +47,21 @@ object Cms {
     pmod(xxhash64(lit(r), key), lit(w.toLong))
 
   private def probeStructs(key: Column, d: Int, w: Int,
-                           portable: Boolean): Column =
-    explode(array((0 until d).map { r =>
-      val b = if (portable) bucket(key, r, w) else bucketFast(key, r, w)
-      struct(lit(r).as("r"), b.as("b"))
-    }: _*))
+                           portable: Boolean): Column = {
+    require(!portable || d <= 4, s"portable kernel has 4 md5 slices, got d=$d")
+    if (portable) {
+      // all d slices reference the SAME md5 subtree: whole-stage
+      // codegen's subexpression elimination computes it once per row
+      // (a plain array, not a HOF lambda — HOFs interpret per element
+      // and fall out of codegen, the minhash lesson)
+      val h = md5(concat(lit("cms:"), key.cast("string")))
+      explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucketOfHex(h, r, w).as("b"))): _*))
+    } else
+      explode(array((0 until d).map { r =>
+        struct(lit(r).as("r"), bucketFast(key, r, w).as("b"))
+      }: _*))
+  }
 
   /** Build the sketch: one row per occupied (hash row, bucket) with
     * its count — at most d·w rows regardless of corpus size.

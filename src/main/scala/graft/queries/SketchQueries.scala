@@ -114,16 +114,16 @@ object SketchQueries {
         |GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
     "q_sketch_cms" ->
       """WITH rows4 AS (SELECT r FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+        |hx AS (SELECT md5('cms:' || CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
         |rb AS (SELECT r,
-        |    ('0x' || substr(md5('cms' || r || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
-        |      % 256 AS b
-        |  FROM lineitem CROSS JOIN rows4),
+        |    ('0x' || substr(h, 8 * r + 1, 8))::BIGINT % 256 AS b
+        |  FROM hx CROSS JOIN rows4),
         |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY 1, 2),
         |probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 20),
-        |pb AS (SELECT p.l_partkey, rows4.r,
-        |    ('0x' || substr(md5('cms' || rows4.r || ':' || CAST(p.l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |pb AS (SELECT l_partkey, rows4.r,
+        |    ('0x' || substr(md5('cms:' || CAST(l_partkey AS VARCHAR)), 8 * rows4.r + 1, 8))::BIGINT
         |      % 256 AS b
-        |  FROM probes p CROSS JOIN rows4),
+        |  FROM probes CROSS JOIN rows4),
         |est AS (SELECT pb.l_partkey, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
         |  FROM pb LEFT JOIN sk ON sk.r = pb.r AND sk.b = pb.b GROUP BY 1),
         |ex AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_true FROM lineitem
