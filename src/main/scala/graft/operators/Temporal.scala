@@ -251,6 +251,44 @@ object Temporal {
           .as("conv_rate"))
   }
 
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE-lite CEP): per
+    * user, the event-time-ordered event types encode to a character
+    * string and a regex counts its non-overlapping matches — "view,
+    * one-or-more clicks, purchase" is just `vc+p`. The regex engine
+    * IS the pattern automaton, so alternation, bounded repetition,
+    * and optional steps come free — the funnel's fixed stage chain is
+    * the special case `v.*c.*p` within a window.
+    *
+    * Scale shape: one shuffle on the user key folding each user's
+    * coded events into a string (array_sort of (ts, id, code)
+    * structs — deterministic under same-µs ties), then a map-side
+    * regex. Per-user state is the coded sequence — CEP over entities
+    * with bounded history (sessions, devices, orders); for unbounded
+    * per-key streams, window upstream or use the rules engine's
+    * stateful operators. Returns (user, seq, n_matches).
+    */
+  def matchPattern(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   codes: Seq[(String, String)], pattern: String): DataFrame = {
+    require(codes.nonEmpty && codes.forall(_._2.length == 1),
+      "codes must map each event type to ONE character")
+    val code = codes.tail
+      .foldLeft(when(col(typeCol) === codes.head._1, codes.head._2)) {
+        case (acc, (t, c)) => acc.when(col(typeCol) === t, c)
+      }
+    events
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("ts"),
+        col(idCol).as("eid"), code.as("code"))
+      .where(col("code").isNotNull)
+      .groupBy(col("u"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ts"), col("eid"), col("code")))),
+        s => s.getField("code"))).as("seq"))
+      .select(col("u").as(userCol), col("seq"),
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(0)))
+          .cast("long").as("n_matches"))
+  }
+
   /** Cohort retention (the funnel's longitudinal sibling): users
     * cohorted by the time bucket of their FIRST `anchorType` event;
     * for each elapsed-time offset k < maxBuckets, the fraction of the

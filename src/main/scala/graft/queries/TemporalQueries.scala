@@ -103,6 +103,33 @@ object TemporalQueries {
         leftCols = Seq("l_eid"), rightCols = Seq("r_eid"))
     }),
 
+    // CEP pattern match: per user, count non-overlapping
+    // "view, one-or-more clicks, then purchase" runs in the
+    // event-time-ordered type sequence. FULL oracle (string_agg with
+    // ORDER BY replays the deterministic encoding; `vc+p` means the
+    // same thing to Java regex and RE2).
+    "q_match_pattern" -> ((s, d) =>
+      Temporal.matchPattern(ev(s, d), "user_id", "ts", "event_id",
+        "event_type",
+        codes = Seq("view" -> "v", "click" -> "c",
+          "purchase" -> "p", "error" -> "e"),
+        pattern = "vc+p")),
+
+    // robust outlier detection: per event type, values whose robust
+    // z-score |x - med| / (1.4826 MAD) exceeds 3.5 — the monitoring
+    // alert rule with a 50% breakdown point. Two exact-percentile
+    // aggs + broadcast joins; FULL oracle (percentile ==
+    // quantile_cont). value rounds to 2dp upstream so the engines
+    // agree at the median interpolation.
+    "q_anomaly_mad" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("v"))
+      graft.operators.Stats.robustOutliers(e, "event_type", "v", k = 3.5)
+        .select(col("event_type"), col("event_id"), col("v"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("score"))
+    }),
+
     // cohort retention: users cohorted by the week of their first
     // signup; per elapsed week 0-3, the fraction of the cohort with
     // any event that week. One user-keyed shuffle join + bounded
@@ -191,6 +218,36 @@ object TemporalQueries {
         |  least(le, re) - greatest(ls, rs) AS overlap_us
         |FROM er JOIN pu ON pu.user_id = er.user_id
         |  AND er.ls < pu.re AND pu.rs < er.le""".stripMargin,
+    "q_match_pattern" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e' END AS code
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase', 'error')),
+        |s AS (SELECT user_id,
+        |    string_agg(code, '' ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, seq,
+        |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_matches
+        |FROM s""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type, round(value, 2) AS v
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.v - m.med) AS ad
+        |  FROM e JOIN m ON m.event_type = e.event_type),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM d GROUP BY 1),
+        |s AS (SELECT e.event_type, e.event_id, e.v, m.med, md.mad,
+        |    CASE WHEN md.mad > 0
+        |      THEN round((e.v - m.med) / (1.4826 * md.mad), 6) END AS score
+        |  FROM e JOIN m ON m.event_type = e.event_type
+        |         JOIN md ON md.event_type = e.event_type)
+        |SELECT event_type, event_id, v,
+        |  round(med, 6) AS med, round(mad, 6) AS mad, score
+        |FROM s
+        |WHERE (mad > 0 AND abs(score) > 3.5) OR (mad = 0 AND v <> med)""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS et
         |  FROM events),

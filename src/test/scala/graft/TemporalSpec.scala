@@ -148,6 +148,49 @@ class TemporalSpec extends SparkSuite {
     assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.6, 0.2))
   }
 
+  test("matchPattern: regex counts ordered runs; ties break by id; unmapped types drop") {
+    import graft.operators.Temporal
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      // u1: v c c p → one vc+p run
+      (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
+      (1L, 3L, 12L, "click"), (1L, 4L, 13L, "purchase"),
+      // u2: v p → no run (needs ≥1 click)
+      (2L, 5L, 10L, "view"), (2L, 6L, 11L, "purchase"),
+      // u3: two non-overlapping runs; an unmapped type in between drops
+      (3L, 7L, 10L, "view"), (3L, 8L, 11L, "click"), (3L, 9L, 12L, "purchase"),
+      (3L, 10L, 13L, "signup"),
+      (3L, 11L, 14L, "view"), (3L, 12L, 15L, "click"), (3L, 13L, 16L, "purchase"),
+      // u4: same-second events order by event_id: v(20) c(21) p(22)
+      (4L, 21L, 30L, "click"), (4L, 20L, 30L, "view"), (4L, 22L, 30L, "purchase")
+    ).map { case (u, id, t, e) => (u, id, ts(t), e) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Temporal.matchPattern(rows, "user_id", "ts", "event_id",
+        "event_type",
+        codes = Seq("view" -> "v", "click" -> "c", "purchase" -> "p"),
+        pattern = "vc+p")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ("vccp", 1L), 2L -> ("vp", 0L),
+      3L -> ("vcpvcp", 2L), 4L -> ("vcp", 1L)), out.toString)
+  }
+
+  test("robustOutliers: MAD flags the wild value, tolerates 40% junk, mad=0 convention") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val df = (
+      // a: 1..9 (med 5.5 with the outlier, mad 2.5) + wild 100 → only 100 flags
+      (1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0)
+    ) ++ Seq(
+      // b: majority-constant, one off value → mad = 0 convention flags it
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 7.0),
+      // c: all identical → nothing flags
+      ("c", 2.0), ("c", 2.0))
+    val out = Stats.robustOutliers(df.toDF("g", "v"), "g", "v", k = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set(("a", 100.0), ("b", 7.0)), out.toString)
+  }
+
   test("interval join: exact pairs, one emission across shared buckets, half-open edges") {
     import graft.operators.Temporal
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
