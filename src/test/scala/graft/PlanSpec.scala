@@ -237,4 +237,45 @@ class PlanSpec extends SparkSuite {
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregate pair:\n${p.take(1500)}")
   }
+
+  test("funnel: every stage scan pushes its event-type filter into parquet") {
+    val df = SparkEntry.queries("q_funnel")(spark, sf)
+    val s = formatted(df)
+    // three stage scans + the same filters pushed — no full-table pass
+    Seq("view", "click", "purchase").foreach { st =>
+      assert(s.contains(s"EqualTo(event_type,$st)"),
+        s"stage filter for '$st' not pushed:\n${s.take(2000)}")
+    }
+    // the only nested-loop is the final 3-row × 1-row conv-rate attach
+    // (crossJoin of two aggregates) — never on event-scale inputs
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+  }
+
+  test("token-budget sampling: one corpus shuffle; the budget table broadcasts") {
+    val p = planOf("q_sample_token_budget")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the window partitions by source — no single-partition sort
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+  }
+
+  test("zorder audit: stats broadcast back; only the tiny bucket table shuffles") {
+    val p = planOf("q_layout_zorder")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // exactly one hash exchange (the <=2^bucketBits bucket agg)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one bucket-agg exchange, got $hashEx:\n${p.take(1500)}")
+  }
+
+  test("cms build: the only shuffle payload is the sketch, never the corpus") {
+    val df = SparkEntry.queries("q_sketch_cms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // both the (r, b) sketch agg and the exact-count agg are two-phase:
+    // partial map-side fold, then an exchange carrying aggregate rows
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    val partials = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partials >= 2, s"expected partial aggregates before exchanges:\n${p.take(2000)}")
+  }
 }
