@@ -115,6 +115,27 @@ object Layout {
       .drop("__pid", "__off")
   }
 
+  /** CDC change-log compaction (last-write-wins snapshot): per id,
+    * keep the row with the greatest (ts, seq) — seq breaks same-µs
+    * ties into a total order — then drop ids whose final operation is
+    * `deleteOp`. The upsert fold every lakehouse table maintenance
+    * job runs; pairs with corpusDiff (which DETECTS changes) as the
+    * operator that APPLIES them.
+    *
+    * Scale shape: ONE partial-agg'd shuffle on the id — max_by
+    * combines map-side, so only one candidate row per id per
+    * partition crosses the exchange; no window, no sort of the full
+    * log. Returns the surviving rows with their original columns.
+    */
+  def compactLog(log: DataFrame, idCol: String, tsCol: String,
+                 seqCol: String, opCol: String, deleteOp: String): DataFrame = {
+    val payload = struct(log.columns.map(col): _*)
+    log.groupBy(col(idCol).as("_cl_id"))
+      .agg(max_by(payload, struct(col(tsCol), col(seqCol))).as("_cl_last"))
+      .where(col(s"_cl_last.$opCol") =!= deleteOp)
+      .select(col("_cl_last.*"))
+  }
+
   /** Map a value onto a `bits`-bit grid coordinate given its column
     * min/max: ⌊(x−lo)·(2ᵇ−1) / max(hi−lo, 1)⌋. Pure double→floor
     * arithmetic — deterministic and engine-replayable (the products

@@ -251,6 +251,30 @@ object Temporal {
           .as("conv_rate"))
   }
 
+  /** Deterministic rate limiting (message throttling): per key and
+    * fixed time bucket, keep only the FIRST `maxPerBucket` events in
+    * (ts, id) order — the downsampling rule an edge gateway applies
+    * to a chatty device before fan-in. Pure function of the data (no
+    * RNG, no wall clock), so replays and backfills keep identical
+    * rows. Returns the surviving rows unchanged.
+    *
+    * Scale shape: ONE shuffle on (key, bucket) into a ranked window;
+    * the bucket key keeps any single window partition at one key ×
+    * one bucket of rows, so a hot key cannot funnel its whole history
+    * into one task the way a key-only window would.
+    */
+  def throttle(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, bucketUs: Long, maxPerBucket: Int): DataFrame = {
+    require(bucketUs > 0 && maxPerBucket >= 1)
+    val w = Window.partitionBy(col(keyCol), col("_th_bucket"))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_th_bucket", floor(unix_micros(col(tsCol)) / bucketUs))
+      .withColumn("_th_rn", row_number().over(w))
+      .where(col("_th_rn") <= maxPerBucket)
+      .drop("_th_rn", "_th_bucket")
+  }
+
   /** Event-sequence pattern matching (MATCH_RECOGNIZE-lite CEP): per
     * user, the event-time-ordered event types encode to a character
     * string and a regex counts its non-overlapping matches — "view,

@@ -103,6 +103,28 @@ object TemporalQueries {
         leftCols = Seq("l_eid"), rightCols = Seq("r_eid"))
     }),
 
+    // deterministic throttle: at most 3 events per user per day, the
+    // first three in (ts, id) order — replay-stable rate limiting.
+    // One (key, bucket) shuffle. FULL oracle.
+    "q_throttle" -> ((s, d) =>
+      Temporal.throttle(ev(s, d), "user_id", "ts", "event_id",
+          bucketUs = 86400L * 1000000, maxPerBucket = 3)
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // CDC compaction: the events stream read as a change log (error =
+    // delete, anything else = upsert); last (ts, event_id) per user
+    // wins, deleted users drop. One partial-agg'd max_by shuffle.
+    // FULL oracle.
+    "q_cdc_compact" -> ((s, d) => {
+      val log = ev(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        when(col("event_type") === "error", "delete")
+          .otherwise("upsert").as("op"),
+        round(col("value"), 2).as("v"))
+      graft.operators.Layout.compactLog(log, "user_id", "tsu", "event_id",
+        "op", "delete")
+    }),
+
     // CEP pattern match: per user, count non-overlapping
     // "view, one-or-more clicks, then purchase" runs in the
     // event-time-ordered type sequence. FULL oracle (string_agg with
@@ -218,6 +240,23 @@ object TemporalQueries {
         |  least(le, re) - greatest(ls, rs) AS overlap_us
         |FROM er JOIN pu ON pu.user_id = er.user_id
         |  AND er.ls < pu.re AND pu.rs < er.le""".stripMargin,
+    "q_throttle" ->
+      """WITH r AS (SELECT event_id, user_id, event_type,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM r WHERE rn <= 3""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    round(value, 2) AS v
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tsu DESC, event_id DESC) AS rn FROM l)
+        |SELECT user_id, tsu, event_id, op, v
+        |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
     "q_match_pattern" ->
       """WITH c AS (SELECT user_id, ts, event_id,
         |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'

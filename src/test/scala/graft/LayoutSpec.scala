@@ -133,6 +133,25 @@ class LayoutSpec extends SparkSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
   }
 
+  test("compactLog: last (ts, seq) wins per id; delete tombstones drop the id") {
+    import spark.implicits._
+    val log = Seq(
+      // id 1: upsert v=1 then v=2 (same ts, higher seq wins), live
+      (1L, 100L, 1L, "upsert", 1.0), (1L, 100L, 2L, "upsert", 2.0),
+      // id 2: upsert then delete — gone
+      (2L, 100L, 3L, "upsert", 9.0), (2L, 200L, 4L, "delete", 0.0),
+      // id 3: delete then LATER upsert — resurrected
+      (3L, 100L, 5L, "delete", 0.0), (3L, 200L, 6L, "upsert", 7.0)
+    ).toDF("id", "ts", "seq", "op", "v")
+    val snap = Layout.compactLog(log, "id", "ts", "seq", "op", "delete")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(snap == Map(1L -> (2L, 2.0), 3L -> (6L, 7.0)), snap.toString)
+    // one partial-agg'd shuffle, no window/sort of the full log
+    val plan = Layout.compactLog(log, "id", "ts", "seq", "op", "delete")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("zValue: hand-computed Morton codes; bit positions disjoint and complete") {
     import spark.implicits._
     // x=3 (011), y=5 (101) at 3 bits: interleaved z = y2 x2 y1 x1 y0 x0

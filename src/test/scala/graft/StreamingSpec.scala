@@ -658,6 +658,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming throttle passes exactly the batch first-N rows on real events") {
+    import graft.operators.Temporal
+    val bucketUs = 86400L * 1000000
+    val events = Tables(spark, sf, "events")
+    val evs = events
+      .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id", $"event_type")
+      .orderBy("tsm", "event_id").collect()
+      .map(r => ThEvt(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val ms = MemoryStream[ThEvt]
+    val q = ThrottleStream.streaming(ms.toDS(), bucketUs, maxPerBucket = 3)
+      .writeStream.format("memory").queryName("th_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val third = evs.length / 3
+      ms.addData(evs.take(third)); q.processAllAvailable()
+      ms.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      ms.addData(evs.drop(2 * third)); q.processAllAvailable()
+      val got = spark.table("th_out").select("id").collect()
+        .map(_.getLong(0)).toSet
+      val batch = Temporal.throttle(events, "user_id", "ts", "event_id",
+          bucketUs, maxPerBucket = 3)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == batch,
+        s"sym-diff=${(got diff batch) ++ (batch diff got)}")
+    } finally q.stop()
+  }
+
   test("analytic state streaming equals batch window functions across batches") {
     val evs = Seq(
       AnEvt(1L, 1000L, 10.0, "view"), AnEvt(1L, 2000L, 20.0, "view"),

@@ -148,6 +148,23 @@ class TemporalSpec extends SparkSuite {
     assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.6, 0.2))
   }
 
+  test("throttle: first N per (key, bucket) in (ts, id) order; buckets reset the count") {
+    import graft.operators.Temporal
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // bucket = 10 s, max 2. key 1: 4 events in bucket 0 (two tie at
+    // t=1 — ids 3,4; id breaks the tie), 1 event in bucket 1.
+    val rows = Seq(
+      (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 2L), (1L, 6L, 3L),
+      (1L, 7L, 12L),
+      (2L, 8L, 5L))
+      .map { case (k, id, t) => (k, id, ts(t)) }
+      .toDF("k", "id", "ts")
+    val kept = Temporal.throttle(rows, "k", "ts", "id",
+        bucketUs = 10L * 1000000, maxPerBucket = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 7L, 8L), kept.toString)
+  }
+
   test("matchPattern: regex counts ordered runs; ties break by id; unmapped types drop") {
     import graft.operators.Temporal
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
