@@ -83,6 +83,30 @@ object Cms {
     * rows of the bucket count (0 when a bucket is unoccupied). The
     * sketch side is ≤ d·w rows and broadcasts.
     */
+  /** Equi-join output-size estimate from two sketches built with the
+    * same (d, w) over the two join keys: per hash row, the inner
+    * product Σ_b cntA·cntB; the estimate is the MIN over rows
+    * (Alon-Matias-Szegedy style — each row overestimates
+    * |A ⋈ B| = Σ_k nA(k)·nB(k) by its collision mass, never under).
+    * The planner statistic that decides broadcast-vs-shuffle or
+    * pre-aggregation BEFORE running a join, from two tables that were
+    * each read once, possibly on different days. Both sketches are
+    * ≤ d·w rows — the estimate itself costs nothing at any scale.
+    */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame, d: Int = 4): DataFrame = {
+    val x = skA.select(col("r"), col("b"), col("cnt").as("cnt_a"))
+    val y = skB.select(col("r"), col("b"), col("cnt").as("cnt_b"))
+    val ip = x.join(y, Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("cnt_a") * col("cnt_b")).as("row_est"))
+    // a hash row with NO shared bucket has inner product 0 — it must
+    // participate in the min (its absence would overestimate a
+    // disjoint-key join), so the row universe is explicit
+    skA.sparkSession.range(d).select(col("id").cast("int").as("r"))
+      .join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("row_est"), lit(0L))).cast("long")
+        .as("est_join_size"))
+  }
+
   def estimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
                d: Int = 4, w: Int = 256,
                portable: Boolean = true): DataFrame =

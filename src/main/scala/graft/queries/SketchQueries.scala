@@ -90,6 +90,24 @@ object SketchQueries {
       Cms.estimate(probes, "l_partkey", sketch, d = 4, w = 256)
         .join(broadcast(exact), Seq("l_partkey"))
         .select(col("l_partkey"), col("est"), col("n_true"))
+    }),
+
+    // sketch-only join-size estimation (AMS/CMS inner product): the
+    // lineitem⋈orders output size predicted from two 1024-row
+    // sketches, next to the true size — the broadcast-vs-shuffle
+    // planning number obtained WITHOUT running the join. est ≥ true
+    // always (collision mass only adds). FULL oracle.
+    "q_sketch_joinsize" -> ((s, d) => {
+      import graft.operators.Cms
+      val skL = Cms.build(
+        Tables(s, d, "lineitem").select(col("l_orderkey").as("k")), "k")
+      val skO = Cms.build(
+        Tables(s, d, "orders").select(col("o_orderkey").as("k")), "k")
+      val truth = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_join_size"))
+      Cms.joinSizeEstimate(skL, skO).crossJoin(broadcast(truth))
     })
   )
 
@@ -129,6 +147,25 @@ object SketchQueries {
         |ex AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_true FROM lineitem
         |  WHERE l_partkey <= 20 GROUP BY 1)
         |SELECT e.l_partkey, e.est, ex.n_true
-        |FROM est e JOIN ex ON ex.l_partkey = e.l_partkey""".stripMargin
+        |FROM est e JOIN ex ON ex.l_partkey = e.l_partkey""".stripMargin,
+    "q_sketch_joinsize" ->
+      """WITH rows4 AS (SELECT r FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+        |ska AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt_a FROM (
+        |    SELECT r, ('0x' || substr(md5('cms:' || CAST(l_orderkey AS VARCHAR)),
+        |      8 * r + 1, 8))::BIGINT % 256 AS b
+        |    FROM lineitem CROSS JOIN rows4) GROUP BY 1, 2),
+        |skb AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt_b FROM (
+        |    SELECT r, ('0x' || substr(md5('cms:' || CAST(o_orderkey AS VARCHAR)),
+        |      8 * r + 1, 8))::BIGINT % 256 AS b
+        |    FROM orders CROSS JOIN rows4) GROUP BY 1, 2),
+        |ipj AS (SELECT ska.r, sum(cnt_a * cnt_b) AS row_est
+        |  FROM ska JOIN skb ON skb.r = ska.r AND skb.b = ska.b
+        |  GROUP BY 1),
+        |ip AS (SELECT rows4.r, coalesce(ipj.row_est, 0) AS row_est
+        |  FROM rows4 LEFT JOIN ipj ON ipj.r = rows4.r),
+        |tj AS (SELECT CAST(count(*) AS BIGINT) AS true_join_size
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT CAST(min(row_est) AS BIGINT) AS est_join_size, true_join_size
+        |FROM ip CROSS JOIN tj GROUP BY true_join_size""".stripMargin
   )
 }

@@ -231,4 +231,31 @@ class SketchSpec extends SparkSuite {
     val estF = Cms.estimate(df.distinct(), "k", skF, d = 4, w = 64, portable = false)
     assert(estF.join(exact, Seq("k")).where($"est" < $"n_true").count() == 0)
   }
+
+  test("cms join-size estimate: never undercounts; disjoint keys estimate ~zero") {
+    import graft.operators.Cms
+    val a = Seq.fill(3)("x").++(Seq.fill(2)("y")).toDF("k")
+    val b = Seq.fill(4)("x").++(Seq.fill(5)("z")).toDF("k")
+    // true |A ⋈ B| on k: only x matches → 3·4 = 12
+    val est = Cms.joinSizeEstimate(
+      Cms.build(a, "k", d = 4, w = 64), Cms.build(b, "k", d = 4, w = 64))
+      .first().getLong(0)
+    assert(est >= 12, s"AMS estimate must not undercount: $est")
+    // with 3 distinct keys in 4×64 buckets the min row is collision-
+    // free, so the estimate is exact here
+    assert(est == 12, s"expected exact on this fixture, got $est")
+    // disjoint key sets: some hash row has no shared bucket → min 0
+    val dA = Seq("p", "q").toDF("k")
+    val dB = Seq("u", "v").toDF("k")
+    val dEst = Cms.joinSizeEstimate(
+      Cms.build(dA, "k", d = 4, w = 64), Cms.build(dB, "k", d = 4, w = 64))
+      .first().getLong(0)
+    assert(dEst == 0, s"disjoint keys should estimate 0, got $dEst")
+    // self-join estimate bounds the true second moment from above
+    val selfTrue = 3L * 3 + 2L * 2
+    val selfEst = Cms.joinSizeEstimate(
+      Cms.build(a, "k", d = 4, w = 64), Cms.build(a, "k", d = 4, w = 64))
+      .first().getLong(0)
+    assert(selfEst >= selfTrue)
+  }
 }
