@@ -79,10 +79,6 @@ object Cms {
     a.unionByName(b).groupBy(col("r"), col("b"))
       .agg(sum(col("cnt")).as("cnt"))
 
-  /** Point-estimate the frequency of each probe key: min over hash
-    * rows of the bucket count (0 when a bucket is unoccupied). The
-    * sketch side is ≤ d·w rows and broadcasts.
-    */
   /** Equi-join output-size estimate from two sketches built with the
     * same (d, w) over the two join keys: per hash row, the inner
     * product Σ_b cntA·cntB; the estimate is the MIN over rows
@@ -93,20 +89,27 @@ object Cms {
     * each read once, possibly on different days. Both sketches are
     * ≤ d·w rows — the estimate itself costs nothing at any scale.
     */
-  def joinSizeEstimate(skA: DataFrame, skB: DataFrame, d: Int = 4): DataFrame = {
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame = {
     val x = skA.select(col("r"), col("b"), col("cnt").as("cnt_a"))
     val y = skB.select(col("r"), col("b"), col("cnt").as("cnt_b"))
     val ip = x.join(y, Seq("r", "b"))
       .groupBy(col("r")).agg(sum(col("cnt_a") * col("cnt_b")).as("row_est"))
     // a hash row with NO shared bucket has inner product 0 — it must
     // participate in the min (its absence would overestimate a
-    // disjoint-key join), so the row universe is explicit
-    skA.sparkSession.range(d).select(col("id").cast("int").as("r"))
+    // disjoint-key join). The row universe comes from the sketches
+    // THEMSELVES (not a d parameter that could disagree with the
+    // build and silently zero the estimate).
+    x.select(col("r")).union(y.select(col("r"))).distinct()
       .join(ip, Seq("r"), "left")
       .agg(min(coalesce(col("row_est"), lit(0L))).cast("long")
         .as("est_join_size"))
   }
 
+  /** Point-estimate the frequency of each probe key: min over hash
+    * rows of the bucket count (0 when a bucket is unoccupied). The
+    * sketch side is ≤ d·w rows and broadcasts. (d, w) must match the
+    * build call — misaligned buckets read as empty and undercount.
+    */
   def estimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
                d: Int = 4, w: Int = 256,
                portable: Boolean = true): DataFrame =

@@ -132,21 +132,28 @@ object Layout {
     val payload = struct(log.columns.map(col): _*)
     log.groupBy(col(idCol).as("_cl_id"))
       .agg(max_by(payload, struct(col(tsCol), col(seqCol))).as("_cl_last"))
-      .where(col(s"_cl_last.$opCol") =!= deleteOp)
+      // null-safe: a malformed record with op = null is NOT a delete —
+      // a plain =!= would evaluate null and silently drop the id
+      .where(!(col(s"_cl_last.$opCol") <=> deleteOp))
       .select(col("_cl_last.*"))
   }
 
   /** Map a value onto a `bits`-bit grid coordinate given its column
-    * min/max: ⌊(x−lo)·(2ᵇ−1) / max(hi−lo, 1)⌋. Pure double→floor
-    * arithmetic — deterministic and engine-replayable (the products
-    * stay integer-valued below 2⁵³, so the only rounding is the one
-    * IEEE division both engines perform identically).
+    * min/max: ⌊(x−lo)·(2ᵇ−1) / (hi−lo)⌋, with a guard only for the
+    * degenerate hi == lo column. Pure double→floor arithmetic —
+    * deterministic and engine-replayable (the products stay
+    * integer-valued below 2⁵³, so the only rounding is the one IEEE
+    * division both engines perform identically).
     */
   def zorderGrid(x: Column, lo: Column, hi: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"grid bits must be in [1,31], got $bits")
     val gmax = (1L << bits) - 1
+    // the divide-by-zero guard triggers ONLY at hi == lo — clamping
+    // with greatest(span, 1) would silently flatten the grid for any
+    // column whose real range is below 1 (fractional scores, rates)
+    val span = (hi - lo).cast("double")
     floor(((x - lo).cast("double") * gmax.toDouble) /
-      greatest((hi - lo).cast("double"), lit(1.0))).cast("long")
+      when(span > 0, span).otherwise(lit(1.0))).cast("long")
   }
 
   /** Z-order (Morton) value: interleave the bits of the grid
@@ -179,16 +186,27 @@ object Layout {
     * id — the fact table is scanned twice and shuffled only as
     * ≤2^bucketBits aggregate rows.
     */
-  def zorderAudit(df: DataFrame, cols: Seq[String], bits: Int = 8,
-                  bucketBits: Int = 4): DataFrame = {
-    require(cols.nonEmpty && bucketBits >= 1 && bucketBits <= bits * cols.size)
+  /** The shared stats-pass + grid construction of zorderAudit /
+    * zorderCluster: one min/max agg over the clustering columns
+    * (tiny, broadcast back) and the per-column grid expressions —
+    * kept in ONE place so a grid fix cannot diverge the two entry
+    * points.
+    */
+  private def zorderGrids(df: DataFrame, cols: Seq[String],
+                          bits: Int): (DataFrame, Seq[Column]) = {
+    require(cols.nonEmpty, "zorder needs at least one column")
     val stats = df.agg(
       min(col(cols.head)).as(s"lo_${cols.head}"),
       (max(col(cols.head)).as(s"hi_${cols.head}") +:
         cols.tail.flatMap(c =>
           Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))): _*)
-    val grids = cols.map(c =>
-      zorderGrid(col(c), col(s"lo_$c"), col(s"hi_$c"), bits))
+    (stats, cols.map(c => zorderGrid(col(c), col(s"lo_$c"), col(s"hi_$c"), bits)))
+  }
+
+  def zorderAudit(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                  bucketBits: Int = 4): DataFrame = {
+    require(cols.nonEmpty && bucketBits >= 1 && bucketBits <= bits * cols.size)
+    val (stats, grids) = zorderGrids(df, cols, bits)
     df.crossJoin(broadcast(stats))
       .withColumn("z_bucket",
         shiftright(zValue(grids, bits), bits * cols.size - bucketBits))
@@ -207,13 +225,7 @@ object Layout {
     */
   def zorderCluster(df: DataFrame, cols: Seq[String], bits: Int = 16,
                     partitions: Int = 0): DataFrame = {
-    val stats = df.agg(
-      min(col(cols.head)).as(s"lo_${cols.head}"),
-      (max(col(cols.head)).as(s"hi_${cols.head}") +:
-        cols.tail.flatMap(c =>
-          Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))): _*)
-    val grids = cols.map(c =>
-      zorderGrid(col(c), col(s"lo_$c"), col(s"hi_$c"), bits))
+    val (stats, grids) = zorderGrids(df, cols, bits)
     val withZ = df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(grids, bits))
       .drop(cols.flatMap(c => Seq(s"lo_$c", s"hi_$c")): _*)

@@ -30,12 +30,12 @@ object Stats {
                      k: Double = 3.5): DataFrame = {
     require(k > 0, "k must be positive")
     val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
     val withMed = df.join(broadcast(med), Seq(groupCol))
     val mad = withMed
       .select(col(groupCol), abs(col(valueCol) - col("med")).as("ad"))
       .groupBy(col(groupCol))
-      .agg(expr("percentile(ad, 0.5)").as("mad"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
     val scale = lit(1.4826)
     withMed.join(broadcast(mad), Seq(groupCol))
       .withColumn("score",

@@ -198,6 +198,10 @@ object TextOps {
     val ranked = scored.select(
         col(groupCol).as("g"), col(scoreCol).as("s"),
         col(labelCol).cast("int").as("y"))
+      // unlabeled/unscored rows are EXCLUDED, not counted as negatives
+      // — they would both inflate n_neg and shift every rank (and
+      // null-score ordering differs across engines)
+      .where(col("s").isNotNull && col("y").isNotNull)
       .withColumn("rmin", rank().over(wRank))
       // average rank over ties keeps AUC exact under duplicate scores
       .withColumn("ar", col("rmin") + (count(lit(1)).over(wTie) - 1) / 2.0)

@@ -105,9 +105,11 @@ object ExportQueries {
          |  FROM lineitem),
          |g AS (SELECT l_partkey, l_suppkey,
          |    CAST(floor((CAST(l_partkey - lo_p AS DOUBLE) * 255.0)
-         |      / greatest(CAST(hi_p - lo_p AS DOUBLE), 1.0)) AS BIGINT) AS gp,
+         |      / (CASE WHEN hi_p > lo_p THEN CAST(hi_p - lo_p AS DOUBLE)
+         |              ELSE 1.0 END)) AS BIGINT) AS gp,
          |    CAST(floor((CAST(l_suppkey - lo_s AS DOUBLE) * 255.0)
-         |      / greatest(CAST(hi_s - lo_s AS DOUBLE), 1.0)) AS BIGINT) AS gs
+         |      / (CASE WHEN hi_s > lo_s THEN CAST(hi_s - lo_s AS DOUBLE)
+         |              ELSE 1.0 END)) AS BIGINT) AS gs
          |  FROM lineitem CROSS JOIN s),
          |z AS (SELECT l_partkey, l_suppkey, ($terms) AS zval FROM g)
          |SELECT (zval >> 12) AS z_bucket, CAST(count(*) AS BIGINT) AS n_rows,

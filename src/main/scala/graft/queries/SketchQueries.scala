@@ -161,8 +161,10 @@ object SketchQueries {
         |ipj AS (SELECT ska.r, sum(cnt_a * cnt_b) AS row_est
         |  FROM ska JOIN skb ON skb.r = ska.r AND skb.b = ska.b
         |  GROUP BY 1),
-        |ip AS (SELECT rows4.r, coalesce(ipj.row_est, 0) AS row_est
-        |  FROM rows4 LEFT JOIN ipj ON ipj.r = rows4.r),
+        |ru AS (SELECT DISTINCT r FROM
+        |  (SELECT r FROM ska UNION ALL SELECT r FROM skb)),
+        |ip AS (SELECT ru.r, coalesce(ipj.row_est, 0) AS row_est
+        |  FROM ru LEFT JOIN ipj ON ipj.r = ru.r),
         |tj AS (SELECT CAST(count(*) AS BIGINT) AS true_join_size
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
         |SELECT CAST(min(row_est) AS BIGINT) AS est_join_size, true_join_size

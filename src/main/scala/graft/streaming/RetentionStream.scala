@@ -51,7 +51,10 @@ object RetentionStream {
               val off = (e.tsMicros - st.anchorUs) / bucketUs
               if ((st.seenMask & (1L << off)) == 0L) {
                 st = st.copy(seenMask = st.seenMask | (1L << off))
-                out += RetHit(user, st.anchorUs / bucketUs, off)
+                // floorDiv matches the batch operator's floor() for
+                // pre-epoch (negative) anchors; offset is nonnegative
+                // by the ts >= anchor guard, so plain division is fine
+                out += RetHit(user, Math.floorDiv(st.anchorUs, bucketUs), off)
               }
             }
           }

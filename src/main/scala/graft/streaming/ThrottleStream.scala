@@ -35,7 +35,10 @@ object ThrottleStream {
           var st = state.getOption.getOrElse(ThSt(Long.MinValue, 0))
           val out = scala.collection.mutable.ListBuffer[ThEvt]()
           it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
-            val b = e.tsMicros / bucketUs
+            // floorDiv, not /: Long division truncates toward zero and
+            // would merge pre-epoch timestamps into the wrong bucket,
+            // diverging from the batch operator's SQL floor()
+            val b = Math.floorDiv(e.tsMicros, bucketUs)
             if (b != st.bucket) st = ThSt(b, 0)
             if (st.n < maxPerBucket) {
               st = st.copy(n = st.n + 1)

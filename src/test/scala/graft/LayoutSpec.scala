@@ -146,6 +146,14 @@ class LayoutSpec extends SparkSuite {
     val snap = Layout.compactLog(log, "id", "ts", "seq", "op", "delete")
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
     assert(snap == Map(1L -> (2L, 2.0), 3L -> (6L, 7.0)), snap.toString)
+    // a malformed record with op = null is NOT a delete — the id must
+    // survive (a plain =!= would null out and silently drop it)
+    val nullOp = Seq((9L, 100L, 1L, Option("upsert"), 1.0),
+        (9L, 200L, 2L, None: Option[String], 3.0))
+      .toDF("id", "ts", "seq", "op", "v")
+    val kept = Layout.compactLog(nullOp, "id", "ts", "seq", "op", "delete")
+      .collect()
+    assert(kept.length == 1 && kept.head.getDouble(4) == 3.0, kept.mkString(","))
     // one partial-agg'd shuffle, no window/sort of the full log
     val plan = Layout.compactLog(log, "id", "ts", "seq", "op", "delete")
       .queryExecution.executedPlan.toString
@@ -190,12 +198,21 @@ class LayoutSpec extends SparkSuite {
       assert(spanA <= n / 4 + 17 && spanB <= 3 * (n / 4 + 17),
         s"bucket ${r.getLong(0)} spans a=$spanA b=$spanB — not clustered")
     }
-    // constant column (hi == lo): the greatest(span, 1) clamp keeps
-    // the grid at 0 instead of dividing by zero
+    // constant column (hi == lo): the zero-span guard keeps the grid
+    // at 0 instead of dividing by zero
     val const = spark.range(100).toDF("a").withColumn("b", lit(42L))
     val one = Layout.zorderAudit(const, Seq("a", "b"), bits = 4, bucketBits = 2)
       .agg(sum("n_rows")).first().getLong(0)
     assert(one == 100L)
+    // a fractional-range column keeps FULL grid resolution — the old
+    // greatest(span, 1) clamp collapsed any range below 1.0 into a
+    // handful of cells and degenerated the interleave
+    val frac = spark.range(1000).toDF("i")
+      .select((col("i") / 100000.0).as("a"), col("i").as("b")) // a spans [0, 0.01)
+    val fracBuckets = Layout.zorderAudit(frac, Seq("a", "b"),
+      bits = 8, bucketBits = 4).count()
+    assert(fracBuckets >= 4,
+      s"sub-1.0 range must still spread across z buckets, got $fracBuckets")
   }
 
   test("zorderCluster: lossless, and files cover disjoint z ranges") {

@@ -257,5 +257,11 @@ class SketchSpec extends SparkSuite {
       Cms.build(a, "k", d = 4, w = 64), Cms.build(a, "k", d = 4, w = 64))
       .first().getLong(0)
     assert(selfEst >= selfTrue)
+    // the row universe comes from the sketches, so a non-default d
+    // does NOT zero the estimate (the d-parameter mismatch bug)
+    val est2 = Cms.joinSizeEstimate(
+      Cms.build(a, "k", d = 2, w = 64), Cms.build(b, "k", d = 2, w = 64))
+      .first().getLong(0)
+    assert(est2 >= 12, s"d=2 sketches must still never undercount: $est2")
   }
 }

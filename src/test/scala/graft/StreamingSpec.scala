@@ -685,6 +685,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming throttle buckets pre-epoch timestamps with floor, not truncation") {
+    // floor(-1/10) = -1: the pre-epoch event owns its own bucket and
+    // must NOT consume day-0's quota (Long '/' truncates toward zero
+    // and would merge them — the batch operator uses SQL floor())
+    val evs = Seq(
+      ThEvt(1L, -1L, 1L, "x"),
+      ThEvt(1L, 1L, 2L, "x"),
+      ThEvt(1L, 2L, 3L, "x"))
+    val ms = MemoryStream[ThEvt]
+    val q = ThrottleStream.streaming(ms.toDS(), bucketUs = 10L, maxPerBucket = 1)
+      .writeStream.format("memory").queryName("th_neg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(evs); q.processAllAvailable()
+      val got = spark.table("th_neg").select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L), got.toString)
+    } finally q.stop()
+  }
+
   test("analytic state streaming equals batch window functions across batches") {
     val evs = Seq(
       AnEvt(1L, 1000L, 10.0, "view"), AnEvt(1L, 2000L, 20.0, "view"),

@@ -129,6 +129,14 @@ class TextOpsSpec extends SparkSuite {
     assert(rows("c").isNullAt(3) &&
       rows("c").getLong(1) == 2 && rows("c").getLong(2) == 0)
     assert(rows("a").getLong(1) == 2 && rows("a").getLong(2) == 2)
+    // unlabeled rows are excluded, not counted as negatives: adding
+    // null-label rows to group "a" must not move its AUC or counts
+    val withNulls = scored.unionByName(Seq(
+      ("a", 0.95, None: Option[Boolean]), ("a", 0.05, None: Option[Boolean]))
+      .toDF("source", "score", "y"))
+    val a2 = TextOps.rocAuc(withNulls, "source", "score", "y")
+      .collect().map(r => r.getString(0) -> r).toMap.apply("a")
+    assert(a2.getDouble(3) == 1.0 && a2.getLong(1) == 2 && a2.getLong(2) == 2)
   }
 
   test("tokenBudgetSample: greedy (score desc, id) prefix per group, budget never exceeded") {
