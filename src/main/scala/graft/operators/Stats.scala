@@ -26,6 +26,35 @@ object Stats {
     * 100 TB swap `percentile` for `approx_percentile` upstream and
     * keep this exact pass for the flagged slice.
     */
+  /** Column statistics for cost-based planning: row count, exact NDV,
+    * and an equi-depth histogram (bucket boundaries at the exact
+    * interpolated i/buckets quantiles — every bucket holds ~n/buckets
+    * rows, so selectivity of a range predicate reads directly off the
+    * covered buckets). The sibling of [[Cms.joinSizeEstimate]]: that
+    * one prices the join, this one prices the filter. Returns one row
+    * per bucket: (bucket, lo, hi, n_rows, ndv).
+    *
+    * Scale shape: ONE aggregation — the exact percentile and exact
+    * distinct are the oracle-able choices; at 100 TB swap
+    * approx_percentile + the HLL sketch (both already here) for the
+    * one-pass mergeable variant and keep this as the auditor.
+    */
+  def columnStats(df: DataFrame, valueCol: String, buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fractions = (0 to buckets).map(_.toDouble / buckets)
+    df.agg(
+        percentile(col(valueCol), typedlit(fractions)).as("cuts"),
+        count(col(valueCol)).as("n_rows"),
+        countDistinct(col(valueCol)).as("ndv"))
+      .select(col("n_rows"), col("ndv"),
+        posexplode(zip_with(
+          slice(col("cuts"), 1, buckets), slice(col("cuts"), 2, buckets),
+          (a, b) => struct(a.as("lo"), b.as("hi")))).as(Seq("bucket", "bnd")))
+      .select(col("bucket").cast("int").as("bucket"),
+        round(col("bnd.lo"), 6).as("lo"), round(col("bnd.hi"), 6).as("hi"),
+        col("n_rows"), col("ndv"))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      k: Double = 3.5): DataFrame = {
     require(k > 0, "k must be positive")

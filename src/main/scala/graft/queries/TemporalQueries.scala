@@ -137,6 +137,15 @@ object TemporalQueries {
           "purchase" -> "p", "error" -> "e"),
         pattern = "vc+p")),
 
+    // planner column statistics: 8-bucket equi-depth histogram + NDV
+    // over the event values — the numbers a cost-based optimizer
+    // reads to price a range filter (joinSizeEstimate prices the
+    // join). One aggregation. FULL oracle (percentile ==
+    // quantile_cont, exact distinct).
+    "q_stats_column" -> ((s, d) =>
+      graft.operators.Stats.columnStats(
+        ev(s, d).select(round(col("value"), 2).as("v")), "v", buckets = 8)),
+
     // robust outlier detection: per event type, values whose robust
     // z-score |x - med| / (1.4826 MAD) exceeds 3.5 — the monitoring
     // alert rule with a 50% breakdown point. Two exact-percentile
@@ -269,6 +278,18 @@ object TemporalQueries {
         |SELECT user_id, seq,
         |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_matches
         |FROM s""".stripMargin,
+    "q_stats_column" -> {
+      val fr = (0 to 8).map(i => (i.toDouble / 8).toString).mkString(", ")
+      s"""WITH t AS (SELECT round(value, 2) AS v FROM events),
+         |s AS (SELECT quantile_cont(v, [$fr]) AS cuts,
+         |    CAST(count(v) AS BIGINT) AS n_rows,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS ndv
+         |  FROM t),
+         |r AS (SELECT CAST(range AS INT) AS bucket FROM range(0, 8))
+         |SELECT bucket, round(cuts[bucket + 1], 6) AS lo,
+         |  round(cuts[bucket + 2], 6) AS hi, n_rows, ndv
+         |FROM s CROSS JOIN r""".stripMargin
+    },
     "q_anomaly_mad" ->
       """WITH e AS (SELECT event_id, event_type, round(value, 2) AS v
         |  FROM events),

@@ -192,6 +192,21 @@ class TemporalSpec extends SparkSuite {
       3L -> ("vcpvcp", 2L), 4L -> ("vcp", 1L)), out.toString)
   }
 
+  test("columnStats: interpolated equi-depth bounds, exact ndv, nulls uncounted") {
+    import graft.operators.Stats
+    import spark.implicits._
+    // values 1..8: q(p) = 1 + 7p → cuts 1, 2.75, 4.5, 6.25, 8
+    val df = ((1 to 8).map(i => Option(i.toDouble)) :+ (None: Option[Double]))
+      .toDF("v")
+    val rows = Stats.columnStats(df, "v", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0, 1.0, 2.75, 8L, 8L), (1, 2.75, 4.5, 8L, 8L),
+      (2, 4.5, 6.25, 8L, 8L), (3, 6.25, 8.0, 8L, 8L)), rows.mkString(","))
+  }
+
   test("robustOutliers: MAD flags the wild value, tolerates 40% junk, mad=0 convention") {
     import graft.operators.Stats
     import spark.implicits._
