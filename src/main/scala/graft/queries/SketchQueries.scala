@@ -103,10 +103,15 @@ object SketchQueries {
         Tables(s, d, "lineitem").select(col("l_orderkey").as("k")), "k")
       val skO = Cms.build(
         Tables(s, d, "orders").select(col("o_orderkey").as("k")), "k")
+      // exact truth Σ_k nL(k)·nO(k) via per-key counts — both sides
+      // partial-aggregate map-side BEFORE the join, so the
+      // verification join carries one row per key, not per row
       val truth = Tables(s, d, "lineitem")
-        .join(Tables(s, d, "orders"),
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cl"))
+        .join(Tables(s, d, "orders")
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("co")),
           col("l_orderkey") === col("o_orderkey"))
-        .agg(count(lit(1)).as("true_join_size"))
+        .agg(sum(col("cl") * col("co")).cast("long").as("true_join_size"))
       Cms.joinSizeEstimate(skL, skO).crossJoin(broadcast(truth))
     })
   )
@@ -165,8 +170,10 @@ object SketchQueries {
         |  (SELECT r FROM ska UNION ALL SELECT r FROM skb)),
         |ip AS (SELECT ru.r, coalesce(ipj.row_est, 0) AS row_est
         |  FROM ru LEFT JOIN ipj ON ipj.r = ru.r),
-        |tj AS (SELECT CAST(count(*) AS BIGINT) AS true_join_size
-        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |tl AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |to2 AS (SELECT o_orderkey AS k, count(*) AS co FROM orders GROUP BY 1),
+        |tj AS (SELECT CAST(sum(cl * co) AS BIGINT) AS true_join_size
+        |  FROM tl JOIN to2 ON to2.k = tl.k)
         |SELECT CAST(min(row_est) AS BIGINT) AS est_join_size, true_join_size
         |FROM ip CROSS JOIN tj GROUP BY true_join_size""".stripMargin
   )
