@@ -56,17 +56,35 @@ object Stats {
   }
 
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                     k: Double = 3.5): DataFrame = {
-    require(k > 0, "k must be positive")
+                     k: Double = 3.5): DataFrame =
+    flagAgainst(df, robustThresholds(df, groupCol, valueCol),
+      groupCol, valueCol, k)
+
+  /** The training half: one (med, mad) row per group — the threshold
+    * table an alerting pipeline computes on a batch window and then
+    * serves against live traffic.
+    */
+  def robustThresholds(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
     val med = df.groupBy(col(groupCol))
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
-    val mad = withMed
-      .select(col(groupCol), abs(col(valueCol) - col("med")).as("ad"))
-      .groupBy(col(groupCol))
+    df.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col("med"),
+        abs(col(valueCol) - col("med")).as("ad"))
+      .groupBy(col(groupCol), col("med"))
       .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+  }
+
+  /** The serving half: flag rows against a PRECOMPUTED threshold
+    * table — a broadcast join + map-side arithmetic, so the same
+    * expression gates a static frame or a stream (the batch operator
+    * is literally flagAgainst(df, robustThresholds(df))).
+    */
+  def flagAgainst(df: DataFrame, thresholds: DataFrame, groupCol: String,
+                  valueCol: String, k: Double = 3.5): DataFrame = {
+    require(k > 0, "k must be positive")
     val scale = lit(1.4826)
-    withMed.join(broadcast(mad), Seq(groupCol))
+    df.join(broadcast(thresholds), Seq(groupCol))
       .withColumn("score",
         when(col("mad") > 0,
           round((col(valueCol) - col("med")) / (scale * col("mad")), 6)))

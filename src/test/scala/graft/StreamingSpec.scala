@@ -685,6 +685,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly gate: batch-trained med/mad thresholds flag a stream identically") {
+    import graft.operators.Stats
+    val events = Tables(spark, sf, "events")
+    val e = events.select($"event_id", $"event_type", round($"value", 2).as("v"))
+    val batchFlagged = Stats.robustOutliers(e, "event_type", "v", k = 3.5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // train once on the static window, then serve the SAME rows as a
+    // stream through the broadcast-join gate across two micro-batches
+    val th = Stats.robustThresholds(e, "event_type", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val rows = e.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val ms = MemoryStream[(Long, String, Double)]
+    val thDf = th.toSeq.toDF("event_type", "med", "mad")
+    val q = Stats.flagAgainst(
+        ms.toDS().toDF("event_id", "event_type", "v"),
+        thDf, "event_type", "v", k = 3.5)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val half = rows.length / 2
+      ms.addData(rows.take(half).toSeq); q.processAllAvailable()
+      ms.addData(rows.drop(half).toSeq); q.processAllAvailable()
+      val got = spark.table("anom_out").select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == batchFlagged,
+        s"sym-diff=${(got diff batchFlagged) ++ (batchFlagged diff got)}")
+    } finally q.stop()
+  }
+
   test("streaming throttle buckets pre-epoch timestamps with floor, not truncation") {
     // floor(-1/10) = -1: the pre-epoch event owns its own bucket and
     // must NOT consume day-0's quota (Long '/' truncates toward zero
