@@ -99,10 +99,13 @@ object Cms {
     // disjoint-key join). The row universe comes from the sketches
     // THEMSELVES (not a d parameter that could disagree with the
     // build and silently zero the estimate).
+    // coalesce the OUTER min too: two empty sketches yield zero rows,
+    // and min over zero rows is NULL — downstream planner arithmetic
+    // expects the empty-input estimate to read 0, not NULL
     x.select(col("r")).union(y.select(col("r"))).distinct()
       .join(ip, Seq("r"), "left")
-      .agg(min(coalesce(col("row_est"), lit(0L))).cast("long")
-        .as("est_join_size"))
+      .agg(coalesce(min(coalesce(col("row_est"), lit(0L))), lit(0L))
+        .cast("long").as("est_join_size"))
   }
 
   /** Point-estimate the frequency of each probe key: min over hash

@@ -539,6 +539,10 @@ object Dedup {
     */
   def corpusDiffStream(v1: DataFrame, stream: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
+    val reserved = Seq("__id", "__h1", "__h2", "status")
+    val clash = stream.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"corpusDiffStream reserves ${clash.mkString(", ")} — rename upstream")
     val v1h = v1.select(col(idCol).as("__id"),
       sha2(col(textCol).cast("binary"), 256).as("__h1"))
     stream.withColumn("__h2", sha2(col(textCol).cast("binary"), 256))

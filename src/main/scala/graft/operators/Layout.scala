@@ -195,6 +195,12 @@ object Layout {
   private def zorderGrids(df: DataFrame, cols: Seq[String],
                           bits: Int): (DataFrame, Seq[Column]) = {
     require(cols.nonEmpty, "zorder needs at least one column")
+    // the broadcast stats row joins back onto df, so a same-named
+    // input column would make every grid reference ambiguous
+    val clash = cols.flatMap(c => Seq(s"lo_$c", s"hi_$c"))
+      .intersect(df.columns.toSeq)
+    require(clash.isEmpty,
+      s"zorder reserves ${clash.mkString(", ")} — rename upstream")
     val stats = df.agg(
       min(col(cols.head)).as(s"lo_${cols.head}"),
       (max(col(cols.head)).as(s"hi_${cols.head}") +:
@@ -206,6 +212,8 @@ object Layout {
   def zorderAudit(df: DataFrame, cols: Seq[String], bits: Int = 8,
                   bucketBits: Int = 4): DataFrame = {
     require(cols.nonEmpty && bucketBits >= 1 && bucketBits <= bits * cols.size)
+    require(!df.columns.contains("z_bucket"),
+      "zorderAudit reserves z_bucket — rename upstream")
     val (stats, grids) = zorderGrids(df, cols, bits)
     df.crossJoin(broadcast(stats))
       .withColumn("z_bucket",
@@ -225,6 +233,8 @@ object Layout {
     */
   def zorderCluster(df: DataFrame, cols: Seq[String], bits: Int = 16,
                     partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "zorderCluster reserves __z — rename upstream")
     val (stats, grids) = zorderGrids(df, cols, bits)
     val withZ = df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(grids, bits))

@@ -9,23 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** Median/MAD outlier detection (the robust z-score — Iglewicz &
-    * Hoaglin's |0.6745·(x−med)/MAD| test, rendered with the standard
-    * 1.4826 consistency constant): per group, median and the median
-    * absolute deviation; rows with |x − med| > k·1.4826·MAD flag as
-    * outliers. Unlike mean/σ, one wild value cannot drag the
-    * threshold toward itself (breakdown point 50%). Groups with
-    * MAD = 0 (a majority-constant metric) flag every off-median row —
-    * the convention that makes a stuck-then-jumps sensor alert.
-    * Returns the flagged rows with (med, mad, score).
-    *
-    * Scale shape: TWO exact-percentile aggregations on the group key
-    * (median, then MAD — exact medians need the in-group sort; both
-    * fold to one row per group) and two broadcast joins back; the
-    * corpus itself never shuffles. For a first-pass filter at
-    * 100 TB swap `percentile` for `approx_percentile` upstream and
-    * keep this exact pass for the flagged slice.
-    */
   /** Column statistics for cost-based planning: row count, exact NDV,
     * and an equi-depth histogram (bucket boundaries at the exact
     * interpolated i/buckets quantiles — every bucket holds ~n/buckets
@@ -55,6 +38,23 @@ object Stats {
         col("n_rows"), col("ndv"))
   }
 
+  /** Median/MAD outlier detection (the robust z-score — Iglewicz &
+    * Hoaglin's |0.6745·(x−med)/MAD| test, rendered with the standard
+    * 1.4826 consistency constant): per group, median and the median
+    * absolute deviation; rows with |x − med| > k·1.4826·MAD flag as
+    * outliers. Unlike mean/σ, one wild value cannot drag the
+    * threshold toward itself (breakdown point 50%). Groups with
+    * MAD = 0 (a majority-constant metric) flag every off-median row —
+    * the convention that makes a stuck-then-jumps sensor alert.
+    * Returns the flagged rows with (med, mad, score).
+    *
+    * Scale shape: TWO exact-percentile aggregations on the group key
+    * (median, then MAD — exact medians need the in-group sort; both
+    * fold to one row per group) and two broadcast joins back; the
+    * corpus itself never shuffles. For a first-pass filter at
+    * 100 TB swap `percentile` for `approx_percentile` upstream and
+    * keep this exact pass for the flagged slice.
+    */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      k: Double = 3.5): DataFrame =
     flagAgainst(df, robustThresholds(df, groupCol, valueCol),

@@ -168,6 +168,14 @@ object Temporal {
     require(grainUs > 0, "grainUs must be positive")
     require(leftCols.intersect(rightCols).isEmpty,
       "left/right column collision — rename before intervalJoin")
+    // the selected columns ride alongside the internal join columns,
+    // so the _ij_ prefix, the re-emitted key, and the overlap_us
+    // output are reserved names on both sides
+    val sel = leftCols ++ rightCols
+    val clash = sel.filter(c =>
+      c.startsWith("_ij_") || c == key || c == "overlap_us")
+    require(clash.isEmpty,
+      s"intervalJoin reserves ${clash.mkString(", ")} — rename upstream")
     // empty intervals can match nothing and would flip sequence()
     // into descending order — drop them before the explode
     val l = left

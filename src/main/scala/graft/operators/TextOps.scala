@@ -112,7 +112,12 @@ object TextOps {
     * (threshold × bucket triangle join, ≤ steps² rows) — no corpus
     * sort, no second scan, no collect. Empty-filter convention:
     * precision at a threshold keeping nothing is 1.0 (vacuous truth),
-    * recall 0.0 with no positives.
+    * recall 0.0 with no positives. Negative-score convention: a
+    * score < 0 is kept by NO nonnegative threshold — its row counts
+    * in the recall denominator but never in pred_pos/tp, which is
+    * exactly what the `score >= t` filter does (NOT the clamp-into-
+    * bin-0 convention of [[calibration]], which must place every
+    * observation in some bin; the divergence is deliberate).
     */
   def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
               steps: Int = 20): DataFrame = {
@@ -153,7 +158,9 @@ object TextOps {
     * expected calibration error; ECE = Σ n·gap / Σ n downstream).
     * Same scale shape as [[prCurve]]: ONE partial-agg pass folding the
     * corpus into ≤`bins` rows; scores outside [0,1) clamp into the
-    * edge bins.
+    * edge bins — a reliability diagram must place every observation
+    * somewhere, so a negative score lands in bin 0 here even though
+    * [[prCurve]] (deliberately) keeps it below every threshold.
     */
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
                   bins: Int = 10): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Keyed, timestamped event with a unique id — the id is the same-µs
@@ -15,6 +16,12 @@ final case class ThEvt(user: Long, tsMicros: Long, id: Long, etype: String)
   */
 final case class ThSt(bucket: Long, n: Int)
 
+/** Internal wire row for the expireState path: the event plus its
+  * TimestampType twin of tsMicros (see FunnelEvtW).
+  */
+final case class ThEvtW(user: Long, tsMicros: Long, id: Long, etype: String,
+                        ets: java.sql.Timestamp)
+
 /** Streaming twin of [[graft.operators.Temporal.throttle]]: pass an
   * event through iff its (key, time-bucket) has passed fewer than
   * `maxPerBucket` so far. Under event-time-ordered delivery per key
@@ -22,31 +29,72 @@ final case class ThSt(bucket: Long, n: Int)
   * batch operator's first-N-per-bucket. A bucket rollover resets the
   * counter, so state NEVER grows with history — it is constant per
   * key.
+  *
+  * State lifetime: by default (expireState = false) one record per
+  * DISTINCT key is retained forever — constant per key, unbounded in
+  * keys (the matchPattern caveat). Pass expireState = true to
+  * register an event-time timeout at the current bucket's end and
+  * drop the record once the watermark passes it. Unlike the funnel/
+  * retention twins this expiry is EXACTLY semantics-preserving:
+  * under ordered delivery any event arriving after the watermark
+  * passed the bucket end lands in a LATER bucket, which resets the
+  * counter regardless of whether the old record was still there.
+  * The expiry path runs under a zero-delay watermark, which also
+  * drops rows at or below the previous batch's max event time (see
+  * FunnelStream) — the ordered contract, enforced.
   */
 object ThrottleStream {
 
-  def streaming(ds: Dataset[ThEvt], bucketUs: Long, maxPerBucket: Int)
+  def streaming(ds: Dataset[ThEvt], bucketUs: Long, maxPerBucket: Int,
+                expireState: Boolean = false)
                (implicit spark: SparkSession): Dataset[ThEvt] = {
     import spark.implicits._
     require(bucketUs > 0 && maxPerBucket >= 1)
-    ds.groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[ThEvt], state: GroupState[ThSt]) =>
-          var st = state.getOption.getOrElse(ThSt(Long.MinValue, 0))
-          val out = scala.collection.mutable.ListBuffer[ThEvt]()
-          it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
-            // floorDiv, not /: Long division truncates toward zero and
-            // would merge pre-epoch timestamps into the wrong bucket,
-            // diverging from the batch operator's SQL floor()
-            val b = Math.floorDiv(e.tsMicros, bucketUs)
-            if (b != st.bucket) st = ThSt(b, 0)
-            if (st.n < maxPerBucket) {
-              st = st.copy(n = st.n + 1)
-              out += e
-            }
+    def core(user: Long, it: Iterator[ThEvt],
+             state: GroupState[ThSt]): Iterator[ThEvt] =
+      if (expireState && state.hasTimedOut) {
+        // watermark passed the bucket end: the next event for this
+        // key is in a later bucket and would reset the counter
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.getOrElse(ThSt(Long.MinValue, 0))
+        val out = scala.collection.mutable.ListBuffer[ThEvt]()
+        it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          // floorDiv, not /: Long division truncates toward zero and
+          // would merge pre-epoch timestamps into the wrong bucket,
+          // diverging from the batch operator's SQL floor()
+          val b = Math.floorDiv(e.tsMicros, bucketUs)
+          if (b != st.bucket) st = ThSt(b, 0)
+          if (st.n < maxPerBucket) {
+            st = st.copy(n = st.n + 1)
+            out += e
           }
-          state.update(st)
-          out.iterator
+        }
+        state.update(st)
+        if (expireState && st.bucket != Long.MinValue) {
+          // end of the counted bucket, in ms, ceil'd; never behind
+          // the current watermark (setTimeoutTimestamp rejects that)
+          val deadMs =
+            Math.floorDiv((st.bucket + 1L) * bucketUs, 1000L) + 1L
+          state.setTimeoutTimestamp(
+            math.max(deadMs, state.getCurrentWatermarkMs() + 1L))
+        }
+        out.iterator
       }
+    if (!expireState)
+      ds.groupByKey(_.user)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(core)
+    else
+      // the TimestampType twin column must survive INTO the stateful
+      // operator (pruning it prunes the watermark node itself)
+      ds.withColumn("ets", timestamp_micros(col("tsMicros")))
+        .withWatermark("ets", "0 seconds").as[ThEvtW]
+        .groupByKey(_.user)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+          (user: Long, it: Iterator[ThEvtW], state: GroupState[ThSt]) =>
+            core(user, it.map(w => ThEvt(w.user, w.tsMicros, w.id, w.etype)), state)
+        }
   }
 }

@@ -218,6 +218,14 @@ class DedupSpec extends SparkSuite {
     val tomb = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("id", "text")
     assert(m(Dedup.corpusDiff(a, tomb, "id", "text")) ==
       Map(1L -> "unchanged", 2L -> "removed"))
+    // the streaming twin reserves its helper/output names on the
+    // arriving side — a silent collision would drop user columns
+    val clash = Seq((1L, "x", "s")).toDF("id", "text", "status")
+    val e = intercept[IllegalArgumentException](
+      Dedup.corpusDiffStream(a, clash, "id", "text"))
+    assert(e.getMessage.contains("status"))
+    intercept[IllegalArgumentException](Dedup.corpusDiffStream(
+      a, Seq((1L, "x", 0L)).toDF("id", "text", "__h1"), "id", "text"))
   }
 
   test("clustersStar handles empty and single-pair inputs") {

@@ -215,6 +215,22 @@ class LayoutSpec extends SparkSuite {
       s"sub-1.0 range must still spread across z buckets, got $fracBuckets")
   }
 
+  test("zorder rejects inputs whose columns collide with the reserved stats names") {
+    import spark.implicits._
+    // lo_a/hi_a ride in on the broadcast stats row — a same-named
+    // input column would make every grid reference ambiguous
+    val clash = spark.range(10).toDF("a").withColumn("lo_a", col("a"))
+    val e1 = intercept[IllegalArgumentException](
+      Layout.zorderAudit(clash, Seq("a"), bits = 4, bucketBits = 2))
+    assert(e1.getMessage.contains("lo_a"))
+    val zb = spark.range(10).toDF("a").withColumn("z_bucket", col("a"))
+    intercept[IllegalArgumentException](
+      Layout.zorderAudit(zb, Seq("a"), bits = 4, bucketBits = 2))
+    val zz = spark.range(10).toDF("a").withColumn("__z", col("a"))
+    intercept[IllegalArgumentException](
+      Layout.zorderCluster(zz, Seq("a"), bits = 4))
+  }
+
   test("zorderCluster: lossless, and files cover disjoint z ranges") {
     import spark.implicits._
     val data = spark.range(2048).toDF("a")

@@ -263,5 +263,11 @@ class SketchSpec extends SparkSuite {
       Cms.build(a, "k", d = 2, w = 64), Cms.build(b, "k", d = 2, w = 64))
       .first().getLong(0)
     assert(est2 >= 12, s"d=2 sketches must still never undercount: $est2")
+    // two EMPTY sketches: zero rows on both sides must estimate 0,
+    // not a NULL that breaks downstream planner arithmetic
+    val empty = Cms.build(a.where($"k" === "nope"), "k", d = 4, w = 64)
+    val eRow = Cms.joinSizeEstimate(empty, empty).first()
+    assert(!eRow.isNullAt(0) && eRow.getLong(0) == 0L,
+      s"empty sketches should estimate 0, got $eRow")
   }
 }

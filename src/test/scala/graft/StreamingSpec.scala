@@ -866,4 +866,103 @@ class StreamingSpec extends SparkSuite {
       assert(got.toSeq == expected.toSeq)
     } finally { q.stop(); batchDf.unpersist() }
   }
+
+  test("funnel expireState drops dead state at anchor+window (documented re-anchor)") {
+    val stages = Seq("view", "click", "purchase")
+    val ms = MemoryStream[FunnelEvt]
+    val q = FunnelStream.streaming(ms.toDS(), stages, windowUs = 100L,
+        expireState = true)
+      .writeStream.format("memory").queryName("funnel_exp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // timestamps sit strictly ABOVE the initial zero watermark and
+      // strictly increase across batches: the expireState path runs
+      // under a watermark, which drops rows at or below it
+      // batch 1: user 1 anchors and advances; a far-future filler
+      // event pushes the watermark way past user 1's window end
+      ms.addData(Seq(FunnelEvt(1L, 10000000L, "view"),
+        FunnelEvt(1L, 10000050L, "click"),
+        FunnelEvt(9L, 15000000L, "other")))
+      q.processAllAvailable()
+      // batch 2: the timeout fires (watermark 15 s ≫ window end) and
+      // user 1's record is removed
+      ms.addData(Seq(FunnelEvt(9L, 20000000L, "other")))
+      q.processAllAvailable()
+      // batch 3: user 1 returns AFTER expiry → re-anchors and emits a
+      // second stage-1 hit — the documented divergence from batch
+      ms.addData(Seq(FunnelEvt(1L, 30000000L, "view")))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_exp").where($"user" === 1L)
+        .orderBy("tsMicros").collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(hits == Seq((1, 10000000L), (2, 10000050L), (1, 30000000L)),
+        s"expected re-anchor after expiry, got $hits")
+    } finally q.stop()
+  }
+
+  test("retention expireState drops dead state at the horizon (documented re-cohort)") {
+    val ms = MemoryStream[FunnelEvt]
+    // horizon = 10 µs × 2 buckets = 20 µs
+    val q = RetentionStream.streaming(ms.toDS(), "signup", bucketUs = 10L,
+        maxBuckets = 2, expireState = true)
+      .writeStream.format("memory").queryName("ret_exp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // strictly-positive, cross-batch-increasing timestamps (the
+      // watermark drops rows at or below it — see the funnel test)
+      ms.addData(Seq(FunnelEvt(1L, 10000000L, "signup"),
+        FunnelEvt(1L, 10000015L, "act"),
+        FunnelEvt(9L, 15000000L, "act")))
+      q.processAllAvailable()
+      ms.addData(Seq(FunnelEvt(9L, 20000000L, "act")))
+      q.processAllAvailable()
+      // user 1 re-anchors on a NEW signup after expiry: a fresh cohort
+      ms.addData(Seq(FunnelEvt(1L, 30000000L, "signup")))
+      q.processAllAvailable()
+      val hits = spark.table("ret_exp").where($"user" === 1L)
+        .orderBy("cohort", "offset").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(hits == Seq((1000000L, 0L), (1000000L, 1L), (3000000L, 0L)),
+        s"expected re-cohort after expiry, got $hits")
+    } finally q.stop()
+  }
+
+  test("throttle expireState removes state yet passes exactly the same rows") {
+    import graft.operators.Temporal
+    // strictly-positive, cross-batch-increasing timestamps (the
+    // watermark drops rows at or below it — see the funnel test)
+    val evs = Seq(
+      ThEvt(1L, 10000000L, 1L, "x"), ThEvt(1L, 10000005L, 2L, "x"),
+      ThEvt(2L, 10000001L, 3L, "x"), ThEvt(3L, 10000002L, 4L, "x"),
+      ThEvt(9L, 15000000L, 9L, "x"))
+    val later = Seq(ThEvt(9L, 20000000L, 10L, "x"))
+    val after = Seq(ThEvt(1L, 30000000L, 11L, "x"))
+    val ms = MemoryStream[ThEvt]
+    val q = ThrottleStream.streaming(ms.toDS(), bucketUs = 10L,
+        maxPerBucket = 1, expireState = true)
+      .writeStream.format("memory").queryName("th_exp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(evs); q.processAllAvailable()
+      ms.addData(later); q.processAllAvailable()
+      ms.addData(after); q.processAllAvailable()
+      val got = spark.table("th_exp").select("id").collect()
+        .map(_.getLong(0)).toSet
+      // expiry is EXACTLY semantics-preserving for the throttle: the
+      // passed set equals the batch first-N on the same rows
+      val batch = Temporal.throttle(
+          (evs ++ later ++ after).toDF()
+            .select($"user", timestamp_micros($"tsMicros").as("ts"),
+              $"id", $"etype"),
+          "user", "ts", "id", bucketUs = 10L, maxPerBucket = 1)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == batch, s"sym-diff=${(got diff batch) ++ (batch diff got)}")
+      // and the state store shrank: keys 1/2/3 expired once the
+      // watermark passed their bucket ends (peak ≥ 4 keys, final < peak)
+      val totals = q.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+      assert(totals.nonEmpty && totals.last < totals.max,
+        s"state rows never shrank: $totals")
+    } finally q.stop()
+  }
 }

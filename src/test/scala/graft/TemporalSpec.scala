@@ -251,6 +251,27 @@ class TemporalSpec extends SparkSuite {
     assert(out.length == 2, "each overlapping pair must be emitted exactly once")
   }
 
+  test("interval join rejects selected columns colliding with reserved names") {
+    import graft.operators.Temporal
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, 10L, ts(0), ts(5))).toDF("k", "_ij_x", "l_s", "l_e")
+    val right = Seq((1L, 20L, ts(0), ts(5))).toDF("k", "r_id", "r_s", "r_e")
+    def run(lc: Seq[String], rc: Seq[String]) =
+      Temporal.intervalJoin(left, right, key = "k",
+        lStart = "l_s", lEnd = "l_e", rStart = "r_s", rEnd = "r_e",
+        grainUs = 1000000L, leftCols = lc, rightCols = rc)
+    // an _ij_-prefixed selection shadows the internal join columns
+    val e = intercept[IllegalArgumentException](run(Seq("_ij_x"), Seq("r_id")))
+    assert(e.getMessage.contains("_ij_x"))
+    // re-selecting the key or claiming the overlap_us output collides
+    intercept[IllegalArgumentException](run(Seq.empty, Seq("k")))
+    val right2 = right.withColumnRenamed("r_id", "overlap_us")
+    intercept[IllegalArgumentException](
+      Temporal.intervalJoin(left, right2, key = "k",
+        lStart = "l_s", lEnd = "l_e", rStart = "r_s", rEnd = "r_e",
+        grainUs = 1000000L, leftCols = Seq.empty, rightCols = Seq("overlap_us")))
+  }
+
   test("retention: cohorted by first anchor, offset buckets, pre-anchor and beyond-horizon excluded") {
     import graft.operators.Temporal
     // bucket = 10 s, maxBuckets = 3

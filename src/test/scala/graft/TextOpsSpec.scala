@@ -51,6 +51,17 @@ class TextOpsSpec extends SparkSuite {
       .orderBy(col("threshold")).collect()
     assert(nr.forall(_.getDouble(4) == 0.0))
     assert(nr.last.getLong(1) == 1)
+    // negative-score convention: kept by NO nonnegative threshold —
+    // exactly what `score >= t` does — yet its positive label still
+    // counts in the recall denominator (deliberately NOT the
+    // clamp-into-bin-0 convention calibration uses)
+    val below = Seq((-0.5, true), (0.9, true)).toDF("score", "y")
+    val br = TextOps.prCurve(below, "score", "y", steps = 4)
+      .orderBy(col("threshold")).collect()
+    assert(br.forall(r => r.getLong(1) == 1 && r.getLong(2) == 1),
+      "a negative score must be kept by no threshold")
+    assert(br.forall(_.getDouble(4) == 0.5),
+      "the negative-score positive still counts as a missed positive")
   }
 
   test("calibration: hand-computed bins; out-of-range scores clamp") {
