@@ -1249,4 +1249,60 @@ object TextOps {
         count(when(col("rn") === 1, 1)).as("kept_paras"),
         count(when(col("rn") > 1, 1)).as("removed_paras"))
   }
+
+  /** Corpus drift report between two snapshots: the per-token view of
+    * "did the token distribution move" — the statistical sibling of
+    * [[graft.operators.Dedup.corpusDiff]] (that one answers WHICH
+    * documents changed; this one answers whether the LANGUAGE of the
+    * corpus changed, which is what a training-mixture owner actually
+    * monitors across monthly crawls). Per token: counts and relative
+    * frequencies on each side, the frequency delta, and the token's
+    * Jensen-Shannon divergence contribution js_part =
+    * ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 — JS rather than
+    * KL because a token absent from one side contributes a FINITE
+    * term (KL diverges), so no smoothing constant to tune; natural
+    * log because ln is the one log both engines compute identically
+    * (the perplexity-oracle precedent), so summing js_part over the
+    * vocabulary gives total JS ∈ [0, ln 2] nats.
+    * Rows rank by the cross-multiplied INTEGER count difference
+    * |n1·N2 − n2·N1| (exact long arithmetic — engine-stable ordering,
+    * no FP ties), token ascending, truncated to topN.
+    *
+    * Scale shape: each corpus is scanned ONCE and folds map-side to
+    * its vocabulary (explode + partial-agg'd count); the only shuffle
+    * payload is the two vocab tables, whose full-outer join is
+    * vocab-bounded; the two grand totals broadcast back. The corpus
+    * text never shuffles — at 100 TB the drift report costs two
+    * scans and a vocabulary-sized join.
+    */
+  def driftReport(v1: DataFrame, v2: DataFrame, textCol: String,
+                  topN: Int = 30): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def vocab(df: DataFrame, n: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(n))
+    def total(df: DataFrame, n: String): DataFrame =
+      df.agg(coalesce(sum(tokenCount(col(textCol))), lit(0L)).as(n))
+    val joined = vocab(v1, "n1").join(vocab(v2, "n2"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .crossJoin(broadcast(total(v1, "t1")))
+      .crossJoin(broadcast(total(v2, "t2")))
+    val p = col("n1").cast("double") / greatest(col("t1"), lit(1L))
+    val q = col("n2").cast("double") / greatest(col("t2"), lit(1L))
+    val m = (p + q) / 2.0
+    // a side with zero count contributes 0 to its JS half (x·ln x → 0)
+    def half(x: org.apache.spark.sql.Column) =
+      when(x > 0, x * log(x / m) / 2.0).otherwise(lit(0.0))
+    joined
+      .select(col("token"), col("n1"), col("n2"),
+        round(p, 8).as("p1"), round(q, 8).as("p2"),
+        round(q - p, 8).as("delta"),
+        round(half(p) + half(q), 8).as("js_part"),
+        abs(col("n1") * col("t2") - col("n2") * col("t1")).as("_dr_rank"))
+      .orderBy(col("_dr_rank").desc, col("token"))
+      .limit(topN)
+      .drop("_dr_rank")
+  }
 }

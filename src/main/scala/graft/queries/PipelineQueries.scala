@@ -138,6 +138,21 @@ object PipelineQueries {
       Dedup.corpusDiff(v1, v2, "doc_id", "text").orderBy(col("id"))
     }),
 
+    // corpus drift report — corpusDiff's statistical sibling: did the
+    // token DISTRIBUTION move between two snapshots (v1/v2 = two
+    // overlapping thirds of the corpus)? Top-30 movers ranked by the
+    // exact integer cross-count difference, each with both relative
+    // frequencies and its Jensen-Shannon contribution (nats). Two
+    // corpus scans fold map-side to vocabularies; only the vocab
+    // tables join. FULL oracle (ln replays; ranking is integer).
+    "q_corpus_drift" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.driftReport(
+        all.where(col("doc_id") % 3 =!= 0),
+        all.where(col("doc_id") % 3 =!= 1),
+        "text", topN = 30)
+    }),
+
     // incremental corpus refresh E2E — the production loop a monthly
     // crawl refresh runs, composing four already-verified operators:
     // corpusDiff classifies v2 vs v1 (digests only shuffle); the
@@ -1313,6 +1328,31 @@ object PipelineQueries {
         |       ELSE 'unchanged' END AS status
         |FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id
         |ORDER BY id""".stripMargin,
+    "q_corpus_drift" ->
+      raw"""WITH tok1 AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |tok2 AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS n1 FROM tok1 GROUP BY token),
+        |c2 AS (SELECT token, CAST(count(*) AS BIGINT) AS n2 FROM tok2 GROUP BY token),
+        |t1 AS (SELECT count(*) AS t1 FROM tok1),
+        |t2 AS (SELECT count(*) AS t2 FROM tok2),
+        |j AS (SELECT coalesce(c1.token, c2.token) AS token,
+        |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+        |  FROM c1 FULL OUTER JOIN c2 ON c1.token = c2.token),
+        |x AS (SELECT token, n1, n2,
+        |    n1 / CAST(greatest(t1, 1) AS DOUBLE) AS p,
+        |    n2 / CAST(greatest(t2, 1) AS DOUBLE) AS q,
+        |    abs(n1 * t2 - n2 * t1) AS rnk
+        |  FROM j CROSS JOIN t1 CROSS JOIN t2)
+        |SELECT token, n1, n2, round(p, 8) AS p1, round(q, 8) AS p2,
+        |  round(q - p, 8) AS delta,
+        |  round(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END
+        |      + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END,
+        |    8) AS js_part
+        |FROM x ORDER BY rnk DESC, token LIMIT 30""".stripMargin,
     "q_refresh_e2e" ->
       """WITH v1 AS (SELECT doc_id AS id, text FROM documents),
         |v2 AS (

@@ -168,7 +168,36 @@ object TemporalQueries {
     "q_retention" -> ((s, d) =>
       Temporal.retention(ev(s, d), "user_id", "ts", "event_type",
         anchorType = "signup", bucketUs = 7L * 86400 * 1000000,
-        maxBuckets = 4))
+        maxBuckets = 4)),
+
+    // key-skew audit of the events table's user key: top-20 heavy
+    // hitters with their share and the salt factor that caps a task
+    // at 50 rows of one key — the measurement a pipeline takes before
+    // committing a shuffle to an unmeasured key. One partial-agg'd
+    // shuffle + TakeOrdered. FULL oracle (exact counts, ceil-div).
+    "q_skew_audit" -> ((s, d) =>
+      graft.operators.Skew.audit(ev(s, d), "user_id", topN = 20,
+        targetRowsPerTask = 50L)),
+
+    // skew-mitigated join: lineitem ⋈ orders on the order key with
+    // the 3 heaviest keys (from the audit) fanned out over 4 salts.
+    // The oracle is the PLAIN join — salting must not change a single
+    // row, only the task balance; DedupSpec-style plan evidence lives
+    // in SkewSpec. Composition on purpose: audit → hot list →
+    // saltedJoin is exactly the production loop.
+    "q_skew_join" -> ((s, d) => {
+      val left = Tables(s, d, "lineitem").select(
+        col("l_orderkey").as("okey"), col("l_partkey"),
+        round(col("l_quantity"), 2).as("qty"))
+      val right = Tables(s, d, "orders").select(
+        col("o_orderkey").as("okey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("total"))
+      val hot = graft.operators.Skew.audit(left, "okey", topN = 3,
+          targetRowsPerTask = 2L)
+        .select(col("okey")).collect().map(_.getLong(0)).toSeq
+      graft.operators.Skew.saltedJoin(left, right, key = "okey",
+        hotKeys = hot, salt = 4, scatterCol = "l_partkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,6 +353,20 @@ object TemporalQueries {
         |  FROM act GROUP BY 1, 2)
         |SELECT n.cohort, n."offset", n.n_active,
         |  round(n.n_active / CAST(sz.n_cohort AS DOUBLE), 6) AS retention
-        |FROM n JOIN sz ON sz.cohort = n.cohort""".stripMargin
+        |FROM n JOIN sz ON sz.cohort = n.cohort""".stripMargin,
+    "q_skew_audit" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS n_total FROM events)
+        |SELECT user_id, n_rows,
+        |  round(n_rows / CAST(n_total AS DOUBLE), 6) AS share,
+        |  CAST(floor((n_rows + 49) / 50) AS BIGINT) AS salt
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, user_id LIMIT 20""".stripMargin,
+    "q_skew_join" ->
+      """SELECT l.l_orderkey AS okey, l.l_partkey,
+        |  round(l.l_quantity, 2) AS qty,
+        |  o.o_orderstatus, round(o.o_totalprice, 2) AS total
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
   )
 }

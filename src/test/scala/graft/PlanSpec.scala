@@ -278,4 +278,41 @@ class PlanSpec extends SparkSuite {
       l.contains("HashAggregate") && l.contains("partial_count"))
     assert(partials >= 2, s"expected partial aggregates before exchanges:\n${p.take(2000)}")
   }
+
+  test("skew audit: two-phase key count + TakeOrdered; total broadcasts back") {
+    val df = SparkEntry.queries("q_skew_audit")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-key count folds map-side before its one exchange, and
+    // the topN never global-sorts the key table on the driver path
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the 1-row total attaches via a broadcast nested-loop (fine);
+    // never a sort-merge or a real cartesian on the key table
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("salted join: the salt column is a join key and the hot dim side explodes") {
+    val df = SparkEntry.queries("q_skew_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // (key, salt) is the equi-join key — the whole point of the fan-out
+    assert(p.contains("_sj_salt"), p.take(1500))
+    assert(p.contains("Generate explode"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("corpus drift: only token-keyed exchanges — the corpus text never shuffles") {
+    val df = SparkEntry.queries("q_corpus_drift")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty, p.take(1500))
+    assert(hashEx.forall(_.contains("token")),
+      s"every hash exchange must partition on token:\n${hashEx.mkString("\n")}")
+    // both vocabularies fold map-side before shuffling; totals broadcast
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), p.take(1500))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p.take(1500))
+  }
 }

@@ -726,4 +726,43 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getString(1) == "x\ny")
     assert(r.getLong(2) == 2 && r.getLong(3) == 3)
   }
+
+  test("driftReport: hand-computed JS terms, absent-side zeros, ranking") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val v1 = Seq(Tuple1("A a b")).toDF("text")   // tokens a,a,b — t1=3
+    val v2 = Seq(Tuple1("a B b c")).toDF("text") // tokens a,b,b,c — t2=4
+    val rows = TextOps.driftReport(v1, v2, "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b", "c"))
+    def js(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      val h1 = if (p > 0) p * math.log(p / m) / 2 else 0.0
+      val h2 = if (q > 0) q * math.log(q / m) / 2 else 0.0
+      math.rint((h1 + h2) * 1e8) / 1e8
+    }
+    val a = rows("a")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 1)
+    assert(a.getDouble(3) == math.rint(2.0 / 3 * 1e8) / 1e8)
+    assert(a.getDouble(4) == 0.25)
+    assert(a.getDouble(6) == js(2.0 / 3, 0.25))
+    // c is absent from v1: zero count, zero p1, finite JS term
+    val c = rows("c")
+    assert(c.getLong(1) == 0 && c.getDouble(3) == 0.0)
+    assert(c.getDouble(6) == js(0.0, 0.25))
+    // ranking is the integer cross-count diff: |n1·t2 − n2·t1| =
+    // a: |8−3|=5, b: |4−6|=2, c: |0−3|=3 → order a, c, b
+    val order = TextOps.driftReport(v1, v2, "text").collect().map(_.getString(0))
+    assert(order.toSeq == Seq("a", "c", "b"), order.mkString(","))
+    // disjoint vocabularies: total JS = ln 2 (the metric's ceiling)
+    val d1 = Seq(Tuple1("x x")).toDF("text")
+    val d2 = Seq(Tuple1("y")).toDF("text")
+    val tot = TextOps.driftReport(d1, d2, "text")
+      .agg(sum(col("js_part"))).first().getDouble(0)
+    assert(math.abs(tot - math.log(2)) < 1e-7, tot.toString)
+    // one empty side: no division blow-up, all mass on the other side
+    val e = TextOps.driftReport(d1, d1.where(lit(false)), "text").collect()
+    assert(e.forall(r => r.getLong(2) == 0 && r.getDouble(4) == 0.0))
+    assert(math.abs(e.map(_.getDouble(6)).sum - math.log(2) / 2) < 1e-7)
+  }
 }
