@@ -132,8 +132,29 @@ case class LangIdExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** 8-hex-char slice → long at 1-based `pos` — the codegen form of
+  * `conv(substring(h, pos, 8), 16, 10)` for hex inputs (md5 bucket
+  * derivation). Byte-level parse of the UTF8String in place: no
+  * substring allocation, no generic base conversion.
+  */
+case class HexSliceToLongExpr(child: Expression, pos: Int)
+    extends UnaryExpression {
+  require(pos >= 1, s"pos is 1-based, got $pos")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hex_slice_long"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.hexSliceToLong(input.asInstanceOf[UTF8String], pos)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.hexSliceToLong($c, $pos)")
+  override protected def withNewChildInternal(newChild: Expression): HexSliceToLongExpr =
+    copy(child = newChild)
+}
+
 /** Column-API lifts of the expressions above. */
 object TextHashFunctions {
+  def hex_slice_long(hex: Column, pos: Int): Column =
+    ColumnBridge.column(HexSliceToLongExpr(ColumnBridge.expression(hex), pos))
   def shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
   def minhash_sig(text: Column, n: Int, k: Int): Column =

@@ -35,8 +35,12 @@ object Cms {
   def bucket(key: Column, r: Int, w: Int): Column =
     bucketOfHex(md5(concat(lit("cms:"), key.cast("string"))), r, w)
 
+  // hex_slice_long ≡ conv(substring(hex, 1+8r, 8), 16, 10) on hex
+  // input (value-pinned in SketchSpec) but parses the bytes in place —
+  // conv's slicing + generic base conversion was the build's hot spot.
+  // The slice value is in [0, 2³²), so % w already returns nonnegative.
   private def bucketOfHex(hex: Column, r: Int, w: Int): Column =
-    pmod(conv(substring(hex, 1 + 8 * r, 8), 16, 10).cast("long"), lit(w.toLong))
+    graft.functions.TextHashFunctions.hex_slice_long(hex, 1 + 8 * r) % lit(w.toLong)
 
   /** Production kernel: xxhash64-seeded bucket — one codegen'd hash
     * per (row, r) instead of an md5 over a built string; same sketch
@@ -46,21 +50,31 @@ object Cms {
   def bucketFast(key: Column, r: Int, w: Int): Column =
     pmod(xxhash64(lit(r), key), lit(w.toLong))
 
-  private def probeStructs(key: Column, d: Int, w: Int,
-                           portable: Boolean): Column = {
+  /** Explode a frame to its (r, b) probe rows, keeping `keep`. The
+    * portable path materializes the md5 hex in an EXPLICIT projection
+    * below the explode: the hash expression must not ride inside the
+    * generator's input, because GenerateExec evaluates its input
+    * expressions without subexpression elimination — embedding the
+    * md5 subtree d× really hashes d× per row (measured ~2× on the
+    * whole q_sketch_cms query at sf0.1; the Project boundary below
+    * the Generate survives the optimizer, so one hash per row is a
+    * plan-structural guarantee, not a codegen hope).
+    */
+  private def probeRows(df: DataFrame, keyCol: String, d: Int, w: Int,
+                        portable: Boolean, keep: Seq[String]): DataFrame = {
     require(!portable || d <= 4, s"portable kernel has 4 md5 slices, got d=$d")
     if (portable) {
-      // all d slices reference the SAME md5 subtree: whole-stage
-      // codegen's subexpression elimination computes it once per row
-      // (a plain array, not a HOF lambda — HOFs interpret per element
-      // and fall out of codegen, the minhash lesson)
-      val h = md5(concat(lit("cms:"), key.cast("string")))
-      explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucketOfHex(h, r, w).as("b"))): _*))
+      require(!keep.contains("_cms_h") && keyCol != "_cms_h",
+        "cms reserves _cms_h — rename upstream")
+      df.select(md5(concat(lit("cms:"), col(keyCol).cast("string")))
+          .as("_cms_h") +: keep.map(col): _*)
+        .select(explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), bucketOfHex(col("_cms_h"), r, w).as("b"))): _*))
+          .as("rb") +: keep.map(col): _*)
     } else
-      explode(array((0 until d).map { r =>
-        struct(lit(r).as("r"), bucketFast(key, r, w).as("b"))
-      }: _*))
+      df.select(explode(array((0 until d).map { r =>
+        struct(lit(r).as("r"), bucketFast(col(keyCol), r, w).as("b"))
+      }: _*)).as("rb") +: keep.map(col): _*)
   }
 
   /** Build the sketch: one row per occupied (hash row, bucket) with
@@ -69,7 +83,7 @@ object Cms {
   def build(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 256,
             portable: Boolean = true): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
-    df.select(probeStructs(col(keyCol), d, w, portable).as("rb"))
+    probeRows(df, keyCol, d, w, portable, keep = Seq.empty)
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -116,7 +130,7 @@ object Cms {
   def estimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
                d: Int = 4, w: Int = 256,
                portable: Boolean = true): DataFrame =
-    keys.select(col(keyCol), probeStructs(col(keyCol), d, w, portable).as("rb"))
+    probeRows(keys, keyCol, d, w, portable, keep = Seq(keyCol))
       .select(col(keyCol), col("rb.r").as("r"), col("rb.b").as("b"))
       .join(broadcast(sketch), Seq("r", "b"), "left")
       .groupBy(col(keyCol))

@@ -268,8 +268,8 @@ object TextOps {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be non-empty and positive")
     val total = weights.map(_._2).sum
-    val bucket = pmod(conv(substring(md5(concat(lit("split:"),
-      id.cast("string"))), 1, 8), 16, 10).cast("long"), lit(1000000L))
+    val bucket = pmod(graft.functions.TextHashFunctions.hex_slice_long(
+      md5(concat(lit("split:"), id.cast("string"))), 1), lit(1000000L))
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.map(f => math.round(f * 1000000L))
     // last branch is the otherwise — no row can fall through
@@ -370,7 +370,8 @@ object TextOps {
     * Content-keyed, so resamples of a grown corpus keep prior picks.
     */
   def samplingBucket(text: Column): Column =
-    pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), lit(1000L))
+    pmod(graft.functions.TextHashFunctions.hex_slice_long(md5(text), 1),
+      lit(1000L))
 
   /** Corpus-level boilerplate removal (the C4/CCNet hygiene step):
     * terms — lines for `delimiter="\n"`, words for `" "` — whose
@@ -1165,7 +1166,8 @@ object TextOps {
                  idCol: String, textCol: String,
                  buckets: Int = 256, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
     def bucket(term: Column): Column =
-      pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      pmod(graft.functions.TextHashFunctions.hex_slice_long(md5(term), 1),
+        lit(buckets.toLong))
     def bucketCounts(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       docs.select(explode(tokens(col(textCol))).as("w"))
         .groupBy(bucket(col("w")).as("b")).agg(count(lit(1)).as("c"))

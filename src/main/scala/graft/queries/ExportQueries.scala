@@ -20,8 +20,8 @@ object ExportQueries {
     * ('0x'||substr(md5(...),1,8))::UBIGINT).
     */
   private def hash32(salt: String): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8),
-      16, 10).cast("long")
+    graft.functions.TextHashFunctions.hex_slice_long(
+      md5(concat(lit(salt), col("doc_id").cast("string"))), 1)
 
   val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // epoch shuffle: every doc gets a global 1-based position in a

@@ -202,8 +202,8 @@ object PipelineQueries {
         .unionByName(fresh.select(col("doc_id"), col("text"),
           lit("refreshed").as("origin")))
         .select(col("doc_id"), col("origin"),
-          pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
-            lit(8L)).as("shard"),
+          pmod(graft.functions.TextHashFunctions.hex_slice_long(
+            md5(col("text")), 1), lit(8L)).as("shard"),
           md5(col("text").cast("binary")).as("text_md5"))
     }),
 
@@ -596,8 +596,8 @@ object PipelineQueries {
         .where(col("bucket").cast("double") < col("rate"))
         .select(col("doc_id"), col("lang"), col("clf"),
           round(col("kn_logppl"), 2).as("kn_bits"),
-          pmod(conv(substring(md5(concat(lit("cur1:"),
-            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          pmod(graft.functions.TextHashFunctions.hex_slice_long(
+            md5(concat(lit("cur1:"), col("doc_id").cast("string"))), 1),
             lit(1000000L)).as("shuffle_key"))
     }),
 
@@ -850,8 +850,8 @@ object PipelineQueries {
     // bit-identically (IEEE arithmetic is order-deterministic).
     "q_sample_coreset" -> ((s, d) => {
       val planes = Knn.hyperplanes(bits = 6, dim = 64)
-      val pri = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
-        16, 10).cast("long"), lit(1000000L))
+      val pri = pmod(graft.functions.TextHashFunctions.hex_slice_long(
+        md5(col("vec_id").cast("string")), 1), lit(1000000L))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket")).orderBy(col("pri"), col("vec_id"))
       emb(s, d)

@@ -270,4 +270,22 @@ class SketchSpec extends SparkSuite {
     assert(!eRow.isNullAt(0) && eRow.getLong(0) == 0L,
       s"empty sketches should estimate 0, got $eRow")
   }
+
+  test("hex_slice_long equals conv(substring, 16, 10) on md5 hex — the oracle contract") {
+    import graft.functions.TextHashFunctions.hex_slice_long
+    // the codegen'd bucket kernel must be VALUE-identical to the SQL
+    // form the DuckDB oracle replays, across all four slice offsets
+    val hexes = Tables(spark, sf, "lineitem").limit(2000)
+      .select(md5(concat(lit("cms:"), $"l_partkey".cast("string"))).as("h"))
+    val mismatches = (0 until 4).map { r =>
+      hexes.where(hex_slice_long($"h", 1 + 8 * r) =!=
+        conv(substring($"h", 1 + 8 * r, 8), 16, 10).cast("long")).count()
+    }.sum
+    assert(mismatches == 0L, s"$mismatches slice mismatches")
+    // conv edge behaviors the kernel mirrors: short input, non-hex tail
+    val edge = Seq("ff", "f!aa", "ABCDEF01").toDF("h")
+    val got = edge.select(hex_slice_long($"h", 1).as("v"),
+      conv(substring($"h", 1, 8), 16, 10).cast("long").as("w")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }
