@@ -365,7 +365,12 @@ object TextHashing {
     * base conversion (the q_sketch_cms hot spot: conv was +0.9 s over
     * the md5 itself at sf0.1). Reads the UTF8String bytes in place;
     * tolerates uppercase and inputs shorter than pos+7 (parses what is
-    * there, conv's behavior). ASCII-safe because hex digits are ASCII.
+    * there, conv's behavior) — EXCEPT a slice starting entirely past
+    * the end of the string: this returns 0L where conv(substring)
+    * returns NULL (conv of ''). Every call site feeds 32-char md5 hex
+    * with pos ≤ 25, so that case is unreachable there, but a new
+    * caller must not rely on NULL propagation (divergence pinned in
+    * SketchSpec). ASCII-safe because hex digits are ASCII.
     */
   def hexSliceToLong(s: org.apache.spark.unsafe.types.UTF8String, pos: Int): Long = {
     var v = 0L

@@ -21,8 +21,10 @@ object Skew {
     * Returns (key, n_rows, share, salt) ordered by n_rows desc, key.
     *
     * Scale shape: ONE partial-agg'd shuffle folding the corpus to a
-    * row per distinct key, then TakeOrdered keeps the driver at topN
-    * rows; the total row count folds map-side and broadcasts back.
+    * row per distinct key (localCheckpoint'd — the table feeds both
+    * the topN and the grand total, and exchange reuse does not dedupe
+    * twin agg subtrees), then TakeOrdered keeps the driver at topN
+    * rows; the total folds from the count table and broadcasts back.
     * The output is the driver-sized hot-key list [[saltedJoin]] (and
     * an AQE-skew sanity check) consumes.
     */
@@ -30,8 +32,15 @@ object Skew {
             targetRowsPerTask: Long = 5000000L): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     require(targetRowsPerTask >= 1, "targetRowsPerTask must be >= 1")
+    require(!Seq("n_rows", "n_total", "share", "salt").contains(keyCol),
+      s"audit reserves $keyCol — rename upstream")
+    // the keys-bounded count table feeds two branches (the topN and
+    // the grand total) — materialize it once so the corpus is scanned
+    // exactly ONCE (the prCurve pattern; exchange reuse does NOT
+    // dedupe the two agg subtrees here, measured on the final plan)
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
-    val total = df.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
+    val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_total"))
     counts.crossJoin(broadcast(total))
       .select(col(keyCol), col("n_rows"),
         round(col("n_rows").cast("double") / col("n_total"), 6).as("share"),

@@ -1267,15 +1267,20 @@ object TextOps {
     * (the perplexity-oracle precedent), so summing js_part over the
     * vocabulary gives total JS ∈ [0, ln 2] nats.
     * Rows rank by the cross-multiplied INTEGER count difference
-    * |n1·N2 − n2·N1| (exact long arithmetic — engine-stable ordering,
-    * no FP ties), token ascending, truncated to topN.
+    * |n1·N2 − n2·N1| in decimal(38,0) (exact at any corpus size —
+    * long cross-products overflow near 2e13 tokens/side and ANSI mode
+    * would throw; engine-stable ordering, no FP ties), token
+    * ascending, truncated to topN.
     *
-    * Scale shape: each corpus is scanned ONCE and folds map-side to
-    * its vocabulary (explode + partial-agg'd count); the only shuffle
-    * payload is the two vocab tables, whose full-outer join is
-    * vocab-bounded; the two grand totals broadcast back. The corpus
-    * text never shuffles — at 100 TB the drift report costs two
-    * scans and a vocabulary-sized join.
+    * Scale shape: each corpus is scanned ONCE (structurally: the
+    * merged vocab table is localCheckpoint'd before the totals and
+    * the report both read it — exchange reuse does not dedupe twin
+    * agg subtrees) and folds map-side to its vocabulary (explode +
+    * partial-agg'd count); the only shuffle payload is the two vocab
+    * tables, whose full-outer join is vocab-bounded; the two grand
+    * totals derive from the merged table and broadcast back. The
+    * corpus text never shuffles — at 100 TB the drift report costs
+    * two scans and a vocabulary-sized join.
     */
   def driftReport(v1: DataFrame, v2: DataFrame, textCol: String,
                   topN: Int = 30): DataFrame = {
@@ -1283,26 +1288,38 @@ object TextOps {
     def vocab(df: DataFrame, n: String): DataFrame =
       df.select(explode(tokens(col(textCol))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as(n))
-    def total(df: DataFrame, n: String): DataFrame =
-      df.agg(coalesce(sum(tokenCount(col(textCol))), lit(0L)).as(n))
-    val joined = vocab(v1, "n1").join(vocab(v2, "n2"), Seq("token"), "full_outer")
+    // the vocab-bounded joined table feeds two branches (the grand
+    // totals and the per-token report) — materialize it once so each
+    // corpus is scanned exactly ONCE (the prCurve pattern; exchange
+    // reuse does NOT dedupe duplicate agg subtrees, measured on the
+    // final plan), and the totals cannot drift from the per-token
+    // counts they normalize
+    val merged = vocab(v1, "n1").join(vocab(v2, "n2"), Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("n1"), lit(0L)).as("n1"),
         coalesce(col("n2"), lit(0L)).as("n2"))
-      .crossJoin(broadcast(total(v1, "t1")))
-      .crossJoin(broadcast(total(v2, "t2")))
+      .localCheckpoint(true)
+    val totals = merged.agg(
+      coalesce(sum(col("n1")), lit(0L)).as("t1"),
+      coalesce(sum(col("n2")), lit(0L)).as("t2"))
+    val joined = merged.crossJoin(broadcast(totals))
     val p = col("n1").cast("double") / greatest(col("t1"), lit(1L))
     val q = col("n2").cast("double") / greatest(col("t2"), lit(1L))
     val m = (p + q) / 2.0
     // a side with zero count contributes 0 to its JS half (x·ln x → 0)
     def half(x: org.apache.spark.sql.Column) =
       when(x > 0, x * log(x / m) / 2.0).otherwise(lit(0.0))
+    // rank in decimal(38,0): n·N cross-products overflow Long around
+    // ~2e13 tokens/side (exactly the 100 TB scale this targets), and
+    // Spark 4's default ANSI mode would throw on the wrap
+    val dec = "decimal(38,0)"
     joined
       .select(col("token"), col("n1"), col("n2"),
         round(p, 8).as("p1"), round(q, 8).as("p2"),
         round(q - p, 8).as("delta"),
         round(half(p) + half(q), 8).as("js_part"),
-        abs(col("n1") * col("t2") - col("n2") * col("t1")).as("_dr_rank"))
+        abs(col("n1").cast(dec) * col("t2") -
+          col("n2").cast(dec) * col("t1")).as("_dr_rank"))
       .orderBy(col("_dr_rank").desc, col("token"))
       .limit(topN)
       .drop("_dr_rank")

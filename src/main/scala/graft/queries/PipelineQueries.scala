@@ -1337,15 +1337,15 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 3 <> 1),
         |c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS n1 FROM tok1 GROUP BY token),
         |c2 AS (SELECT token, CAST(count(*) AS BIGINT) AS n2 FROM tok2 GROUP BY token),
-        |t1 AS (SELECT count(*) AS t1 FROM tok1),
-        |t2 AS (SELECT count(*) AS t2 FROM tok2),
+        |t1 AS (SELECT coalesce(sum(n1), 0) AS t1 FROM c1),
+        |t2 AS (SELECT coalesce(sum(n2), 0) AS t2 FROM c2),
         |j AS (SELECT coalesce(c1.token, c2.token) AS token,
         |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
         |  FROM c1 FULL OUTER JOIN c2 ON c1.token = c2.token),
         |x AS (SELECT token, n1, n2,
         |    n1 / CAST(greatest(t1, 1) AS DOUBLE) AS p,
         |    n2 / CAST(greatest(t2, 1) AS DOUBLE) AS q,
-        |    abs(n1 * t2 - n2 * t1) AS rnk
+        |    abs(CAST(n1 AS HUGEINT) * t2 - CAST(n2 AS HUGEINT) * t1) AS rnk
         |  FROM j CROSS JOIN t1 CROSS JOIN t2)
         |SELECT token, n1, n2, round(p, 8) AS p1, round(q, 8) AS p2,
         |  round(q - p, 8) AS delta,

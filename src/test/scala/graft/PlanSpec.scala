@@ -279,18 +279,25 @@ class PlanSpec extends SparkSuite {
     assert(partials >= 2, s"expected partial aggregates before exchanges:\n${p.take(2000)}")
   }
 
-  test("skew audit: two-phase key count + TakeOrdered; total broadcasts back") {
+  test("skew audit: two-phase key count + TakeOrdered; corpus scanned once") {
     val df = SparkEntry.queries("q_skew_audit")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the per-key count folds map-side before its one exchange, and
-    // the topN never global-sorts the key table on the driver path
-    assert(p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("partial_count")), p.take(1500))
+    // the corpus scan happened ONCE, inside the eager count-table
+    // checkpoint — the final plan reads the checkpoint, never the file
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"audit's final plan must read the checkpointed counts:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
     // the 1-row total attaches via a broadcast nested-loop (fine);
     // never a sort-merge or a real cartesian on the key table
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(1500))
+    // the count table the checkpoint materializes folds two-phase
+    // before its one exchange (asserted on the stage built directly)
+    val cp = Tables(spark, sf, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .queryExecution.executedPlan.toString
+    assert(cp.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), cp.take(1500))
   }
 
   test("salted join: the salt column is a join key and the hot dim side explodes") {
@@ -306,13 +313,22 @@ class PlanSpec extends SparkSuite {
   test("corpus drift: only token-keyed exchanges — the corpus text never shuffles") {
     val df = SparkEntry.queries("q_corpus_drift")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.nonEmpty, p.take(1500))
-    assert(hashEx.forall(_.contains("token")),
-      s"every hash exchange must partition on token:\n${hashEx.mkString("\n")}")
-    // both vocabularies fold map-side before shuffling; totals broadcast
-    assert(p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("partial_count")), p.take(1500))
-    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p.take(1500))
+    // each corpus side was scanned ONCE, inside the eager merged-vocab
+    // checkpoint — the final plan reads the checkpoint, not the files
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"drift's final plan must read the checkpointed vocab:\n${p.take(2000)}")
+    // the totals broadcast back onto the merged table
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 1, p.take(1500))
+    // the vocab stage the checkpoint materializes: map-side fold, and
+    // its only exchange partitions on the token, never the text
+    val voc = Tables(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    val hashEx = voc.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("token")),
+      s"vocab exchange must partition on token:\n${hashEx.mkString("\n")}")
+    assert(voc.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), voc.take(1500))
   }
 }

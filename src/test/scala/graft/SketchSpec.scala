@@ -287,5 +287,12 @@ class SketchSpec extends SparkSuite {
     val got = edge.select(hex_slice_long($"h", 1).as("v"),
       conv(substring($"h", 1, 8), 16, 10).cast("long").as("w")).collect()
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // the ONE documented divergence: a slice entirely past the end
+    // parses to 0, where conv(substring) = conv('') = NULL — callers
+    // must not rely on NULL propagation (unreachable from md5 sites)
+    val past = Seq(Tuple1("ff")).toDF("h")
+      .select(hex_slice_long($"h", 9).as("v"),
+        conv(substring($"h", 9, 8), 16, 10).cast("long").as("w")).first()
+    assert(!past.isNullAt(0) && past.getLong(0) == 0L && past.isNullAt(1))
   }
 }

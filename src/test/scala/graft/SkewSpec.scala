@@ -90,6 +90,11 @@ class SkewSpec extends SparkSuite {
         Seq(7L), salt = 4, scatterCol = "row_id"))
     intercept[IllegalArgumentException](
       Skew.saltedJoin(l, dim, "k", Seq(7L), salt = 4, scatterCol = "nope"))
+    // audit reserves its four output names for the same reason
+    intercept[IllegalArgumentException](
+      Skew.audit(l.withColumnRenamed("k", "salt"), "salt"))
+    intercept[IllegalArgumentException](
+      Skew.audit(l.withColumnRenamed("k", "n_rows"), "n_rows"))
   }
 
   test("audit feeds saltedJoin: the q_skew_join composition on real tables") {
