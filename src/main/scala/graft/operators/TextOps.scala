@@ -335,13 +335,9 @@ object TextOps {
   }
 
   /** Word n-gram strings (space-joined, lower-cased tokens). */
-  def wordGrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(0), size(ts) - n),
-        i => array_join(slice(ts, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordGrams(text: Column, n: Int): Column =
+    coalesce(graft.functions.Grams.gram_strings(tokens(text), n),
+      array().cast("array<string>"))
 
   /** Fraction of bigrams that repeat an earlier bigram — high values
     * mark degenerate/templated text (the Gopher "duplicate n-gram"
@@ -448,11 +444,8 @@ object TextOps {
                    minCount: Long = 1): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
     val bigrams = toks.select(col("doc_id"),
-      explode(when(size(col("ts")) >= 2,
-        transform(sequence(lit(0), size(col("ts")) - 2),
-          i => struct(element_at(col("ts"), i + 1).as("w1"),
-            element_at(col("ts"), i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      explode(graft.functions.Grams.gram_structs(col("ts"),
+        Seq("w1", "w2"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val words = toks.select(explode(col("ts")).as("w"))
     val uniAll = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
@@ -502,11 +495,8 @@ object TextOps {
                      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
     val bigrams = toks.select(col("doc_id"),
-      explode(when(size(col("ts")) >= 2,
-        transform(sequence(lit(0), size(col("ts")) - 2),
-          i => struct(element_at(col("ts"), i + 1).as("w1"),
-            element_at(col("ts"), i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      explode(graft.functions.Grams.gram_structs(col("ts"),
+        Seq("w1", "w2"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val uni = toks.select(explode(col("ts")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -615,11 +605,7 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("c")), maxTypes, "fitKnModel: unigram")
       .map(r => r.getString(0) -> r.getLong(1))
     val biRows = guardedCollect(toks.select(
-      explode(when(size(col("ts")) >= 2,
-        transform(sequence(lit(0), size(col("ts")) - 2),
-          i => concat_ws(" ", element_at(col("ts"), i + 1),
-            element_at(col("ts"), i + 2))))
-        .otherwise(array().cast("array<string>"))).as("b"))
+      explode(graft.functions.Grams.gram_strings(col("ts"), 2)).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount), maxTypes, "fitKnModel: bigram")
       .map(r => r.getString(0) -> r.getLong(1))
@@ -689,12 +675,8 @@ object TextOps {
                   maxTypes: Int = 10000000): graft.functions.Kn3Model = {
     val toks = corpus.select(tokens(col(textCol)).as("ts"))
     val tri = toks.select(
-      explode(when(size(col("ts")) >= 3,
-        transform(sequence(lit(0), size(col("ts")) - 3),
-          i => struct(element_at(col("ts"), i + 1).as("w1"),
-            element_at(col("ts"), i + 2).as("w2"),
-            element_at(col("ts"), i + 3).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      explode(graft.functions.Grams.gram_structs(col("ts"),
+        Seq("w1", "w2", "w3"))).as("t"))
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
     def toMap(df: org.apache.spark.sql.DataFrame, what: String): java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long]()
@@ -724,11 +706,8 @@ object TextOps {
       val n1pMidAll = toMap(triTypes.groupBy(col("w2"))
         .agg(count(lit(1)).as("c")).select(col("w2").as("k"), col("c")), "N1+(.w2.)")
       val biTypes = toks.select(
-        explode(when(size(col("ts")) >= 2,
-          transform(sequence(lit(0), size(col("ts")) - 2),
-            i => struct(element_at(col("ts"), i + 1).as("a"),
-              element_at(col("ts"), i + 2).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("g"))
+        explode(graft.functions.Grams.gram_structs(col("ts"),
+          Seq("a", "b"))).as("g"))
         .select(col("g.a"), col("g.b")).distinct().cache()
       try {
         val n1pW2 = toMap(biTypes.groupBy(col("a"))
@@ -764,12 +743,8 @@ object TextOps {
                       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
     val tri = toks.select(col("doc_id"),
-      explode(when(size(col("ts")) >= 3,
-        transform(sequence(lit(0), size(col("ts")) - 3),
-          i => struct(element_at(col("ts"), i + 1).as("w1"),
-            element_at(col("ts"), i + 2).as("w2"),
-            element_at(col("ts"), i + 3).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      explode(graft.functions.Grams.gram_structs(col("ts"),
+        Seq("w1", "w2", "w3"))).as("t"))
       .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
     val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
     val biCnt = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2h"))
@@ -783,11 +758,8 @@ object TextOps {
       .agg(count(lit(1)).as("n1p_mid_all"))                    // N1+(·w2·)
     // bigram TYPE tables for λ2 and the continuation unigram
     val biTypes = toks.select(col("ts")).select(
-      explode(when(size(col("ts")) >= 2,
-        transform(sequence(lit(0), size(col("ts")) - 2),
-          i => struct(element_at(col("ts"), i + 1).as("a"),
-            element_at(col("ts"), i + 2).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("g"))
+      explode(graft.functions.Grams.gram_structs(col("ts"),
+        Seq("a", "b"))).as("g"))
       .select(col("g.a"), col("g.b")).distinct()
     val contMid = biTypes.groupBy(col("a").as("w2"))
       .agg(count(lit(1)).as("n1p_w2"))                         // N1+(w2·)
@@ -871,14 +843,16 @@ object TextOps {
     // numbers in SURVEY §6), so the two passes stay.
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, L - 1)
-    val wins = toks
-      .withColumn("warr", collect_list(col("w")).over(frame))
-      .withColumn("key",
-        when(size(col("warr")) === L, md5(concat_ws(" ", col("warr")))))
-      .where(col("key").isNotNull)
-      .select(col("doc_id"), col("pos"), col("key"))
+    // window keys come from the codegen kernel on the UNEXPLODED token
+    // array — one generated loop per document, computed map-side. The
+    // previous formulation (collect_list over a per-doc Window frame
+    // of the exploded tokens) needed a corpus-scale doc_id shuffle +
+    // sort JUST to rebuild windows the kernel reads off the array in
+    // place; that shuffle is gone (PlanSpec pins the count).
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Grams.window_md5_keys(
+          tokens(col(textCol)), L)).as("wk"))
+      .select(col("doc_id"), col("wk.pos").as("pos"), col("wk.key").as("key"))
     // an occurrence is removed iff it is not the key's global
     // (doc_id, pos) minimum — two strategies, see the scaladoc
     val nonFirst =
@@ -972,11 +946,7 @@ object TextOps {
                              windowTokens: Int): org.apache.spark.sql.DataFrame = {
     val L = windowTokens
     def windowKeys(ts: Column): Column =
-      when(size(ts) >= L,
-        transform(sequence(lit(0), size(ts) - L),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(ts, i + 1, lit(L)))).as("key"))))
-        .otherwise(array().cast("array<struct<pos:int,key:string>>"))
+      graft.functions.Grams.window_md5_keys(ts, L)
     val seenKeys = corpus
       .select(explode(windowKeys(tokens(coalesce(col(textCol), lit(""))))).as("wk"))
       .select(col("wk.key").as("k")).distinct()

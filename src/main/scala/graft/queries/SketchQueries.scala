@@ -65,9 +65,8 @@ object SketchQueries {
     "q_ngram_topk" -> ((s, d) => {
       val toks = docs(s, d).select(TextOps.tokens(col("text")).as("w"))
         .where(size(col("w")) >= 3)
-      toks.select(explode(transform(sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ", element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2), element_at(col("w"), i + 3)))).as("gram"))
+      toks.select(explode(
+          graft.functions.Grams.gram_strings(col("w"), 3)).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
         .limit(20)

@@ -200,6 +200,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       s"removal set must broadcast at this SF:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
+    // window keys come from the codegen kernel on the token array —
+    // the old collect_list-over-doc_id-frame build needed a Window
+    // (corpus-scale shuffle + sort) that must NOT reappear
+    assert(p.contains("window_md5_keys"), p.take(2000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window ") && l.contains("collect_list")),
+      s"the per-doc window-frame build is gone — no collect_list Window:\n${p.take(2000)}")
   }
 
   test("classifier scoring is a map-only codegen projection") {
