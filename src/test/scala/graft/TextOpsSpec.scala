@@ -727,6 +727,40 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getLong(2) == 2 && r.getLong(3) == 3)
   }
 
+  test("gram kernels equal the HOF formulations they replaced — the oracle contract") {
+    import spark.implicits._
+    import graft.functions.Grams
+    import graft.operators.TextOps
+    val docs = Tables(spark, sf, "documents").limit(500)
+      .select(TextOps.tokens(col("text")).as("ts"))
+    // string bigrams ≡ transform(sequence)+concat_ws
+    val s2 = docs.where(size($"ts") >= 2).select(
+      Grams.gram_strings($"ts", 2).as("k"),
+      transform(sequence(lit(0), size($"ts") - 2),
+        i => concat_ws(" ", element_at($"ts", i + 1),
+          element_at($"ts", i + 2))).as("h"))
+    assert(s2.where($"k" =!= $"h").count() == 0)
+    // struct trigrams ≡ the element_at struct build
+    val t3 = docs.where(size($"ts") >= 3).select(
+      Grams.gram_structs($"ts", Seq("w1", "w2", "w3")).as("k"),
+      transform(sequence(lit(0), size($"ts") - 3),
+        i => struct(element_at($"ts", i + 1).as("w1"),
+          element_at($"ts", i + 2).as("w2"),
+          element_at($"ts", i + 3).as("w3"))).as("h"))
+    assert(t3.where($"k".cast("string") =!= $"h".cast("string")).count() == 0)
+    // window md5 keys ≡ md5(concat_ws(' ', slice)) at every position
+    val w = docs.where(size($"ts") >= 5).select(
+      Grams.window_md5_keys($"ts", 5).as("k"),
+      transform(sequence(lit(0), size($"ts") - 5),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice($"ts", i + 1, lit(5)))).as("key"))).as("h"))
+    assert(w.where($"k".cast("string") =!= $"h".cast("string")).count() == 0)
+    // short inputs yield EMPTY (DuckDB range() semantics), never junk
+    val short = Seq(Tuple1(Seq("a"))).toDF("ts")
+    assert(short.select(size(Grams.gram_strings($"ts", 2))).first().getInt(0) == 0)
+    assert(short.select(size(Grams.window_md5_keys($"ts", 3))).first().getInt(0) == 0)
+  }
+
   test("driftReport: hand-computed JS terms, absent-side zeros, ranking") {
     import spark.implicits._
     import graft.operators.TextOps
