@@ -94,14 +94,24 @@ object Bench {
         }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms — below measurement noise): full
+    // nanosecond doubles bloated the 146-query JSON line; locale-ROOT
+    // so the decimal point survives any JVM locale
+    def fmt(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // derive from the merged results — a query that failed one pass but
     // measured in the other is not failed
     val fl = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    // the harness records only the LAST ~2 kB of output, which clips
+    // the head of this line — the per-query map cannot fit, so the
+    // summary fields (value/failed/sf) go AFTER it to land inside the
+    // recorded tail no matter where the clip falls
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+      s""""value":${fmt(total)},"failed":$fl,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
