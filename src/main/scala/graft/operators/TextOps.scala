@@ -462,14 +462,24 @@ object TextOps {
     // from the already-aggregated (tiny) table, not a third
     // corpus-wide distinct over the raw token stream
     val vocab = uni.agg(count(lit(1)).as("vs"))
-    bigrams
+    // score each bigram TYPE once over the vocabulary-bounded tables
+    // (biAll keys every type the stream can produce, so pruned
+    // transitions still resolve — their kept-count columns read null
+    // exactly as the per-occurrence joins did), then attach the scored
+    // table to the corpus stream with a SINGLE join. Before r21 the
+    // occurrence stream probed bi + uni + vocab separately — three
+    // corpus-scale join passes where one suffices (guide §2.4/§3).
+    val scored = biAll.select(col("w1"), col("w2"))
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab)) // one row: the vocabulary size
+      .select(col("w1"), col("w2"),
+        (-log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("vs")))).as("nll"))
+    bigrams
+      .join(scored, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
-      .agg(round(avg(-log(
-        (coalesce(col("c2"), lit(0L)) + lit(k)) /
-          (coalesce(col("c1"), lit(0L)) + lit(k) * col("vs")))), 4).as("logppl"),
+      .agg(round(avg(col("nll")), 4).as("logppl"),
         count(lit(1)).as("n_bigrams"))
   }
 
@@ -487,8 +497,9 @@ object TextOps {
     * toolkits reserve); each term is capped below 1 before the log.
     *
     * Scale shape mirrors lmPerplexity: the count tables are bounded
-    * by vocabulary (not corpus) size and AQE-broadcast; the corpus
-    * token stream shuffles once for the per-doc regroup.
+    * by vocabulary (not corpus) size and compose to a per-TYPE score
+    * among themselves; the corpus stream attaches it in one
+    * AQE-broadcast join and shuffles once for the per-doc regroup.
     */
   def lmPerplexityKN(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String,
@@ -511,15 +522,20 @@ object TextOps {
       (lit(discount) * col("n1p") / col("c1")) * pcont
     val p = least(lit(0.999999),
       when(col("c1").isNotNull, seen).otherwise(pcont))
-    bigrams
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
-      .join(cont, Seq("w1"), "left")
+    // r21: score each bigram TYPE once (bi already keys every type the
+    // stream produces — it was counted FROM the stream), then one
+    // corpus-scale join attaches the scores. Previously the occurrence
+    // stream probed bi/uni/cont/hist/types/vocab in six join passes.
+    val scored = bi
+      .join(uni.join(cont, Seq("w1"), "left"), Seq("w1"), "left")
       .join(hist, Seq("w2"), "left")
       .crossJoin(broadcast(types))
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), (-log(p)).as("nll"))
+    bigrams
+      .join(scored, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
-      .agg(round(avg(-log(p)), 4).as("kn_logppl"),
+      .agg(round(avg(col("nll")), 4).as("kn_logppl"),
         count(lit(1)).as("n_bigrams"))
   }
 
@@ -735,8 +751,10 @@ object TextOps {
     *
     * with full backoff (unseen history at an order falls through to
     * the next). All count tables are n-gram-TYPE bounded — corpus
-    * frequency never inflates them — and AQE-broadcast against the
-    * per-doc trigram stream; one regroup on doc id.
+    * frequency never inflates them — and join among THEMSELVES to a
+    * per-type score; the corpus-scale trigram stream attaches the
+    * finished score in a single AQE-broadcast join, then one regroup
+    * on doc id.
     */
   def lmPerplexityKN3(docs: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String,
@@ -747,15 +765,22 @@ object TextOps {
         Seq("w1", "w2", "w3"))).as("t"))
       .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
     val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-    val biCnt = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2h"))
+    // c2h counts (w1,w2) occurrences AS TRIGRAM HISTORY, i.e. over the
+    // trigram stream — exactly Σ_w3 c3, so it folds from the type
+    // table (integer sum: bit-identical) instead of re-aggregating the
+    // corpus-scale stream a second time; n1p_top (N1+(w1w2·) —
     // histories at the top order count TRIGRAM occurrences, so the
-    // interpolation weights sum correctly over the trigram stream
-    val contTop = triTypes.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n1p_top"))                        // N1+(w1w2·)
+    // interpolation weights sum correctly over the trigram stream)
+    // shares the (w1,w2) key, so both fold in ONE aggregate/exchange
+    // (r21, guide §2.4)
+    val topHist = triTypes.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c2h"), count(lit(1)).as("n1p_top"))
     val midNum = triTypes.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("n1p_mid"))                        // N1+(·w2w3)
-    val midDen = triTypes.groupBy(col("w2"))
-      .agg(count(lit(1)).as("n1p_mid_all"))                    // N1+(·w2·)
+    // N1+(·w2·) = Σ_w3 N1+(·w2w3): folds from midNum (integer sum,
+    // bit-identical) — one fewer pass over the type table (r21)
+    val midDen = midNum.groupBy(col("w2"))
+      .agg(sum(col("n1p_mid")).as("n1p_mid_all"))              // N1+(·w2·)
     // bigram TYPE tables for λ2 and the continuation unigram
     val biTypes = toks.select(col("ts")).select(
       explode(graft.functions.Grams.gram_structs(col("ts"),
@@ -777,18 +802,23 @@ object TextOps {
       (lit(discount) * col("n1p_top") / col("c2h")) * p2
     val p = least(lit(0.999999),
       when(col("c2h").isNotNull, p3seen).otherwise(p2))
-    tri
-      .join(triTypes, Seq("w1", "w2", "w3"), "left")
-      .join(biCnt, Seq("w1", "w2"), "left")
-      .join(contTop, Seq("w1", "w2"), "left")
+    // r21: all eight model tables join over the TYPE table (vocabulary-
+    // bounded — every join here is tiny), then the corpus-scale trigram
+    // stream attaches the finished score in ONE join instead of probing
+    // eight tables per occurrence (guide §2.4/§3: fewer corpus passes).
+    val scored = triTypes
+      .join(topHist, Seq("w1", "w2"), "left")
       .join(midNum, Seq("w2", "w3"), "left")
       .join(midDen, Seq("w2"), "left")
       .join(contMid, Seq("w2"), "left")
       .join(hist, Seq("w3"), "left")
       .crossJoin(broadcast(types))
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("w3"), (-log(p)).as("nll"))
+    tri
+      .join(scored, Seq("w1", "w2", "w3"), "left")
       .groupBy(col("doc_id"))
-      .agg(round(avg(-log(p)), 4).as("kn3_logppl"),
+      .agg(round(avg(col("nll")), 4).as("kn3_logppl"),
         count(lit(1)).as("n_trigrams"))
   }
 
