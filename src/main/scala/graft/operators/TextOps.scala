@@ -18,8 +18,21 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  // The scalar statistics below all read the one-pass codegen kernel
+  // (graft.functions.TextStats — r21): one array of counts per row
+  // instead of a regex / split / interpreted-HOF stack per statistic.
+  // Ratio arithmetic stays in Column algebra on the kernel's counts,
+  // so every value is bit-identical to the historical HOF formulation
+  // (pinned in TextOpsSpec; the DuckDB oracles replay unchanged).
+  // Repeated stats(text) subtrees in one projection collapse to a
+  // single kernel call under whole-stage-codegen subexpression
+  // elimination.
+  import graft.functions.{TextStats => TS}
+  private def stat(text: Column, i: Int): Column =
+    graft.functions.TextStatsFunctions.text_stats(text).getItem(i)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCount(text: Column): Column = stat(text, TS.IDX_TOKENS)
 
   /** BPE-ish subword token count: GPT-2-style pre-tokenizer pieces
     * (word fragments, numbers, punctuation runs) — the cheap proxy for
@@ -31,39 +44,33 @@ object TextOps {
 
   /** Ratio of punctuation characters to all characters. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+    stat(text, TS.IDX_PUNCT).cast("double") /
+      greatest(stat(text, TS.IDX_CHARS), lit(1L)).cast("double")
 
   /** Ratio of alphabetic characters to all characters. */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+    stat(text, TS.IDX_ALPHA).cast("double") /
+      greatest(stat(text, TS.IDX_CHARS), lit(1L)).cast("double")
 
-  /** Mean word length over whitespace tokens. Σ token lengths is
-    * length(array_join(...)) — codegen'd, no per-element HOF fold.
-    */
-  def meanWordLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) > 0,
-      length(array_join(ts, "")).cast("double") / size(ts).cast("double"))
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column =
+    when(stat(text, TS.IDX_TOKENS) > 0,
+      stat(text, TS.IDX_TOK_CHARS).cast("double") /
+        stat(text, TS.IDX_TOKENS).cast("double"))
       .otherwise(lit(0.0))
-  }
 
-  /** Small per-language stopword lists (top function words). */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "im"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
-    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "les", "dans", "que"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+  /** Small per-language stopword lists (top function words) — the
+    * canonical copy lives next to the kernel that scans for them.
+    */
+  val stopwords: Map[String, Seq[String]] = TS.stopwords
 
   /** Fraction of tokens that are stopwords of the given language. */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val sw = typedlit(stopwords(lang))
-    val ts = tokens(text)
-    when(size(ts) > 0,
-      size(filter(ts, t => array_contains(sw, t))).cast("double") /
-        size(ts).cast("double"))
+    val li = TS.langs.indexOf(lang)
+    require(li >= 0, s"unknown stopword language: $lang")
+    when(stat(text, TS.IDX_TOKENS) > 0,
+      stat(text, TS.IDX_SW_BASE + li).cast("double") /
+        stat(text, TS.IDX_TOKENS).cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -88,7 +95,7 @@ object TextOps {
     * stopword presence, sane mean word length, and low punctuation.
     */
   def qualityScore(text: Column): Column = {
-    val lenOk = when(length(text).between(50, 100000), 1.0).otherwise(0.0)
+    val lenOk = when(stat(text, TS.IDX_CHARS).between(50, 100000), 1.0).otherwise(0.0)
     val wordLenOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
     round(
       lit(0.3) * alphaRatio(text) +
@@ -527,7 +534,8 @@ object TextOps {
     // corpus-scale join attaches the scores. Previously the occurrence
     // stream probed bi/uni/cont/hist/types/vocab in six join passes.
     val scored = bi
-      .join(uni.join(cont, Seq("w1"), "left"), Seq("w1"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(cont, Seq("w1"), "left")
       .join(hist, Seq("w2"), "left")
       .crossJoin(broadcast(types))
       .crossJoin(broadcast(vocab))
@@ -1086,42 +1094,39 @@ object TextOps {
 
   /** Symbol-to-word ratio: '#' and '...' occurrences per token. */
   def symbolWordRatio(text: Column): Column =
-    size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") /
+    stat(text, TS.IDX_SYMBOLS).cast("double") /
       greatest(tokenCount(text), lit(1L)).cast("double")
 
   /** Fraction of lines starting with a bullet ('-', '*', '•'). */
-  def bulletLineFrac(text: Column): Column = {
-    val ls = lines(text)
-    when(size(ls) > 0,
-      size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
-        .cast("double") / size(ls).cast("double"))
+  def bulletLineFrac(text: Column): Column =
+    when(stat(text, TS.IDX_LINES) > 0,
+      stat(text, TS.IDX_BULLET).cast("double") /
+        stat(text, TS.IDX_LINES).cast("double"))
       .otherwise(lit(0.0))
-  }
 
   /** Fraction of lines ending with an ellipsis ("..." or '…'). */
-  def ellipsisLineFrac(text: Column): Column = {
-    val ls = lines(text)
-    when(size(ls) > 0,
-      size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
-        .cast("double") / size(ls).cast("double"))
+  def ellipsisLineFrac(text: Column): Column =
+    when(stat(text, TS.IDX_LINES) > 0,
+      stat(text, TS.IDX_ELLIPSIS).cast("double") /
+        stat(text, TS.IDX_LINES).cast("double"))
       .otherwise(lit(0.0))
-  }
 
   /** Fraction of tokens containing ≥1 alphabetic character. */
-  def alphaWordFrac(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) > 0,
-      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") /
-        size(ts).cast("double"))
+  def alphaWordFrac(text: Column): Column =
+    when(stat(text, TS.IDX_TOKENS) > 0,
+      stat(text, TS.IDX_ALPHA_WORDS).cast("double") /
+        stat(text, TS.IDX_TOKENS).cast("double"))
       .otherwise(lit(0.0))
-  }
 
   /** Number of DISTINCT stopwords of the language present. Gopher's
     * "contains at least 2 of a small function-word list" rule.
+    * (Kernel-counted for "en" — the Gopher pack's language; other
+    * languages keep the array_intersect form.)
     */
   def stopwordHits(text: Column, lang: String = "en"): Column =
-    // array_intersect already returns distinct elements
-    size(array_intersect(tokens(text), typedlit(stopwords(lang)))).cast("long")
+    if (lang == "en") stat(text, TS.IDX_SW_DISTINCT_EN)
+    else // array_intersect already returns distinct elements
+      size(array_intersect(tokens(text), typedlit(stopwords(lang)))).cast("long")
 
   /** The Gopher keep/drop verdict with that paper's published bounds:
     * 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, symbol ratio

@@ -15,6 +15,59 @@ class TextOpsSpec extends SparkSuite {
     assert(diff == 0, "kernel and reference langId diverge")
   }
 
+  test("text-stats kernel agrees with the HOF/regex forms on real docs and edge cases") {
+    import graft.functions.{TextStats => TS}
+    val docs = Tables(spark, sf, "documents").select(col("text"))
+    // adversarial inputs: unicode whitespace lookalikes (NBSP is NOT
+    // Java \s), vertical tab (IS \s), CRLF lines, space-only lines,
+    // unicode bullets/ellipses, dot runs ("...." is ONE symbol match),
+    // mixed-language stopwords, case folding, empty/blank strings
+    val edge = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1(" "), Tuple1("\t\r\n"), Tuple1(" "),
+      Tuple1("the THE The tHe"), Tuple1("der und die la el 的"),
+      Tuple1("a.... b... ## #"), Tuple1("  - bullet\n\t- tab bullet\n• dot\n   \nx…\ny... \nz.."),
+      Tuple1("Ünïcødé wörds ÉÀ 你好 的 在"), Tuple1("1234 !!! ??? ,,,"),
+      Tuple1("word glued nbsp"), Tuple1("trailing spaces   "),
+      Tuple1("...."), Tuple1("#"), Tuple1("\n\n\n"), Tuple1("x\ny\nx\ny\nx")
+    )).toDF("text")
+    val all = docs.unionByName(edge)
+    val st = graft.functions.TextStatsFunctions.text_stats(col("text"))
+    val ts = TextOps.tokens(col("text"))
+    val ls = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    val hofSw = TS.langs.toSeq.map { l =>
+      val sw = typedlit(TextOps.stopwords(l))
+      (size(filter(ts, t => array_contains(sw, t))).cast("long"),
+        st.getItem(TS.IDX_SW_BASE + TS.langs.indexOf(l)))
+    }
+    val checks = Seq(
+      (length(col("text")).cast("long"), st.getItem(TS.IDX_CHARS)),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"),
+        st.getItem(TS.IDX_ALPHA)),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+        .cast("long"), st.getItem(TS.IDX_PUNCT)),
+      (size(ts).cast("long"), st.getItem(TS.IDX_TOKENS)),
+      (length(array_join(ts, "")).cast("long"), st.getItem(TS.IDX_TOK_CHARS)),
+      (size(filter(ts, t => t.rlike("[a-z]"))).cast("long"),
+        st.getItem(TS.IDX_ALPHA_WORDS)),
+      (size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long"),
+        st.getItem(TS.IDX_SYMBOLS)),
+      (size(ls).cast("long"), st.getItem(TS.IDX_LINES)),
+      (size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("long"), st.getItem(TS.IDX_BULLET)),
+      (size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"),
+        st.getItem(TS.IDX_ELLIPSIS)),
+      (size(array_intersect(ts, typedlit(TextOps.stopwords("en")))).cast("long"),
+        st.getItem(TS.IDX_SW_DISTINCT_EN))
+    ) ++ hofSw
+    checks.zipWithIndex.foreach { case ((hof, kernel), i) =>
+      val bad = all.select(col("text"), hof.as("hof"), kernel.as("kernel"))
+        .where(col("hof") =!= col("kernel"))
+      val rows = bad.take(3)
+      assert(rows.isEmpty,
+        s"field $i diverges: ${rows.map(_.toString).mkString(" | ")}")
+    }
+  }
+
   test("quality score stays in [0,1] and rewards clean English text") {
     val docs = Tables(spark, sf, "documents")
     val qs = docs.select(TextOps.qualityScore(col("text")).as("q"))
