@@ -430,13 +430,17 @@ object Dedup {
     * the EDGE set (never the corpus) plus the joins back — the same
     * per-round cost class as label propagation; the win is the round
     * count. Each alternation's edge set is localCheckpoint'd (flat
-    * lineage, the [[clusters]] pattern). Convergence is detected by a
-    * (count, order-free hash-xor) fingerprint of the canonical edge
-    * set staying fixed across one full alternation — at the paper's
-    * fixpoint both transforms are the identity; `maxIter` caps
-    * pathological graphs, and a fingerprint collision (≈2⁻⁶⁴) can only
-    * end the loop one alternation early, never corrupt labels already
-    * derived from real edges.
+    * lineage, the [[clusters]] pattern). Convergence is detected by
+    * the STAR-FOREST test — no canonical edge's parent is itself some
+    * other edge's leaf (one semi-join existence probe per alternation
+    * on the already-materialized edge set). A star forest is exactly
+    * the paper's fixpoint (both transforms are the identity on it, see
+    * the fixpoint labeling below), and unlike the r20 fingerprint-
+    * stability check it fires the moment the forest forms instead of
+    * paying one further full alternation to observe "nothing changed"
+    * (r21 — clique-heavy near-dup graphs converge one alternation
+    * earlier, which at bench scale is ~⅓ of the loop's jobs);
+    * `maxIter` caps pathological graphs.
     */
   def clustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -452,17 +456,24 @@ object Dedup {
     var edges = canon(p.select(col("a").as("u"), col("b").as("v")))
       .localCheckpoint(true)
     p.unpersist()
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      // xor-fold, not sum: the edges are distinct, xor is order-free,
-      // and it cannot overflow under ANSI arithmetic
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // fixpoint test: the canonical edge set is a star forest iff (a) no
+    // parent u is some other edge's leaf v AND (b) every leaf has
+    // exactly one parent — (a) alone would also pass a "co-star" (one
+    // leaf under two roots), which is NOT a fixpoint and would mislabel
+    // the larger root. Both violations fold into one existence probe.
+    // Neither transform ever drops a node (small-star re-emits every h
+    // and every l-or-its-min; large-star re-emits every node through
+    // its smaller neighbors), so a strict star forest's components are
+    // the original components and each root is its component minimum.
+    def isStarForest(df: DataFrame): Boolean = {
+      val multiParent = df.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).select(col("v").as("bad"))
+      val parentAsLeaf = df.select(col("u").as("bad"))
+        .join(df.select(col("v").as("bad")), Seq("bad"), "left_semi")
+      multiParent.unionByName(parentAsLeaf).isEmpty
     }
-    var prev = fingerprint(edges)
     var iter = 0
-    var converged = prev._1 == 0L
+    var converged = isStarForest(edges)
     while (iter < maxIter && !converged) {
       // large-star: every neighbor LARGER than u re-links to the
       // minimum of u's closed neighborhood — detaches high-degree
@@ -483,9 +494,7 @@ object Dedup {
       val ss = canon(joined.select(col("l").as("u"), col("m").as("v"))
           .unionByName(joined.select(col("h").as("u"), col("m").as("v"))))
         .localCheckpoint(true)
-      val cur = fingerprint(ss)
-      converged = cur == prev
-      prev = cur
+      converged = isStarForest(ss)
       edges = ss
       iter += 1
     }

@@ -461,14 +461,17 @@ object Knn {
     * prefixes scan less and recall less — this makes the trade
     * measurable instead of guessed.
     *
-    * Scale shape: per level, ONE corpus scan computing the bucket
-    * map-side, one hash join against the broadcast query prefixes,
-    * and a per-query window on the (pruned) candidate set — the
-    * corpus never shuffles. Truth is one brute pass (broadcast
-    * queries). `levels.size` is small (≤4); it is an EVAL op — at
-    * 100 TB run it over a sampled corpus slice, then apply the chosen
-    * config corpus-wide. Returns (prefix_bits, n_queries,
-    * avg_candidates, mean_recall) — one row per level.
+    * Scale shape: ONE corpus scan computes the bucket map-side and
+    * explodes it to the `levels.size` (level, prefix) keys (r21 —
+    * previously the whole candidate/rank/recall pipeline ran once PER
+    * level: `levels.size` corpus scans and join/window rounds where
+    * one suffices); one hash join against the broadcast query
+    * prefixes, and a per-(level, query) window on the (pruned)
+    * candidate set — the corpus never shuffles. Truth is one brute
+    * pass (broadcast queries). It is an EVAL op — at 100 TB run it
+    * over a sampled corpus slice, then apply the chosen config
+    * corpus-wide. Returns (prefix_bits, n_queries, avg_candidates,
+    * mean_recall) — one row per level.
     */
   def recallCurve(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int,
@@ -479,44 +482,53 @@ object Knn {
     val planes = hyperplanes(bits, dim, seed)
     val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
       .select(col("q_id").as("t_qid"), col("n_id").as("t_nid"))
+    // every level's prefix derives from the SAME bucket value — explode
+    // the (level, prefix) pairs map-side on both sides and key the one
+    // join (and the one window pass) by (level, prefix) / (level, q_id)
+    def withLevels(df: DataFrame): DataFrame =
+      df.withColumn("lv", explode(array(levels.map { b =>
+          struct(lit(b).as("b"),
+            shiftright(col("_bk"), bits - b).as("pfx"))
+        }: _*)))
+        .select(df.columns.filter(_ != "_bk").map(col) :+
+          col("lv.b").as("b") :+ col("lv.pfx").as("pfx"): _*)
+    val c = withLevels(corpus.select(col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"), lshBucket(col(vecCol), planes).as("_bk")))
+    val q = withLevels(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), lshBucket(col(vecCol), planes).as("_bk")))
+    val wSort = Window.partitionBy(col("b"), col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val wAll = Window.partitionBy(col("b"), col("q_id"))
+    // rank and candidate count share the (level, q_id) partitioning —
+    // one shuffle; n_cand rides every row so the top-k cut keeps it
+    val topk = c.join(broadcast(q), Seq("b", "pfx"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
+      .withColumn("rank", row_number().over(wSort))
+      .withColumn("n_cand", count(lit(1)).over(wAll))
+      .where(col("rank") <= k)
+    val perQ = topk
+      .join(broadcast(truth),
+        col("q_id") === col("t_qid") && col("n_id") === col("t_nid"), "left")
+      .groupBy(col("b"), col("q_id"))
+      .agg(max(col("n_cand")).as("n_cand"),
+        sum(when(col("t_nid").isNotNull, 1).otherwise(0)).as("hits"))
+    // left join from the (query × level) universe: a query with an
+    // empty candidate set is a recall-0 data point, not a dropped row
+    // (perQ is ≤|queries|·|levels| rows — broadcast, don't sort-merge)
     val qIds = queries.select(col(idCol).as("q_id"))
-    val perLevel = levels.map { b =>
-      val shift = bits - b
-      val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        shiftright(lshBucket(col(vecCol), planes), shift).as("pfx"))
-      val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        shiftright(lshBucket(col(vecCol), planes), shift).as("pfx"))
-      val wSort = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
-      val wAll = Window.partitionBy(col("q_id"))
-      // rank and candidate count share the q_id partitioning — one
-      // shuffle; n_cand rides every row so the top-k cut keeps it
-      val topk = c.join(broadcast(q), Seq("pfx"))
-        .where(col("q_id") =!= col("n_id"))
-        .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 5))
-        .withColumn("rank", row_number().over(wSort))
-        .withColumn("n_cand", count(lit(1)).over(wAll))
-        .where(col("rank") <= k)
-      val perQ = topk
-        .join(broadcast(truth),
-          col("q_id") === col("t_qid") && col("n_id") === col("t_nid"), "left")
-        .groupBy(col("q_id"))
-        .agg(max(col("n_cand")).as("n_cand"),
-          sum(when(col("t_nid").isNotNull, 1).otherwise(0)).as("hits"))
-      // left join from the query universe: a query with an empty
-      // candidate set is a recall-0 data point, not a dropped row
-      // (perQ is ≤|queries| rows — broadcast, don't sort-merge)
-      qIds.join(broadcast(perQ), Seq("q_id"), "left")
-        .agg(
-          count(lit(1)).cast("long").as("n_queries"),
-          round(avg(coalesce(col("n_cand"), lit(0L)).cast("double")), 6)
-            .as("avg_candidates"),
-          round(avg(coalesce(col("hits"), lit(0L)).cast("double") / k), 6)
-            .as("mean_recall"))
-        .select(lit(b).as("prefix_bits"), col("n_queries"),
-          col("avg_candidates"), col("mean_recall"))
-    }
-    perLevel.reduce(_ unionByName _).orderBy(col("prefix_bits"))
+      .withColumn("b", explode(array(levels.map(lit(_)): _*)))
+    qIds.join(broadcast(perQ), Seq("b", "q_id"), "left")
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).cast("long").as("n_queries"),
+        round(avg(coalesce(col("n_cand"), lit(0L)).cast("double")), 6)
+          .as("avg_candidates"),
+        round(avg(coalesce(col("hits"), lit(0L)).cast("double") / k), 6)
+          .as("mean_recall"))
+      .select(col("b").as("prefix_bits"), col("n_queries"),
+        col("avg_candidates"), col("mean_recall"))
+      .orderBy(col("prefix_bits"))
   }
 
   /** Train product-quantization sub-codebooks (Jégou et al. 2011):
