@@ -110,8 +110,18 @@ object Bench {
     // the head of this line — the per-query map cannot fit, so the
     // summary fields (value/failed/sf) go AFTER it to land inside the
     // recorded tail no matter where the clip falls
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
-      s""""value":${fmt(total)},"failed":$fl,"n":${results.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+      s""""value":${fmt(total)},"failed":$fl,"n":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    // the full record additionally lands in a FILE when the caller asks
+    // (SPARK_GRAFT_BENCH_OUT=<path>) — tail-clipping-proof by
+    // construction; the stdout contract stays exactly one JSON line
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -203,6 +203,71 @@ object TextStats {
   }
 }
 
+/** DSIR importance-weight scorer kernel: Σ over whitespace tokens of
+  * weights[bucket(token)], with bucket = the md5-prefix integer
+  * pmod(hexSliceToLong(md5(token), 1), weights.length) — byte-for-byte
+  * the construction TextOps.dsirScores' Column form used (md5 over the
+  * lowered token's UTF-8 bytes; first 4 digest bytes as a big-endian
+  * uint32). One pass, one digest per token, summed in token order so
+  * the result is bit-identical to the interpreted
+  * aggregate(transform(...)) fold it replaces (r21; pinned in
+  * TextOpsSpec and by the unchanged DuckDB oracle).
+  */
+object DsirKernel {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def dsirSum(s: UTF8String, weights: Array[Double]): Double = {
+    val lower = s.toLowerCase
+    val ln = lower.numBytes()
+    val md = md5Local.get()
+    var sum = 0.0
+    var j = 0
+    var tokStart = -1
+    while (j <= ln) {
+      val ws = j == ln || {
+        val b = lower.getByte(j)
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      }
+      if (ws) {
+        if (tokStart >= 0) {
+          val tok = new Array[Byte](j - tokStart)
+          var k = 0
+          while (k < tok.length) { tok(k) = lower.getByte(tokStart + k); k += 1 }
+          md.reset()
+          val d = md.digest(tok)
+          // first 8 hex chars of md5 = first 4 digest bytes, big-endian
+          var v = 0L
+          var i = 0
+          while (i < 4) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          sum += weights((v % weights.length).toInt)
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = j
+      j += 1
+    }
+    sum
+  }
+}
+
+case class DsirSumExpr(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "dsir weights must be non-empty")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    DsirKernel.dsirSum(input.asInstanceOf[UTF8String], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DsirKernel.dsirSum($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirSumExpr =
+    copy(child = newChild)
+}
+
 /** Codegen expression: one kernel call per row (same shape as the
   * TextHashExpressions family — stays inside whole-stage codegen).
   */
@@ -222,4 +287,6 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 object TextStatsFunctions {
   def text_stats(text: Column): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(text)))
+  def dsir_sum(text: Column, weights: Array[Double]): Column =
+    ColumnBridge.column(DsirSumExpr(ColumnBridge.expression(text), weights))
 }

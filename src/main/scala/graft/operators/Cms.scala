@@ -106,19 +106,22 @@ object Cms {
   def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame = {
     val x = skA.select(col("r"), col("b"), col("cnt").as("cnt_a"))
     val y = skB.select(col("r"), col("b"), col("cnt").as("cnt_b"))
-    val ip = x.join(y, Seq("r", "b"))
-      .groupBy(col("r")).agg(sum(col("cnt_a") * col("cnt_b")).as("row_est"))
     // a hash row with NO shared bucket has inner product 0 — it must
     // participate in the min (its absence would overestimate a
-    // disjoint-key join). The row universe comes from the sketches
-    // THEMSELVES (not a d parameter that could disagree with the
-    // build and silently zero the estimate).
+    // disjoint-key join). The FULL OUTER join keeps every row present
+    // in either sketch (the row universe comes from the sketches
+    // THEMSELVES, not a d parameter that could disagree with the
+    // build), and one-sided buckets contribute coalesce(a·b, 0) = 0 —
+    // so rows without overlap sum to exactly the 0 the min needs.
+    // One join + one aggregate; the r20 shape materialized a separate
+    // row-universe (union + distinct + left join) for the same values.
     // coalesce the OUTER min too: two empty sketches yield zero rows,
     // and min over zero rows is NULL — downstream planner arithmetic
     // expects the empty-input estimate to read 0, not NULL
-    x.select(col("r")).union(y.select(col("r"))).distinct()
-      .join(ip, Seq("r"), "left")
-      .agg(coalesce(min(coalesce(col("row_est"), lit(0L))), lit(0L))
+    x.join(y, Seq("r", "b"), "full_outer")
+      .groupBy(col("r"))
+      .agg(sum(coalesce(col("cnt_a") * col("cnt_b"), lit(0L))).as("row_est"))
+      .agg(coalesce(min(col("row_est")), lit(0L))
         .cast("long").as("est_join_size"))
   }
 

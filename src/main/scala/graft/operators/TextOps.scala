@@ -1181,18 +1181,22 @@ object TextOps {
     val rc = bucketCounts(raw)
     val tTot = tc.values.sum.toDouble
     val rTot = rc.values.sum.toDouble
-    val weights: Map[Long, Double] = (0L until buckets.toLong).map { b =>
+    // dense weight vector indexed by bucket — rides into the one-pass
+    // codegen scorer (r21: the per-token md5 + map lookup previously
+    // ran as an interpreted aggregate(transform(...)) fold; the kernel
+    // sums the identical weights in the identical token order)
+    val warr: Array[Double] = Array.tabulate(buckets) { bi =>
+      val b = bi.toLong
       val pt = (tc.getOrElse(b, 0L) + alpha) / (tTot + alpha * buckets)
       val pr = (rc.getOrElse(b, 0L) + alpha) / (rTot + alpha * buckets)
-      b -> math.log(pt / pr)
-    }.toMap
-    val wmap = typedlit(weights)
-    val ts = tokens(col(textCol))
+      math.log(pt / pr)
+    }
+    val n = tokenCount(col(textCol))
     raw.select(col(idCol).as("doc_id"),
-      size(ts).cast("long").as("n_tokens"),
-      round(when(size(ts) > 0,
-        aggregate(transform(ts, t => element_at(wmap, bucket(t))),
-          lit(0.0), (acc, x) => acc + x) / size(ts).cast("double"))
+      n.as("n_tokens"),
+      round(when(n > 0,
+        graft.functions.TextStatsFunctions.dsir_sum(col(textCol), warr) /
+          n.cast("double"))
         .otherwise(lit(0.0)), 4).as("dsir_logratio"))
   }
 

@@ -68,6 +68,26 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("dsir kernel sum is bit-identical to the interpreted HOF fold") {
+    val buckets = 256
+    val w = Array.tabulate(buckets)(i => math.log((i + 1.0) / (buckets - i + 0.5)))
+    val wmap = typedlit(w.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+    def bucket(t: org.apache.spark.sql.Column) =
+      pmod(graft.functions.TextHashFunctions.hex_slice_long(md5(t), 1),
+        lit(buckets.toLong))
+    val ts = TextOps.tokens(col("text"))
+    val hof = aggregate(transform(ts, t => element_at(wmap, bucket(t))),
+      lit(0.0), (acc, x) => acc + x)
+    val all = Tables(spark, sf, "documents").select(col("text"))
+      .unionByName(spark.createDataFrame(Seq(
+        Tuple1(""), Tuple1("   "), Tuple1("ONE token"), Tuple1("Ünïcødé 的 mix")
+      )).toDF("text"))
+    val diff = all.select(hof.as("h"),
+      graft.functions.TextStatsFunctions.dsir_sum(col("text"), w).as("k"))
+      .where(col("h") =!= col("k")).count()
+    assert(diff == 0, "dsir kernel and HOF fold diverge")
+  }
+
   test("quality score stays in [0,1] and rewards clean English text") {
     val docs = Tables(spark, sf, "documents")
     val qs = docs.select(TextOps.qualityScore(col("text")).as("q"))
