@@ -195,35 +195,45 @@ object TextOps {
     * comparable across sources/languages/snapshots. Groups with a
     * single class return null AUC (undefined, not 0).
     *
-    * Scale shape: one shuffle on the group key, one in-group sort by
-    * score (WindowExec, spill-capable), then a partial-agg'd fold to
-    * one row per group. Exact AUC *needs* the rank, so the in-group
-    * sort is the semantic cost — for a full-corpus sweep at 100 TB
-    * either score a sampled eval slice (the usual practice: AUC is a
-    * statistic, not a per-doc artifact) or accept the sort spill; the
-    * bucket-approximate alternative is `prCurve` + trapezoid, which
-    * folds map-side. Returns (group, n_pos, n_neg, auc).
+    * Scale shape (r21): the corpus folds MAP-SIDE to one row per
+    * (group, score) — count + positive count — so the only shuffle
+    * carries distinct (group, score) pairs, and the rank arithmetic
+    * runs as a cumulative window over that (score-cardinality-bounded)
+    * table: the average tie rank at score s is cum_before(s)+(nₛ+1)/2,
+    * and Σ₊ ranks = Σₛ nposₛ·rankₛ. Every rank is an exact multiple of
+    * 0.5 and the sums stay far below 2⁵³, so this grouped form is
+    * BIT-identical to the per-row rank window it replaces (the r20
+    * shape sorted the whole corpus inside each group — the spill the
+    * old scaladoc apologized for; the sort now touches only the
+    * aggregated score table). Returns (group, n_pos, n_neg, auc).
     */
   def rocAuc(scored: DataFrame, groupCol: String, scoreCol: String,
              labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wRank = Window.partitionBy(col("g")).orderBy(col("s"))
-    val wTie = Window.partitionBy(col("g"), col("s"))
-    val ranked = scored.select(
+    val perScore = scored.select(
         col(groupCol).as("g"), col(scoreCol).as("s"),
         col(labelCol).cast("int").as("y"))
       // unlabeled/unscored rows are EXCLUDED, not counted as negatives
       // — they would both inflate n_neg and shift every rank (and
       // null-score ordering differs across engines)
       .where(col("s").isNotNull && col("y").isNotNull)
-      .withColumn("rmin", rank().over(wRank))
-      // average rank over ties keeps AUC exact under duplicate scores
-      .withColumn("ar", col("rmin") + (count(lit(1)).over(wTie) - 1) / 2.0)
-    ranked.groupBy(col("g"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    // inclusive running count per group in score order; each (g, s)
+    // row is unique, so the frame has no tie ambiguity
+    val wCum = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("cum", sum(col("n")).over(wCum))
+      // average rank over ties keeps AUC exact under duplicate scores:
+      // ranks cum-n+1 .. cum average to cum - n + (n+1)/2
+      .withColumn("rps_s",
+        col("npos") * (col("cum") - col("n") + (col("n") + 1) / 2.0))
+      .groupBy(col("g"))
       .agg(
-        sum(col("y")).cast("long").as("n_pos"),
-        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"),
-        sum(when(col("y") === 1, col("ar"))).as("rps"))
+        sum(col("npos")).cast("long").as("n_pos"),
+        (sum(col("n")) - sum(col("npos"))).cast("long").as("n_neg"),
+        sum(when(col("npos") > 0, col("rps_s"))).as("rps"))
       .select(
         col("g").as(groupCol), col("n_pos"), col("n_neg"),
         round(when(col("n_pos") > 0 && col("n_neg") > 0,
