@@ -370,7 +370,11 @@ object TextHashing {
     * returns NULL (conv of ''). Every call site feeds 32-char md5 hex
     * with pos ≤ 25, so that case is unreachable there, but a new
     * caller must not rely on NULL propagation (divergence pinned in
-    * SketchSpec). ASCII-safe because hex digits are ASCII.
+    * SketchSpec). Second caveat: `pos` here indexes BYTES while
+    * substring(s, pos, 8) indexes CHARACTERS — identical only while
+    * everything before the slice is ASCII (true for hex digests; a
+    * caller feeding arbitrary text with non-ASCII prefixes would
+    * diverge from the SQL form).
     */
   def hexSliceToLong(s: org.apache.spark.unsafe.types.UTF8String, pos: Int): Long = {
     var v = 0L

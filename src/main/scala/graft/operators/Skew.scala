@@ -44,8 +44,10 @@ object Skew {
     counts.crossJoin(broadcast(total))
       .select(col(keyCol), col("n_rows"),
         round(col("n_rows").cast("double") / col("n_total"), 6).as("share"),
-        // ceil-div in integer arithmetic: the replica count that caps
-        // one salt bucket of this key at targetRowsPerTask rows
+        // ceil-div rendered as floor((n+t-1)/t) — Column `/` is DOUBLE
+        // division, so this is exact only while n_rows+t-1 ≤ 2^53
+        // (far beyond any real key count; the DuckDB oracle replays
+        // the identical float form, so both engines agree bit-for-bit)
         floor((col("n_rows") + targetRowsPerTask - 1L) / targetRowsPerTask)
           .cast("long").as("salt"))
       .orderBy(col("n_rows").desc, col(keyCol))
@@ -82,6 +84,14 @@ object Skew {
     require(hotKeys.nonEmpty, "empty hotKeys — use a plain join")
     require(left.columns.contains(scatterCol),
       s"scatterCol $scatterCol not in left")
+    // scatterCol must VARY WITHIN a hot key: xxhash64 of a per-key
+    // constant sends every row of the key to one salt bucket — the
+    // mitigation silently does nothing while still paying the right-
+    // side replication. scatterCol == key is that degenerate case
+    // spelled out, so it fails loudly here.
+    require(scatterCol != key,
+      s"scatterCol must vary within a hot key; '$key' is constant per key " +
+        "— pass a row-level column (an id, a timestamp)")
     val clash = (left.columns ++ right.columns).filter(_ == "_sj_salt")
     require(clash.isEmpty, "saltedJoin reserves _sj_salt — rename upstream")
     val overlap = left.columns.toSeq.intersect(right.columns.toSeq)

@@ -857,13 +857,15 @@ object TextOps {
     * key is engine-portable, so the DuckDB oracle replays the whole
     * pipeline exactly).
     *
-    * Scale shape: three corpus-sized shuffles, each semantically
-    * forced — (1) the per-doc window build (partitioned by doc id;
-    * one pass builds every window via a rows-frame collect), (2) the
-    * keep-first pass on the 16-byte key, (3) the rebuild regroup
-    * (doc id). The removal set broadcasts back onto the token stream
-    * when small (the common case — only duplicated coverage
-    * travels); AQE picks the join side at runtime.
+    * Scale shape: TWO corpus-sized shuffles, each semantically forced
+    * — (1) the keep-first pass on the 16-byte key, (2) the rebuild
+    * regroup (doc id). The window build itself is MAP-SIDE: the
+    * window_md5_keys codegen kernel reads every L-token window off
+    * the unexploded token array in one generated loop (r20 removed
+    * the per-doc Window-frame collect this step used to shuffle for).
+    * The removal set broadcasts back onto the token stream when small
+    * (the common case — only duplicated coverage travels); AQE picks
+    * the join side at runtime.
     *
     * `skewSafe` picks the keep-first strategy (both measured at sf1;
     * DedupSpec-pinned equivalent):

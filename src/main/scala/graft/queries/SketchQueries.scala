@@ -83,10 +83,13 @@ object SketchQueries {
       import graft.operators.Cms
       val li = Tables(s, d, "lineitem").select(col("l_partkey"))
       val sketch = Cms.build(li, "l_partkey", d = 4, w = 256)
-      val probes = li.where(col("l_partkey") <= 20).distinct()
+      // the exact-count aggregate's key set IS the distinct probe set —
+      // reuse it (r21: one fewer lineitem pass; the probe distinct and
+      // the exact groupBy were separate scans of the same filter)
       val exact = li.where(col("l_partkey") <= 20)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_true"))
-      Cms.estimate(probes, "l_partkey", sketch, d = 4, w = 256)
+      Cms.estimate(exact.select(col("l_partkey")), "l_partkey", sketch,
+          d = 4, w = 256)
         .join(broadcast(exact), Seq("l_partkey"))
         .select(col("l_partkey"), col("est"), col("n_true"))
     }),

@@ -35,13 +35,16 @@ final case class ThEvtW(user: Long, tsMicros: Long, id: Long, etype: String,
   * keys (the matchPattern caveat). Pass expireState = true to
   * register an event-time timeout at the current bucket's end and
   * drop the record once the watermark passes it. Unlike the funnel/
-  * retention twins this expiry is EXACTLY semantics-preserving:
-  * under ordered delivery any event arriving after the watermark
+  * retention twins this expiry is exactly semantics-preserving under
+  * GLOBALLY ordered delivery: any event arriving after the watermark
   * passed the bucket end lands in a LATER bucket, which resets the
   * counter regardless of whether the old record was still there.
   * The expiry path runs under a zero-delay watermark, which also
-  * drops rows at or below the previous batch's max event time (see
-  * FunnelStream) — the ordered contract, enforced.
+  * drops rows at or below the previous batch's max event time across
+  * ALL keys (see FunnelStream) — i.e. it enforces GLOBAL event-time
+  * ordering, a strictly stronger contract than the per-key ordering
+  * the stateless path needs: with expireState a time-lagging key's
+  * in-order events can be dropped by a faster key's watermark.
   */
 object ThrottleStream {
 
