@@ -113,9 +113,23 @@ object Bench {
     val line = s"""{"metric":"total","unit":"sec","queries":$qs,""" +
       s""""value":${fmt(total)},"failed":$fl,"n":${results.size},"sf":"$sfDir"}"""
     println(line)
+    // r22 (VERDICT r21 #2): the harness records only the LAST ~2 kB of
+    // stdout, which clips the HEAD of the ~5 kB full line above —
+    // unparseable for 21 straight rounds. A second, ≤1 kB summary line
+    // printed LAST always fits the recorded tail whole: total, failed,
+    // n, sf, and the 10 slowest queries under "slowest" (NOT
+    // "queries", so a parser that diffs the per-query map never
+    // mistakes the top-10 for a 10-query bench). The full line above
+    // and the $SPARK_GRAFT_BENCH_OUT file keep the complete record —
+    // this is an ADDITION, no existing field moved or changed.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","unit":"sec","value":${fmt(total)},""" +
+      s""""failed":$fl,"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     // the full record additionally lands in a FILE when the caller asks
     // (SPARK_GRAFT_BENCH_OUT=<path>) — tail-clipping-proof by
-    // construction; the stdout contract stays exactly one JSON line
+    // construction
     sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
       catch { case e: Throwable =>

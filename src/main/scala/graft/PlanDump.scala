@@ -11,6 +11,11 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <outDir> [suffix] [q_a,q_b,...]")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val suffix = if (args.length > 1) args(1) else "plan"
     val names = if (args.length > 2)
@@ -27,11 +32,17 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // "exec" as a 4th arg: run the query (collect) and dump the FINAL
+    // adaptive plan instead of the initial one — this is where
+    // ReusedExchange / AQE join rewrites are visible.
+    val execMode = args.length > 3 && args(3) == "exec"
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        if (execMode) df.collect()
+        val plan = if (execMode) df.queryExecution.executedPlan.toString
+          else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
         println(s"[plandump] $name -> $outDir/${name}_$suffix.txt")
       } catch { case e: Throwable =>

@@ -57,6 +57,37 @@ object GramKernels {
     new GenericArrayData(out)
   }
 
+  /** All k-grams for every k = 1..n as n-field struct rows, shorter
+    * grams padded with trailing nulls — ONE generator pass feeds every
+    * count table of the perplexity family at once (unigram counts ride
+    * the same explode + groupBy as the bigram/trigram types, so the
+    * model build touches the corpus once instead of once per order).
+    * Emission order is all unigrams, then all bigrams, … — order is
+    * irrelevant downstream (everything aggregates), but deterministic.
+    */
+  def allGramStructs(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    var total = 0
+    var k = 1
+    while (k <= n) { if (sz >= k) total += sz - k + 1; k += 1 }
+    val out = new Array[Any](total)
+    var o = 0
+    k = 1
+    while (k <= n) {
+      var i = 0
+      while (i + k <= sz) {
+        val fields = new Array[Any](n) // trailing entries stay null
+        var j = 0
+        while (j < k) { fields(j) = arr.getUTF8String(i + j); j += 1 }
+        out(o) = new GenericInternalRow(fields)
+        o += 1
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -126,6 +157,25 @@ case class GramStructsExpr(child: Expression, fields: Seq[String])
     copy(child = newChild)
 }
 
+/** ARRAY<STRUCT<f1,...,fn STRING>> of ALL k-grams, k = 1..n, shorter
+  * grams null-padded on the right ([[GramKernels.allGramStructs]]).
+  */
+case class AllGramStructsExpr(child: Expression, fields: Seq[String])
+    extends UnaryExpression {
+  require(fields.nonEmpty, "need at least one field name")
+  override def dataType: DataType = ArrayType(
+    StructType(fields.map(f => StructField(f, StringType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "all_gram_structs"
+  override protected def nullSafeEval(input: Any): Any =
+    GramKernels.allGramStructs(input.asInstanceOf[ArrayData], fields.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramKernels.allGramStructs($c, ${fields.size})")
+  override protected def withNewChildInternal(newChild: Expression): AllGramStructsExpr =
+    copy(child = newChild)
+}
+
 /** ARRAY<STRUCT<pos INT, key STRING>> of L-token window md5 keys. */
 case class WindowMd5KeysExpr(child: Expression, l: Int) extends UnaryExpression {
   require(l >= 1, s"window length must be >= 1, got $l")
@@ -148,6 +198,8 @@ object Grams {
     ColumnBridge.column(GramStringsExpr(ColumnBridge.expression(tokens), n))
   def gram_structs(tokens: Column, fields: Seq[String]): Column =
     ColumnBridge.column(GramStructsExpr(ColumnBridge.expression(tokens), fields))
+  def all_gram_structs(tokens: Column, fields: Seq[String]): Column =
+    ColumnBridge.column(AllGramStructsExpr(ColumnBridge.expression(tokens), fields))
   def window_md5_keys(tokens: Column, l: Int): Column =
     ColumnBridge.column(WindowMd5KeysExpr(ColumnBridge.expression(tokens), l))
 }

@@ -126,7 +126,16 @@ object TextStats {
                   s.getByte(p + 2) == 0xA2.toByte))
               out(IDX_BULLET) += 1
           }
-          // ellipsis: after trailing 0x20 spaces, ends with "..." or "…"
+          // ellipsis: after trailing 0x20 spaces, ends with "..." or "…".
+          // INTENTIONAL divergence from the historical Spark
+          // rlike("(\.\.\.|…)$") form (ADVICE r21): Java's $ also
+          // matches just before a FINAL line terminator, so a CRLF
+          // line "x...\r" counted as ellipsis there; this kernel (and
+          // the RE2-based DuckDB oracle, which the old Spark form
+          // disagreed with) requires the ellipsis to be the true end
+          // of the line after 0x20-trimming. TextOpsSpec pins the
+          // kernel semantics against a rlike("(...|…)\z") reference
+          // including a CRLF+ellipsis edge row.
           var q = i
           while (q > lineStart && s.getByte(q - 1) == ' ') q -= 1
           if (q - lineStart >= 3) {

@@ -88,6 +88,24 @@ object Cms {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Build the sketch from an ALREADY-AGGREGATED (key, count) table:
+    * per (hash row, bucket), counts sum instead of rows counting — so
+    * a per-key count table a query computes anyway (e.g. a join-size
+    * truth side) feeds the sketch without a second corpus scan, and
+    * the values are exactly [[build]]'s (Σ over keys in a bucket of
+    * count(key) ≡ count of rows in the bucket). r22, guide §2.4/§6:
+    * q_sketch_joinsize's sketch builds ride the truth side's per-key
+    * aggregates — the exchange is shared, each input is scanned once.
+    */
+  def buildWeighted(keyCounts: DataFrame, keyCol: String, cntCol: String,
+                    d: Int = 4, w: Int = 256,
+                    portable: Boolean = true): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    probeRows(keyCounts, keyCol, d, w, portable, keep = Seq(cntCol))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col(cntCol)).as("cnt"))
+  }
+
   /** Merge two sketches built with the same (d, w): counts add. */
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("r"), col("b"))

@@ -429,8 +429,12 @@ object Dedup {
     * Scale shape per alternation: two groupBy shuffles on node id over
     * the EDGE set (never the corpus) plus the joins back — the same
     * per-round cost class as label propagation; the win is the round
-    * count. Each alternation's edge set is localCheckpoint'd (flat
-    * lineage, the [[clusters]] pattern). Convergence is detected by
+    * count. Each alternation's FINAL (small-star) edge set is
+    * localCheckpoint'd (flat lineage, the [[clusters]] pattern); the
+    * intermediate large-star output is not — one eager
+    * materialization per alternation instead of two (r22; ReusedExchange
+    * keeps the large-star work single-run, see the loop body).
+    * Convergence is detected by
     * the STAR-FOREST test — no canonical edge's parent is itself some
     * other edge's leaf (one semi-join existence probe per alternation
     * on the already-materialized edge set). A star forest is exactly
@@ -482,9 +486,17 @@ object Dedup {
         edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = und.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // r22: the large-star output is NOT checkpointed — only the
+      // alternation's final (small-star) edge set is. The ls subtree
+      // appears twice under ss (ssMin's aggregate and the join probe),
+      // but its own exchanges (lsMin's groupBy, the und join, canon's
+      // distinct) are identical subtrees that ReusedExchange dedupes,
+      // so the heavy work still runs once per alternation — for one
+      // fewer eager materialization job + shuffle round trip
+      // (VERDICT r21 #1; guide §1.2 fewer passes). Lineage stays flat:
+      // ls reads the PREVIOUS alternation's checkpointed edges.
       val ls = canon(und.join(lsMin, "u").where(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint(true)
       // small-star: every smaller-or-equal neighbor (and the node
       // itself) links to the minimum smaller neighbor
       val dir = ls.select(greatest(col("u"), col("v")).as("h"),

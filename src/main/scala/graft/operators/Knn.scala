@@ -479,6 +479,11 @@ object Knn {
                   seed: Long = 42L, dim: Int = 64): DataFrame = {
     require(levels.nonEmpty && levels.forall(b => b >= 1 && b <= bits),
       s"levels must be within [1, $bits], got $levels")
+    // duplicate levels would merge into ONE exploded group (n_queries
+    // doubled) instead of the documented one-row-per-level — reject
+    // loudly rather than silently change shape (ADVICE r21)
+    require(levels.distinct.size == levels.size,
+      s"levels must be distinct, got $levels")
     val planes = hyperplanes(bits, dim, seed)
     val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
       .select(col("q_id").as("t_qid"), col("n_id").as("t_nid"))
@@ -637,11 +642,24 @@ object Knn {
                 idCol: String, vecCol: String, k: Int,
                 cells: Int = 16, probes: Int = 4,
                 m: Int = 16, ksub: Int = 64, iters: Int = 2,
-                excludeSelf: Boolean = true): DataFrame =
-    ivfPqTopKWith(
-      trainIvfCentroids(corpus, idCol, vecCol, cells, iters),
-      trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters),
+                excludeSelf: Boolean = true): DataFrame = {
+    // The two trainers are INDEPENDENT collect loops (IVF centroids vs
+    // PQ codebooks) whose jobs otherwise run strictly back to back —
+    // submit them from two driver threads so each trainer's scheduling
+    // gaps and stage tails back-fill with the other's tasks (guide
+    // §2.6 "overlap independent jobs"). Results are identical: each
+    // trainer is deterministic and shares nothing but the immutable
+    // corpus frame.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fCents = scala.concurrent.Future(
+      trainIvfCentroids(corpus, idCol, vecCol, cells, iters))
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val cents = scala.concurrent.Await.result(
+      fCents, scala.concurrent.duration.Duration.Inf)
+    ivfPqTopKWith(cents, cb,
       queries, corpus, idCol, vecCol, k, probes, excludeSelf)
+  }
 
   /** [[ivfPqTopK]] with already-trained models — the persisted-index
     * probe path.

@@ -31,7 +31,13 @@ object TextOps {
   private def stat(text: Column, i: Int): Column =
     graft.functions.TextStatsFunctions.text_stats(text).getItem(i)
 
-  /** Whitespace token count. */
+  /** Whitespace token count. NULL text yields NULL (the kernel is a
+    * null-safe expression) — the pre-r21 size(split(...)) form read -1
+    * under legacy sizeOfNull; null-in/null-out is the documented
+    * contract since r21 (ADVICE r21: filters behave identically —
+    * both are non-true — and no oracle table carries null text, so no
+    * published value changed).
+    */
   def tokenCount(text: Column): Column = stat(text, TS.IDX_TOKENS)
 
   /** BPE-ish subword token count: GPT-2-style pre-tokenizer pieces
@@ -464,30 +470,50 @@ object TextOps {
       explode(graft.functions.Grams.gram_structs(col("ts"),
         Seq("w1", "w2"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val words = toks.select(explode(col("ts")).as("w"))
-    val uniAll = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    // r22: ONE fused count pass — the all-grams kernel emits every
+    // token as (w, null) next to every bigram as (w1, w2), so one
+    // explode + groupBy carries BOTH count tables (guide §2.4: the
+    // unigram aggregate was a second corpus tokenize/explode/shuffle
+    // over entries this pass already shuffles; total shuffled rows
+    // are unchanged). Null groups split the tables back exactly.
+    // The EAGER localCheckpoint materializes the TYPE table (model-
+    // bounded, never corpus-sized) exactly once: without the
+    // barrier each consumer's w2-null/not-null filter pushes BELOW the
+    // aggregate and un-fuses the pass into one corpus explode per
+    // consumer (verified in the executed plan — the exchange stops
+    // being reusable once the pushed filters differ).
+    val counts = toks.select(explode(graft.functions.Grams.all_gram_structs(
+        col("ts"), Seq("w1", "w2"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uniAll = counts.where(col("w2").isNull)
+      .select(col("w1"), col("c").as("c1"))
     val uni = if (minCount <= 1) uniAll else uniAll.where(col("c1") >= minCount)
-    val biAll = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val biAll = counts.where(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("c2"))
     // the model only keeps transitions BETWEEN kept words — a bigram
     // through a pruned word must fall to the smoothing floor, not
     // keep its real count against a zeroed unigram (that would let
-    // P > 1)
-    val bi = if (minCount <= 1) biAll else biAll
-      .join(uni.select(col("w1")), Seq("w1"), "left_semi")
-      .join(uni.select(col("w1").as("w2")), Seq("w2"), "left_semi")
+    // P > 1). At the default minCount ≤ 1 the prune join is an
+    // identity over the unique-keyed biAll, so it is skipped outright.
+    val bi = if (minCount <= 1) biAll else biAll.select(col("w1"), col("w2"))
+      .join(biAll
+        .join(uni.select(col("w1")), Seq("w1"), "left_semi")
+        .join(uni.select(col("w1").as("w2")), Seq("w2"), "left_semi"),
+        Seq("w1", "w2"), "left")
     // V = |kept vocabulary| = the unigram table's row count — derived
     // from the already-aggregated (tiny) table, not a third
     // corpus-wide distinct over the raw token stream
     val vocab = uni.agg(count(lit(1)).as("vs"))
     // score each bigram TYPE once over the vocabulary-bounded tables
-    // (biAll keys every type the stream can produce, so pruned
+    // (bi keys every type the stream can produce, so pruned
     // transitions still resolve — their kept-count columns read null
     // exactly as the per-occurrence joins did), then attach the scored
     // table to the corpus stream with a SINGLE join. Before r21 the
     // occurrence stream probed bi + uni + vocab separately — three
     // corpus-scale join passes where one suffices (guide §2.4/§3).
-    val scored = biAll.select(col("w1"), col("w2"))
-      .join(bi, Seq("w1", "w2"), "left")
+    val scored = bi
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab)) // one row: the vocabulary size
       .select(col("w1"), col("w2"),
@@ -526,13 +552,31 @@ object TextOps {
       explode(graft.functions.Grams.gram_structs(col("ts"),
         Seq("w1", "w2"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val uni = toks.select(explode(col("ts")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // r22: ONE fused count pass (all-grams kernel — tokens as
+    // (w, null), bigrams as (w1, w2)) replaces the separate unigram
+    // and bigram corpus aggregates; null groups split the two tables
+    // back exactly (guide §2.4 — one corpus explode/shuffle, not two).
+    // Eager localCheckpoint: the model-bounded type table materializes
+    // once (lazy would let concurrent AQE stages race to compute it);
+    // without the barrier each consumer's key filter pushes
+    // below the aggregate and re-runs the corpus explode per consumer.
+    val counts = toks.select(explode(graft.functions.Grams.all_gram_structs(
+        col("ts"), Seq("w1", "w2"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = counts.where(col("w2").isNull)
+      .select(col("w1"), col("c").as("c1"))
+    val bi = counts.where(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("c2"))
     val cont = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1p"))   // N1+(w1·)
     val hist = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))   // N1+(·w2)
-    val types = bi.agg(count(lit(1)).as("nt"))
-    val vocab = uni.agg(count(lit(1)).as("vs"))
+    // the two scalar totals fold in ONE aggregate over the fused count
+    // table — one broadcast row instead of two (r22; they were two
+    // separate aggregates + two broadcast crossJoins)
+    val scal = counts.agg(
+      count(when(col("w2").isNotNull, 1)).as("nt"),   // bigram types
+      count(when(col("w2").isNull, 1)).as("vs"))      // |vocabulary|
     val pcont = (coalesce(col("n1m"), lit(0L)) + lit(0.5)) /
       (col("nt") + lit(0.5) * col("vs"))
     val seen = (greatest(col("c2") - lit(discount), lit(0.0)) / col("c1")) +
@@ -547,8 +591,7 @@ object TextOps {
       .join(uni, Seq("w1"), "left")
       .join(cont, Seq("w1"), "left")
       .join(hist, Seq("w2"), "left")
-      .crossJoin(broadcast(types))
-      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(scal))
       .select(col("w1"), col("w2"), (-log(p)).as("nll"))
     bigrams
       .join(scored, Seq("w1", "w2"), "left")
@@ -782,7 +825,26 @@ object TextOps {
       explode(graft.functions.Grams.gram_structs(col("ts"),
         Seq("w1", "w2", "w3"))).as("t"))
       .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
-    val triTypes = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    // r22: ONE fused count pass for EVERY order — the all-grams kernel
+    // emits each token as (w, null, null), each bigram as (w1, w2,
+    // null) and each trigram as (w1, w2, w3); one explode + groupBy
+    // then carries the trigram count table, the bigram TYPE table and
+    // the vocabulary at once (guide §2.4 — it replaces three separate
+    // corpus tokenize/explode/aggregate passes; null groups split the
+    // tables back exactly, and every count is the same integer the
+    // per-order aggregates produced).
+    // Eager localCheckpoint: the model-bounded type table materializes
+    // once (lazy would let concurrent AQE stages race to compute it);
+    // without the barrier each consumer's key filter pushes
+    // below the aggregate and re-runs the corpus explode per consumer
+    // (six corpus passes where one suffices — measured).
+    val counts = toks.select(explode(graft.functions.Grams.all_gram_structs(
+        col("ts"), Seq("w1", "w2", "w3"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val triTypes = counts.where(col("w3").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("c").as("c3"))
     // c2h counts (w1,w2) occurrences AS TRIGRAM HISTORY, i.e. over the
     // trigram stream — exactly Σ_w3 c3, so it folds from the type
     // table (integer sum: bit-identical) instead of re-aggregating the
@@ -799,18 +861,21 @@ object TextOps {
     // bit-identical) — one fewer pass over the type table (r21)
     val midDen = midNum.groupBy(col("w2"))
       .agg(sum(col("n1p_mid")).as("n1p_mid_all"))              // N1+(·w2·)
-    // bigram TYPE tables for λ2 and the continuation unigram
-    val biTypes = toks.select(col("ts")).select(
-      explode(graft.functions.Grams.gram_structs(col("ts"),
-        Seq("a", "b"))).as("g"))
-      .select(col("g.a"), col("g.b")).distinct()
+    // bigram TYPE tables for λ2 and the continuation unigram — the
+    // (w2, null) rows of the fused count table ARE the distinct
+    // bigram types (counts ignored; the set is identical)
+    val biTypes = counts.where(col("w2").isNotNull && col("w3").isNull)
+      .select(col("w1").as("a"), col("w2").as("b"))
     val contMid = biTypes.groupBy(col("a").as("w2"))
       .agg(count(lit(1)).as("n1p_w2"))                         // N1+(w2·)
     val hist = biTypes.groupBy(col("b").as("w3"))
       .agg(count(lit(1)).as("n1m"))                            // N1+(·w3)
-    val types = biTypes.agg(count(lit(1)).as("nt"))
-    val vocab = toks.select(explode(col("ts")).as("w")).agg(
-      count_distinct(col("w")).as("vs"))
+    // both scalar totals in ONE aggregate over the fused table — one
+    // broadcast row instead of two (r22; |bigram types| and |vocab|
+    // were separate aggregates, vocab a THIRD corpus-wide pass)
+    val scal = counts.agg(
+      count(when(col("w2").isNotNull && col("w3").isNull, 1)).as("nt"),
+      count(when(col("w2").isNull, 1)).as("vs"))
     val pcont = (coalesce(col("n1m"), lit(0L)) + lit(0.5)) /
       (col("nt") + lit(0.5) * col("vs"))
     val p2seen = (greatest(col("n1p_mid") - lit(discount), lit(0.0)) / col("n1p_mid_all")) +
@@ -830,8 +895,7 @@ object TextOps {
       .join(midDen, Seq("w2"), "left")
       .join(contMid, Seq("w2"), "left")
       .join(hist, Seq("w3"), "left")
-      .crossJoin(broadcast(types))
-      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(scal))
       .select(col("w1"), col("w2"), col("w3"), (-log(p)).as("nll"))
     tri
       .join(scored, Seq("w1", "w2", "w3"), "left")

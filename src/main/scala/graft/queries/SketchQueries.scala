@@ -101,18 +101,31 @@ object SketchQueries {
     // always (collision mass only adds). FULL oracle.
     "q_sketch_joinsize" -> ((s, d) => {
       import graft.operators.Cms
-      val skL = Cms.build(
-        Tables(s, d, "lineitem").select(col("l_orderkey").as("k")), "k")
-      val skO = Cms.build(
-        Tables(s, d, "orders").select(col("o_orderkey").as("k")), "k")
-      // exact truth Σ_k nL(k)·nO(k) via per-key counts — both sides
-      // partial-aggregate map-side BEFORE the join, so the
-      // verification join carries one row per key, not per row
-      val truth = Tables(s, d, "lineitem")
+      // ONE per-key count table per side serves BOTH the sketch build
+      // and the exact truth (r22, guide §2.4/§6): the sketch folds the
+      // per-key counts into its buckets (buildWeighted — identical
+      // values to counting raw rows), so each input is scanned and
+      // key-aggregated once and the two consumers reuse the exchange.
+      // the explicit isNotNull matches the predicate the truth join
+      // pushes into ITS branch — without it the two consumers' scan
+      // subtrees differ (one filtered, one not) and AQE cannot reuse
+      // the per-key shuffle stage (verified in the executed plan).
+      // Values are unchanged: the generated keys are never null, and a
+      // null key could never contribute to the truth join anyway.
+      val cl = Tables(s, d, "lineitem")
+        .where(col("l_orderkey").isNotNull)
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cl"))
-        .join(Tables(s, d, "orders")
-          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("co")),
-          col("l_orderkey") === col("o_orderkey"))
+      val co = Tables(s, d, "orders")
+        .where(col("o_orderkey").isNotNull)
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("co"))
+      val skL = Cms.buildWeighted(
+        cl.select(col("l_orderkey").as("k"), col("cl")), "k", "cl")
+      val skO = Cms.buildWeighted(
+        co.select(col("o_orderkey").as("k"), col("co")), "k", "co")
+      // exact truth Σ_k nL(k)·nO(k) — both sides are already one row
+      // per key, so the verification join carries keys, not rows
+      val truth = cl
+        .join(co, col("l_orderkey") === col("o_orderkey"))
         .agg(sum(col("cl") * col("co")).cast("long").as("true_join_size"))
       Cms.joinSizeEstimate(skL, skO).crossJoin(broadcast(truth))
     })

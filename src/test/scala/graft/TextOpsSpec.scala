@@ -28,7 +28,12 @@ class TextOpsSpec extends SparkSuite {
       Tuple1("a.... b... ## #"), Tuple1("  - bullet\n\t- tab bullet\n• dot\n   \nx…\ny... \nz.."),
       Tuple1("Ünïcødé wörds ÉÀ 你好 的 在"), Tuple1("1234 !!! ??? ,,,"),
       Tuple1("word glued nbsp"), Tuple1("trailing spaces   "),
-      Tuple1("...."), Tuple1("#"), Tuple1("\n\n\n"), Tuple1("x\ny\nx\ny\nx")
+      Tuple1("...."), Tuple1("#"), Tuple1("\n\n\n"), Tuple1("x\ny\nx\ny\nx"),
+      // CRLF + ellipsis: "x...\r" must NOT count as an ellipsis line —
+      // the kernel (like the RE2 oracle) requires the dots at the true
+      // end of the 0x20-trimmed line, unlike Java's $ which matches
+      // before a final \r (ADVICE r21: documented divergence)
+      Tuple1("x...\r\ny… \nz...\nw...\r")
     )).toDF("text")
     val all = docs.unionByName(edge)
     val st = graft.functions.TextStatsFunctions.text_stats(col("text"))
@@ -54,7 +59,10 @@ class TextOpsSpec extends SparkSuite {
       (size(ls).cast("long"), st.getItem(TS.IDX_LINES)),
       (size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
         .cast("long"), st.getItem(TS.IDX_BULLET)),
-      (size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"),
+      // \z (absolute end), not $: Java's $ also matches before a final
+      // \r, which the kernel and the RE2-based oracle deliberately do
+      // not count (ADVICE r21 — the old $ form was the outlier)
+      (size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)\\z"))).cast("long"),
         st.getItem(TS.IDX_ELLIPSIS)),
       (size(array_intersect(ts, typedlit(TextOps.stopwords("en")))).cast("long"),
         st.getItem(TS.IDX_SW_DISTINCT_EN))
@@ -832,6 +840,26 @@ class TextOpsSpec extends SparkSuite {
     val short = Seq(Tuple1(Seq("a"))).toDF("ts")
     assert(short.select(size(Grams.gram_strings($"ts", 2))).first().getInt(0) == 0)
     assert(short.select(size(Grams.window_md5_keys($"ts", 3))).first().getInt(0) == 0)
+    // all_gram_structs(n) ≡ the per-order gram_structs null-padded and
+    // concatenated in order k = 1..n — the fused perplexity count pass
+    // (r22) shuffles exactly the entries the per-order explodes did
+    val nullStr = lit(null).cast("string")
+    val a3 = docs.select(
+      Grams.all_gram_structs($"ts", Seq("w1", "w2", "w3")).as("k"),
+      concat(
+        transform($"ts", w =>
+          struct(w.as("w1"), nullStr.as("w2"), nullStr.as("w3"))),
+        transform(Grams.gram_structs($"ts", Seq("a", "b")), g =>
+          struct(g.getField("a").as("w1"), g.getField("b").as("w2"),
+            nullStr.as("w3"))),
+        Grams.gram_structs($"ts", Seq("w1", "w2", "w3"))).as("h"))
+    assert(a3.where($"k".cast("string") =!= $"h".cast("string")).count() == 0)
+    // short/empty inputs: one token yields exactly its unigram row
+    assert(short.select(size(Grams.all_gram_structs($"ts", Seq("a", "b", "c"))))
+      .first().getInt(0) == 1)
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("ts")
+    assert(empty.select(size(Grams.all_gram_structs($"ts", Seq("a", "b"))))
+      .first().getInt(0) == 0)
   }
 
   test("driftReport: hand-computed JS terms, absent-side zeros, ranking") {
