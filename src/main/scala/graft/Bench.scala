@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * footer cost and the median discards that outlier, which keeps
   * run-to-run variance well under the ~20% single-shot noise. Failures
   * are recorded by name, never silently timed as fast runs.
+  *
+  * Output: the full one-line JSON record (unchanged since r1), then —
+  * r22 — one compact summary line LAST (total/failed/n/slowest-10)
+  * sized to always fit the harness's ~2 kB stdout tail whole; the
+  * full record also lands in $SPARK_GRAFT_BENCH_OUT when set.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

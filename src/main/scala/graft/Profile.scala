@@ -28,11 +28,19 @@ object Profile {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks)
+        // spill audit (guide §5): bytes the stage's tasks spilled
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
       }
     })
 
@@ -50,7 +58,7 @@ object Profile {
       System.gc()
     }
 
-    println(f"${"query"}%-28s ${"plan_s"}%8s ${"exec1_s"}%8s ${"exec2_s"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s")
+    println(f"${"query"}%-28s ${"plan_s"}%8s ${"exec1_s"}%8s ${"exec2_s"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s ${"spill_mb"}%9s")
     names.foreach { name =>
       try {
         resetStorage()
@@ -61,15 +69,17 @@ object Profile {
         df.queryExecution.executedPlan // force analysis+optimization+planning
         val t1 = System.nanoTime()
         jobs.set(0); stages.set(0); tasks.set(0)
+        spillMem.set(0); spillDisk.set(0)
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
         val (j1, s1, k1) = (jobs.get, stages.get, tasks.get)
+        val sp = (spillMem.get + spillDisk.get) / 1e6
         resetStorage()
         val t3 = System.nanoTime()
         val df2 = SparkEntry.queries(name)(spark, sfDir)
         df2.write.format("noop").mode("overwrite").save()
         val t4 = System.nanoTime()
-        println(f"$name%-28s ${(t1 - t0) / 1e9}%8.3f ${(t2 - t1) / 1e9}%8.3f ${(t4 - t3) / 1e9}%8.3f $j1%5d $s1%7d $k1%6d")
+        println(f"$name%-28s ${(t1 - t0) / 1e9}%8.3f ${(t2 - t1) / 1e9}%8.3f ${(t4 - t3) / 1e9}%8.3f $j1%5d $s1%7d $k1%6d $sp%9.1f")
       } catch { case e: Throwable =>
         println(f"$name%-28s FAILED: ${e.getMessage}")
       }
